@@ -1,0 +1,249 @@
+"""Atom: a lightweight per-index view into a System.
+
+API-parity shim over the SoA `Topology`/`System` arrays — the reference's
+`Atom` struct (`src/structures/atom.rs:23-71`) exposed with the same
+`get_*`/`set_*`/`with_*` method names.  Mutations write through to the
+parent System's columns.  Hot paths never touch this class; it exists so a
+groan_rs user can port per-atom code unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import AtomError, PositionError
+from .container import AtomContainer
+
+
+class Atom:
+    __slots__ = ("_system", "_index")
+
+    def __init__(self, system, index: int):
+        self._system = system
+        self._index = int(index)
+
+    # ------------------------------------------------------------- identity
+    def get_index(self) -> int:
+        return self._index
+
+    @property
+    def index(self) -> int:
+        return self._index
+
+    # ------------------------------------------------------------- metadata
+    def get_residue_number(self) -> int:
+        return int(self._system.topology.resnum[self._index])
+
+    def set_residue_number(self, v: int):
+        self._system.topology.resnum[self._index] = int(v)
+
+    def get_residue_name(self) -> str:
+        return self._system.topology.resname.get(self._index)
+
+    def set_residue_name(self, v: str):
+        self._system.topology.resname.set(self._index, v)
+
+    def get_atom_number(self) -> int:
+        return int(self._system.topology.atomnum[self._index])
+
+    def set_atom_number(self, v: int):
+        self._system.topology.atomnum[self._index] = int(v)
+
+    def get_atom_name(self) -> str:
+        return self._system.topology.atomname.get(self._index)
+
+    def set_atom_name(self, v: str):
+        self._system.topology.atomname.set(self._index, v)
+
+    def get_chain(self):
+        c = self._system.topology.chain.get(self._index)
+        return c if c else None
+
+    def set_chain(self, v):
+        self._system.topology.chain.set(self._index, v or "")
+
+    # ------------------------------------------------------------- optional floats
+    def _get_opt(self, field):
+        topo = self._system.topology
+        if not getattr(topo, "has_" + field)[self._index]:
+            return None
+        return float(getattr(topo, field)[self._index])
+
+    def _set_opt(self, field, v):
+        topo = self._system.topology
+        if v is None:
+            getattr(topo, "has_" + field)[self._index] = False
+            getattr(topo, field)[self._index] = np.nan
+        else:
+            getattr(topo, "has_" + field)[self._index] = True
+            getattr(topo, field)[self._index] = float(v)
+
+    def get_charge(self):
+        return self._get_opt("charge")
+
+    def set_charge(self, v):
+        self._set_opt("charge", v)
+
+    def get_mass(self):
+        return self._get_opt("mass")
+
+    def set_mass(self, v):
+        self._set_opt("mass", v)
+
+    def get_vdw(self):
+        return self._get_opt("vdw")
+
+    def set_vdw(self, v):
+        self._set_opt("vdw", v)
+
+    def get_expected_min_bonds(self):
+        topo = self._system.topology
+        return int(topo.expected_min_bonds[self._index]) if topo.has_expected_min_bonds[self._index] else None
+
+    def set_expected_min_bonds(self, v):
+        topo = self._system.topology
+        topo.has_expected_min_bonds[self._index] = v is not None
+        topo.expected_min_bonds[self._index] = 0 if v is None else int(v)
+
+    def get_expected_max_bonds(self):
+        topo = self._system.topology
+        return int(topo.expected_max_bonds[self._index]) if topo.has_expected_max_bonds[self._index] else None
+
+    def set_expected_max_bonds(self, v):
+        topo = self._system.topology
+        topo.has_expected_max_bonds[self._index] = v is not None
+        topo.expected_max_bonds[self._index] = 0 if v is None else int(v)
+
+    def get_element_name(self):
+        v = self._system.topology.element_name.get(self._index)
+        return v if v else None
+
+    def set_element_name(self, v):
+        self._system.topology.element_name.set(self._index, v or "")
+
+    def get_element_symbol(self):
+        v = self._system.topology.element_symbol.get(self._index)
+        return v if v else None
+
+    def set_element_symbol(self, v):
+        self._system.topology.element_symbol.set(self._index, v or "")
+
+    # ------------------------------------------------------------- vectors
+    def get_position(self):
+        s = self._system
+        if not s.has_position[self._index]:
+            return None
+        return s.positions[self._index].copy()
+
+    def set_position(self, v):
+        s = self._system
+        if v is None:
+            s.has_position[self._index] = False
+        else:
+            s.has_position[self._index] = True
+            s.positions[self._index] = np.asarray(v, dtype=np.float32)
+
+    def has_position(self) -> bool:
+        return bool(self._system.has_position[self._index])
+
+    def get_velocity(self):
+        s = self._system
+        if not s.has_velocity[self._index]:
+            return None
+        return s.velocities[self._index].copy()
+
+    def set_velocity(self, v):
+        s = self._system
+        if v is None:
+            s.has_velocity[self._index] = False
+        else:
+            s.has_velocity[self._index] = True
+            s.velocities[self._index] = np.asarray(v, dtype=np.float32)
+
+    def has_velocity(self) -> bool:
+        return bool(self._system.has_velocity[self._index])
+
+    def get_force(self):
+        s = self._system
+        if not s.has_force[self._index]:
+            return None
+        return s.forces[self._index].copy()
+
+    def set_force(self, v):
+        s = self._system
+        if v is None:
+            s.has_force[self._index] = False
+        else:
+            s.has_force[self._index] = True
+            s.forces[self._index] = np.asarray(v, dtype=np.float32)
+
+    def has_force(self) -> bool:
+        return bool(self._system.has_force[self._index])
+
+    # ------------------------------------------------------------- bonds
+    def get_bonded(self) -> AtomContainer:
+        return AtomContainer.from_indices(self._system.topology.bonded[self._index])
+
+    def get_n_bonded(self) -> int:
+        return len(self._system.topology.bonded[self._index])
+
+    # ------------------------------------------------------------- geometry helpers
+    def distance(self, other: "Atom", dim, simbox) -> float:
+        """reference: atom.rs:780"""
+        from ..ops import pbc
+        from .dimension import Dimension
+
+        p1, p2 = self.get_position(), other.get_position()
+        if p1 is None:
+            raise PositionError(f"atom {self._index} has no position")
+        if p2 is None:
+            raise PositionError(f"atom {other._index} has no position")
+        dmask = dim.value if isinstance(dim, Dimension) else dim
+        return float(pbc.distance(p1, p2, simbox.to_lengths_vec(), dmask))
+
+    def distance_from_point(self, point, dim, simbox) -> float:
+        from ..ops import pbc
+        from .dimension import Dimension
+
+        p1 = self.get_position()
+        if p1 is None:
+            raise PositionError(f"atom {self._index} has no position")
+        dmask = dim.value if isinstance(dim, Dimension) else dim
+        return float(pbc.distance(p1, np.asarray(point, np.float32), simbox.to_lengths_vec(), dmask))
+
+    def wrap(self, simbox):
+        """reference: atom.rs:535"""
+        from ..ops import pbc
+
+        p = self.get_position()
+        if p is None:
+            raise PositionError(f"atom {self._index} has no position")
+        self.set_position(np.asarray(pbc.wrap(p, simbox.to_lengths_vec())))
+
+    def translate(self, shift, simbox):
+        """Translate with PBC wrap."""
+        from ..ops import pbc
+
+        p = self.get_position()
+        if p is None:
+            raise PositionError(f"atom {self._index} has no position")
+        self.set_position(np.asarray(pbc.wrap(p + np.asarray(shift, np.float32), simbox.to_lengths_vec())))
+
+    def translate_nopbc(self, shift):
+        p = self.get_position()
+        if p is None:
+            raise PositionError(f"atom {self._index} has no position")
+        self.set_position(p + np.asarray(shift, np.float32))
+
+    def rotate_nopbc(self, rotation):
+        """Apply a 3x3 rotation matrix (column-vector convention, as nalgebra)."""
+        p = self.get_position()
+        if p is None:
+            raise PositionError(f"atom {self._index} has no position")
+        self.set_position(np.asarray(rotation, np.float32) @ p)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"Atom(index={self._index}, {self.get_residue_number()}{self.get_residue_name()}"
+            f" {self.get_atom_name()}{self.get_atom_number()})"
+        )

@@ -1,0 +1,260 @@
+"""System: the central façade.
+
+TPU-native re-design of the reference `System` (`src/system/mod.rs:38-73`).
+The reference's `Vec<Atom>` (AoS) becomes:
+
+- `topology`  — static SoA metadata (`core.topology.Topology`)
+- `positions / velocities / forces` — `[N, 3]` float32 numpy arrays with
+  per-atom presence masks (the reference's per-atom `Option<Vector3D>`)
+- `groups`    — name -> `Group` (run-length `AtomContainer` + ndx flag)
+
+Device kernels consume `frame_state()` (a pytree of jnp arrays) or batched
+`[B, N, 3]` frame stacks produced by the trajectory readers; this class is
+the host-side mutable view for API parity with the ~150 reference methods
+(spread across the sibling mixin modules).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from ..core.atom import Atom
+from ..core.container import AtomContainer
+from ..core.simbox import SimBox, simbox_check
+from ..core.topology import Topology
+from ..errors import GroupError
+
+#: characters forbidden in group/label names (reference: auxiliary.rs:37)
+FORBIDDEN_NAME_CHARS = "'\"&|!@()<>="
+
+
+def name_is_valid(name: str) -> bool:
+    if not name or not name.strip():
+        return False
+    return not any(c in FORBIDDEN_NAME_CHARS for c in name)
+
+
+class GroupOverwriteWarning(UserWarning):
+    """reference: GroupError::AlreadyExistsWarning (non-fatal overwrite)."""
+
+
+class Group:
+    """A named selection (reference: `src/structures/group.rs:23`)."""
+
+    __slots__ = ("atoms", "print_ndx")
+
+    def __init__(self, atoms: AtomContainer, print_ndx: bool = True):
+        self.atoms = atoms
+        self.print_ndx = print_ndx
+
+    def get_n_atoms(self) -> int:
+        return self.atoms.get_n_atoms()
+
+    def copy(self) -> "Group":
+        return Group(AtomContainer(self.atoms.blocks.copy()), self.print_ndx)
+
+
+class SystemCore:
+    """Construction, state, groups registry primitives."""
+
+    def __init__(self, name: str, topology: Topology, simbox: SimBox | None = None,
+                 positions: np.ndarray | None = None,
+                 velocities: np.ndarray | None = None,
+                 forces: np.ndarray | None = None,
+                 has_position: np.ndarray | None = None,
+                 has_velocity: np.ndarray | None = None,
+                 has_force: np.ndarray | None = None):
+        n = topology.n_atoms
+        self.name = name
+        self.topology = topology
+        self.simbox = simbox
+
+        def init_vec(arr, present_default):
+            if arr is None:
+                return (np.zeros((n, 3), dtype=np.float32), np.zeros(n, dtype=bool))
+            arr = np.ascontiguousarray(np.asarray(arr, dtype=np.float32).reshape(n, 3))
+            present = (
+                np.ones(n, dtype=bool) if present_default is None
+                else np.asarray(present_default, dtype=bool).reshape(n)
+            )
+            return arr, present
+
+        self.positions, self.has_position = init_vec(positions, has_position)
+        self.velocities, self.has_velocity = init_vec(velocities, has_velocity)
+        self.forces, self.has_force = init_vec(forces, has_force)
+
+        self.step: int = 0
+        self.time: float = 0.0
+        self.precision: int = 100
+        self.lambda_: float = 0.0
+
+        self.groups: dict[str, Group] = {}
+        self.labeled_atoms: dict[str, int] = {}
+        self._traj_writers: dict = {}
+
+        # reserved groups 'all' / 'All' (reference: system/mod.rs:156)
+        everything = AtomContainer.from_ranges([(0, n - 1)]) if n else AtomContainer()
+        self.groups["all"] = Group(everything, print_ndx=False)
+        self.groups["All"] = Group(AtomContainer(everything.blocks.copy()), print_ndx=False)
+
+    # ------------------------------------------------------------- basic getters
+    def get_name(self) -> str:
+        return self.name
+
+    def get_n_atoms(self) -> int:
+        return self.topology.n_atoms
+
+    def get_box(self) -> SimBox | None:
+        return self.simbox
+
+    def get_box_copy(self) -> SimBox | None:
+        return None if self.simbox is None else SimBox(*iter(self.simbox))
+
+    def set_box(self, simbox: SimBox | None):
+        self.simbox = simbox
+
+    def has_box(self) -> bool:
+        return self.simbox is not None and not self.simbox.is_zero()
+
+    def get_box_center(self) -> np.ndarray:
+        sb = simbox_check(self.simbox)
+        return np.array([sb.x / 2.0, sb.y / 2.0, sb.z / 2.0], dtype=np.float32)
+
+    def get_step(self) -> int:
+        return self.step
+
+    def set_step(self, v: int):
+        self.step = int(v)
+
+    def get_time(self) -> float:
+        return self.time
+
+    def set_time(self, v: float):
+        self.time = float(v)
+
+    def get_precision(self) -> int:
+        return self.precision
+
+    def set_precision(self, v: int):
+        self.precision = int(v)
+
+    def get_lambda(self) -> float:
+        return self.lambda_
+
+    def set_lambda(self, v: float):
+        self.lambda_ = float(v)
+
+    def get_mol_references(self) -> np.ndarray:
+        return self.topology.mol_references()
+
+    # ------------------------------------------------------------- atoms access
+    def get_atom(self, index: int) -> Atom:
+        from ..errors import AtomError
+
+        if not (0 <= index < self.topology.n_atoms):
+            raise AtomError(f"atom index {index} out of range", code="OutOfRange")
+        return Atom(self, index)
+
+    def get_atom_copy(self, index: int) -> Atom:
+        return self.get_atom(index)
+
+    def atoms_iter(self):
+        for i in range(self.topology.n_atoms):
+            yield Atom(self, i)
+
+    atoms_iter_mut = atoms_iter  # Python atoms views are always writable
+
+    # ------------------------------------------------------------- group primitives
+    def get_groups(self):
+        return self.groups
+
+    def get_n_groups(self) -> int:
+        return len(self.groups)
+
+    def group_exists(self, name: str) -> bool:
+        return name in self.groups
+
+    def group_names(self) -> list[str]:
+        return list(self.groups.keys())
+
+    def group_get_n_atoms(self, name: str) -> int:
+        return self._get_group(name).get_n_atoms()
+
+    def group_isin(self, name: str, index: int) -> bool:
+        return self._get_group(name).atoms.isin(index)
+
+    def group_is_empty(self, name: str) -> bool:
+        return self._get_group(name).get_n_atoms() == 0
+
+    def _get_group(self, name: str) -> Group:
+        try:
+            return self.groups[name]
+        except KeyError:
+            raise GroupError(f"group '{name}' does not exist", code="NotFound") from None
+
+    def _add_group(self, name: str, group: Group):
+        if not name_is_valid(name):
+            raise GroupError(f"invalid group name '{name}'", code="InvalidName")
+        if name in self.groups:
+            warnings.warn(
+                f"group '{name}' already existed and was overwritten",
+                GroupOverwriteWarning,
+                stacklevel=3,
+            )
+        self.groups[name] = group
+
+    def group_indices(self, name: str) -> np.ndarray:
+        """Sorted atom indices of a group (gather array for device kernels)."""
+        return self._get_group(name).atoms.indices()
+
+    def group_mask(self, name: str) -> np.ndarray:
+        """Boolean mask of a group over all atoms."""
+        return self._get_group(name).atoms.mask(self.topology.n_atoms)
+
+    # ------------------------------------------------------------- labels access
+    def get_labeled_atoms(self) -> dict:
+        return self.labeled_atoms
+
+    # ------------------------------------------------------------- copying
+    def copy(self) -> "SystemCore":
+        new = object.__new__(type(self))
+        new.name = self.name
+        new.topology = self.topology.copy()
+        new.simbox = self.get_box_copy()
+        new.positions = self.positions.copy()
+        new.has_position = self.has_position.copy()
+        new.velocities = self.velocities.copy()
+        new.has_velocity = self.has_velocity.copy()
+        new.forces = self.forces.copy()
+        new.has_force = self.has_force.copy()
+        new.step = self.step
+        new.time = self.time
+        new.precision = self.precision
+        new.lambda_ = self.lambda_
+        new.groups = {k: v.copy() for k, v in self.groups.items()}
+        new.labeled_atoms = dict(self.labeled_atoms)
+        new._traj_writers = {}
+        return new
+
+    # ------------------------------------------------------------- device views
+    def frame_state(self):
+        """Current frame as a pytree of device-ready arrays."""
+        import jax.numpy as jnp
+
+        box = (
+            jnp.asarray(self.simbox.to_lengths_vec())
+            if self.simbox is not None
+            else jnp.zeros(3, jnp.float32)
+        )
+        return {
+            "positions": jnp.asarray(self.positions),
+            "box": box,
+            "step": jnp.asarray(self.step, jnp.int64 if False else jnp.int32),
+            "time": jnp.asarray(self.time, jnp.float32),
+        }
+
+    def box_lengths(self) -> np.ndarray:
+        sb = simbox_check(self.simbox)
+        return sb.to_lengths_vec()
