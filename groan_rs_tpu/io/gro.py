@@ -1,0 +1,228 @@
+"""GRO structure reading/writing.
+
+reference: `src/io/gro_io/structure.rs:120` (reader), `:41` + `mod.rs:72-140`
+(writer).  Fixed-column layout: resid [0:5], resname [5:10], atomname
+[10:15], atomnum [15:20], position 3 x 8 chars from col 20 (3 decimals),
+optional velocity 3 x 8 chars from col 44 (4 decimals).  Box line: 3 or 9
+whitespace-separated floats; v1y/v1z/v2z must be zero (Gromacs convention).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core.simbox import SimBox
+from ..core.topology import Topology
+from ..errors import ParseGroError, WriteGroError
+from ..utils.textcols import FixedWidthLines
+
+#: supported coordinate range (reference: auxiliary.rs:24-29)
+GRO_MIN_COORDINATE = -999.0
+GRO_MAX_COORDINATE = 9999.0
+
+
+def parse_box_line(line: str) -> SimBox:
+    """reference: gro_io/mod.rs line_as_box."""
+    parts = line.split()
+    try:
+        vals = [float(p) for p in parts]
+    except ValueError:
+        raise ParseGroError(f"could not parse box line '{line.rstrip()}'") from None
+    if len(vals) not in (3, 9):
+        raise ParseGroError(f"box line has {len(vals)} values (expected 3 or 9)")
+    if not all(math.isfinite(v) for v in vals):
+        raise ParseGroError(f"box line contains non-finite value: '{line.rstrip()}'")
+    if len(vals) == 9 and (vals[3] != 0.0 or vals[4] != 0.0 or vals[6] != 0.0):
+        raise ParseGroError(
+            f"unsupported box shape (v1y/v1z/v2z must be zero): '{line.rstrip()}'",
+            code="UnsupportedBox",
+        )
+    return SimBox.from_gro_line(vals)
+
+
+def parse_atom_block(lines: list[str]):
+    """Parse GRO atom lines -> (topology columns + positions/velocities).
+
+    Vectorized over all lines at once (the reference's per-line
+    `line_as_atom`, gro_io/structure.rs:165, run as numpy column ops).
+    """
+    fw = FixedWidthLines(lines)
+    lengths = fw.line_lengths()
+    if int(lengths.min(initial=10**9 if not len(lines) else None) if len(lines) else 0) < 44:
+        bad = lines[int(np.argmin(lengths))]
+        raise ParseGroError(f"could not parse line '{bad.rstrip()}' as atom")
+
+    resnum = fw.col_int(0, 5, "residue number", ParseGroError)
+    resname = fw.col_str(5, 10)
+    atomname = fw.col_str(10, 15)
+    atomnum = fw.col_int(15, 20, "atom number", ParseGroError)
+
+    if (np.char.str_len(resname) == 0).any() or (np.char.str_len(atomname) == 0).any():
+        raise ParseGroError("empty residue or atom name")
+    if (resnum < 0).any() or (atomnum < 0).any():
+        raise ParseGroError("negative residue or atom number")
+
+    pos = np.stack(
+        [fw.col_float(20 + 8 * i, 28 + 8 * i, "position", ParseGroError) for i in range(3)],
+        axis=1,
+    ).astype(np.float32)
+    if not np.isfinite(pos).all():
+        raise ParseGroError("position is not finite", code="InvalidFloat")
+
+    has_velocity = lengths >= 68
+    velocities = None
+    if has_velocity.all():
+        vel = np.stack(
+            [fw.col_float(44 + 8 * i, 52 + 8 * i, "velocity", ParseGroError) for i in range(3)],
+            axis=1,
+        ).astype(np.float32)
+        if not np.isfinite(vel).all():
+            raise ParseGroError("velocity is not finite", code="InvalidFloat")
+        velocities = vel
+    elif has_velocity.any():
+        # mixed: parse per-line (rare)
+        vel = np.zeros((fw.n, 3), dtype=np.float32)
+        for i in np.nonzero(has_velocity)[0]:
+            for k in range(3):
+                try:
+                    vel[i, k] = float(lines[i][44 + 8 * k : 52 + 8 * k])
+                except ValueError:
+                    raise ParseGroError(
+                        f"could not parse line '{lines[i].rstrip()}' as atom"
+                    ) from None
+        velocities = vel
+
+    return resnum, resname, atomname, atomnum, pos, velocities, has_velocity
+
+
+def read_gro(filename):
+    """Read a GRO file into a System (reference: gro_io/structure.rs:120)."""
+    from ..system import System
+
+    try:
+        with open(filename) as fh:
+            raw = fh.read().splitlines()
+    except OSError:
+        raise ParseGroError(f"file '{filename}' was not found", code="FileNotFound") from None
+
+    if len(raw) < 2:
+        raise ParseGroError(f"missing lines in '{filename}'", code="LineNotFound")
+
+    title = raw[0].strip()
+    try:
+        n_atoms = int(raw[1].strip())
+    except ValueError:
+        raise ParseGroError(f"could not parse '{raw[1].strip()}' as number of atoms") from None
+
+    if len(raw) < 2 + n_atoms + 1:
+        raise ParseGroError(f"missing line(s) in '{filename}'", code="LineNotFound")
+
+    atom_lines = raw[2 : 2 + n_atoms]
+    if n_atoms:
+        resnum, resname, atomname, atomnum, pos, vel, has_vel = parse_atom_block(atom_lines)
+    else:
+        resnum = np.empty(0, np.int64)
+        resname = atomname = np.empty(0, object)
+        atomnum = np.empty(0, np.int64)
+        pos = np.empty((0, 3), np.float32)
+        vel, has_vel = None, np.empty(0, bool)
+
+    simbox = parse_box_line(raw[2 + n_atoms])
+
+    topo = Topology.from_columns(resnum, resname, atomname, atomnum)
+    return System(
+        name=title,
+        topology=topo,
+        simbox=None if simbox.is_zero() else simbox,
+        positions=pos,
+        velocities=vel,
+        has_velocity=has_vel if vel is not None else None,
+    )
+
+
+# ---------------------------------------------------------------- writing
+
+def format_atom_lines(system, indices, write_velocities: bool) -> list[str]:
+    """Vectorized GRO atom-line formatting (reference: atom.rs:556)."""
+    topo = system.topology
+    idx = np.asarray(indices)
+    pos = np.where(
+        system.has_position[idx, None], system.positions[idx], np.float32(0.0)
+    )
+    if ((pos < GRO_MIN_COORDINATE) | (pos > GRO_MAX_COORDINATE)).any():
+        raise WriteGroError("coordinate too large for GRO format", code="CoordinateTooLarge")
+
+    resnum = topo.resnum[idx] % 100_000
+    atomnum = topo.atomnum[idx] % 100_000
+    resname = np.char.ljust(_truncate(topo.resname.values()[idx], 5), 5)
+    atomname = np.char.rjust(_truncate(topo.atomname.values()[idx], 5), 5)
+
+    head = [
+        f"{rn:>5}{rna}{ana}{an:>5}"
+        for rn, rna, ana, an in zip(resnum, resname, atomname, atomnum)
+    ]
+    pos_str = np.char.mod("%8.3f", pos)
+    if write_velocities:
+        vel = np.where(
+            system.has_velocity[idx, None], system.velocities[idx], np.float32(0.0)
+        )
+        vel_str = np.char.mod("%8.4f", vel)
+        return [
+            h + p[0] + p[1] + p[2] + v[0] + v[1] + v[2]
+            for h, p, v in zip(head, pos_str, vel_str)
+        ]
+    return [h + p[0] + p[1] + p[2] for h, p in zip(head, pos_str)]
+
+
+def _truncate(values: np.ndarray, n: int) -> np.ndarray:
+    return np.array([v[:n] for v in values], dtype=f"U{n}")
+
+
+def format_box_line(simbox: SimBox | None) -> str:
+    """reference: gro_io/mod.rs write_box."""
+    if simbox is None:
+        return f" {0.0:9.5f} {0.0:9.5f} {0.0:9.5f}"
+    if simbox.is_orthogonal():
+        return f" {simbox.x:9.5f} {simbox.y:9.5f} {simbox.z:9.5f}"
+    v = list(iter(simbox))
+    return " " + " ".join(f"{x:9.5f}" for x in v)
+
+
+def frame_title(system, group: str, is_trajectory: bool) -> str:
+    """reference: gro_io/mod.rs determine_title."""
+    title = system.get_name() if group == "all" else f"Group `{group}` from {system.get_name()}"
+    if is_trajectory:
+        return f"{title} t={_fmt_f32(system.get_time())} step={system.get_step()}"
+    return title
+
+
+def _fmt_f32(v: float) -> str:
+    """Rust f32 Display-like shortest formatting."""
+    f = np.float32(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(float(np.float32(v)))
+
+
+def write_gro_frame(system, fh, group: str, write_velocities: bool, is_trajectory: bool):
+    indices = system.group_indices(group)
+    fh.write(frame_title(system, group, is_trajectory) + "\n")
+    fh.write(f"{len(indices):>5}\n")
+    for line in format_atom_lines(system, indices, write_velocities):
+        fh.write(line + "\n")
+    fh.write(format_box_line(system.get_box()) + "\n")
+
+
+def write_gro(system, filename, group: str = "all", write_velocities: bool = False):
+    """reference: System::write_gro / group_write_gro (gro_io/structure.rs:41-116)."""
+    from ..errors import GroupError
+
+    if not system.group_exists(group):
+        raise WriteGroError(f"group '{group}' does not exist", code="GroupNotFound")
+    try:
+        with open(filename, "w") as fh:
+            write_gro_frame(system, fh, group, write_velocities, is_trajectory=False)
+    except OSError:
+        raise WriteGroError(f"could not create file '{filename}'", code="CouldNotCreate") from None

@@ -1,0 +1,238 @@
+"""PDB structure reading/writing + CONECT bonds.
+
+reference: `src/io/pdb_io.rs` — reader `read_pdb:36`, atom columns
+`line_as_atom:348` (atomnum [6:11], atomname [12:16], resname [17:21],
+chain col 21, resnum [22:26], coords 3 x 8 from col 30 in Angstrom -> nm),
+CRYST1 box `line_as_box:411`, CONECT bonds `add_bonds_from_pdb:128`,
+writer `write_pdb:236` / atom.rs:633.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+
+from ..core.simbox import SimBox
+from ..core.topology import Topology
+from ..errors import ParsePdbError, WritePdbError
+
+PDB_MIN_COORDINATE = -99.0
+PDB_MAX_COORDINATE = 999.0
+
+
+class PdbConnectivityWarning(UserWarning):
+    """reference: ParsePdbConnectivityError::NoBondsWarning."""
+
+
+def parse_cryst1(line: str) -> SimBox:
+    """reference: pdb_io.rs line_as_box:411 (lengths in A, angles in deg)."""
+    if len(line) < 54:
+        raise ParsePdbError(f"could not parse box line '{line.rstrip()}'")
+    try:
+        lengths = [float(line[6 + 9 * i : 15 + 9 * i]) / 10.0 for i in range(3)]
+        angles = [float(line[33 + 7 * i : 40 + 7 * i]) for i in range(3)]
+    except ValueError:
+        raise ParsePdbError(f"could not parse box line '{line.rstrip()}'") from None
+    return SimBox.from_lengths_angles(*lengths, *angles)
+
+
+def _parse_atom_line(line: str):
+    if len(line) < 54:
+        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom")
+    try:
+        atomnum = int(line[6:11])
+    except ValueError:
+        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom") from None
+    atomname = line[12:16].strip()
+    resname = line[17:21].strip()
+    if not atomname or not resname:
+        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom")
+    chain = line[21] if len(line) > 21 and not line[21].isspace() else ""
+    try:
+        resnum = int(line[22:26])
+    except ValueError:
+        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom") from None
+    pos = []
+    for i in range(3):
+        try:
+            v = float(line[30 + 8 * i : 38 + 8 * i]) / 10.0
+        except ValueError:
+            raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom") from None
+        if not math.isfinite(v):
+            raise ParsePdbError(f"position is not finite: '{line.rstrip()}'", code="InvalidFloat")
+        pos.append(v)
+    if atomnum < 0 or resnum < 0:
+        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom")
+    return resnum, resname, atomname, atomnum, chain, pos
+
+
+def read_pdb(filename):
+    """reference: pdb_io.rs read_pdb:36."""
+    from ..system import System
+
+    try:
+        with open(filename) as fh:
+            raw = fh.read().splitlines()
+    except OSError:
+        raise ParsePdbError(f"file '{filename}' was not found", code="FileNotFound") from None
+
+    rows = []
+    title = "Unknown"
+    simbox = None
+    for line in raw:
+        if line.startswith("ATOM") or line.startswith("HETATM"):
+            rows.append(_parse_atom_line(line))
+        elif line.startswith("TITLE"):
+            t = line[5:].strip()
+            title = t if t else "Unknown"
+        elif line.startswith("CRYST1"):
+            simbox = parse_cryst1(line)
+        elif line.startswith("END"):  # END or ENDMDL
+            break
+
+    n = len(rows)
+    resnum = np.array([r[0] for r in rows], dtype=np.int64)
+    resname = np.array([r[1] for r in rows], dtype=object)
+    atomname = np.array([r[2] for r in rows], dtype=object)
+    atomnum = np.array([r[3] for r in rows], dtype=np.int64)
+    chain = np.array([r[4] for r in rows], dtype=object)
+    pos = np.array([r[5] for r in rows], dtype=np.float32).reshape(n, 3)
+
+    topo = Topology.from_columns(resnum, resname, atomname, atomnum, chain=chain)
+    return System(name=title, topology=topo, simbox=simbox, positions=pos)
+
+
+def add_bonds_from_pdb(system, filename):
+    """Read CONECT records and set bonds (reference: pdb_io.rs:128).
+
+    Bonds reference *atom numbers* from the PDB file; accepts CONECT lines
+    of any length.  Emits `PdbConnectivityWarning` if no bonds were found.
+    """
+    try:
+        with open(filename) as fh:
+            raw = fh.read().splitlines()
+    except OSError:
+        raise ParsePdbError(f"file '{filename}' was not found", code="FileNotFound") from None
+
+    # atom number -> index mapping; duplicated atom numbers are an error
+    number2index: dict[int, int] = {}
+    for i in range(system.get_n_atoms()):
+        num = int(system.topology.atomnum[i])
+        if num in number2index:
+            raise ParsePdbError(
+                f"duplicate atom number {num} prevents reading connectivity",
+                code="DuplicateAtomNumbers",
+            )
+        number2index[num] = i
+
+    pairs = []
+    for line in raw:
+        if line.startswith("END") and not line.startswith("ENDMDL"):
+            break
+        if not line.startswith("CONECT"):
+            continue
+        if len(line) < 11:
+            raise ParsePdbError(f"could not parse CONECT line '{line.rstrip()}'")
+        fields = line[6:].split()
+        try:
+            numbers = [int(f) for f in fields]
+        except ValueError:
+            raise ParsePdbError(f"could not parse CONECT line '{line.rstrip()}'") from None
+        if not numbers:
+            raise ParsePdbError(f"could not parse CONECT line '{line.rstrip()}'")
+        try:
+            target = number2index[numbers[0]]
+        except KeyError:
+            raise ParsePdbError(
+                f"CONECT references unknown atom number {numbers[0]}",
+                code="InvalidAtomIndex",
+            ) from None
+        for num in numbers[1:]:
+            try:
+                bonded = number2index[num]
+            except KeyError:
+                raise ParsePdbError(
+                    f"CONECT references unknown atom number {num}", code="InvalidAtomIndex"
+                ) from None
+            if bonded == target:
+                raise ParsePdbError(
+                    f"atom number {num} is bonded to itself", code="SelfBonding"
+                )
+            pairs.append((target, bonded))
+
+    existing = [list(b) for b in system.topology.bonded]
+    for i, j in pairs:
+        if j not in existing[i]:
+            existing[i].append(j)
+            existing[j].append(i)
+    system.topology.bonded = [sorted(set(b)) for b in existing]
+    system.topology._invalidate_bonds()
+
+    if not pairs:
+        warnings.warn("no bonds found in PDB file", PdbConnectivityWarning, stacklevel=2)
+
+
+# ---------------------------------------------------------------- writing
+
+def format_pdb_atom_line(system, i: int) -> str:
+    """reference: atom.rs write_pdb:633."""
+    topo = system.topology
+    resname = topo.resname.get(i)[:4]
+    resname = f"{resname:>3} " if len(resname) <= 3 else f"{resname:>4}"
+    atomname = topo.atomname.get(i)[:4]
+    atomname = f" {atomname:<3}" if len(atomname) <= 3 else f"{atomname:<4}"
+    chain = topo.chain.get(i) or " "
+    pos = system.positions[i] if system.has_position[i] else np.zeros(3, np.float32)
+    if ((pos < PDB_MIN_COORDINATE) | (pos > PDB_MAX_COORDINATE)).any():
+        raise WritePdbError("coordinate too large for PDB format", code="CoordinateTooLarge")
+    return (
+        f"ATOM  {topo.atomnum[i] % 100000:>5} {atomname} {resname}{chain}"
+        f"{topo.resnum[i] % 10000:>4}    "
+        f"{pos[0] * 10.0:>8.3f}{pos[1] * 10.0:>8.3f}{pos[2] * 10.0:>8.3f}"
+        f"  1.00  0.00            "
+    )
+
+
+def write_pdb(system, filename, group: str = "all", write_conect: bool = False):
+    """reference: pdb_io.rs write_pdb:236 / group_write_pdb."""
+    if not system.group_exists(group):
+        raise WritePdbError(f"group '{group}' does not exist", code="GroupNotFound")
+    indices = system.group_indices(group)
+    try:
+        fh = open(filename, "w")
+    except OSError:
+        raise WritePdbError(f"could not create file '{filename}'", code="CouldNotCreate") from None
+    with fh:
+        title = (
+            system.get_name()
+            if group == "all"
+            else f"Group `{group}` from {system.get_name()}"
+        )
+        fh.write(f"TITLE     {title}\n")
+        sb = system.get_box()
+        if sb is not None:
+            lengths = sb.lengths()
+            angles = sb.angles()
+            fh.write(
+                f"CRYST1{lengths[0] * 10:>9.3f}{lengths[1] * 10:>9.3f}{lengths[2] * 10:>9.3f}"
+                f"{angles[0]:>7.2f}{angles[1]:>7.2f}{angles[2]:>7.2f} P 1           1\n"
+            )
+        fh.write("MODEL        1\n")
+        for i in indices:
+            fh.write(format_pdb_atom_line(system, int(i)) + "\n")
+        fh.write("TER\nENDMDL\n")
+        if write_conect:
+            _write_conect(system, fh, indices)
+
+
+def _write_conect(system, fh, indices):
+    index_set = set(int(i) for i in indices)
+    for i in indices:
+        i = int(i)
+        bonded = [j for j in system.topology.bonded[i] if j in index_set]
+        if not bonded:
+            continue
+        nums = "".join(f"{system.topology.atomnum[j] % 100000:>5}" for j in bonded)
+        fh.write(f"CONECT{system.topology.atomnum[i] % 100000:>5}{nums}\n")

@@ -1,0 +1,152 @@
+"""System assembly: the ~150-method façade of the reference `System`.
+
+reference: `src/system/mod.rs` (struct + construction) with method families
+in groups.rs / analysis.rs / modifying.rs / utility.rs / labeled_atoms.rs /
+iterating.rs / rmsd.rs — here mixed into one class from sibling modules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.simbox import SimBox
+from ..core.topology import Topology
+from ..errors import FileTypeError
+from ..files import FileType
+from .analysis import AnalysisMixin
+from .core import Group, GroupOverwriteWarning, SystemCore, name_is_valid
+from .groups import GroupsMixin
+from .iterating import IteratingMixin
+from .modifying import ModifyingMixin
+from .rmsd import RMSDMixin
+from .utility import UtilityMixin
+
+
+class System(
+    GroupsMixin,
+    AnalysisMixin,
+    ModifyingMixin,
+    IteratingMixin,
+    UtilityMixin,
+    RMSDMixin,
+    SystemCore,
+):
+    """The central object: topology + current frame + groups."""
+
+    # ------------------------------------------------------------- construction
+    @classmethod
+    def from_file(cls, filename) -> "System":
+        """Construct from GRO/PDB/PQR/TPR (reference: system/mod.rs:197)."""
+        return cls.from_file_with_format(filename, FileType.from_name(filename))
+
+    @classmethod
+    def from_file_with_format(cls, filename, filetype: FileType) -> "System":
+        """reference: system/mod.rs:226."""
+        if filetype is FileType.GRO:
+            from ..io.gro import read_gro
+
+            return read_gro(filename)
+        if filetype is FileType.PDB:
+            from ..io.pdb import read_pdb
+
+            return read_pdb(filename)
+        if filetype is FileType.PQR:
+            from ..io.pqr import read_pqr
+
+            return read_pqr(filename)
+        if filetype is FileType.TPR:
+            from ..io.tpr import read_tpr
+
+            return read_tpr(filename)
+        raise FileTypeError(
+            f"cannot construct a System from file type '{filetype.value}'"
+        )
+
+    @classmethod
+    def new(cls, name: str, topology: Topology, simbox: SimBox | None = None, **kw) -> "System":
+        return cls(name=name, topology=topology, simbox=simbox, **kw)
+
+    # ------------------------------------------------------------- writing
+    def write_gro(self, filename, write_velocities: bool = False):
+        from ..io.gro import write_gro as _w
+
+        _w(self, filename, "all", write_velocities)
+
+    def group_write_gro(self, group: str, filename, write_velocities: bool = False):
+        from ..io.gro import write_gro as _w
+
+        _w(self, filename, group, write_velocities)
+
+    def write_pdb(self, filename, write_conect: bool = False):
+        from ..io.pdb import write_pdb as _w
+
+        _w(self, filename, "all", write_conect)
+
+    def group_write_pdb(self, group: str, filename, write_conect: bool = False):
+        from ..io.pdb import write_pdb as _w
+
+        _w(self, filename, group, write_conect)
+
+    def write_pqr(self, filename, precision=None):
+        from ..io.pqr import write_pqr as _w
+
+        _w(self, filename, precision, "all")
+
+    def group_write_pqr(self, group: str, filename, precision=None):
+        from ..io.pqr import write_pqr as _w
+
+        _w(self, filename, precision, group)
+
+    def add_bonds_from_pdb(self, filename):
+        from ..io.pdb import add_bonds_from_pdb as _b
+
+        _b(self, filename)
+
+    # ------------------------------------------------------------- trajectories
+    def xtc_iter(self, filename, **kw):
+        from ..io.traj import xtc_iter as _it
+
+        return _it(self, filename, **kw)
+
+    def trr_iter(self, filename, **kw):
+        from ..io.traj import trr_iter as _it
+
+        return _it(self, filename, **kw)
+
+    def gro_iter(self, filename, **kw):
+        from ..io.traj import gro_iter as _it
+
+        return _it(self, filename, **kw)
+
+    def group_xtc_iter(self, group: str, filename, **kw):
+        from ..io.traj import xtc_iter as _it
+
+        return _it(self, filename, group=group, **kw)
+
+    def traj_iter(self, filename, **kw):
+        from ..io.traj import traj_iter as _it
+
+        return _it(self, filename, **kw)
+
+    def xtc_cat_iter(self, filenames, **kw):
+        from ..io.traj import cat_iter as _it
+
+        return _it(self, filenames, fmt="xtc", **kw)
+
+    def trr_cat_iter(self, filenames, **kw):
+        from ..io.traj import cat_iter as _it
+
+        return _it(self, filenames, fmt="trr", **kw)
+
+    def traj_cat_iter(self, filenames, **kw):
+        from ..io.traj import cat_iter as _it
+
+        return _it(self, filenames, **kw)
+
+
+__all__ = [
+    "System",
+    "Group",
+    "GroupOverwriteWarning",
+    "name_is_valid",
+]

@@ -1,0 +1,113 @@
+"""Analysis methods: centers, COM, distances (reference: `src/system/analysis.rs`).
+
+Host-facing wrappers around the jitted device kernels in `ops/`: selections
+become gather indices once, data ships to the device as `[n, 3]` arrays, and
+results come back as numpy.  The heavy trajectory path bypasses these and
+uses the batched ops directly (see `parallel/` and `models/`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.dimension import Dimension
+from ..core.simbox import simbox_check
+from ..errors import GroupError, MassError, PositionError, SimBoxError
+from ..ops import center as center_ops
+from ..ops import distances as distance_ops
+from ..ops import pbc
+
+
+class AnalysisMixin:
+    # ------------------------------------------------------------- helpers
+    def _group_positions(self, name: str) -> np.ndarray:
+        idx = self.group_indices(name)
+        if not self.has_position[idx].all():
+            bad = int(idx[~self.has_position[idx]][0])
+            raise GroupError(
+                f"atom {bad} has no position", code="InvalidPosition"
+            )
+        return self.positions[idx]
+
+    def _group_masses(self, name: str) -> np.ndarray:
+        idx = self.group_indices(name)
+        if not self.topology.has_mass[idx].all():
+            bad = int(idx[~self.topology.has_mass[idx]][0])
+            raise GroupError(f"atom {bad} has no mass", code="InvalidMass")
+        return self.topology.mass[idx]
+
+    def _check_box(self):
+        try:
+            return simbox_check(self.simbox).to_lengths_vec()
+        except SimBoxError as e:
+            raise GroupError(str(e), code="InvalidSimBox") from e
+
+    # ------------------------------------------------------------- centers
+    def group_estimate_center(self, name: str) -> np.ndarray:
+        """Bai-Breen estimate (reference: analysis.rs:52)."""
+        box = self._check_box()
+        pos = self._group_positions(name)
+        return np.asarray(center_ops.estimate_center(pos, box))
+
+    def group_get_center(self, name: str) -> np.ndarray:
+        """Refined center of geometry (reference: analysis.rs:105)."""
+        box = self._check_box()
+        pos = self._group_positions(name)
+        return np.asarray(center_ops.center(pos, box))
+
+    def group_get_center_naive(self, name: str) -> np.ndarray:
+        """Plain mean, no PBC (reference: analysis.rs:150)."""
+        pos = self._group_positions(name)
+        return np.asarray(center_ops.center_naive(pos))
+
+    def group_estimate_com(self, name: str) -> np.ndarray:
+        """reference: analysis.rs:203."""
+        box = self._check_box()
+        pos = self._group_positions(name)
+        m = self._group_masses(name)
+        return np.asarray(center_ops.estimate_center(pos, box, weights=m))
+
+    def group_get_com(self, name: str) -> np.ndarray:
+        """Refined center of mass (reference: analysis.rs:258)."""
+        box = self._check_box()
+        pos = self._group_positions(name)
+        m = self._group_masses(name)
+        return np.asarray(center_ops.center(pos, box, weights=m))
+
+    def group_get_com_naive(self, name: str) -> np.ndarray:
+        """reference: analysis.rs:305."""
+        pos = self._group_positions(name)
+        m = self._group_masses(name)
+        return np.asarray(center_ops.center_naive(pos, weights=m))
+
+    # ------------------------------------------------------------- distances
+    def group_distance(self, group1: str, group2: str, dim: Dimension) -> float:
+        """Distance between group centers (reference: analysis.rs:348)."""
+        box = self._check_box()
+        c1 = self.group_get_center(group1)
+        c2 = self.group_get_center(group2)
+        return float(pbc.distance(c1, c2, box, dim.value))
+
+    def group_all_distances(self, group1: str, group2: str, dim: Dimension) -> np.ndarray:
+        """N x M pair distance matrix (reference: analysis.rs:401)."""
+        box = self._check_box()
+        a = self._group_positions(group1)
+        b = self._group_positions(group2)
+        return np.asarray(distance_ops.distance_matrix(a, b, box, dim.value))
+
+    def atoms_distance(self, index1: int, index2: int, dim: Dimension) -> float:
+        """Distance between two atoms (reference: analysis.rs:459)."""
+        from ..errors import AtomError
+
+        n = self.get_n_atoms()
+        if not (0 <= index1 < n) or not (0 <= index2 < n):
+            raise AtomError(
+                f"atom index out of range ({index1}, {index2})", code="OutOfRange"
+            )
+        box = simbox_check(self.simbox).to_lengths_vec()
+        for i in (index1, index2):
+            if not self.has_position[i]:
+                raise PositionError(f"atom {i} has no position")
+        return float(
+            pbc.distance(self.positions[index1], self.positions[index2], box, dim.value)
+        )
