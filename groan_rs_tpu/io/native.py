@@ -1,0 +1,261 @@
+"""ctypes bindings + on-demand build of the native trajectory codec.
+
+The C++ library (`io/native/xdrcodec.cpp`) plays the role of the
+reference's vendored xdrfile C library + molly Rust crate (build glue:
+reference `build.rs:1-33`).  It is compiled once per source hash with
+`g++ -O3` into `io/native/libgroanxdr-<hash>.so` and bound via ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..errors import ReadTrajError, WriteTrajError
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "native", "xdrcodec.cpp")
+
+_lock = threading.Lock()
+_lib = None
+
+_ERRORS = {
+    -1: ("CouldNotOpen", "file could not be opened"),
+    -2: ("NotXtc", "invalid magic number (not a valid trajectory file)"),
+    -3: ("CorruptFrame", "corrupted or truncated frame"),
+    -4: ("AtomsNumberMismatch", "number of atoms does not match"),
+    -5: ("CouldNotRead", "i/o error while reading frame"),
+    -6: ("CapacityExceeded", "frame index capacity exceeded"),
+    -7: ("PrecisionTooHigh", "coordinate does not fit the requested precision"),
+}
+
+
+def _check(rc: int, path, write=False):
+    if rc >= 0:
+        return rc
+    code, msg = _ERRORS.get(int(rc), ("UnknownError", f"native error {rc}"))
+    cls = WriteTrajError if write else ReadTrajError
+    raise cls(f"{msg} ('{path}')", code=code)
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:12]
+    so_path = os.path.join(_DIR, "native", f"libgroanxdr-{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-march=native",
+        "-fno-math-errno", "-pthread", _SRC, "-o", tmp,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:  # pragma: no cover
+        raise RuntimeError(
+            f"failed to build native codec: {e.stderr.decode(errors='replace')}"
+        ) from None
+    os.replace(tmp, so_path)
+    return so_path
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        lib = ctypes.CDLL(_build())
+        i64, i32, f32, f64, u8 = (
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_float, ctypes.c_double, ctypes.c_uint8,
+        )
+        P = ctypes.POINTER
+        lib.gx_xtc_scan.restype = i64
+        lib.gx_xtc_scan.argtypes = [ctypes.c_char_p, i64, P(i64), P(i32), P(f32), P(i32)]
+        lib.gx_xtc_read.restype = i64
+        lib.gx_xtc_read.argtypes = [
+            ctypes.c_char_p, P(i64), i64, i32, i32, P(f32), P(f32), P(i32), P(f32), P(f32), i32,
+        ]
+        lib.gx_xtc_probe.restype = i64
+        lib.gx_xtc_probe.argtypes = [ctypes.c_char_p, P(i32), P(i32)]
+        lib.gx_xtc_write_frame.restype = i64
+        lib.gx_xtc_write_frame.argtypes = [ctypes.c_char_p, i32, i32, f32, P(f32), P(f32), f32]
+        lib.gx_trr_scan.restype = i64
+        lib.gx_trr_scan.argtypes = [ctypes.c_char_p, i64, P(i64), P(i32), P(f64), P(f64), P(u8), P(i32)]
+        lib.gx_trr_read.restype = i64
+        lib.gx_trr_read.argtypes = [
+            ctypes.c_char_p, P(i64), i64, i32, P(f32), P(f32), P(f32), P(f32), P(i32), P(f64), P(f64), P(u8), i32,
+        ]
+        lib.gx_trr_probe.restype = i64
+        lib.gx_trr_probe.argtypes = [ctypes.c_char_p, P(i32)]
+        lib.gx_trr_write_frame.restype = i64
+        lib.gx_trr_write_frame.argtypes = [
+            ctypes.c_char_p, i32, i32, f64, f64, P(f32), P(f32), P(f32), P(f32),
+        ]
+        _lib = lib
+    return _lib
+
+
+def _fptr(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if arr is not None else None
+
+
+def n_default_threads() -> int:
+    env = os.environ.get("GROAN_DECODE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, (os.cpu_count() or 1))
+
+
+# ---------------------------------------------------------------- XTC API
+
+def xtc_scan(path):
+    """Frame index of an XTC file -> (offsets i64[F], steps i32[F],
+    times f32[F], natoms)."""
+    lib = get_lib()
+    fsize = os.path.getsize(path)
+    cap = max(16, fsize // 56 + 4)
+    offsets = np.empty(cap, np.int64)
+    steps = np.empty(cap, np.int32)
+    times = np.empty(cap, np.float32)
+    natoms = ctypes.c_int32(0)
+    rc = lib.gx_xtc_scan(
+        str(path).encode(), cap,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(natoms),
+    )
+    n = _check(rc, path)
+    return offsets[:n].copy(), steps[:n].copy(), times[:n].copy(), int(natoms.value)
+
+
+def xtc_probe(path):
+    lib = get_lib()
+    natoms = ctypes.c_int32(0)
+    magic = ctypes.c_int32(0)
+    _check(lib.gx_xtc_probe(str(path).encode(), ctypes.byref(natoms), ctypes.byref(magic)), path)
+    return int(natoms.value), int(magic.value)
+
+
+def xtc_read_frames(path, offsets, natoms: int, stop_after: int | None = None,
+                    n_threads: int | None = None):
+    """Decode frames at `offsets` -> (coords [F, stop_after, 3], boxes [F, 9],
+    steps i32[F], times f32[F], precisions f32[F])."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nf = offsets.shape[0]
+    stop = int(stop_after) if stop_after is not None else int(natoms)
+    coords = np.empty((nf, stop, 3), np.float32)
+    boxes = np.empty((nf, 9), np.float32)
+    steps = np.empty(nf, np.int32)
+    times = np.empty(nf, np.float32)
+    precisions = np.empty(nf, np.float32)
+    rc = lib.gx_xtc_read(
+        str(path).encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nf, natoms, stop,
+        _fptr(coords), _fptr(boxes),
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _fptr(times), _fptr(precisions),
+        n_threads if n_threads is not None else n_default_threads(),
+    )
+    _check(rc, path)
+    return coords, boxes, steps, times, precisions
+
+
+def xtc_write_frame(path, natoms: int, step: int, time: float, box9, coords, precision: float):
+    lib = get_lib()
+    box9 = np.ascontiguousarray(box9, np.float32).reshape(9) if box9 is not None else None
+    coords = np.ascontiguousarray(coords, np.float32).reshape(-1)
+    rc = lib.gx_xtc_write_frame(
+        str(path).encode(), natoms, step, float(time), _fptr(box9), _fptr(coords), float(precision)
+    )
+    _check(rc, path, write=True)
+
+
+# ---------------------------------------------------------------- TRR API
+
+def trr_scan(path):
+    """-> (offsets, steps i32, times f64, lambdas f64, flags u8, natoms);
+    flag bits: 1 = x, 2 = v, 4 = f, 8 = double precision."""
+    lib = get_lib()
+    fsize = os.path.getsize(path)
+    cap = max(16, fsize // 76 + 4)
+    offsets = np.empty(cap, np.int64)
+    steps = np.empty(cap, np.int32)
+    times = np.empty(cap, np.float64)
+    lambdas = np.empty(cap, np.float64)
+    flags = np.empty(cap, np.uint8)
+    natoms = ctypes.c_int32(0)
+    rc = lib.gx_trr_scan(
+        str(path).encode(), cap,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lambdas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(natoms),
+    )
+    n = _check(rc, path)
+    return (
+        offsets[:n].copy(), steps[:n].copy(), times[:n].copy(), lambdas[:n].copy(),
+        flags[:n].copy(), int(natoms.value),
+    )
+
+
+def trr_probe(path):
+    lib = get_lib()
+    natoms = ctypes.c_int32(0)
+    _check(lib.gx_trr_probe(str(path).encode(), ctypes.byref(natoms)), path)
+    return int(natoms.value)
+
+
+def trr_read_frames(path, offsets, natoms: int, want_x=True, want_v=True, want_f=True,
+                    n_threads: int | None = None):
+    """-> (x, v, f (each [F, natoms, 3] or None), boxes [F, 9], steps,
+    times f64, lambdas f64, flags u8)."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nf = offsets.shape[0]
+    x = np.zeros((nf, natoms, 3), np.float32) if want_x else None
+    v = np.zeros((nf, natoms, 3), np.float32) if want_v else None
+    f = np.zeros((nf, natoms, 3), np.float32) if want_f else None
+    boxes = np.empty((nf, 9), np.float32)
+    steps = np.empty(nf, np.int32)
+    times = np.empty(nf, np.float64)
+    lambdas = np.empty(nf, np.float64)
+    flags = np.empty(nf, np.uint8)
+    rc = lib.gx_trr_read(
+        str(path).encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nf, natoms, _fptr(x), _fptr(v), _fptr(f), _fptr(boxes),
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lambdas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads if n_threads is not None else n_default_threads(),
+    )
+    _check(rc, path)
+    return x, v, f, boxes, steps, times, lambdas, flags
+
+
+def trr_write_frame(path, natoms: int, step: int, time: float, lam: float, box9,
+                    x=None, v=None, f=None):
+    lib = get_lib()
+    box9 = np.ascontiguousarray(box9, np.float32).reshape(9) if box9 is not None else None
+
+    def prep(a):
+        return np.ascontiguousarray(a, np.float32).reshape(-1) if a is not None else None
+
+    rc = lib.gx_trr_write_frame(
+        str(path).encode(), natoms, step, float(time), float(lam), _fptr(box9),
+        _fptr(prep(x)), _fptr(prep(v)), _fptr(prep(f)),
+    )
+    _check(rc, path, write=True)

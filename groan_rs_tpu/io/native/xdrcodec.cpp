@@ -1,0 +1,1010 @@
+// groan_rs_tpu native trajectory codec.
+//
+// Host-side C++ implementation of the Gromacs XDR trajectory formats:
+//   - XTC: big-endian XDR framing + the lossy "3dfcoord" integer-quantized,
+//     variable-bit-packed coordinate compression (magic 1995 and the
+//     large-frame magic 2023 variant with a 64-bit payload size)
+//   - TRR: XDR framing with optional single/double precision x/v/f blocks
+//
+// This replaces the role of the reference's vendored C xdrfile library and
+// the molly Rust crate (see /root/reference/external/xdrfile/ and
+// src/io/xtc_io/molly_xtc.rs) with a from-scratch, buffer-oriented design:
+// frames are located by an O(frames) header scan (offset index), then
+// decoded in bulk into caller-provided [nframes, natoms, 3] float buffers,
+// optionally stopping early after the first K atoms (partial-frame reads:
+// decompression is sequential, so "partial" = stop once the last selected
+// atom has been produced — the same trick molly uses).  Multi-frame decode
+// fans out across a thread pool (frames are independent).
+//
+// The 3dfcoord bit format implemented here is the public-domain algorithm
+// from the Gromacs XTC specification (magicints table, sizeofints
+// multi-radix packing, run-length encoded "small" deltas with the
+// water-molecule atom-swap optimization).
+//
+// C ABI exported at the bottom; Python binds via ctypes (io/native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
+
+namespace {
+
+// ------------------------------------------------------------------ errors
+enum GxError : int64_t {
+  GX_OK = 0,
+  GX_ERR_OPEN = -1,
+  GX_ERR_MAGIC = -2,
+  GX_ERR_CORRUPT = -3,
+  GX_ERR_NATOMS = -4,
+  GX_ERR_IO = -5,
+  GX_ERR_RANGE = -6,
+  GX_ERR_PRECISION = -7,
+};
+
+// ------------------------------------------------------------------ XDR helpers
+inline uint32_t load_be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) | (uint32_t(p[2]) << 8) |
+         uint32_t(p[3]);
+}
+inline uint64_t load_be64(const uint8_t* p) {
+  return (uint64_t(load_be32(p)) << 32) | load_be32(p + 4);
+}
+inline int32_t load_i32(const uint8_t* p) { return int32_t(load_be32(p)); }
+inline float load_f32(const uint8_t* p) {
+  uint32_t v = load_be32(p);
+  float f;
+  std::memcpy(&f, &v, 4);
+  return f;
+}
+inline double load_f64(const uint8_t* p) {
+  uint64_t v = load_be64(p);
+  double d;
+  std::memcpy(&d, &v, 8);
+  return d;
+}
+inline void store_be32(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 24);
+  p[1] = uint8_t(v >> 16);
+  p[2] = uint8_t(v >> 8);
+  p[3] = uint8_t(v);
+}
+inline void store_i32(uint8_t* p, int32_t v) { store_be32(p, uint32_t(v)); }
+inline void store_f32(uint8_t* p, float f) {
+  uint32_t v;
+  std::memcpy(&v, &f, 4);
+  store_be32(p, v);
+}
+
+// ------------------------------------------------------------------ file reader
+struct FileReader {
+  int fd = -1;
+  int64_t size = 0;
+
+  bool open(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    size = ::lseek(fd, 0, SEEK_END);
+    return size >= 0;
+  }
+  ~FileReader() {
+    if (fd >= 0) ::close(fd);
+  }
+  bool read_at(int64_t off, void* dst, int64_t n) const {
+    int64_t got = 0;
+    while (got < n) {
+      ssize_t r = ::pread(fd, static_cast<uint8_t*>(dst) + got, size_t(n - got), off + got);
+      if (r <= 0) return false;
+      got += r;
+    }
+    return true;
+  }
+};
+
+// ------------------------------------------------------------------ 3dfcoord tables
+// Magic quantization table of the XTC format specification.
+constexpr int kMagicInts[] = {
+    0,        0,        0,       0,       0,       0,       0,       0,       0,
+    8,        10,       12,      16,      20,      25,      32,      40,      50,
+    64,       80,       101,     128,     161,     203,     256,     322,     406,
+    512,      645,      812,     1024,    1290,    1625,    2048,    2580,    3250,
+    4096,     5060,     6501,    8192,    10321,   13003,   16384,   20642,   26007,
+    32768,    41285,    52015,   65536,   82570,   104031,  131072,  165140,  208063,
+    262144,   330280,   416127,  524287,  660561,  832255,  1048576, 1321122, 1664510,
+    2097152,  2642245,  3329021, 4194304, 5284491, 6658042, 8388607, 10568983,
+    13316085, 16777216};
+constexpr int kFirstIdx = 9;
+constexpr int kLastIdx = int(sizeof(kMagicInts) / sizeof(int)) - 1;
+
+// number of bits needed to represent values in [0, size]
+int sizeof_int(int size) {
+  int num = 1, nbits = 0;
+  while (size >= num && nbits < 32) {
+    nbits++;
+    num <<= 1;
+  }
+  return nbits;
+}
+
+// bits needed for a multi-radix packed triple with per-axis ranges sizes[]
+int sizeof_ints(int n, const uint32_t sizes[]) {
+  uint32_t bytes[32];
+  uint32_t nbytes = 1;
+  bytes[0] = 1;
+  int nbits = 0;
+  for (int i = 0; i < n; i++) {
+    uint64_t tmp = 0;
+    uint32_t bytecnt = 0;
+    for (; bytecnt < nbytes; bytecnt++) {
+      tmp += uint64_t(bytes[bytecnt]) * sizes[i];
+      bytes[bytecnt] = tmp & 0xff;
+      tmp >>= 8;
+    }
+    while (tmp != 0) {
+      bytes[bytecnt++] = tmp & 0xff;
+      tmp >>= 8;
+    }
+    nbytes = bytecnt;
+  }
+  uint32_t num = 1;
+  nbytes--;
+  while (bytes[nbytes] >= num) {
+    nbits++;
+    num *= 2;
+  }
+  return nbits + int(nbytes) * 8;
+}
+
+// ------------------------------------------------------------------ bit reader
+struct BitReader {
+  const uint8_t* data;
+  size_t len;
+  size_t cnt = 0;
+  uint32_t lastbits = 0;
+  uint32_t lastbyte = 0;
+  bool overrun = false;
+
+  inline uint8_t next_byte() {
+    if (cnt >= len) {
+      overrun = true;
+      return 0;
+    }
+    return data[cnt++];
+  }
+
+  int get(int nbits) {
+    int mask = (1 << nbits) - 1;
+    uint32_t num = 0;
+    while (nbits >= 8) {
+      lastbyte = (lastbyte << 8) | next_byte();
+      num |= (lastbyte >> lastbits) << (nbits - 8);
+      nbits -= 8;
+    }
+    if (nbits > 0) {
+      if (lastbits < uint32_t(nbits)) {
+        lastbits += 8;
+        lastbyte = (lastbyte << 8) | next_byte();
+      }
+      lastbits -= nbits;
+      num |= (lastbyte >> lastbits) & ((1 << nbits) - 1);
+    }
+    return int(num & mask);
+  }
+
+  // unpack a multi-radix triple stored in `nbits` bits
+  void get_ints(int nints, int nbits, const uint32_t sizes[], int32_t nums[]) {
+    int bytes[32];
+    bytes[1] = bytes[2] = bytes[3] = 0;
+    int nbytes = 0;
+    while (nbits > 8) {
+      bytes[nbytes++] = get(8);
+      nbits -= 8;
+    }
+    if (nbits > 0) bytes[nbytes++] = get(nbits);
+    for (int i = nints - 1; i > 0; i--) {
+      uint32_t num = 0;
+      for (int j = nbytes - 1; j >= 0; j--) {
+        num = (num << 8) | uint32_t(bytes[j]);
+        uint32_t p = num / sizes[i];
+        bytes[j] = int(p);
+        num -= p * sizes[i];
+      }
+      nums[i] = int32_t(num);
+    }
+    nums[0] = bytes[0] | (bytes[1] << 8) | (bytes[2] << 16) | (bytes[3] << 24);
+  }
+};
+
+// ------------------------------------------------------------------ bit writer
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint32_t lastbits = 0;
+  uint32_t lastbyte = 0;
+
+  explicit BitWriter(std::vector<uint8_t>& buf) : out(buf) {}
+
+  void put(int nbits, uint32_t num) {
+    uint32_t mask = nbits < 32 ? (1u << nbits) - 1 : 0xffffffffu;
+    num &= mask;
+    while (nbits >= 8) {
+      lastbyte = (lastbyte << 8) | ((num >> (nbits - 8)) & 0xff);
+      out.push_back(uint8_t(lastbyte >> lastbits));
+      nbits -= 8;
+    }
+    if (nbits > 0) {
+      lastbyte = (lastbyte << nbits) | (num & ((1u << nbits) - 1));
+      lastbits += nbits;
+      if (lastbits >= 8) {
+        lastbits -= 8;
+        out.push_back(uint8_t(lastbyte >> lastbits));
+      }
+    }
+  }
+
+  void flush() {
+    if (lastbits > 0) {
+      out.push_back(uint8_t(lastbyte << (8 - lastbits)));
+      lastbits = 0;
+    }
+  }
+
+  void put_ints(int nints, int nbits, const uint32_t sizes[], const uint32_t nums[]) {
+    uint32_t bytes[32];
+    uint32_t nbytes = 0;
+    uint64_t tmp = nums[0];
+    do {
+      bytes[nbytes++] = tmp & 0xff;
+      tmp >>= 8;
+    } while (tmp != 0);
+    for (int i = 1; i < nints; i++) {
+      tmp = nums[i];
+      uint32_t bytecnt = 0;
+      for (; bytecnt < nbytes; bytecnt++) {
+        tmp += uint64_t(bytes[bytecnt]) * sizes[i];
+        bytes[bytecnt] = tmp & 0xff;
+        tmp >>= 8;
+      }
+      while (tmp != 0) {
+        bytes[bytecnt++] = tmp & 0xff;
+        tmp >>= 8;
+      }
+      nbytes = bytecnt;
+    }
+    if (nbits >= int(nbytes) * 8) {
+      for (uint32_t b = 0; b < nbytes; b++) put(8, bytes[b]);
+      put(nbits - int(nbytes) * 8, 0);
+    } else {
+      uint32_t b = 0;
+      for (; b + 1 < nbytes; b++) put(8, bytes[b]);
+      put(nbits - int(b) * 8, bytes[b]);
+    }
+  }
+};
+
+// ------------------------------------------------------------------ XTC frame header
+struct XtcHeader {
+  int32_t magic = 0;
+  int32_t natoms = 0;
+  int32_t step = 0;
+  float time = 0;
+  float box[9];
+  // coordinate block metadata (natoms > 9 only)
+  float precision = 0;
+  int32_t minint[3], maxint[3];
+  int32_t smallidx = 0;
+  int64_t nbytes = 0;       // payload byte count (no padding)
+  int64_t data_offset = 0;  // absolute file offset of the packed payload
+  int64_t frame_size = 0;   // total frame size incl. padding
+};
+
+// Parse the fixed header at `off`.  Returns GX_OK / error.
+int64_t parse_xtc_header(const FileReader& f, int64_t off, XtcHeader* h) {
+  uint8_t buf[96];
+  if (off + 60 > f.size) return GX_ERR_IO;
+  if (!f.read_at(off, buf, 60)) return GX_ERR_IO;
+  h->magic = load_i32(buf);
+  if (h->magic != 1995 && h->magic != 2023) return GX_ERR_MAGIC;
+  h->natoms = load_i32(buf + 4);
+  h->step = load_i32(buf + 8);
+  h->time = load_f32(buf + 12);
+  for (int i = 0; i < 9; i++) h->box[i] = load_f32(buf + 16 + 4 * i);
+  int32_t natoms2 = load_i32(buf + 52);
+  if (natoms2 != h->natoms) return GX_ERR_CORRUPT;
+
+  if (h->natoms <= 9) {
+    // tiny systems are stored as plain floats, no precision field
+    h->precision = 0;
+    h->nbytes = int64_t(h->natoms) * 3 * 4;
+    h->data_offset = off + 56;
+    h->frame_size = 56 + h->nbytes;
+    return GX_OK;
+  }
+
+  int hdr_extra = (h->magic == 2023) ? 40 : 36;  // precision..nbytes
+  if (!f.read_at(off + 56, buf, hdr_extra)) return GX_ERR_IO;
+  h->precision = load_f32(buf);
+  for (int i = 0; i < 3; i++) h->minint[i] = load_i32(buf + 4 + 4 * i);
+  for (int i = 0; i < 3; i++) h->maxint[i] = load_i32(buf + 16 + 4 * i);
+  h->smallidx = load_i32(buf + 28);
+  if (h->magic == 2023) {
+    h->nbytes = int64_t(load_be64(buf + 32));
+  } else {
+    h->nbytes = load_i32(buf + 32);
+  }
+  if (h->nbytes < 0 || h->nbytes > f.size) return GX_ERR_CORRUPT;
+  int64_t padded = (h->nbytes + 3) & ~int64_t(3);
+  h->data_offset = off + 56 + hdr_extra;
+  h->frame_size = 56 + hdr_extra + padded;
+  return GX_OK;
+}
+
+// Decode the packed coordinate payload into out[0 .. 3*stop_after).
+// `stop_after` <= natoms enables partial-frame decode.
+int64_t decode_3dfcoord(const XtcHeader& h, const uint8_t* data, size_t datalen,
+                        float* out, int stop_after) {
+  const float inv_precision = 1.0f / h.precision;
+  uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
+  for (int i = 0; i < 3; i++) sizeint[i] = uint32_t(h.maxint[i] - h.minint[i]) + 1;
+
+  int bitsize;
+  if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+    for (int i = 0; i < 3; i++) bitsizeint[i] = sizeof_int(int(sizeint[i]));
+    bitsize = 0;
+  } else {
+    bitsize = sizeof_ints(3, sizeint);
+  }
+
+  int smallidx = h.smallidx;
+  if (smallidx < kFirstIdx || smallidx > kLastIdx) return GX_ERR_CORRUPT;
+  int smaller = kMagicInts[std::max(kFirstIdx, smallidx - 1)] / 2;
+  int smallnum = kMagicInts[smallidx] / 2;
+  uint32_t sizesmall[3] = {uint32_t(kMagicInts[smallidx]), uint32_t(kMagicInts[smallidx]),
+                           uint32_t(kMagicInts[smallidx])};
+
+  BitReader br{data, datalen};
+  int32_t thiscoord[3], prevcoord[3] = {0, 0, 0};
+  int run = 0;
+  int i = 0;
+  const int lsize = h.natoms;
+  float* fp = out;
+
+  while (i < lsize) {
+    if (i >= stop_after) return GX_OK;  // partial-frame early stop
+    if (bitsize == 0) {
+      thiscoord[0] = br.get(int(bitsizeint[0]));
+      thiscoord[1] = br.get(int(bitsizeint[1]));
+      thiscoord[2] = br.get(int(bitsizeint[2]));
+    } else {
+      br.get_ints(3, bitsize, sizeint, thiscoord);
+    }
+    i++;
+    thiscoord[0] += h.minint[0];
+    thiscoord[1] += h.minint[1];
+    thiscoord[2] += h.minint[2];
+    prevcoord[0] = thiscoord[0];
+    prevcoord[1] = thiscoord[1];
+    prevcoord[2] = thiscoord[2];
+
+    int flag = br.get(1);
+    int is_smaller = 0;
+    if (flag == 1) {
+      run = br.get(5);
+      is_smaller = run % 3;
+      run -= is_smaller;
+      is_smaller--;
+    }
+    if (br.overrun) return GX_ERR_CORRUPT;
+
+    if (run > 0) {
+      for (int k = 0; k < run; k += 3) {
+        br.get_ints(3, smallidx, sizesmall, thiscoord);
+        i++;
+        thiscoord[0] += prevcoord[0] - smallnum;
+        thiscoord[1] += prevcoord[1] - smallnum;
+        thiscoord[2] += prevcoord[2] - smallnum;
+        if (k == 0) {
+          // water-optimization: the first atom of a run was swapped with
+          // its predecessor at compression time — swap back and emit both
+          std::swap(thiscoord[0], prevcoord[0]);
+          std::swap(thiscoord[1], prevcoord[1]);
+          std::swap(thiscoord[2], prevcoord[2]);
+          fp[0] = float(prevcoord[0]) * inv_precision;
+          fp[1] = float(prevcoord[1]) * inv_precision;
+          fp[2] = float(prevcoord[2]) * inv_precision;
+          fp += 3;
+        } else {
+          prevcoord[0] = thiscoord[0];
+          prevcoord[1] = thiscoord[1];
+          prevcoord[2] = thiscoord[2];
+        }
+        fp[0] = float(thiscoord[0]) * inv_precision;
+        fp[1] = float(thiscoord[1]) * inv_precision;
+        fp[2] = float(thiscoord[2]) * inv_precision;
+        fp += 3;
+      }
+    } else {
+      fp[0] = float(thiscoord[0]) * inv_precision;
+      fp[1] = float(thiscoord[1]) * inv_precision;
+      fp[2] = float(thiscoord[2]) * inv_precision;
+      fp += 3;
+    }
+    smallidx += is_smaller;
+    if (is_smaller < 0) {
+      smallnum = smaller;
+      smaller = (smallidx > kFirstIdx) ? kMagicInts[smallidx - 1] / 2 : 0;
+    } else if (is_smaller > 0) {
+      smaller = smallnum;
+      smallnum = kMagicInts[smallidx] / 2;
+    }
+    if (smallidx < kFirstIdx || smallidx > kLastIdx) return GX_ERR_CORRUPT;
+    sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(kMagicInts[smallidx]);
+    if (br.overrun) return GX_ERR_CORRUPT;
+  }
+  return GX_OK;
+}
+
+// Decode one frame (header already parsed) into out/box/etc.
+int64_t decode_xtc_frame(const FileReader& f, const XtcHeader& h,
+                         std::vector<uint8_t>& scratch, float* coords, int stop_after) {
+  if (h.natoms <= 9) {
+    scratch.resize(size_t(h.nbytes));
+    if (!f.read_at(h.data_offset, scratch.data(), h.nbytes)) return GX_ERR_IO;
+    int n = std::min(stop_after, int(h.natoms));
+    for (int i = 0; i < 3 * n; i++) coords[i] = load_f32(scratch.data() + 4 * i);
+    return GX_OK;
+  }
+  scratch.resize(size_t(h.nbytes));
+  if (!f.read_at(h.data_offset, scratch.data(), h.nbytes)) return GX_ERR_IO;
+  return decode_3dfcoord(h, scratch.data(), scratch.size(), coords,
+                         std::min(stop_after, int(h.natoms)));
+}
+
+// ------------------------------------------------------------------ XTC compression
+// Quantize + compress coordinates; returns payload bytes (appended to out).
+int64_t encode_3dfcoord(const float* coords, int natoms, float precision,
+                        int32_t minint[3], int32_t maxint[3], int32_t* smallidx_out,
+                        std::vector<uint8_t>& out) {
+  std::vector<int32_t> ip(size_t(natoms) * 3);
+  const float kMaxAbs = float(INT32_MAX - 2);
+  for (int64_t i = 0; i < int64_t(natoms) * 3; i++) {
+    float lf = coords[i] * precision;
+    if (lf > kMaxAbs || lf < -kMaxAbs) return GX_ERR_PRECISION;
+    ip[i] = int32_t(lf >= 0 ? lf + 0.5f : lf - 0.5f);
+  }
+
+  minint[0] = minint[1] = minint[2] = INT32_MAX;
+  maxint[0] = maxint[1] = maxint[2] = INT32_MIN;
+  int32_t prev[3] = {0, 0, 0};
+  int64_t mindiff = INT64_MAX;
+  for (int i = 0; i < natoms; i++) {
+    const int32_t* c = &ip[size_t(i) * 3];
+    for (int d = 0; d < 3; d++) {
+      minint[d] = std::min(minint[d], c[d]);
+      maxint[d] = std::max(maxint[d], c[d]);
+    }
+    if (i > 0) {
+      int64_t diff = std::abs(int64_t(c[0]) - prev[0]) + std::abs(int64_t(c[1]) - prev[1]) +
+                     std::abs(int64_t(c[2]) - prev[2]);
+      mindiff = std::min(mindiff, diff);
+    }
+    prev[0] = c[0];
+    prev[1] = c[1];
+    prev[2] = c[2];
+  }
+
+  uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
+  for (int d = 0; d < 3; d++) {
+    int64_t range = int64_t(maxint[d]) - minint[d] + 1;
+    if (range > INT32_MAX) return GX_ERR_PRECISION;
+    sizeint[d] = uint32_t(range);
+  }
+  int bitsize;
+  if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+    for (int d = 0; d < 3; d++) bitsizeint[d] = sizeof_int(int(sizeint[d]));
+    bitsize = 0;
+  } else {
+    bitsize = sizeof_ints(3, sizeint);
+  }
+
+  int smallidx = kFirstIdx;
+  while (smallidx < kLastIdx && kMagicInts[smallidx] < mindiff) smallidx++;
+  *smallidx_out = smallidx;
+
+  int maxidx = std::min(kLastIdx, smallidx + 8);
+  int minidx = maxidx - 8;
+  int smaller = kMagicInts[std::max(kFirstIdx, smallidx - 1)] / 2;
+  int smallnum = kMagicInts[smallidx] / 2;
+  uint32_t sizesmall[3] = {uint32_t(kMagicInts[smallidx]), uint32_t(kMagicInts[smallidx]),
+                           uint32_t(kMagicInts[smallidx])};
+  int larger = kMagicInts[maxidx] / 2;
+
+  BitWriter bw(out);
+  int32_t prevcoord[3] = {0, 0, 0};
+  uint32_t tmpcoord[30];
+  int prevrun = -1;
+  int i = 0;
+  while (i < natoms) {
+    int is_small = 0;
+    int32_t* thiscoord = &ip[size_t(i) * 3];
+    int is_smaller;
+    if (smallidx < maxidx && i >= 1 && std::abs(thiscoord[0] - prevcoord[0]) < larger &&
+        std::abs(thiscoord[1] - prevcoord[1]) < larger &&
+        std::abs(thiscoord[2] - prevcoord[2]) < larger) {
+      is_smaller = 1;
+    } else if (smallidx > minidx) {
+      is_smaller = -1;
+    } else {
+      is_smaller = 0;
+    }
+    if (i + 1 < natoms) {
+      if (std::abs(thiscoord[0] - thiscoord[3]) < smallnum &&
+          std::abs(thiscoord[1] - thiscoord[4]) < smallnum &&
+          std::abs(thiscoord[2] - thiscoord[5]) < smallnum) {
+        // swap first atom with second for better water compression
+        std::swap(thiscoord[0], thiscoord[3]);
+        std::swap(thiscoord[1], thiscoord[4]);
+        std::swap(thiscoord[2], thiscoord[5]);
+        is_small = 1;
+      }
+    }
+    uint32_t abs3[3] = {uint32_t(thiscoord[0] - minint[0]), uint32_t(thiscoord[1] - minint[1]),
+                        uint32_t(thiscoord[2] - minint[2])};
+    if (bitsize == 0) {
+      bw.put(int(bitsizeint[0]), abs3[0]);
+      bw.put(int(bitsizeint[1]), abs3[1]);
+      bw.put(int(bitsizeint[2]), abs3[2]);
+    } else {
+      bw.put_ints(3, bitsize, sizeint, abs3);
+    }
+    prevcoord[0] = thiscoord[0];
+    prevcoord[1] = thiscoord[1];
+    prevcoord[2] = thiscoord[2];
+    thiscoord += 3;
+    i++;
+
+    int run = 0;
+    if (is_small == 0 && is_smaller == -1) is_smaller = 0;
+    while (is_small && run < 8 * 3) {
+      if (is_smaller == -1) {
+        int64_t d0 = thiscoord[0] - prevcoord[0];
+        int64_t d1 = thiscoord[1] - prevcoord[1];
+        int64_t d2 = thiscoord[2] - prevcoord[2];
+        if (d0 * d0 + d1 * d1 + d2 * d2 >= int64_t(smaller) * smaller) is_smaller = 0;
+      }
+      tmpcoord[run++] = uint32_t(thiscoord[0] - prevcoord[0] + smallnum);
+      tmpcoord[run++] = uint32_t(thiscoord[1] - prevcoord[1] + smallnum);
+      tmpcoord[run++] = uint32_t(thiscoord[2] - prevcoord[2] + smallnum);
+      prevcoord[0] = thiscoord[0];
+      prevcoord[1] = thiscoord[1];
+      prevcoord[2] = thiscoord[2];
+      i++;
+      thiscoord += 3;
+      is_small = 0;
+      if (i < natoms && std::abs(thiscoord[0] - prevcoord[0]) < smallnum &&
+          std::abs(thiscoord[1] - prevcoord[1]) < smallnum &&
+          std::abs(thiscoord[2] - prevcoord[2]) < smallnum) {
+        is_small = 1;
+      }
+    }
+    if (run != prevrun || is_smaller != 0) {
+      prevrun = run;
+      bw.put(1, 1);
+      bw.put(5, uint32_t(run + is_smaller + 1));
+    } else {
+      bw.put(1, 0);
+    }
+    for (int k = 0; k < run; k += 3) {
+      bw.put_ints(3, smallidx, sizesmall, &tmpcoord[k]);
+    }
+    if (is_smaller != 0) {
+      smallidx += is_smaller;
+      if (is_smaller < 0) {
+        smallnum = smaller;
+        smaller = kMagicInts[smallidx - 1] / 2;
+      } else {
+        smaller = smallnum;
+        smallnum = kMagicInts[smallidx] / 2;
+      }
+      sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(kMagicInts[smallidx]);
+    }
+  }
+  bw.flush();
+  return GX_OK;
+}
+
+// ------------------------------------------------------------------ TRR
+struct TrrHeader {
+  int32_t box_size = 0, vir_size = 0, pres_size = 0;
+  int64_t x_size = 0, v_size = 0, f_size = 0;
+  int32_t natoms = 0, step = 0;
+  double time = 0, lambda = 0;
+  bool is_double = false;
+  int64_t body_offset = 0;  // offset of box block
+  int64_t frame_size = 0;
+  double box[9];
+};
+
+int64_t parse_trr_header(const FileReader& f, int64_t off, TrrHeader* h) {
+  uint8_t buf[108];
+  if (off + 84 > f.size) return GX_ERR_IO;
+  if (!f.read_at(off, buf, 84)) return GX_ERR_IO;
+  if (load_i32(buf) != 1993) return GX_ERR_MAGIC;
+  int32_t slen = load_i32(buf + 4);  // strlen + 1 ("GMX_trn_file" -> 13)
+  int32_t xdr_len = load_i32(buf + 8);
+  if (slen != xdr_len + 1 || xdr_len < 0 || xdr_len > 64) return GX_ERR_CORRUPT;
+  int64_t pad = (xdr_len + 3) & ~3;
+  int64_t p = off + 12 + pad;
+  uint8_t ints[52];
+  if (!f.read_at(p, ints, 52)) return GX_ERR_IO;
+  int32_t ir_size = load_i32(ints), e_size = load_i32(ints + 4);
+  h->box_size = load_i32(ints + 8);
+  h->vir_size = load_i32(ints + 12);
+  h->pres_size = load_i32(ints + 16);
+  int32_t top_size = load_i32(ints + 20), sym_size = load_i32(ints + 24);
+  h->x_size = load_i32(ints + 28);
+  h->v_size = load_i32(ints + 32);
+  h->f_size = load_i32(ints + 36);
+  h->natoms = load_i32(ints + 40);
+  h->step = load_i32(ints + 44);
+  int32_t nre = load_i32(ints + 48);
+  (void)ir_size;
+  (void)e_size;
+  (void)top_size;
+  (void)sym_size;
+  (void)nre;
+
+  // real size: from box (9 reals) or x (3*natoms reals)
+  int real_size = 4;
+  if (h->box_size != 0) {
+    real_size = h->box_size / 9;
+  } else if (h->x_size != 0 && h->natoms > 0) {
+    real_size = int(h->x_size / (int64_t(h->natoms) * 3));
+  }
+  if (real_size != 4 && real_size != 8) return GX_ERR_CORRUPT;
+  h->is_double = (real_size == 8);
+
+  p += 52;
+  uint8_t tl[16];
+  if (!f.read_at(p, tl, size_t(2 * real_size))) return GX_ERR_IO;
+  if (h->is_double) {
+    h->time = load_f64(tl);
+    h->lambda = load_f64(tl + 8);
+  } else {
+    h->time = load_f32(tl);
+    h->lambda = load_f32(tl + 4);
+  }
+  p += 2 * real_size;
+  h->body_offset = p;
+
+  // read box if present
+  if (h->box_size) {
+    uint8_t bb[72];
+    if (!f.read_at(p, bb, size_t(h->box_size))) return GX_ERR_IO;
+    for (int i = 0; i < 9; i++)
+      h->box[i] = h->is_double ? load_f64(bb + 8 * i) : load_f32(bb + 4 * i);
+  } else {
+    std::fill(h->box, h->box + 9, 0.0);
+  }
+
+  int64_t body = int64_t(h->box_size) + h->vir_size + h->pres_size + h->x_size + h->v_size +
+                 h->f_size;
+  h->frame_size = (h->body_offset - off) + body;
+  return GX_OK;
+}
+
+// read a block of `n` reals at `off` into float dst
+bool read_reals(const FileReader& f, int64_t off, int64_t n, bool is_double, float* dst,
+                std::vector<uint8_t>& scratch) {
+  int rs = is_double ? 8 : 4;
+  scratch.resize(size_t(n) * rs);
+  if (!f.read_at(off, scratch.data(), n * rs)) return false;
+  if (is_double) {
+    for (int64_t i = 0; i < n; i++) dst[i] = float(load_f64(scratch.data() + 8 * i));
+  } else {
+    for (int64_t i = 0; i < n; i++) dst[i] = load_f32(scratch.data() + 4 * i);
+  }
+  return true;
+}
+
+// ------------------------------------------------------------------ parallel map
+void parallel_for(int64_t n, int n_threads, const std::function<void(int64_t)>& fn) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int64_t i = 0; i < n; i++) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next{0};
+  std::vector<std::thread> pool;
+  int nt = std::min<int64_t>(n_threads, n);
+  pool.reserve(size_t(nt));
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&] {
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n) break;
+        fn(i);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+// ==================================================================== C ABI
+extern "C" {
+
+// ---- XTC ----------------------------------------------------------------
+
+// Scan an XTC file, filling per-frame metadata arrays (capacity `cap`).
+// Returns the number of frames, or a negative GxError.
+int64_t gx_xtc_scan(const char* path, int64_t cap, int64_t* offsets, int32_t* steps,
+                    float* times, int32_t* natoms_out) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  int64_t off = 0;
+  int64_t n = 0;
+  int32_t natoms = -1;
+  while (off < f.size) {
+    XtcHeader h;
+    int64_t rc = parse_xtc_header(f, off, &h);
+    if (rc != GX_OK) return (n == 0) ? rc : GX_ERR_CORRUPT;
+    if (natoms < 0) {
+      natoms = h.natoms;
+    } else if (natoms != h.natoms) {
+      return GX_ERR_NATOMS;
+    }
+    if (n >= cap) return GX_ERR_RANGE;
+    offsets[n] = off;
+    steps[n] = h.step;
+    times[n] = h.time;
+    n++;
+    off += h.frame_size;
+  }
+  if (natoms_out) *natoms_out = natoms;
+  return n;
+}
+
+// Decode `nframes` frames whose start offsets are given in `offsets`.
+// coords: [nframes, stop_after, 3] (only the first `stop_after` atoms of
+// each frame are produced — partial-frame decode).  boxes: [nframes, 9].
+int64_t gx_xtc_read(const char* path, const int64_t* offsets, int64_t nframes,
+                    int32_t expected_natoms, int32_t stop_after, float* coords, float* boxes,
+                    int32_t* steps, float* times, float* precisions, int32_t n_threads) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  std::atomic<int64_t> err{GX_OK};
+  parallel_for(nframes, n_threads, [&](int64_t i) {
+    if (err.load(std::memory_order_relaxed) != GX_OK) return;
+    XtcHeader h;
+    int64_t rc = parse_xtc_header(f, offsets[i], &h);
+    if (rc == GX_OK && h.natoms != expected_natoms) rc = GX_ERR_NATOMS;
+    if (rc == GX_OK) {
+      std::vector<uint8_t> scratch;
+      rc = decode_xtc_frame(f, h, scratch, coords + i * int64_t(stop_after) * 3, stop_after);
+    }
+    if (rc == GX_OK) {
+      if (boxes) std::memcpy(boxes + i * 9, h.box, 9 * sizeof(float));
+      if (steps) steps[i] = h.step;
+      if (times) times[i] = h.time;
+      if (precisions) precisions[i] = h.precision;
+    } else {
+      int64_t expected = GX_OK;
+      err.compare_exchange_strong(expected, rc);
+    }
+  });
+  return err.load();
+}
+
+// Probe natoms/magic from the first frame header.
+int64_t gx_xtc_probe(const char* path, int32_t* natoms, int32_t* magic) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  XtcHeader h;
+  int64_t rc = parse_xtc_header(f, 0, &h);
+  if (rc != GX_OK) return rc;
+  if (natoms) *natoms = h.natoms;
+  if (magic) *magic = h.magic;
+  return GX_OK;
+}
+
+// Compress one frame and append it to `path` (create if needed).
+int64_t gx_xtc_write_frame(const char* path, int32_t natoms, int32_t step, float time,
+                           const float* box9, const float* coords, float precision) {
+  std::vector<uint8_t> payload;
+  int32_t minint[3], maxint[3], smallidx = 0;
+  int64_t nbytes = 0;
+  if (natoms > 9) {
+    int64_t rc = encode_3dfcoord(coords, natoms, precision, minint, maxint, &smallidx, payload);
+    if (rc != GX_OK) return rc;
+    nbytes = int64_t(payload.size());
+  }
+
+  std::vector<uint8_t> frame;
+  frame.reserve(100 + payload.size());
+  auto push_i32 = [&](int32_t v) {
+    uint8_t b[4];
+    store_i32(b, v);
+    frame.insert(frame.end(), b, b + 4);
+  };
+  auto push_f32 = [&](float v) {
+    uint8_t b[4];
+    store_f32(b, v);
+    frame.insert(frame.end(), b, b + 4);
+  };
+  push_i32(1995);
+  push_i32(natoms);
+  push_i32(step);
+  push_f32(time);
+  for (int i = 0; i < 9; i++) push_f32(box9 ? box9[i] : 0.0f);
+  push_i32(natoms);
+  if (natoms <= 9) {
+    for (int i = 0; i < natoms * 3; i++) push_f32(coords[i]);
+  } else {
+    push_f32(precision);
+    for (int d = 0; d < 3; d++) push_i32(minint[d]);
+    for (int d = 0; d < 3; d++) push_i32(maxint[d]);
+    push_i32(smallidx);
+    push_i32(int32_t(nbytes));
+    frame.insert(frame.end(), payload.begin(), payload.end());
+    while (frame.size() % 4 != 0) frame.push_back(0);
+  }
+
+  FILE* fh = std::fopen(path, "ab");
+  if (!fh) return GX_ERR_OPEN;
+  size_t w = std::fwrite(frame.data(), 1, frame.size(), fh);
+  std::fclose(fh);
+  return (w == frame.size()) ? GX_OK : GX_ERR_IO;
+}
+
+// ---- TRR ----------------------------------------------------------------
+
+// Scan a TRR file.  Flag bytes: bit0 = has_x, bit1 = has_v, bit2 = has_f,
+// bit3 = is_double.
+int64_t gx_trr_scan(const char* path, int64_t cap, int64_t* offsets, int32_t* steps,
+                    double* times, double* lambdas, uint8_t* flags, int32_t* natoms_out) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  int64_t off = 0, n = 0;
+  int32_t natoms = -1;
+  while (off < f.size) {
+    TrrHeader h;
+    int64_t rc = parse_trr_header(f, off, &h);
+    if (rc != GX_OK) return (n == 0) ? rc : GX_ERR_CORRUPT;
+    if (natoms < 0) {
+      natoms = h.natoms;
+    } else if (natoms != h.natoms) {
+      return GX_ERR_NATOMS;
+    }
+    if (n >= cap) return GX_ERR_RANGE;
+    offsets[n] = off;
+    steps[n] = h.step;
+    times[n] = h.time;
+    lambdas[n] = h.lambda;
+    flags[n] = uint8_t((h.x_size ? 1 : 0) | (h.v_size ? 2 : 0) | (h.f_size ? 4 : 0) |
+                       (h.is_double ? 8 : 0));
+    n++;
+    off += h.frame_size;
+  }
+  if (natoms_out) *natoms_out = natoms;
+  return n;
+}
+
+// Read TRR frames.  x/v/f buffers are [nframes, natoms, 3] (may be null);
+// absent blocks leave the corresponding frame slice untouched.
+int64_t gx_trr_read(const char* path, const int64_t* offsets, int64_t nframes, int32_t natoms,
+                    float* x, float* v, float* fr, float* boxes, int32_t* steps, double* times,
+                    double* lambdas, uint8_t* flags, int32_t n_threads) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  std::atomic<int64_t> err{GX_OK};
+  parallel_for(nframes, n_threads, [&](int64_t i) {
+    if (err.load(std::memory_order_relaxed) != GX_OK) return;
+    TrrHeader h;
+    int64_t rc = parse_trr_header(f, offsets[i], &h);
+    if (rc == GX_OK && h.natoms != natoms) rc = GX_ERR_NATOMS;
+    if (rc == GX_OK) {
+      std::vector<uint8_t> scratch;
+      int64_t p = h.body_offset + h.box_size + h.vir_size + h.pres_size;
+      int64_t n3 = int64_t(natoms) * 3;
+      bool ok = true;
+      if (h.x_size && x) ok = ok && read_reals(f, p, n3, h.is_double, x + i * n3, scratch);
+      p += h.x_size;
+      if (h.v_size && v) ok = ok && read_reals(f, p, n3, h.is_double, v + i * n3, scratch);
+      p += h.v_size;
+      if (h.f_size && fr) ok = ok && read_reals(f, p, n3, h.is_double, fr + i * n3, scratch);
+      if (!ok) rc = GX_ERR_IO;
+      if (rc == GX_OK) {
+        if (boxes)
+          for (int k = 0; k < 9; k++) boxes[i * 9 + k] = float(h.box[k]);
+        if (steps) steps[i] = h.step;
+        if (times) times[i] = h.time;
+        if (lambdas) lambdas[i] = h.lambda;
+        if (flags)
+          flags[i] = uint8_t((h.x_size ? 1 : 0) | (h.v_size ? 2 : 0) | (h.f_size ? 4 : 0) |
+                             (h.is_double ? 8 : 0));
+      }
+    }
+    if (rc != GX_OK) {
+      int64_t expected = GX_OK;
+      err.compare_exchange_strong(expected, rc);
+    }
+  });
+  return err.load();
+}
+
+int64_t gx_trr_probe(const char* path, int32_t* natoms) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  TrrHeader h;
+  int64_t rc = parse_trr_header(f, 0, &h);
+  if (rc != GX_OK) return rc;
+  if (natoms) *natoms = h.natoms;
+  return GX_OK;
+}
+
+// Write one single-precision TRR frame (x/v/f nullable).
+int64_t gx_trr_write_frame(const char* path, int32_t natoms, int32_t step, double time,
+                           double lambda, const float* box9, const float* x, const float* v,
+                           const float* fr) {
+  std::vector<uint8_t> frame;
+  auto push_i32 = [&](int32_t val) {
+    uint8_t b[4];
+    store_i32(b, val);
+    frame.insert(frame.end(), b, b + 4);
+  };
+  auto push_f32 = [&](float val) {
+    uint8_t b[4];
+    store_f32(b, val);
+    frame.insert(frame.end(), b, b + 4);
+  };
+  int64_t n3 = int64_t(natoms) * 3;
+  int32_t box_size = box9 ? 36 : 0;
+  int32_t x_size = x ? int32_t(n3 * 4) : 0;
+  int32_t v_size = v ? int32_t(n3 * 4) : 0;
+  int32_t f_size = fr ? int32_t(n3 * 4) : 0;
+
+  push_i32(1993);
+  push_i32(13);
+  push_i32(12);
+  const char* tag = "GMX_trn_file";
+  frame.insert(frame.end(), tag, tag + 12);
+  push_i32(0);         // ir_size
+  push_i32(0);         // e_size
+  push_i32(box_size);  // box_size
+  push_i32(0);         // vir_size
+  push_i32(0);         // pres_size
+  push_i32(0);         // top_size
+  push_i32(0);         // sym_size
+  push_i32(x_size);
+  push_i32(v_size);
+  push_i32(f_size);
+  push_i32(natoms);
+  push_i32(step);
+  push_i32(0);  // nre
+  push_f32(float(time));
+  push_f32(float(lambda));
+  if (box9)
+    for (int i = 0; i < 9; i++) push_f32(box9[i]);
+  auto push_block = [&](const float* src) {
+    if (!src) return;
+    for (int64_t i = 0; i < n3; i++) push_f32(src[i]);
+  };
+  push_block(x);
+  push_block(v);
+  push_block(fr);
+
+  FILE* fh = std::fopen(path, "ab");
+  if (!fh) return GX_ERR_OPEN;
+  size_t w = std::fwrite(frame.data(), 1, frame.size(), fh);
+  std::fclose(fh);
+  return (w == frame.size()) ? GX_OK : GX_ERR_IO;
+}
+
+}  // extern "C"
