@@ -1,0 +1,660 @@
+"""Trajectory reader/writer protocol.
+
+TPU-native re-design of the reference reader stack (`src/io/traj_read.rs`,
+`xtc_io/`, `trr_io/`, `gro_io/trajectory.rs`, `traj_cat.rs`):
+
+- Every format exposes a **frame index** (offsets/steps/times scanned once,
+  O(frames)); range/step/concatenation are pure index arithmetic instead of
+  the reference's seek-and-skip adapters (`with_range`/`with_step`,
+  traj_read.rs:301-514; jump logic xdrfile_jump.c:25).
+- `TrajReader` iterates frame-by-frame updating a `System` (API parity with
+  `system.xtc_iter()` -> yields the mutated system), while `batches()`
+  yields `[B, N, 3]` numpy FrameBatches decoded in bulk by the native codec
+  with a background prefetch thread — the device pipeline path with zero
+  per-frame host round-trips.
+- Group/partial reads decode only the first `last_selected_atom + 1` atoms
+  (sequential decompression early-stop, the molly trick at
+  molly_xtc.rs:58-63) and gather the selection.
+- Concatenation dedupes adjacent equal-time frames exactly like
+  `TrajConcatenator` (traj_cat.rs:229-260).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.simbox import SimBox
+from ..errors import ReadTrajError, WriteTrajError
+from ..files import FileType
+from ..progress import ProgressPrinter, ProgressStatus
+from . import native
+
+TIME_PRECISION = 0.001  # reference: molly_xtc.rs:30
+
+
+# =====================================================================
+# Frame batches
+# =====================================================================
+
+@dataclass
+class FrameBatch:
+    """A decoded batch of frames (host numpy, ready for device_put)."""
+
+    positions: np.ndarray  # [B, K, 3]
+    boxes9: np.ndarray  # [B, 9] gro-order box components
+    steps: np.ndarray  # [B]
+    times: np.ndarray  # [B]
+    frame_numbers: np.ndarray  # [B] global frame indices in the iteration
+    velocities: np.ndarray | None = None
+    forces: np.ndarray | None = None
+    precisions: np.ndarray | None = None
+    has_x: np.ndarray | None = None  # [B] bool (TRR frames may lack blocks)
+    has_v: np.ndarray | None = None
+    has_f: np.ndarray | None = None
+    atom_indices: np.ndarray | None = None  # selection indices if partial
+
+    def __len__(self) -> int:
+        return self.positions.shape[0]
+
+    def box_lengths(self) -> np.ndarray:
+        """[B, 3] orthogonal box lengths (v1x, v2y, v3z)."""
+        return self.boxes9[:, :3]
+
+    def box_matrices(self) -> np.ndarray:
+        """[B, 3, 3] row-major box matrices."""
+        b = self.boxes9
+        out = np.zeros((b.shape[0], 3, 3), np.float32)
+        out[:, 0, 0] = b[:, 0]
+        out[:, 1, 1] = b[:, 1]
+        out[:, 2, 2] = b[:, 2]
+        out[:, 0, 1] = b[:, 3]
+        out[:, 0, 2] = b[:, 4]
+        out[:, 1, 0] = b[:, 5]
+        out[:, 1, 2] = b[:, 6]
+        out[:, 2, 0] = b[:, 7]
+        out[:, 2, 1] = b[:, 8]
+        return out
+
+
+def _xtc_box_to_gro9(box33: np.ndarray) -> np.ndarray:
+    """[F, 9] row-major 3x3 (XTC/TRR storage) -> gro-order 9-vector."""
+    b = box33.reshape(-1, 3, 3)
+    out = np.empty((b.shape[0], 9), np.float32)
+    out[:, 0] = b[:, 0, 0]
+    out[:, 1] = b[:, 1, 1]
+    out[:, 2] = b[:, 2, 2]
+    out[:, 3] = b[:, 0, 1]
+    out[:, 4] = b[:, 0, 2]
+    out[:, 5] = b[:, 1, 0]
+    out[:, 6] = b[:, 1, 2]
+    out[:, 7] = b[:, 2, 0]
+    out[:, 8] = b[:, 2, 1]
+    return out
+
+
+# =====================================================================
+# Frame sources (per format)
+# =====================================================================
+
+class FrameSource:
+    """A trajectory file with a scanned frame index."""
+
+    kind: str
+    path: str
+    natoms: int
+    times: np.ndarray  # f32 [F]
+    steps: np.ndarray  # i64 [F]
+
+    def n_frames(self) -> int:
+        return self.times.shape[0]
+
+    def read_batch(self, frame_ids: np.ndarray, stop_after: int | None = None) -> FrameBatch:
+        raise NotImplementedError
+
+
+class XtcSource(FrameSource):
+    kind = "xtc"
+
+    def __init__(self, path):
+        self.path = str(path)
+        offsets, steps, times, natoms = native.xtc_scan(self.path)
+        self.offsets = offsets
+        self.steps = steps.astype(np.int64)
+        self.times = times
+        self.natoms = natoms
+
+    def read_batch(self, frame_ids, stop_after=None):
+        coords, boxes, steps, times, precisions = native.xtc_read_frames(
+            self.path, self.offsets[frame_ids], self.natoms, stop_after=stop_after
+        )
+        return FrameBatch(
+            positions=coords,
+            boxes9=_xtc_box_to_gro9(boxes),
+            steps=steps.astype(np.int64),
+            times=times,
+            frame_numbers=np.asarray(frame_ids, np.int64),
+            precisions=precisions,
+        )
+
+
+class TrrSource(FrameSource):
+    kind = "trr"
+
+    def __init__(self, path):
+        self.path = str(path)
+        offsets, steps, times, lambdas, flags, natoms = native.trr_scan(self.path)
+        self.offsets = offsets
+        self.steps = steps.astype(np.int64)
+        self.times = times.astype(np.float32)
+        self.lambdas = lambdas
+        self.flags = flags
+        self.natoms = natoms
+
+    def read_batch(self, frame_ids, stop_after=None):
+        x, v, f, boxes, steps, times, lambdas, flags = native.trr_read_frames(
+            self.path, self.offsets[frame_ids], self.natoms
+        )
+        if stop_after is not None:
+            x = x[:, :stop_after]
+            v = v[:, :stop_after]
+            f = f[:, :stop_after]
+        return FrameBatch(
+            positions=x,
+            velocities=v,
+            forces=f,
+            boxes9=_xtc_box_to_gro9(boxes),
+            steps=steps.astype(np.int64),
+            times=times.astype(np.float32),
+            frame_numbers=np.asarray(frame_ids, np.int64),
+            has_x=(flags & 1) > 0,
+            has_v=(flags & 2) > 0,
+            has_f=(flags & 4) > 0,
+        )
+
+
+_TIME_STEP_RE = re.compile(r"t=\s*([\d\.\-]+)\s+step=\s*(\d+)")
+
+
+class GroSource(FrameSource):
+    """Multi-frame GRO trajectory (reference: gro_io/trajectory.rs:37)."""
+
+    kind = "gro"
+
+    def __init__(self, path):
+        from .gro import parse_atom_block, parse_box_line
+
+        self.path = str(path)
+        try:
+            with open(path) as fh:
+                raw = fh.read().splitlines()
+        except OSError:
+            raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
+
+        frames = []
+        i = 0
+        natoms = None
+        while i < len(raw):
+            if not raw[i].strip() and i + 1 >= len(raw):
+                break
+            title = raw[i]
+            if i + 1 >= len(raw):
+                raise ReadTrajError(f"truncated gro trajectory '{path}'", code="FrameNotFound")
+            try:
+                n = int(raw[i + 1].strip())
+            except ValueError:
+                raise ReadTrajError(
+                    f"could not parse number of atoms in '{path}'", code="FrameNotFound"
+                ) from None
+            if natoms is None:
+                natoms = n
+            elif natoms != n:
+                raise ReadTrajError(
+                    f"inconsistent atom count in '{path}'", code="AtomsNumberMismatch"
+                )
+            if i + 2 + n >= len(raw) + 1 and n > 0:
+                raise ReadTrajError(f"truncated frame in '{path}'", code="FrameNotFound")
+            atom_lines = raw[i + 2 : i + 2 + n]
+            if len(atom_lines) < n or i + 2 + n >= len(raw) + 0:
+                if i + 2 + n > len(raw) - 1:
+                    raise ReadTrajError(f"truncated frame in '{path}'", code="FrameNotFound")
+            try:
+                _, _, _, _, pos, vel, has_vel = parse_atom_block(atom_lines)
+            except Exception as e:
+                raise ReadTrajError(f"could not parse frame in '{path}': {e}", code="FrameNotFound") from None
+            try:
+                box = parse_box_line(raw[i + 2 + n])
+            except Exception as e:
+                raise ReadTrajError(f"invalid box in '{path}': {e}", code="InvalidBox") from None
+            m = _TIME_STEP_RE.search(title)
+            time, step = (float(m.group(1)), int(m.group(2))) if m else (0.0, 0)
+            frames.append((pos, vel, has_vel, np.array(list(iter(box)), np.float32), time, step))
+            i += 2 + n + 1
+
+        self.natoms = natoms or 0
+        self._frames = frames
+        self.times = np.array([f[4] for f in frames], np.float32)
+        self.steps = np.array([f[5] for f in frames], np.int64)
+
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def read_batch(self, frame_ids, stop_after=None):
+        stop = stop_after if stop_after is not None else self.natoms
+        ids = np.asarray(frame_ids)
+        b = len(ids)
+        pos = np.zeros((b, stop, 3), np.float32)
+        vel = np.zeros((b, stop, 3), np.float32)
+        has_v = np.zeros(b, bool)
+        boxes = np.zeros((b, 9), np.float32)
+        for k, fid in enumerate(ids):
+            p, v, hv, box9, _, _ = self._frames[fid]
+            pos[k] = p[:stop]
+            if v is not None:
+                vel[k] = v[:stop]
+                has_v[k] = bool(hv.all())
+            boxes[k] = box9
+        return FrameBatch(
+            positions=pos,
+            velocities=vel,
+            boxes9=boxes,
+            steps=self.steps[ids],
+            times=self.times[ids],
+            frame_numbers=ids.astype(np.int64),
+            has_x=np.ones(b, bool),
+            has_v=has_v,
+            has_f=np.zeros(b, bool),
+        )
+
+
+def open_source(path, fmt: str | None = None) -> FrameSource:
+    if fmt is None:
+        fmt = FileType.from_name(path).value
+    if fmt == "xtc":
+        return XtcSource(path)
+    if fmt == "trr":
+        return TrrSource(path)
+    if fmt == "gro":
+        return GroSource(path)
+    raise ReadTrajError(f"unsupported trajectory format '{fmt}' ('{path}')", code="UnknownFormat")
+
+
+# =====================================================================
+# The reader facade
+# =====================================================================
+
+class TrajReader:
+    """Iterator over trajectory frames, updating a System per frame.
+
+    reference: `TrajReader`/`TrajRangeRead`/`TrajStepRead`
+    (traj_read.rs:128-514).  Also exposes `batches()` for the bulk device
+    pipeline.
+    """
+
+    def __init__(self, system, sources: list[FrameSource], group: str | None = None,
+                 batch_size: int = 64):
+        self.system = system
+        self.sources = sources
+        self.group = group
+        self.batch_size = batch_size
+        self.progress: ProgressPrinter | None = None
+
+        natoms = sources[0].natoms
+        for s in sources:
+            if s.natoms != natoms:
+                raise ReadTrajError(
+                    f"'{s.path}' has {s.natoms} atoms, expected {natoms}",
+                    code="AtomsNumberMismatch",
+                )
+        if natoms != system.get_n_atoms():
+            raise ReadTrajError(
+                f"trajectory has {natoms} atoms but system has {system.get_n_atoms()}",
+                code="AtomsNumberMismatch",
+            )
+
+        if group is not None:
+            self._sel = system.group_indices(group)
+            self._stop_after = int(self._sel[-1]) + 1 if len(self._sel) else 0
+        else:
+            self._sel = None
+            self._stop_after = None
+
+        # global frame table: (source_idx, local_frame, time, step)
+        src_ids, local_ids, times, steps = [], [], [], []
+        last_time = None
+        for si, s in enumerate(sources):
+            for fi in range(s.n_frames()):
+                t = float(s.times[fi])
+                # concatenation dedup: drop adjacent equal-time frames
+                # (reference: traj_cat.rs:229-260)
+                if len(sources) > 1 and last_time is not None and t == last_time:
+                    continue
+                src_ids.append(si)
+                local_ids.append(fi)
+                times.append(t)
+                steps.append(int(s.steps[fi]))
+                last_time = t
+        self._src = np.array(src_ids, np.int64)
+        self._local = np.array(local_ids, np.int64)
+        self._times = np.array(times, np.float32)
+        self._steps = np.array(steps, np.int64)
+        self._mask = np.ones(self._times.shape[0], bool)
+
+    # ------------------------------------------------------------- adapters
+    def with_range(self, start_time: float, end_time: float) -> "TrajReader":
+        """Restrict to sim times in [start, end] (reference: traj_read.rs:301)."""
+        if start_time < 0 or end_time < 0:
+            raise ReadTrajError("range times must be non-negative", code="TimeRangeNegative")
+        if start_time > end_time:
+            raise ReadTrajError("range start exceeds end", code="InvalidTimeRange")
+        if self.progress is not None:
+            self.progress.print_jumping()
+        self._mask &= (self._times >= start_time - TIME_PRECISION) & (
+            self._times <= end_time + TIME_PRECISION
+        )
+        if not self._mask.any():
+            raise ReadTrajError(
+                f"start of time range ({start_time} ps) not found in trajectory",
+                code="StartNotFound",
+            )
+        return self
+
+    def with_step(self, step: int) -> "TrajReader":
+        """Every `step`-th frame of the current selection
+        (reference: traj_read.rs:394)."""
+        if step == 0:
+            raise ReadTrajError("step must be non-zero", code="InvalidStep")
+        sel = np.nonzero(self._mask)[0]
+        keep = sel[::step]
+        newmask = np.zeros_like(self._mask)
+        newmask[keep] = True
+        self._mask = newmask
+        return self
+
+    def print_progress(self, printer: ProgressPrinter) -> "TrajReader":
+        self.progress = printer
+        return self
+
+    # ------------------------------------------------------------- frame info
+    def selected_frames(self) -> np.ndarray:
+        return np.nonzero(self._mask)[0]
+
+    def n_selected(self) -> int:
+        return int(self._mask.sum())
+
+    @property
+    def times(self) -> np.ndarray:
+        return self._times[self._mask]
+
+    @property
+    def steps(self) -> np.ndarray:
+        return self._steps[self._mask]
+
+    # ------------------------------------------------------------- batch pipeline
+    def batches(self, batch_size: int | None = None, prefetch: bool = True):
+        """Yield FrameBatches (bulk native decode, background prefetch)."""
+        bs = batch_size or self.batch_size
+        sel = self.selected_frames()
+        chunks = [sel[i : i + bs] for i in range(0, len(sel), bs)]
+
+        def load(chunk) -> FrameBatch:
+            # group by source (chunks can straddle file boundaries)
+            out = None
+            srcs = self._src[chunk]
+            parts = []
+            for si in np.unique(srcs):
+                ids = self._local[chunk[srcs == si]]
+                fb = self.sources[si].read_batch(ids, stop_after=self._stop_after)
+                parts.append(fb)
+            if len(parts) == 1:
+                out = parts[0]
+            else:
+                out = FrameBatch(
+                    positions=np.concatenate([p.positions for p in parts]),
+                    boxes9=np.concatenate([p.boxes9 for p in parts]),
+                    steps=np.concatenate([p.steps for p in parts]),
+                    times=np.concatenate([p.times for p in parts]),
+                    frame_numbers=np.concatenate([p.frame_numbers for p in parts]),
+                    velocities=_cat_opt([p.velocities for p in parts]),
+                    forces=_cat_opt([p.forces for p in parts]),
+                    precisions=_cat_opt([p.precisions for p in parts]),
+                    has_x=_cat_opt([p.has_x for p in parts]),
+                    has_v=_cat_opt([p.has_v for p in parts]),
+                    has_f=_cat_opt([p.has_f for p in parts]),
+                )
+            if self._sel is not None:
+                out.positions = out.positions[:, self._sel, :]
+                if out.velocities is not None:
+                    out.velocities = out.velocities[:, self._sel, :]
+                if out.forces is not None:
+                    out.forces = out.forces[:, self._sel, :]
+                out.atom_indices = self._sel
+            return out
+
+        if not prefetch or len(chunks) <= 1:
+            for c in chunks:
+                yield load(c)
+            return
+
+        # double-buffered prefetch on a worker thread
+        result = {}
+        def worker(idx, chunk):
+            result[idx] = load(chunk)
+
+        t = threading.Thread(target=worker, args=(0, chunks[0]))
+        t.start()
+        for i in range(len(chunks)):
+            t.join()
+            batch = result.pop(i)
+            if i + 1 < len(chunks):
+                t = threading.Thread(target=worker, args=(i + 1, chunks[i + 1]))
+                t.start()
+            yield batch
+
+    # ------------------------------------------------------------- per-frame iteration
+    def __iter__(self):
+        frame_counter = 0
+        try:
+            for batch in self.batches():
+                for k in range(len(batch)):
+                    self._update_system(batch, k)
+                    if self.progress is not None:
+                        self.progress.print(
+                            frame_counter, self.system.get_step(), self.system.get_time()
+                        )
+                    frame_counter += 1
+                    yield self.system
+        except Exception:
+            if self.progress is not None:
+                self.progress.set_status(ProgressStatus.FAILED)
+                self.progress.print(0, self.system.get_step(), self.system.get_time())
+            raise
+        if self.progress is not None:
+            self.progress.set_status(ProgressStatus.COMPLETED)
+            self.progress.print(0, self.system.get_step(), self.system.get_time())
+
+    def _update_system(self, batch: FrameBatch, k: int):
+        """Write one frame into the System (reference:
+        XtcFrameData::update_system, molly_xtc.rs:292-306)."""
+        s = self.system
+        sel = batch.atom_indices
+        has_x = batch.has_x is None or bool(batch.has_x[k])
+        has_v = batch.velocities is not None and (batch.has_v is None or bool(batch.has_v[k]))
+        has_f = batch.forces is not None and (batch.has_f is None or bool(batch.has_f[k]))
+
+        if sel is None:
+            if has_x:
+                s.positions[:] = batch.positions[k]
+                s.has_position[:] = True
+            else:
+                s.has_position[:] = False
+            if has_v:
+                s.velocities[:] = batch.velocities[k]
+                s.has_velocity[:] = True
+            else:
+                s.has_velocity[:] = False
+            if has_f:
+                s.forces[:] = batch.forces[k]
+                s.has_force[:] = True
+            else:
+                s.has_force[:] = False
+        else:
+            if has_x:
+                s.positions[sel] = batch.positions[k]
+                s.has_position[sel] = True
+            else:
+                s.has_position[sel] = False
+            if has_v:
+                s.velocities[sel] = batch.velocities[k]
+                s.has_velocity[sel] = True
+            else:
+                s.has_velocity[sel] = False
+            s.has_force[sel] = False
+
+        b9 = batch.boxes9[k]
+        s.set_box(SimBox.from_gro_line(b9) if np.any(b9 != 0.0) else None)
+        s.set_step(int(batch.steps[k]))
+        s.set_time(float(batch.times[k]))
+        if batch.precisions is not None and batch.precisions[k] > 0:
+            s.set_precision(int(batch.precisions[k]))
+
+
+def _cat_opt(parts):
+    if any(p is None for p in parts):
+        return None
+    return np.concatenate(parts)
+
+
+# =====================================================================
+# Entry points (System methods delegate here)
+# =====================================================================
+
+def traj_iter(system, filename, fmt: str | None = None, group: str | None = None,
+              start_time: float | None = None, end_time: float | None = None,
+              step: int | None = None, batch_size: int = 64) -> TrajReader:
+    reader = TrajReader(system, [open_source(filename, fmt)], group=group, batch_size=batch_size)
+    if start_time is not None or end_time is not None:
+        reader = reader.with_range(
+            0.0 if start_time is None else start_time,
+            float("inf") if end_time is None else end_time,
+        )
+    if step is not None:
+        reader = reader.with_step(step)
+    return reader
+
+
+def xtc_iter(system, filename, **kw) -> TrajReader:
+    if FileType.from_name(filename) is not FileType.XTC:
+        raise ReadTrajError(f"'{filename}' is not an xtc file", code="NotXtc")
+    return traj_iter(system, filename, fmt="xtc", **kw)
+
+
+def trr_iter(system, filename, **kw) -> TrajReader:
+    if FileType.from_name(filename) is not FileType.TRR:
+        raise ReadTrajError(f"'{filename}' is not a trr file", code="NotTrr")
+    return traj_iter(system, filename, fmt="trr", **kw)
+
+
+def gro_iter(system, filename, **kw) -> TrajReader:
+    return traj_iter(system, filename, fmt="gro", **kw)
+
+
+def cat_iter(system, filenames, fmt: str | None = None, group: str | None = None,
+             **kw) -> TrajReader:
+    """Concatenated iteration with boundary dedup (reference: traj_cat.rs)."""
+    if not filenames:
+        raise ReadTrajError("no trajectory files provided", code="NoTrajectories")
+    sources = [open_source(f, fmt) for f in filenames]
+    reader = TrajReader(system, sources, group=group,
+                        batch_size=kw.pop("batch_size", 64))
+    start_time, end_time, step = kw.pop("start_time", None), kw.pop("end_time", None), kw.pop("step", None)
+    if start_time is not None or end_time is not None:
+        reader = reader.with_range(
+            0.0 if start_time is None else start_time,
+            float("inf") if end_time is None else end_time,
+        )
+    if step is not None:
+        reader = reader.with_step(step)
+    return reader
+
+
+# =====================================================================
+# Trajectory writers
+# =====================================================================
+
+class TrajWriter:
+    """Base frame writer (reference: traj_write.rs:451 sealed trait)."""
+
+    def __init__(self, system, path, group: str = "all"):
+        from ..errors import GroupError
+
+        if not system.group_exists(group):
+            raise WriteTrajError(f"group '{group}' does not exist", code="GroupNotFound")
+        self.system = system
+        self.path = str(path)
+        self.group = group
+        # snapshot indices at init (reference writers capture the group)
+        self.indices = system.group_indices(group)
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+    def write_frame(self):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class XtcWriter(TrajWriter):
+    def write_frame(self):
+        s = self.system
+        box = s.get_box()
+        box33 = box.to_matrix() if box is not None else np.zeros((3, 3), np.float32)
+        pos = s.positions[self.indices]
+        native.xtc_write_frame(
+            self.path, len(self.indices), s.get_step(), s.get_time(),
+            box33.reshape(9), pos, float(s.get_precision()),
+        )
+
+
+class TrrWriter(TrajWriter):
+    def write_frame(self):
+        s = self.system
+        box = s.get_box()
+        box33 = box.to_matrix().reshape(9) if box is not None else None
+        idx = self.indices
+        x = s.positions[idx] if s.has_position[idx].all() else None
+        v = s.velocities[idx] if s.has_velocity[idx].all() else None
+        f = s.forces[idx] if s.has_force[idx].all() else None
+        native.trr_write_frame(
+            self.path, len(idx), s.get_step(), s.get_time(), s.get_lambda(), box33,
+            x=x, v=v, f=f,
+        )
+
+
+class GroTrajWriter(TrajWriter):
+    def __init__(self, system, path, group: str = "all", write_velocities: bool = False):
+        super().__init__(system, path, group)
+        self.write_velocities = write_velocities
+
+    def write_frame(self):
+        from .gro import write_gro_frame
+
+        with open(self.path, "a") as fh:
+            write_gro_frame(self.system, fh, self.group, self.write_velocities, is_trajectory=True)
+
+
+def make_writer(system, path, group: str = "all", fmt: str | None = None, **kw) -> TrajWriter:
+    if fmt is None:
+        fmt = FileType.from_name(path).value
+    if fmt == "xtc":
+        return XtcWriter(system, path, group)
+    if fmt == "trr":
+        return TrrWriter(system, path, group)
+    if fmt == "gro":
+        return GroTrajWriter(system, path, group, **kw)
+    raise WriteTrajError(f"unsupported trajectory format '{fmt}'", code="UnknownFormat")

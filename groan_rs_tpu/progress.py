@@ -1,0 +1,109 @@
+"""Trajectory progress reporting.
+
+reference: `src/progress/mod.rs:79` — status Running/Completed/Failed/
+Jumping, `[{:^9}]   Step {:12} | Time {:12} ps` format, default print
+frequency 100, `\\r` terminator, optional ANSI colors.  Golden-file tested
+against the reference's `test_files/progress_*.txt`.
+"""
+
+from __future__ import annotations
+
+import enum
+import sys
+
+
+class ProgressStatus(enum.Enum):
+    RUNNING = "RUNNING"
+    COMPLETED = "COMPLETED"
+    FAILED = "FAILED!"
+    JUMPING = "JUMPING"
+
+
+_COLORS = {
+    ProgressStatus.RUNNING: "\x1b[33m",  # yellow
+    ProgressStatus.COMPLETED: "\x1b[32m",  # green
+    ProgressStatus.FAILED: "\x1b[31m",  # red
+    ProgressStatus.JUMPING: "\x1b[95m",  # bright purple
+}
+_RESET = "\x1b[0m"
+_CYAN = "\x1b[36m"
+_BRIGHT_PURPLE = "\x1b[95m"
+
+
+class ProgressPrinter:
+    """reference: progress/mod.rs:79-130."""
+
+    def __init__(self):
+        self.output = sys.stdout
+        self.status = ProgressStatus.RUNNING
+        self.print_freq = 100
+        self.colored = True
+        self.step_msg = "Step"
+        self.time_msg = "Time"
+        self.terminating = "\r"
+        self.newline_at_end = True
+
+    # builder-style configuration (reference: with_* methods)
+    def with_output(self, stream):
+        self.output = stream
+        return self
+
+    def with_status(self, status: ProgressStatus):
+        self.status = status
+        return self
+
+    def set_status(self, status: ProgressStatus):
+        self.status = status
+
+    def with_print_freq(self, freq: int):
+        if freq <= 0:
+            raise ValueError("print_freq must be non-zero")
+        self.print_freq = int(freq)
+        return self
+
+    def with_colored(self, colored: bool):
+        self.colored = bool(colored)
+        return self
+
+    def with_terminating(self, terminating: str):
+        self.terminating = terminating
+        return self
+
+    def with_newline_at_end(self, v: bool):
+        self.newline_at_end = bool(v)
+        return self
+
+    # ------------------------------------------------------------- printing
+    def _status_tag(self) -> str:
+        name = self.status.value
+        if self.colored:
+            return f"[{_COLORS[self.status]}{name:^9}{_RESET}]   "
+        return f"[{name:^9}]   "
+
+    def print(self, frame_number: int, sim_step: int, sim_time: float):
+        """Print progress for a frame (every `print_freq` frames while
+        running; always for terminal states)."""
+        if self.status is ProgressStatus.RUNNING and frame_number % self.print_freq != 0:
+            return
+        self._emit(sim_step, sim_time)
+
+    def _emit(self, sim_step: int, sim_time: float):
+        out = self._status_tag()
+        if self.status is ProgressStatus.JUMPING:
+            out += f"Jumping to the start of the iteration...{self.terminating}"
+        else:
+            step_label = f"{_CYAN}{self.step_msg}{_RESET}" if self.colored else self.step_msg
+            time_label = (
+                f"{_BRIGHT_PURPLE}{self.time_msg}{_RESET}" if self.colored else self.time_msg
+            )
+            out += f"{step_label} {sim_step:12} | {time_label} {int(sim_time):12} ps{self.terminating}"
+        if self.status in (ProgressStatus.COMPLETED, ProgressStatus.FAILED) and self.newline_at_end:
+            out += "\n"
+        self.output.write(out)
+        self.output.flush()
+
+    def print_jumping(self):
+        prev = self.status
+        self.status = ProgressStatus.JUMPING
+        self._emit(0, 0.0)
+        self.status = prev

@@ -143,6 +143,54 @@ class System(
 
         return _it(self, filenames, **kw)
 
+    # ------------------------------------------------------------- trajectory writers
+    # reference: src/io/traj_write.rs (SystemWriters registry on System)
+    def traj_writer_init(self, filename, fmt=None, **kw):
+        """reference: traj_write.rs:121 (+ auto-format :174)."""
+        from ..errors import WriteTrajError
+        from ..io.traj import make_writer
+
+        key = str(filename)
+        if key in self._traj_writers:
+            raise WriteTrajError(
+                f"writer for '{filename}' already exists", code="WriterAlreadyExists"
+            )
+        self._traj_writers[key] = make_writer(self, filename, "all", fmt, **kw)
+
+    def group_traj_writer_init(self, group, filename, fmt=None, **kw):
+        """reference: traj_write.rs:154."""
+        from ..errors import WriteTrajError
+        from ..io.traj import make_writer
+
+        key = str(filename)
+        if key in self._traj_writers:
+            raise WriteTrajError(
+                f"writer for '{filename}' already exists", code="WriterAlreadyExists"
+            )
+        self._traj_writers[key] = make_writer(self, filename, group, fmt, **kw)
+
+    def traj_write_frame(self):
+        """Write the current frame into every open writer
+        (reference: traj_write.rs:235)."""
+        for w in self._traj_writers.values():
+            w.write_frame()
+
+    def traj_writers_close(self):
+        """reference: traj_write.rs:246."""
+        for w in self._traj_writers.values():
+            w.close()
+        self._traj_writers.clear()
+
+    def traj_writer_close(self, filename):
+        """reference: traj_write.rs:257."""
+        from ..errors import WriteTrajError
+
+        key = str(filename)
+        if key not in self._traj_writers:
+            raise WriteTrajError(f"no writer for '{filename}'", code="WriterNotFound")
+        self._traj_writers[key].close()
+        del self._traj_writers[key]
+
 
 __all__ = [
     "System",

@@ -51,10 +51,9 @@ class FixedWidthLines:
         return vals
 
     def line_lengths(self) -> np.ndarray:
-        """Trailing-whitespace-stripped length of each line."""
-        # NUL padding counts as stripped; also strip blanks
-        stripped = np.char.rstrip(np.char.replace(self.col_bytes(0, self.width), b"\x00", b" "))
-        return np.char.str_len(stripped)
+        """Trailing-whitespace-stripped length of each line (numpy S-strings
+        already ignore trailing NUL padding)."""
+        return np.char.str_len(np.char.rstrip(self.col_bytes(0, self.width)))
 
 
 def _first_bad_int(raw) -> str:

@@ -1,0 +1,168 @@
+"""Trajectory reading/writing parity tests against reference fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import ReadTrajError
+from groan_rs_tpu.system import System
+
+
+@pytest.fixture(scope="module")
+def system(test_files):
+    return System.from_file(os.path.join(test_files, "example.gro"))
+
+
+def _golden_gro_frames(path):
+    """Parse a multi-frame golden gro written by the reference."""
+    lines = open(path).read().splitlines()
+    i = 0
+    frames = []
+    while i < len(lines):
+        n = int(lines[i + 1])
+        atoms = lines[i + 2 : i + 2 + n]
+        pos = np.array(
+            [[float(l[20 + 8 * k : 28 + 8 * k]) for k in range(3)] for l in atoms], np.float32
+        )
+        vel = None
+        if len(atoms[0].rstrip()) >= 68:
+            vel = np.array(
+                [[float(l[44 + 8 * k : 52 + 8 * k]) for k in range(3)] for l in atoms], np.float32
+            )
+        title = lines[i]
+        frames.append((title, pos, vel))
+        i += 2 + n + 1
+    return frames
+
+
+def test_xtc_iter_updates_system(system, test_files):
+    s = system.copy()
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    times, steps = [], []
+    first_pos = None
+    for frame in s.xtc_iter(xtc):
+        times.append(frame.get_time())
+        steps.append(frame.get_step())
+        if first_pos is None:
+            first_pos = frame.positions.copy()
+        assert frame.get_box() is not None
+        assert not frame.has_velocity.any()  # xtc resets velocities
+    assert len(times) == 11
+    assert times == [100.0 * i for i in range(11)]
+    assert steps == [5000 * i for i in range(11)]
+    np.testing.assert_allclose(first_pos[0], [5.97, 7.03, 7.69], atol=1e-4)
+
+
+def test_xtc_iter_range_step(system, test_files):
+    s = system.copy()
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    times = [f.get_time() for f in s.xtc_iter(xtc).with_range(300.0, 800.0)]
+    assert times == [300.0, 400.0, 500.0, 600.0, 700.0, 800.0]
+    times = [f.get_time() for f in s.xtc_iter(xtc).with_step(3)]
+    assert times == [0.0, 300.0, 600.0, 900.0]
+    times = [f.get_time() for f in s.xtc_iter(xtc).with_range(200.0, 700.0).with_step(2)]
+    assert times == [200.0, 400.0, 600.0]
+    with pytest.raises(ReadTrajError):
+        next(iter(s.xtc_iter(xtc).with_range(5000.0, 6000.0)))
+
+
+def test_group_xtc_iter_matches_golden(system, test_files):
+    """Partial-frame group read must match the reference golden output."""
+    s = system.copy()
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    golden = _golden_gro_frames(os.path.join(test_files, "expected_protein_trajectory.gro"))
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    protein = s.group_indices("Protein")
+    it = s.group_xtc_iter("Protein", xtc)
+    for (title, gpos, _), frame in zip(golden, it):
+        np.testing.assert_allclose(frame.positions[protein], gpos, atol=5e-4)
+    # only group atoms got updated positions
+    assert s.has_position[protein].all()
+
+
+def test_trr_iter(system, test_files):
+    s = system.copy()
+    trr = os.path.join(test_files, "short_trajectory.trr")
+    n_with_v = 0
+    n_with_x = 0
+    for frame in s.trr_iter(trr):
+        if frame.has_velocity.all():
+            n_with_v += 1
+        if frame.has_position.all():
+            n_with_x += 1
+    assert n_with_x > 0 and n_with_v > 0
+
+
+def test_gro_iter(system, test_files):
+    s = system.copy()
+    gro = os.path.join(test_files, "protein_trajectory.gro")
+    src_natoms = None
+    times = []
+    for frame in System.from_file(os.path.join(test_files, "protein.gro")).gro_iter(gro):
+        times.append(frame.get_time())
+        src_natoms = frame.get_n_atoms()
+    assert len(times) > 1
+
+
+def test_cat_iter_dedup(system, test_files):
+    s1 = system.copy()
+    split = os.path.join(test_files, "split")
+    files = [os.path.join(split, f"traj{i}.xtc") for i in (1, 2, 3, 4, 5, 6)]
+    times_cat = [f.get_time() for f in s1.xtc_cat_iter(files)]
+    s2 = system.copy()
+    times_full = [
+        f.get_time()
+        for f in s2.xtc_iter(os.path.join(test_files, "short_trajectory.xtc"))
+    ]
+    assert times_cat == times_full
+    # coordinates identical too (last frame)
+    np.testing.assert_allclose(s1.positions, s2.positions, atol=1e-6)
+
+
+def test_write_xtc_roundtrip(system, test_files, tmp_path):
+    s = system.copy()
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    out = tmp_path / "out.xtc"
+    s.traj_writer_init(out)
+    for frame in s.xtc_iter(xtc):
+        frame.traj_write_frame()
+    s.traj_writers_close()
+    assert out.read_bytes() == open(xtc, "rb").read()
+
+
+def test_write_group_xtc_golden(system, test_files, tmp_path):
+    """Group XTC writer output must be byte-equal to the reference fixture
+    (reference: traj_write.rs multiple_writers test)."""
+    s = system.copy()
+    s.group_create("Protein", "@protein")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    out_x = tmp_path / "protein.xtc"
+    s.group_traj_writer_init("Protein", out_x)
+    for frame in s.xtc_iter(xtc):
+        frame.traj_write_frame()
+    s.traj_writers_close()
+    golden = open(os.path.join(test_files, "short_trajectory_protein.xtc"), "rb").read()
+    assert out_x.read_bytes() == golden
+
+
+def test_gro_traj_writer_golden(system, test_files, tmp_path):
+    """Group GRO trajectory writer: byte-equal to
+    expected_protein_trajectory.gro (first 3 frames)."""
+    s = system.copy()
+    s.group_create("Protein", "@protein")
+    out = tmp_path / "protein_traj.gro"
+    s.group_traj_writer_init("Protein", out, fmt="gro")
+    for i, frame in enumerate(s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc"))):
+        if i >= 3:
+            break
+        frame.traj_write_frame()
+    s.traj_writers_close()
+    golden = open(os.path.join(test_files, "expected_protein_trajectory.gro")).read()
+    ours = open(out).read()
+    assert ours == golden
+
+
+def test_fake_xtc_rejected(system, test_files):
+    with pytest.raises(ReadTrajError):
+        list(system.copy().xtc_iter(os.path.join(test_files, "fake_xtc.xtc")))
