@@ -16,6 +16,7 @@ from ..files import FileType
 from .analysis import AnalysisMixin
 from .core import Group, GroupOverwriteWarning, SystemCore, name_is_valid
 from .groups import GroupsMixin
+from .guess import GuessMixin
 from .iterating import IteratingMixin
 from .modifying import ModifyingMixin
 from .rmsd import RMSDMixin
@@ -29,6 +30,7 @@ class System(
     IteratingMixin,
     UtilityMixin,
     RMSDMixin,
+    GuessMixin,
     SystemCore,
 ):
     """The central object: topology + current frame + groups."""
