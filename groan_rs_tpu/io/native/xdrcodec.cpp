@@ -163,51 +163,74 @@ int sizeof_ints(int n, const uint32_t sizes[]) {
 }
 
 // ------------------------------------------------------------------ bit reader
+// MSB-first bit stream over the packed payload.  Keeps a left-aligned
+// 64-bit accumulator refilled bytewise, so any read of <= 57 bits is two
+// shifts — this is the decode hot loop (every coordinate of every frame
+// goes through here), replacing the reference's byte-at-a-time state
+// machine (xdrfile.c decodebits) with ~4x fewer operations per value.
 struct BitReader {
   const uint8_t* data;
   size_t len;
-  size_t cnt = 0;
-  uint32_t lastbits = 0;
-  uint32_t lastbyte = 0;
+  size_t cnt = 0;       // bytes consumed into acc
+  uint64_t acc = 0;     // left-aligned pending bits
+  int nbits = 0;        // valid bits in acc
   bool overrun = false;
 
-  inline uint8_t next_byte() {
-    if (cnt >= len) {
-      overrun = true;
-      return 0;
+  inline void refill() {
+    while (nbits <= 56) {
+      uint64_t byte = (cnt < len) ? data[cnt] : 0;  // zero-pad past EOF
+      cnt++;
+      acc |= byte << (56 - nbits);
+      nbits += 8;
     }
-    return data[cnt++];
   }
 
-  int get(int nbits) {
-    int mask = (1 << nbits) - 1;
-    uint32_t num = 0;
-    while (nbits >= 8) {
-      lastbyte = (lastbyte << 8) | next_byte();
-      num |= (lastbyte >> lastbits) << (nbits - 8);
-      nbits -= 8;
-    }
-    if (nbits > 0) {
-      if (lastbits < uint32_t(nbits)) {
-        lastbits += 8;
-        lastbyte = (lastbyte << 8) | next_byte();
+  // n <= 57; consuming zero-padded bits past the real payload sets overrun
+  inline uint64_t get64(int n) {
+    refill();
+    uint64_t v = acc >> (64 - n);
+    acc <<= n;
+    nbits -= n;
+    if (cnt * 8 - size_t(nbits) > len * 8) overrun = true;
+    return v;
+  }
+
+  inline int get(int n) { return n == 0 ? 0 : int(get64(n)); }
+
+  // unpack a multi-radix triple stored in `nbits_total` bits
+  inline void get_ints(int nints, int nbits_total, const uint32_t sizes[], int32_t nums[]) {
+    if (nints == 3 && nbits_total <= 57) {
+      // fast path: gather the least-significant-chunk-first packed value
+      // with one refill, then two divisions
+      uint64_t v = get64(nbits_total);
+      // v holds the chunks MSB-first: [c0 (8b)][c1 (8b)]...[ck (rem)];
+      // the packed integer is X = c0 + c1*2^8 + ... + ck*2^(8k)
+      uint64_t x = 0;
+      int shift = 0;
+      int rem = nbits_total;
+      while (rem > 8) {
+        rem -= 8;
+        x |= ((v >> rem) & 0xff) << shift;
+        shift += 8;
       }
-      lastbits -= nbits;
-      num |= (lastbyte >> lastbits) & ((1 << nbits) - 1);
+      x |= (v & ((1u << rem) - 1)) << shift;
+      uint64_t q = x / sizes[2];
+      nums[2] = int32_t(x - q * sizes[2]);
+      uint64_t q2 = q / sizes[1];
+      nums[1] = int32_t(q - q2 * sizes[1]);
+      nums[0] = int32_t(q2);
+      return;
     }
-    return int(num & mask);
-  }
-
-  // unpack a multi-radix triple stored in `nbits` bits
-  void get_ints(int nints, int nbits, const uint32_t sizes[], int32_t nums[]) {
+    // general path (wide ranges): byte-based long division
     int bytes[32];
     bytes[1] = bytes[2] = bytes[3] = 0;
     int nbytes = 0;
-    while (nbits > 8) {
-      bytes[nbytes++] = get(8);
-      nbits -= 8;
+    int rem = nbits_total;
+    while (rem > 8) {
+      bytes[nbytes++] = int(get64(8));
+      rem -= 8;
     }
-    if (nbits > 0) bytes[nbytes++] = get(nbits);
+    if (rem > 0) bytes[nbytes++] = int(get64(rem));
     for (int i = nints - 1; i > 0; i--) {
       uint32_t num = 0;
       for (int j = nbytes - 1; j >= 0; j--) {

@@ -1,0 +1,12 @@
+"""Analysis pipelines: composed per-frame analyses compiled to one step.
+
+The "model" of this framework is the trajectory analysis pipeline: a set of
+per-frame observables (centers, distances, RMSD, contacts) compiled into a
+single jitted step over `[B, N, 3]` frame batches — the device-resident
+replacement for the reference's per-frame `TrajAnalyzer` plug-ins
+(`src/structures/traj_convert.rs:65`).
+"""
+
+from .pipeline import TrajectoryAnalysis
+
+__all__ = ["TrajectoryAnalysis"]

@@ -1,0 +1,182 @@
+"""TrajectoryAnalysis: the flagship composed per-frame analysis step.
+
+Configure observables against a `System`, then run over a trajectory:
+
+    pipe = TrajectoryAnalysis(system)
+    pipe.add_com("Protein")
+    pipe.add_distance("Protein", "Membrane", dim=Dimension.XYZ)
+    pipe.add_rmsd("Protein", reference=system)
+    results = pipe.run("traj.xtc")          # dict of [F, ...] numpy arrays
+
+Everything compiles into ONE jitted function over `[B, N, 3]` batches:
+selections become static gather indices, reference coords/masses become
+device constants, and the whole trajectory pass is host-decode ->
+device-compute with no per-frame host round-trips (SURVEY §3.2 TPU design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.dimension import Dimension
+from ..errors import GroupError, RMSDError
+from ..ops import center as center_ops
+from ..ops import distances as distance_ops
+from ..ops import pbc
+from ..ops import rmsd as rmsd_ops
+
+
+class TrajectoryAnalysis:
+    def __init__(self, system, mesh=None):
+        self.system = system
+        self.mesh = mesh
+        self._specs = []  # (name, fn(positions, boxes) -> array)
+        self._gather = {}
+
+    # ------------------------------------------------------------- helpers
+    def _indices(self, group: str) -> np.ndarray:
+        idx = self.system.group_indices(group)
+        if idx.shape[0] == 0:
+            raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+        return idx
+
+    def _masses(self, group: str) -> np.ndarray:
+        idx = self._indices(group)
+        if not self.system.topology.has_mass[idx].all():
+            raise GroupError(f"group '{group}' has atoms without mass", code="InvalidMass")
+        return self.system.topology.mass[idx]
+
+    # ------------------------------------------------------------- observables
+    def add_center(self, group: str, name: str | None = None):
+        """Refined Bai-Breen center of geometry per frame -> [F, 3]."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(self._indices(group))
+
+        def fn(pos, boxes):
+            g = jnp.take(pos, idx, axis=1)
+            return center_ops.center(g, boxes[:, None, :])
+
+        self._specs.append((name or f"center_{group}", fn))
+        return self
+
+    def add_com(self, group: str, name: str | None = None):
+        """Refined center of mass per frame -> [F, 3]."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(self._indices(group))
+        w = jnp.asarray(self._masses(group))
+
+        def fn(pos, boxes):
+            g = jnp.take(pos, idx, axis=1)
+            return center_ops.center(g, boxes[:, None, :], weights=w)
+
+        self._specs.append((name or f"com_{group}", fn))
+        return self
+
+    def add_distance(self, group1: str, group2: str, dim: Dimension = Dimension.XYZ,
+                     com: bool = False, name: str | None = None):
+        """Distance between group centers per frame -> [F]
+        (reference: analysis.rs:348 evaluated per trajectory frame)."""
+        import jax.numpy as jnp
+
+        i1 = jnp.asarray(self._indices(group1))
+        i2 = jnp.asarray(self._indices(group2))
+        w1 = jnp.asarray(self._masses(group1)) if com else None
+        w2 = jnp.asarray(self._masses(group2)) if com else None
+        dmask = dim.value
+
+        def fn(pos, boxes):
+            b = boxes[:, None, :]
+            c1 = center_ops.center(jnp.take(pos, i1, axis=1), b, weights=w1)
+            c2 = center_ops.center(jnp.take(pos, i2, axis=1), b, weights=w2)
+            return pbc.distance(c1, c2, boxes, dmask)
+
+        self._specs.append((name or f"distance_{group1}_{group2}", fn))
+        return self
+
+    def add_rmsd(self, group: str, reference, name: str | None = None):
+        """Mass-weighted Kabsch RMSD vs a reference System per frame -> [F]
+        (reference: RMSDTrajRead::calc_rmsd, rmsd.rs:258)."""
+        import jax.numpy as jnp
+
+        from ..system.rmsd import _extract, _masses
+
+        ref_coords, ref_center, ref_idx = _extract(reference, group)
+        w = _masses(reference, group, ref_idx)
+        tgt_idx = self._indices(group)
+        if tgt_idx.shape[0] != ref_idx.shape[0]:
+            raise RMSDError(
+                f"group '{group}' has {ref_idx.shape[0]} atoms in reference "
+                f"but {tgt_idx.shape[0]} in target",
+                code="InconsistentGroup",
+            )
+        refc = jnp.asarray(ref_coords)
+        refctr = jnp.asarray(ref_center)
+        wj = jnp.asarray(w)
+        idxj = jnp.asarray(tgt_idx)
+
+        def fn(pos, boxes):
+            g = jnp.take(pos, idxj, axis=1)
+            _, rms = rmsd_ops.rmsd_frames(refc, refctr, g, boxes, wj)
+            return rms
+
+        self._specs.append((name or f"rmsd_{group}", fn))
+        return self
+
+    def add_min_distance(self, group1: str, group2: str, name: str | None = None):
+        """Minimum PBC distance between two selections per frame -> [F]."""
+        import jax.numpy as jnp
+
+        i1 = jnp.asarray(self._indices(group1))
+        i2 = jnp.asarray(self._indices(group2))
+
+        def fn(pos, boxes):
+            a = jnp.take(pos, i1, axis=1)
+            b = jnp.take(pos, i2, axis=1)
+            return distance_ops.min_distance(a, b, boxes[:, None, :])
+
+        self._specs.append((name or f"mindist_{group1}_{group2}", fn))
+        return self
+
+    def add_contacts(self, group1: str, group2: str, cutoff: float,
+                     name: str | None = None):
+        """Contact count within cutoff per frame -> [F]."""
+        import jax.numpy as jnp
+
+        i1 = jnp.asarray(self._indices(group1))
+        i2 = jnp.asarray(self._indices(group2))
+
+        def fn(pos, boxes):
+            a = jnp.take(pos, i1, axis=1)
+            b = jnp.take(pos, i2, axis=1)
+            return distance_ops.contact_count(a, b, boxes[:, None, :], cutoff)
+
+        self._specs.append((name or f"contacts_{group1}_{group2}", fn))
+        return self
+
+    # ------------------------------------------------------------- execution
+    def step_fn(self):
+        """The composed jittable step: (positions, boxes, mask) -> dict."""
+        specs = list(self._specs)
+
+        def step(positions, boxes, frame_mask):
+            return {name: fn(positions, boxes) for name, fn in specs}
+
+        return step
+
+    def run(self, filename, *, group: str | None = None, batch_size: int = 32,
+            start_time=None, end_time=None, step=None, progress=None):
+        from ..parallel.engine import FrameEngine
+        from ..io.traj import traj_iter
+
+        reader = traj_iter(self.system, filename, group=group,
+                           batch_size=batch_size, start_time=start_time,
+                           end_time=end_time, step=step)
+        if progress is not None:
+            reader.print_progress(progress)
+        engine = FrameEngine(self.step_fn(), mesh=self.mesh)
+        out = engine.run(reader.batches())
+        out["times"] = reader.times
+        out["steps"] = reader.steps
+        return out

@@ -43,11 +43,12 @@ def prepare_coords(positions, box, mask=None, weights=None):
     Returns (shifted_wrapped_positions `[..., N, 3]`, box_center `[..., 3]`).
     """
     positions = jnp.asarray(positions)
-    box = jnp.asarray(box, dtype=positions.dtype)
+    box = jnp.asarray(box, dtype=positions.dtype)  # [..., 3] (no atom axis)
     box_center = jnp.broadcast_to(box * 0.5, positions.shape[:-2] + (3,))
-    com = center(positions, box, mask=mask, weights=weights)
+    box_b = box[..., None, :] if box.ndim > 1 else box
+    com = center(positions, box_b, mask=mask, weights=weights)
     shifted = positions + (box_center - com)[..., None, :]
-    return wrap(shifted, box), box_center
+    return wrap(shifted, box_b), box_center
 
 
 def _quaternion_to_matrix(qv):
@@ -133,7 +134,7 @@ def rmsd_frames(ref_prepared, ref_center, frames, boxes, w, mask=None):
     frames: `[B, n, 3]` gathered group coords per frame; boxes: `[B, 3]`;
     w: `[n]` masses.  Returns (rotations `[B, 3, 3]`, rmsd `[B]`).
     """
-    tgt, tgt_center = prepare_coords(frames, boxes[..., None, :], mask=mask, weights=w)
+    tgt, tgt_center = prepare_coords(frames, boxes, mask=mask, weights=w)
     r, _, rms = kabsch(
         ref_prepared[None, ...],
         tgt,
