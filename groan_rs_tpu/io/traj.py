@@ -280,6 +280,10 @@ def open_source(path, fmt: str | None = None) -> FrameSource:
         return TrrSource(path)
     if fmt == "gro":
         return GroSource(path)
+    if fmt in ("dcd", "nc", "lammpstrj", "tng"):
+        from .chem import open_extra_source
+
+        return open_extra_source(path, fmt)
     raise ReadTrajError(f"unsupported trajectory format '{fmt}' ('{path}')", code="UnknownFormat")
 
 
@@ -455,6 +459,16 @@ class TrajReader:
                 t.start()
             yield batch
 
+    # ------------------------------------------------------------- analyzers
+    def calc_rmsd(self, reference, group: str) -> "RMSDTrajIterator":
+        """Per-frame RMSD vs a reference (reference: rmsd.rs:258)."""
+        return RMSDTrajIterator(self, reference, group, fit=False)
+
+    def calc_rmsd_and_fit(self, reference, group: str) -> "RMSDTrajIterator":
+        """Per-frame RMSD + fit every frame onto the reference
+        (reference: rmsd.rs:286)."""
+        return RMSDTrajIterator(self, reference, group, fit=True)
+
     # ------------------------------------------------------------- per-frame iteration
     def __iter__(self):
         frame_counter = 0
@@ -521,6 +535,96 @@ class TrajReader:
         s.set_time(float(batch.times[k]))
         if batch.precisions is not None and batch.precisions[k] > 0:
             s.set_precision(int(batch.precisions[k]))
+
+
+class RMSDTrajIterator:
+    """Batched trajectory RMSD (reference: RMSDTrajRead, rmsd.rs:258).
+
+    Iterates (system, rmsd) per frame; RMSD evaluates on device over whole
+    frame batches (one jitted kabsch per batch instead of the reference's
+    per-frame SVD), optionally RMSD-fitting each frame
+    (`calc_rmsd_and_fit`, rmsd.rs:286).
+    """
+
+    def __init__(self, reader: "TrajReader", reference, group: str, fit: bool = False):
+        import jax
+
+        from ..system.rmsd import _extract, _masses
+
+        self.reader = reader
+        self.fit = fit
+        if reader._sel is not None:
+            from ..errors import RMSDError
+
+            raise RMSDError(
+                "trajectory RMSD requires full-frame reading", code="PartialRead"
+            )
+        ref_coords, ref_center, ref_idx = _extract(reference, group)
+        self._w = _masses(reference, group, ref_idx)
+        self._ref = ref_coords
+        self._ref_center = ref_center
+        self._idx = reader.system.group_indices(group)
+        if self._idx.shape[0] != ref_idx.shape[0]:
+            from ..errors import RMSDError
+
+            raise RMSDError(
+                f"group '{group}' atom count differs between reference and system",
+                code="InconsistentGroup",
+            )
+        self._ref_group_com = np.asarray(reference.group_get_com(group), np.float32)
+
+        from ..ops import rmsd as rmsd_ops
+
+        idx = self._idx
+
+        def batch_rmsd(positions, boxes):
+            import jax.numpy as jnp
+
+            g = jnp.take(positions, jnp.asarray(idx), axis=1)
+            rot, rms = rmsd_ops.rmsd_frames(
+                jnp.asarray(self._ref), jnp.asarray(self._ref_center), g, boxes,
+                jnp.asarray(self._w),
+            )
+            return rot, rms
+
+        self._batch_rmsd = jax.jit(batch_rmsd)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        from ..ops import rmsd as rmsd_ops
+
+        reader = self.reader
+        frame_counter = 0
+        for batch in reader.batches():
+            rots, rmss = self._batch_rmsd(
+                jnp.asarray(batch.positions), jnp.asarray(batch.box_lengths())
+            )
+            rots = np.asarray(rots)
+            rmss = np.asarray(rmss)
+            for k in range(len(batch)):
+                reader._update_system(batch, k)
+                system = reader.system
+                if self.fit:
+                    from ..ops import center as center_ops
+
+                    box = system.box_lengths()
+                    com = np.asarray(
+                        center_ops.center(
+                            system.positions[self._idx], box,
+                            weights=system.topology.mass[self._idx],
+                        )
+                    )
+                    system.positions = np.asarray(
+                        rmsd_ops.fit_transform(
+                            system.positions, box, com, rots[k], self._ref_group_com
+                        ),
+                        dtype=np.float32,
+                    )
+                if reader.progress is not None:
+                    reader.progress.print(frame_counter, system.get_step(), system.get_time())
+                frame_counter += 1
+                yield system, float(rmss[k])
 
 
 def _cat_opt(parts):

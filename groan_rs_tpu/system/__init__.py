@@ -17,6 +17,7 @@ from .analysis import AnalysisMixin
 from .core import Group, GroupOverwriteWarning, SystemCore, name_is_valid
 from .groups import GroupsMixin
 from .guess import GuessMixin
+from .hbonds import HBondsMixin
 from .iterating import IteratingMixin
 from .modifying import ModifyingMixin
 from .rmsd import RMSDMixin
@@ -31,6 +32,7 @@ class System(
     UtilityMixin,
     RMSDMixin,
     GuessMixin,
+    HBondsMixin,
     SystemCore,
 ):
     """The central object: topology + current frame + groups."""

@@ -1,0 +1,153 @@
+"""Tests: serde round-trip, analysis pipeline, parallel engine, extra formats,
+trajectory RMSD."""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.core.dimension import Dimension
+from groan_rs_tpu.system import System
+
+
+@pytest.fixture(scope="module")
+def example(test_files):
+    return System.from_file(os.path.join(test_files, "example.gro"))
+
+
+def test_serde_roundtrip(example, test_files):
+    from groan_rs_tpu.io.serde import system_from_yaml, system_to_yaml
+
+    s = example.copy()
+    s.group_create("Protein", "@protein")
+    s.label_atom("first", 0)
+    text = system_to_yaml(s)
+    s2 = system_from_yaml(text)
+    assert s2.get_n_atoms() == s.get_n_atoms()
+    assert s2.get_name() == s.get_name()
+    np.testing.assert_allclose(s2.positions, s.positions, atol=1e-6)
+    assert s2.group_get_n_atoms("Protein") == s.group_get_n_atoms("Protein")
+    assert s2.labeled_atoms == {"first": 0}
+    assert s2.get_box().x == pytest.approx(s.get_box().x)
+
+
+def test_serde_reference_fixture(test_files):
+    """Load the reference's serde_system.yaml (protein group of example.gro)."""
+    from groan_rs_tpu.io.serde import system_from_yaml
+
+    s = system_from_yaml(os.path.join(test_files, "serde_system.yaml"))
+    assert s.get_n_atoms() == 61
+    assert s.get_atom(0).get_residue_name() == "GLY"
+    np.testing.assert_allclose(s.positions[0], [9.497, 1.989, 7.498], atol=1e-5)
+    assert s.get_box().x == pytest.approx(13.01331, abs=1e-5)
+
+
+def test_pipeline_full(example, test_files):
+    from groan_rs_tpu.models import TrajectoryAnalysis
+
+    s = example.copy()
+    s.group_create("Protein", "@protein")
+    s.group_create("Membrane", "resname POPC")
+    ref = System.from_file(os.path.join(test_files, "example.tpr"))
+    ref.group_create("Protein", "@protein")
+
+    # masses come from the tpr-based system for COM; copy them over
+    s.topology.mass = ref.topology.mass.copy()
+    s.topology.has_mass = ref.topology.has_mass.copy()
+    pipe2 = (
+        TrajectoryAnalysis(s)
+        .add_center("Protein")
+        .add_com("Membrane")
+        .add_distance("Protein", "Membrane", Dimension.XYZ)
+        .add_rmsd("Protein", ref)
+        .add_min_distance("Protein", "Membrane")
+    )
+    out = pipe2.run(os.path.join(test_files, "short_trajectory.xtc"), batch_size=4)
+    assert out["center_Protein"].shape == (11, 3)
+    assert out["com_Membrane"].shape == (11, 3)
+    assert out["distance_Protein_Membrane"].shape == (11,)
+    assert out["rmsd_Protein"].shape == (11,)
+    assert np.isfinite(out["rmsd_Protein"]).all()
+    assert (out["rmsd_Protein"] >= 0).all()
+    assert list(out["times"]) == [100.0 * i for i in range(11)]
+
+    # per-frame parity vs the System-level API
+    s3 = System.from_file(os.path.join(test_files, "example.tpr"))
+    s3.group_create("Protein", "@protein")
+    host_rmsd = []
+    host_center = []
+    for frame in s3.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        host_rmsd.append(frame.calc_rmsd(ref, "Protein"))
+        host_center.append(frame.group_get_center("Protein"))
+    np.testing.assert_allclose(out["rmsd_Protein"], host_rmsd, atol=2e-3)
+    np.testing.assert_allclose(out["center_Protein"], host_center, atol=2e-3)
+
+
+def test_traj_rmsd_iterator(example, test_files):
+    ref = System.from_file(os.path.join(test_files, "example.tpr"))
+    ref.group_create("Protein", "@protein")
+    s = System.from_file(os.path.join(test_files, "example.tpr"))
+    s.group_create("Protein", "@protein")
+    rmsds = [r for _, r in s.xtc_iter(
+        os.path.join(test_files, "short_trajectory.xtc")).calc_rmsd(ref, "Protein")]
+    assert len(rmsds) == 11
+    assert rmsds[0] < 0.2  # frame 0 is near the reference state
+    # against one-shot API
+    s2 = System.from_file(os.path.join(test_files, "example.tpr"))
+    s2.group_create("Protein", "@protein")
+    it = iter(s2.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")))
+    next(it)
+    assert s2.calc_rmsd(ref, "Protein") == pytest.approx(rmsds[0], abs=2e-3)
+
+
+def test_parallel_map_reduce(example, test_files):
+    import jax.numpy as jnp
+
+    from groan_rs_tpu.ops import center as center_ops
+    from groan_rs_tpu.parallel import traj_iter_map_reduce
+
+    s = example.copy()
+    s.group_create("Protein", "@protein")
+    idx = jnp.asarray(s.group_indices("Protein"))
+
+    def body(positions, boxes, mask):
+        g = jnp.take(positions, idx, axis=1)
+        return {"center": center_ops.center(g, boxes[:, None, :])}
+
+    out = traj_iter_map_reduce(
+        s, os.path.join(test_files, "short_trajectory.xtc"), body, batch_size=4
+    )
+    assert out["center"].shape == (11, 3)
+    # parity vs serial
+    serial = []
+    s2 = example.copy()
+    s2.group_create("Protein", "@protein")
+    for frame in s2.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        serial.append(frame.group_get_center("Protein"))
+    np.testing.assert_allclose(out["center"], serial, atol=1e-4)
+
+
+def test_extra_formats_match_xtc(example, test_files):
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.traj import open_source
+
+    p = test_files
+    offs, st, tm, na = native.xtc_scan(os.path.join(p, "short_trajectory.xtc"))
+    cx, *_ = native.xtc_read_frames(os.path.join(p, "short_trajectory.xtc"), offs, na)
+    for fname in ("short_trajectory.dcd", "short_trajectory.nc"):
+        src = open_source(os.path.join(p, fname))
+        assert src.n_frames() == 11 and src.natoms == na
+        fb = src.read_batch(np.arange(11))
+        np.testing.assert_allclose(fb.positions, cx, atol=1e-5)
+    lm = open_source(os.path.join(p, "octahedron_trajectory.lammpstrj"))
+    ox, *_ , ona = native.xtc_scan(os.path.join(p, "octahedron_trajectory.xtc"))
+    ocx, *_ = native.xtc_read_frames(os.path.join(p, "octahedron_trajectory.xtc"), ox, ona)
+    fbl = lm.read_batch(np.arange(lm.n_frames()))
+    np.testing.assert_allclose(fbl.positions, ocx, atol=1e-5)
+
+
+def test_dcd_iteration_via_system(example, test_files):
+    s = example.copy()
+    times = [f.get_time() for f in s.traj_iter(os.path.join(test_files, "short_trajectory.dcd"))]
+    assert len(times) == 11
+    assert times[1] == pytest.approx(100.0)
