@@ -31,19 +31,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_trajectory(path):
-    """Synthesize a water-like trajectory and write it with the native codec."""
+def build_trajectory(path, n_prot, n_mem):
+    """Synthesize a realistic trajectory and write it with the native codec.
+
+    Layout mirrors a solvated membrane-protein system: atoms [0, n_prot) are
+    a compact "protein" blob near the box center (so its COM is well-defined
+    and parity-checkable), [n_prot, n_prot+n_mem) a "membrane" slab, and the
+    rest water-like triplets filling the box uniformly.
+    """
     from groan_rs_tpu.io import native
 
     rng = np.random.default_rng(42)
     box = np.array([21.0, 21.0, 21.0], np.float32)
-    n_mol = N_ATOMS // 3
+    pos = np.empty((N_ATOMS, 3), np.float32)
+    # protein: Gaussian blob (sigma 1.5 nm) at the box center
+    pos[:n_prot] = box / 2 + rng.normal(size=(n_prot, 3)).astype(np.float32) * 1.5
+    # membrane: slab uniform in xy, z in [8, 13] nm
+    mem = rng.uniform(0, 1, size=(n_mem, 3)).astype(np.float32)
+    mem[:, :2] *= box[:2]
+    mem[:, 2] = 8.0 + mem[:, 2] * 5.0
+    pos[n_prot : n_prot + n_mem] = mem
+    # water: triplet molecules uniform in the box
+    n_wat = N_ATOMS - n_prot - n_mem
+    n_mol = (n_wat + 2) // 3
     centers = rng.uniform(0, 1, size=(n_mol, 3)).astype(np.float32) * box
     offsets = rng.normal(size=(n_mol, 2, 3)).astype(np.float32) * 0.06
-    pos = np.empty((N_ATOMS, 3), np.float32)
-    pos[0::3] = centers
-    pos[1::3] = centers + offsets[:, 0]
-    pos[2::3] = centers + offsets[:, 1]
+    trip = np.stack(
+        [centers, centers + offsets[:, 0], centers + offsets[:, 1]], axis=1
+    )
+    pos[n_prot + n_mem :] = trip.reshape(-1, 3)[:n_wat]
     pos %= box
 
     box33 = np.diag(box).astype(np.float32).reshape(9)
@@ -58,13 +74,36 @@ def build_trajectory(path):
     return box
 
 
+def host_refined_center(p, box, w=None):
+    """Float64 host reference of the refined Bai-Breen center (the exact
+    algorithm of `iterators.rs:1237-1266`) for parity checking."""
+    p = np.asarray(p, np.float64)
+    box = np.asarray(box, np.float64)
+    theta = np.mod(p, box) * (2 * np.pi / box)
+    xi = np.cos(theta).sum(0)
+    zeta = np.sin(theta).sum(0)
+    est = (np.arctan2(-zeta, -xi) + np.pi) * box / (2 * np.pi)
+    half = box / 2
+    d = p - est + half
+    unwrapped = est + (d - box * np.floor(d / box) - half)
+    if w is None:
+        return unwrapped.mean(0)
+    w = np.asarray(w, np.float64)
+    return (unwrapped * w[:, None]).sum(0) / w.sum()
+
+
 def main():
     t_setup = time.perf_counter()
     os.makedirs(CACHE, exist_ok=True)
-    xtc = os.path.join(CACHE, f"bench_{N_ATOMS}_{N_FRAMES}.xtc")
+
+    # groups: compact "protein" blob + "membrane" slab (see build_trajectory)
+    n_prot = min(99_000, N_ATOMS // 10)
+    n_mem = min(300_000, N_ATOMS // 3)
+
+    xtc = os.path.join(CACHE, f"bench_v2_{N_ATOMS}_{N_FRAMES}.xtc")
     if not os.path.exists(xtc):
         log(f"building {N_ATOMS}-atom x {N_FRAMES}-frame trajectory...")
-        build_trajectory(xtc)
+        build_trajectory(xtc, n_prot, n_mem)
     log(f"setup: {time.perf_counter() - t_setup:.1f}s")
 
     import jax
@@ -80,9 +119,6 @@ def main():
     offsets, steps, times, natoms = native.xtc_scan(xtc)
     assert natoms == N_ATOMS
 
-    # groups: "protein" = first 99k atoms, "membrane" = next 300k
-    n_prot = min(99_000, N_ATOMS // 10)
-    n_mem = min(300_000, N_ATOMS // 3)
     idx_prot = np.arange(n_prot)
     idx_mem = np.arange(n_prot, n_prot + n_mem)
     rng = np.random.default_rng(3)
@@ -110,8 +146,9 @@ def main():
         _, rms = rmsd_ops.rmsd_frames(ref, ref_center, ga, boxes, w_prot)
         return com, dist, rms
 
-    def run_pass():
-        results = []
+    timings = {}
+
+    def run_pass(timed=False):
         n_threads = native.n_default_threads()
         chunks = [np.arange(i, min(i + BATCH, N_FRAMES)) for i in range(0, N_FRAMES, BATCH)]
 
@@ -121,47 +158,102 @@ def main():
         staged = {}
 
         def decode(ci):
+            t0 = time.perf_counter()
             coords, boxes9, _, _, _ = native.xtc_read_frames(
                 xtc, offsets[chunks[ci]], natoms, n_threads=n_threads
             )
-            staged[ci] = (coords, boxes9[:, [0, 4, 8]] if boxes9.shape[1] == 9 else boxes9)
+            staged[ci] = (coords, boxes9[:, [0, 4, 8]] if boxes9.shape[1] == 9 else boxes9,
+                          time.perf_counter() - t0)
 
         th = threading.Thread(target=decode, args=(0,))
         th.start()
         outs = []
+        t_wait = t_put = t_step = t_dec = 0.0
         for ci in range(len(chunks)):
+            t0 = time.perf_counter()
             th.join()
-            coords, boxes = staged.pop(ci)
+            t_wait += time.perf_counter() - t0
+            coords, boxes, dec_s = staged.pop(ci)
+            t_dec += dec_s
             if ci + 1 < len(chunks):
                 th = threading.Thread(target=decode, args=(ci + 1,))
                 th.start()
-            com, dist, rms = step(jnp.asarray(coords), jnp.asarray(boxes))
-            outs.append((com, dist, rms))
+            if timed:
+                # diagnostic pass: block at each stage to attribute time
+                t0 = time.perf_counter()
+                cj = jax.device_put(coords)
+                bj = jax.device_put(boxes)
+                jax.block_until_ready((cj, bj))
+                t_put += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                out = step(cj, bj)
+                jax.block_until_ready(out)
+                t_step += time.perf_counter() - t0
+            else:
+                # production pipeline: everything async, block once at the end
+                out = step(jax.device_put(coords), jax.device_put(boxes))
+            outs.append(out)
         jax.block_until_ready(outs)
+        if timed:
+            timings["decode_wait_s"] = round(t_wait, 4)
+            timings["decode_total_s"] = round(t_dec, 4)
+            timings["h2d_s"] = round(t_put, 4)
+            timings["compute_s"] = round(t_step, 4)
         return outs
 
     # warmup (compiles)
     log("warmup pass...")
     outs = run_pass()
 
-    # parity spot-check: frame-0 COM vs float64 host reference
+    # parity: frame-0 protein COM vs float64 host refined Bai-Breen
+    # (the group is compact, so f32 vs f64 must agree tightly)
     com0 = np.asarray(outs[0][0][0], np.float64)
-    p = c0[0][idx_prot].astype(np.float64)
-    w = masses[idx_prot].astype(np.float64)
-    # naive COM is valid here (group is compact, not PBC-split)
-    ref_host = (p * w[:, None]).sum(0) / w.sum()
-    d = np.abs(com0 - ref_host)
-    d = np.minimum(d, np.abs(d - box_l))  # allow wrap-equivalent
-    parity_ok = bool((d < 1e-2).all())
+    ref_host = host_refined_center(c0[0][idx_prot], box_l, masses[idx_prot])
+    parity_ok = bool((np.abs(com0 - ref_host) < 2e-3).all())
     rms0 = float(np.asarray(outs[0][2][0]))
     parity_ok &= rms0 < 1e-3  # self-RMSD of reference frame
+
+    # parity on a REAL fixture trajectory (groan_rs semantics): per-frame
+    # protein COM on short_trajectory.xtc vs float64 host reference
+    fixture_ok = None
+    fx = "/root/reference/test_files/short_trajectory.xtc"
+    fg = "/root/reference/test_files/example.gro"
+    if os.path.exists(fx) and os.path.exists(fg):
+        from groan_rs_tpu.system import System
+
+        fsys = System.from_file(fg)
+        fsys.group_create("Prot", "@protein")
+        fidx = fsys.group_indices("Prot")
+        foff, _, _, fn = native.xtc_scan(fx)
+        fc, fb9, *_ = native.xtc_read_frames(fx, foff, fn)
+        fboxes = fb9[:, [0, 4, 8]]
+        # unweighted (COG): gro structures carry no masses
+        dev_com = np.asarray(
+            center_ops.center(
+                jnp.asarray(fc[:, fidx]), jnp.asarray(fboxes)[:, None, :]
+            ),
+            np.float64,
+        )
+        host_com = np.stack(
+            [host_refined_center(fc[i][fidx], fboxes[i]) for i in range(len(foff))]
+        )
+        fixture_ok = bool((np.abs(dev_com - host_com) < 2e-4).all())
+        parity_ok &= fixture_ok
+
+    # one instrumented pass for the stage breakdown (stage blocking makes it
+    # slower than production; not used for the headline number)
+    run_pass(timed=True)
+    log(f"breakdown (diagnostic, stage-blocked): {timings}")
 
     log("timed passes...")
     best = float("inf")
     for _ in range(int(os.environ.get("BENCH_REPS", 3))):
         t0 = time.perf_counter()
         run_pass()
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"  pass {dt:.3f}s")
+    timings["pass_s"] = round(best, 4)
 
     fps = N_FRAMES / best
     result = {
@@ -174,6 +266,8 @@ def main():
         "pass_seconds": round(best, 3),
         "atom_frames_per_sec": round(fps * N_ATOMS / 1e6, 1),
         "parity_ok": parity_ok,
+        "fixture_parity_ok": fixture_ok,
+        "breakdown": timings,
     }
     print(json.dumps(result), flush=True)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .pbc import vector_to, wrap
 
-__all__ = ["estimate_center", "center", "center_naive"]
+__all__ = ["estimate_center", "center", "center_naive", "center_triclinic"]
 
 _TWO_PI = 6.283185307179586
 
@@ -51,13 +51,15 @@ def estimate_center(positions, box, mask=None, weights=None):
     Returns `[..., 3]`.  Empty selection yields NaN (reference behaviour).
     """
     positions, box, w = _prep(positions, box, mask, weights)
-    scale = _TWO_PI / box  # [..., 3] broadcastable
-    theta = wrap(positions, box) * scale
+    theta = wrap(positions, box) * (_TWO_PI / box)
     wx = w[..., None]
     xi = jnp.sum(wx * jnp.cos(theta), axis=-2)
     zeta = jnp.sum(wx * jnp.sin(theta), axis=-2)
-    theta_c = jnp.arctan2(-zeta, -xi) + jnp.pi
-    out = theta_c / scale
+    theta_c = jnp.arctan2(-zeta, -xi) + jnp.pi  # [..., 3] (atom axis reduced)
+    # box may carry an atom axis (e.g. [B, 1, 3]); reduce it away so the
+    # rescale matches theta_c's shape instead of broadcasting a new axis
+    box_r = jnp.broadcast_to(box, positions.shape)[..., 0, :]
+    out = theta_c * (box_r / _TWO_PI)
     empty = jnp.sum(w, axis=-1, keepdims=True) == 0
     return jnp.where(empty, jnp.nan, out)
 
@@ -76,6 +78,45 @@ def center(positions, box, mask=None, weights=None):
     num = jnp.sum(w[..., None] * unwrapped, axis=-2)
     den = jnp.sum(w, axis=-1, keepdims=True)
     return num / den
+
+
+def center_triclinic(positions, box_matrix, mask=None, weights=None):
+    """Refined Bai-Breen center for a general triclinic box.
+
+    positions: `[..., N, 3]`; box_matrix: `[..., 3, 3]` row-major box
+    vectors (Gromacs convention).  The circular-mean estimate and the
+    unwrap refinement both run in fractional coordinates (period 1 per
+    axis), then map back to Cartesian.  Surpass feature: the reference's
+    center math is orthogonal-only (`src/lib.rs:353-355`).
+
+    Returns `[..., 3]`.
+    """
+    positions = jnp.asarray(positions)
+    dtype = positions.dtype
+    h = jnp.asarray(box_matrix, dtype=dtype)
+    if mask is None:
+        w = jnp.ones(positions.shape[:-1], dtype=dtype)
+    else:
+        w = jnp.asarray(mask).astype(dtype)
+        w = jnp.broadcast_to(w, positions.shape[:-1])
+    if weights is not None:
+        w = w * jnp.asarray(weights, dtype=dtype)
+
+    hinv = jnp.linalg.inv(h)
+    s = jnp.matmul(positions, hinv)  # fractional coords [..., N, 3]
+    theta = (s - jnp.floor(s)) * _TWO_PI
+    wx = w[..., None]
+    xi = jnp.sum(wx * jnp.cos(theta), axis=-2)
+    zeta = jnp.sum(wx * jnp.sin(theta), axis=-2)
+    est = (jnp.arctan2(-zeta, -xi) + jnp.pi) / _TWO_PI  # [..., 3] fractional
+
+    # unwrap every atom around the estimate (min-image in fractional space)
+    d = s - est[..., None, :]
+    d = d - jnp.round(d)
+    num = jnp.sum(wx * (est[..., None, :] + d), axis=-2)
+    den = jnp.sum(w, axis=-1, keepdims=True)
+    frac = num / den
+    return jnp.squeeze(jnp.matmul(frac[..., None, :], h), axis=-2)
 
 
 def center_naive(positions, mask=None, weights=None):

@@ -2,8 +2,7 @@
 
 reference: `src/progress/mod.rs:79` — status Running/Completed/Failed/
 Jumping, `[{:^9}]   Step {:12} | Time {:12} ps` format, default print
-frequency 100, `\\r` terminator, optional ANSI colors.  Golden-file tested
-against the reference's `test_files/progress_*.txt`.
+frequency 100, `\\r` terminator, optional ANSI colors.
 """
 
 from __future__ import annotations

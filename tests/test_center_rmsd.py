@@ -131,3 +131,27 @@ def test_kabsch_reflection_guard():
     det = np.linalg.det(np.asarray(r))
     assert det == pytest.approx(1.0, abs=1e-4)
     assert float(rms) > 0.1
+
+
+def test_center_batched_box_shapes():
+    """Regression: box with an atom axis ([B,1,3]) must NOT broadcast a new
+    batch axis — center(pos[B,N,3], box[B,1,3]).shape == (B, 3)."""
+    from groan_rs_tpu.ops.center import center, estimate_center
+
+    rng = np.random.default_rng(11)
+    B, N = 4, 7
+    box = np.array([5.0, 6.0, 7.0], np.float32)
+    pos = (rng.random((B, N, 3)) * box).astype(np.float32)
+    boxes = np.broadcast_to(box, (B, 3)).copy()
+
+    for fn in (center, estimate_center):
+        out_b = np.asarray(fn(pos, boxes[:, None, :]))
+        assert out_b.shape == (B, 3)
+        out_s = np.asarray(fn(pos, box))
+        assert out_s.shape == (B, 3)
+        np.testing.assert_allclose(out_b, out_s, atol=1e-6)
+    # weights + mask combinations keep the shape
+    w = rng.random(N).astype(np.float32)
+    m = np.ones(N, bool)
+    out = np.asarray(center(pos, boxes[:, None, :], mask=m, weights=w))
+    assert out.shape == (B, 3)

@@ -91,7 +91,12 @@ def test_traj_rmsd_iterator(example, test_files):
     rmsds = [r for _, r in s.xtc_iter(
         os.path.join(test_files, "short_trajectory.xtc")).calc_rmsd(ref, "Protein")]
     assert len(rmsds) == 11
-    assert rmsds[0] < 0.2  # frame 0 is near the reference state
+    # exact reference expected values (rmsd.rs test_calc_rmsd_trajectory)
+    expected = [
+        0.23669721, 0.2634763, 0.26021627, 0.21364464, 0.22166993, 0.19383307,
+        0.26422343, 0.27013618, 0.26398134, 0.23475659, 0.24208021,
+    ]
+    np.testing.assert_allclose(rmsds, expected, atol=5e-5)
     # against one-shot API
     s2 = System.from_file(os.path.join(test_files, "example.tpr"))
     s2.group_create("Protein", "@protein")
