@@ -31,30 +31,53 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _cell_order(points, cell=0.5):
+    """Spatial sort order (cell-major), mimicking how solvate/insert tools
+    lay out molecules — real XTC files are spatially coherent, which is what
+    the 3dfcoord delta coder exploits."""
+    key = np.floor(points / cell).astype(np.int64)
+    return np.lexsort((key[:, 2], key[:, 1], key[:, 0]))
+
+
 def build_trajectory(path, n_prot, n_mem):
     """Synthesize a realistic trajectory and write it with the native codec.
 
     Layout mirrors a solvated membrane-protein system: atoms [0, n_prot) are
     a compact "protein" blob near the box center (so its COM is well-defined
-    and parity-checkable), [n_prot, n_prot+n_mem) a "membrane" slab, and the
-    rest water-like triplets filling the box uniformly.
+    and parity-checkable), [n_prot, n_prot+n_mem) a lipid-like "membrane"
+    slab, the rest water triplets.  All molecules are contiguous in the file
+    and sorted spatially, matching real Gromacs output (random atom order
+    would make XTC delta coding pathologically slow and large).
     """
     from groan_rs_tpu.io import native
 
     rng = np.random.default_rng(42)
     box = np.array([21.0, 21.0, 21.0], np.float32)
     pos = np.empty((N_ATOMS, 3), np.float32)
-    # protein: Gaussian blob (sigma 1.5 nm) at the box center
-    pos[:n_prot] = box / 2 + rng.normal(size=(n_prot, 3)).astype(np.float32) * 1.5
-    # membrane: slab uniform in xy, z in [8, 13] nm
-    mem = rng.uniform(0, 1, size=(n_mem, 3)).astype(np.float32)
-    mem[:, :2] *= box[:2]
-    mem[:, 2] = 8.0 + mem[:, 2] * 5.0
-    pos[n_prot : n_prot + n_mem] = mem
-    # water: triplet molecules uniform in the box
+
+    # protein: Gaussian blob (sigma 1.5 nm) at the box center, chain-ordered
+    # locally via a spatial sort
+    prot = box / 2 + rng.normal(size=(n_prot, 3)).astype(np.float32) * 1.5
+    pos[:n_prot] = prot[_cell_order(prot)]
+
+    # membrane: ~50-atom lipid molecules; heads uniform in the slab, atoms a
+    # short random walk below the head; lipids sorted by (x, y)
+    lip_sz = 50
+    n_lip = (n_mem + lip_sz - 1) // lip_sz
+    heads = rng.uniform(0, 1, size=(n_lip, 3)).astype(np.float32)
+    heads[:, :2] *= box[:2]
+    heads[:, 2] = 8.0 + heads[:, 2] * 5.0
+    heads = heads[_cell_order(heads, cell=1.0)]
+    walk = np.cumsum(rng.normal(size=(n_lip, lip_sz, 3)).astype(np.float32) * 0.08,
+                     axis=1)
+    lip = (heads[:, None, :] + walk).reshape(-1, 3)[:n_mem]
+    pos[n_prot : n_prot + n_mem] = lip
+
+    # water: triplet molecules, spatially sorted like gmx solvate's grid fill
     n_wat = N_ATOMS - n_prot - n_mem
     n_mol = (n_wat + 2) // 3
     centers = rng.uniform(0, 1, size=(n_mol, 3)).astype(np.float32) * box
+    centers = centers[_cell_order(centers)]
     offsets = rng.normal(size=(n_mol, 2, 3)).astype(np.float32) * 0.06
     trip = np.stack(
         [centers, centers + offsets[:, 0], centers + offsets[:, 1]], axis=1
@@ -100,7 +123,7 @@ def main():
     n_prot = min(99_000, N_ATOMS // 10)
     n_mem = min(300_000, N_ATOMS // 3)
 
-    xtc = os.path.join(CACHE, f"bench_v2_{N_ATOMS}_{N_FRAMES}.xtc")
+    xtc = os.path.join(CACHE, f"bench_v3_{N_ATOMS}_{N_FRAMES}.xtc")
     if not os.path.exists(xtc):
         log(f"building {N_ATOMS}-atom x {N_FRAMES}-frame trajectory...")
         build_trajectory(xtc, n_prot, n_mem)

@@ -27,9 +27,14 @@ from ..ops import rmsd as rmsd_ops
 
 
 class TrajectoryAnalysis:
-    def __init__(self, system, mesh=None):
+    def __init__(self, system, mesh=None, triclinic: bool = False):
+        """With `triclinic=True`, kernels receive per-frame `[B, 3, 3]` box
+        matrices and use exact triclinic minimum-image math (surpass
+        feature: the reference's PBC analysis is orthogonal-only,
+        `src/lib.rs:353-355`)."""
         self.system = system
         self.mesh = mesh
+        self.triclinic = bool(triclinic)
         self._specs = []  # (name, fn(positions, boxes) -> array)
         self._gather = {}
 
@@ -47,17 +52,26 @@ class TrajectoryAnalysis:
         return self.system.topology.mass[idx]
 
     # ------------------------------------------------------------- observables
+    def _center_fn(self, idx, w=None):
+        """(pos, boxes) -> [B, 3] center, routing on the box mode."""
+        import jax.numpy as jnp
+
+        if self.triclinic:
+            def fn(pos, boxes):  # boxes [B, 3, 3]
+                g = jnp.take(pos, idx, axis=1)
+                return center_ops.center_triclinic(g, boxes, weights=w)
+        else:
+            def fn(pos, boxes):  # boxes [B, 3]
+                g = jnp.take(pos, idx, axis=1)
+                return center_ops.center(g, boxes[:, None, :], weights=w)
+        return fn
+
     def add_center(self, group: str, name: str | None = None):
         """Refined Bai-Breen center of geometry per frame -> [F, 3]."""
         import jax.numpy as jnp
 
         idx = jnp.asarray(self._indices(group))
-
-        def fn(pos, boxes):
-            g = jnp.take(pos, idx, axis=1)
-            return center_ops.center(g, boxes[:, None, :])
-
-        self._specs.append((name or f"center_{group}", fn))
+        self._specs.append((name or f"center_{group}", self._center_fn(idx)))
         return self
 
     def add_com(self, group: str, name: str | None = None):
@@ -66,12 +80,7 @@ class TrajectoryAnalysis:
 
         idx = jnp.asarray(self._indices(group))
         w = jnp.asarray(self._masses(group))
-
-        def fn(pos, boxes):
-            g = jnp.take(pos, idx, axis=1)
-            return center_ops.center(g, boxes[:, None, :], weights=w)
-
-        self._specs.append((name or f"com_{group}", fn))
+        self._specs.append((name or f"com_{group}", self._center_fn(idx, w)))
         return self
 
     def add_distance(self, group1: str, group2: str, dim: Dimension = Dimension.XYZ,
@@ -85,12 +94,23 @@ class TrajectoryAnalysis:
         w1 = jnp.asarray(self._masses(group1)) if com else None
         w2 = jnp.asarray(self._masses(group2)) if com else None
         dmask = dim.value
+        c1_fn = self._center_fn(i1, w1)
+        c2_fn = self._center_fn(i2, w2)
 
-        def fn(pos, boxes):
-            b = boxes[:, None, :]
-            c1 = center_ops.center(jnp.take(pos, i1, axis=1), b, weights=w1)
-            c2 = center_ops.center(jnp.take(pos, i2, axis=1), b, weights=w2)
-            return pbc.distance(c1, c2, boxes, dmask)
+        if self.triclinic:
+            if dim is not Dimension.XYZ:
+                raise GroupError(
+                    "triclinic distances support Dimension.XYZ only",
+                    code="InvalidDimension",
+                )
+
+            def fn(pos, boxes):
+                return pbc.distance_triclinic_frames(
+                    c1_fn(pos, boxes), c2_fn(pos, boxes), boxes
+                )
+        else:
+            def fn(pos, boxes):
+                return pbc.distance(c1_fn(pos, boxes), c2_fn(pos, boxes), boxes, dmask)
 
         self._specs.append((name or f"distance_{group1}_{group2}", fn))
         return self
@@ -111,15 +131,32 @@ class TrajectoryAnalysis:
                 f"but {tgt_idx.shape[0]} in target",
                 code="InconsistentGroup",
             )
-        refc = jnp.asarray(ref_coords)
-        refctr = jnp.asarray(ref_center)
         wj = jnp.asarray(w)
         idxj = jnp.asarray(tgt_idx)
 
-        def fn(pos, boxes):
-            g = jnp.take(pos, idxj, axis=1)
-            _, rms = rmsd_ops.rmsd_frames(refc, refctr, g, boxes, wj)
-            return rms
+        if self.triclinic:
+            h_ref = np.asarray(reference.get_box().to_matrix(), np.float32)
+            refc_t, refctr_t = rmsd_ops.prepare_coords_triclinic(
+                np.asarray(reference.positions[ref_idx], np.float32),
+                h_ref, weights=w,
+            )
+            refc_t = jnp.asarray(refc_t)
+            refctr_t = jnp.asarray(refctr_t)
+
+            def fn(pos, boxes):
+                g = jnp.take(pos, idxj, axis=1)
+                _, rms = rmsd_ops.rmsd_frames_triclinic(
+                    refc_t, refctr_t, g, boxes, wj
+                )
+                return rms
+        else:
+            refc = jnp.asarray(ref_coords)
+            refctr = jnp.asarray(ref_center)
+
+            def fn(pos, boxes):
+                g = jnp.take(pos, idxj, axis=1)
+                _, rms = rmsd_ops.rmsd_frames(refc, refctr, g, boxes, wj)
+                return rms
 
         self._specs.append((name or f"rmsd_{group}", fn))
         return self
@@ -175,7 +212,10 @@ class TrajectoryAnalysis:
                            end_time=end_time, step=step)
         if progress is not None:
             reader.print_progress(progress)
-        engine = FrameEngine(self.step_fn(), mesh=self.mesh)
+        engine = FrameEngine(
+            self.step_fn(), mesh=self.mesh,
+            box="matrix" if self.triclinic else "lengths",
+        )
         out = engine.run(reader.batches())
         out["times"] = reader.times
         out["steps"] = reader.steps

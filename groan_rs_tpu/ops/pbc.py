@@ -33,6 +33,9 @@ __all__ = [
     "min_image_triclinic",
     "distance_triclinic",
     "wrap_triclinic",
+    "min_image_triclinic_frames",
+    "distance_triclinic_frames",
+    "wrap_triclinic_frames",
 ]
 
 
@@ -165,3 +168,45 @@ def wrap_triclinic(points, box_matrix):
     hinv = jnp.linalg.inv(h)
     s = jnp.matmul(p, hinv, precision=_HI)
     return jnp.matmul(s - jnp.floor(s), h, precision=_HI)
+
+
+# ---- per-frame box-matrix variants ([B, 3, 3] boxes; explicit einsums
+# because matmul silently mis-broadcasts [B, 3] @ [B, 3, 3]) ----
+
+
+def min_image_triclinic_frames(d, boxes):
+    """Exact triclinic minimum image with one box matrix per frame.
+
+    d: `[B, N, 3]` or `[B, 3]` displacements; boxes: `[B, 3, 3]`.
+    """
+    d = jnp.asarray(d)
+    h = jnp.asarray(boxes, dtype=d.dtype)
+    single = d.ndim == 2
+    if single:
+        d = d[:, None, :]
+    hinv = jnp.linalg.inv(h)
+    s = jnp.einsum("bni,bij->bnj", d, hinv, precision=_HI)
+    d0 = d - jnp.einsum("bni,bij->bnj", jnp.round(s), h, precision=_HI)
+    shift_vecs = jnp.einsum(
+        "ki,bij->bkj", _SHIFTS.astype(d.dtype), h, precision=_HI
+    )  # [B, 27, 3]
+    cands = d0[:, :, None, :] + shift_vecs[:, None, :, :]  # [B, N, 27, 3]
+    n2 = jnp.sum(cands * cands, axis=-1)
+    best = jnp.argmin(n2, axis=-1)
+    out = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    return out[:, 0, :] if single else out
+
+
+def distance_triclinic_frames(a, b, boxes):
+    """Exact triclinic minimum-image distance, per-frame boxes `[B, 3, 3]`."""
+    d = min_image_triclinic_frames(jnp.asarray(a) - jnp.asarray(b), boxes)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def wrap_triclinic_frames(points, boxes):
+    """Wrap `[B, N, 3]` points into per-frame triclinic cells `[B, 3, 3]`."""
+    p = jnp.asarray(points)
+    h = jnp.asarray(boxes, dtype=p.dtype)
+    hinv = jnp.linalg.inv(h)
+    s = jnp.einsum("bni,bij->bnj", p, hinv, precision=_HI)
+    return jnp.einsum("bni,bij->bnj", s - jnp.floor(s), h, precision=_HI)

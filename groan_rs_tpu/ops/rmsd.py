@@ -33,7 +33,14 @@ _HI = jax.lax.Precision.HIGHEST
 from .center import center
 from .pbc import wrap
 
-__all__ = ["kabsch", "prepare_coords", "rmsd_frames", "fit_transform"]
+__all__ = [
+    "kabsch",
+    "prepare_coords",
+    "rmsd_frames",
+    "fit_transform",
+    "prepare_coords_triclinic",
+    "rmsd_frames_triclinic",
+]
 
 
 def prepare_coords(positions, box, mask=None, weights=None):
@@ -141,6 +148,54 @@ def rmsd_frames(ref_prepared, ref_center, frames, boxes, w, mask=None):
         w if mask is None else jnp.asarray(w) * jnp.asarray(mask),
         ref_center[None, :],
         tgt_center,
+    )
+    return r, rms
+
+
+def prepare_coords_triclinic(positions, box_matrix, mask=None, weights=None):
+    """Triclinic analogue of `prepare_coords` for a single structure.
+
+    positions `[n, 3]`, box_matrix `[3, 3]`.  Unwraps every atom around the
+    triclinic refined COM (exact minimum image), so PBC-broken molecules are
+    compact before the fit.  Returns (unwrapped `[n, 3]`, weighted centroid
+    `[3]`).  Surpass feature — the reference's RMSD is orthogonal-only.
+    """
+    from .center import center_triclinic
+    from .pbc import min_image_triclinic
+
+    positions = jnp.asarray(positions)
+    com = center_triclinic(positions, box_matrix, mask=mask, weights=weights)
+    unwrapped = com[None, :] + min_image_triclinic(positions - com[None, :], box_matrix)
+    w = jnp.ones(positions.shape[:-1], positions.dtype) if weights is None \
+        else jnp.asarray(weights, positions.dtype)
+    if mask is not None:
+        w = w * jnp.asarray(mask).astype(positions.dtype)
+    centroid = jnp.sum(w[:, None] * unwrapped, axis=0) / jnp.sum(w)
+    return unwrapped, centroid
+
+
+def rmsd_frames_triclinic(ref_prepared, ref_centroid, frames, boxes, w, mask=None):
+    """RMSD of a `[B, n, 3]` frame batch vs a prepared reference with
+    per-frame triclinic boxes `[B, 3, 3]`.
+
+    ref_prepared/ref_centroid come from `prepare_coords_triclinic`.
+    Returns (rotations `[B, 3, 3]`, rmsd `[B]`).
+    """
+    from .center import center_triclinic
+    from .pbc import min_image_triclinic_frames
+
+    frames = jnp.asarray(frames)
+    w = jnp.asarray(w, frames.dtype)
+    w_eff = w if mask is None else w * jnp.asarray(mask).astype(frames.dtype)
+    com = center_triclinic(frames, boxes, mask=mask, weights=w)
+    tgt = com[:, None, :] + min_image_triclinic_frames(
+        frames - com[:, None, :], boxes
+    )
+    wb = jnp.broadcast_to(w_eff, tgt.shape[:-1])
+    cq = jnp.sum(wb[..., None] * tgt, axis=-2) / jnp.sum(wb, axis=-1, keepdims=True)
+    r, _, rms = kabsch(
+        jnp.asarray(ref_prepared)[None, ...], tgt, w_eff,
+        jnp.asarray(ref_centroid)[None, :], cq,
     )
     return r, rms
 

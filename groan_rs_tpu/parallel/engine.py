@@ -39,15 +39,19 @@ class FrameEngine:
     concatenated over frames (padded frames dropped).
     """
 
-    def __init__(self, step_fn, mesh=None, donate: bool = False):
+    def __init__(self, step_fn, mesh=None, donate: bool = False,
+                 box: str = "lengths"):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if box not in ("lengths", "matrix"):
+            raise ParallelError(f"unknown box mode '{box}'")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = self.mesh.shape["frames"]
         self._in_shard = NamedSharding(self.mesh, P("frames"))
         self._replicated = NamedSharding(self.mesh, P())
         self._step = jax.jit(step_fn)
+        self._box_mode = box
 
     def _pad(self, arr: np.ndarray, b_target: int) -> np.ndarray:
         b = arr.shape[0]
@@ -69,9 +73,9 @@ class FrameEngine:
             pos = jax.device_put(
                 self._pad(fb.positions, b_pad), self._in_shard
             )
-            boxes = jax.device_put(
-                self._pad(fb.box_lengths(), b_pad), self._in_shard
-            )
+            box_host = (fb.box_matrices() if self._box_mode == "matrix"
+                        else fb.box_lengths())
+            boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
             mask = np.zeros(b_pad, dtype=bool)
             mask[:b] = True
             mask_d = jax.device_put(mask, self._in_shard)
