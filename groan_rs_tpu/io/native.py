@@ -32,6 +32,7 @@ _ERRORS = {
     -5: ("CouldNotRead", "i/o error while reading frame"),
     -6: ("CapacityExceeded", "frame index capacity exceeded"),
     -7: ("PrecisionTooHigh", "coordinate does not fit the requested precision"),
+    -8: ("Q16Range", "quantized coordinates do not fit int16"),
 }
 
 
@@ -82,6 +83,11 @@ def get_lib():
         lib.gx_xtc_read.argtypes = [
             ctypes.c_char_p, P(i64), i64, i32, i32, P(f32), P(f32), P(i32), P(f32), P(f32), i32,
         ]
+        i16 = ctypes.c_int16
+        lib.gx_xtc_read_q16.restype = i64
+        lib.gx_xtc_read_q16.argtypes = [
+            ctypes.c_char_p, P(i64), i64, i32, i32, P(i16), P(f32), P(i32), P(f32), P(f32), i32,
+        ]
         lib.gx_xtc_probe.restype = i64
         lib.gx_xtc_probe.argtypes = [ctypes.c_char_p, P(i32), P(i32)]
         lib.gx_xtc_write_frame.restype = i64
@@ -90,7 +96,7 @@ def get_lib():
         lib.gx_trr_scan.argtypes = [ctypes.c_char_p, i64, P(i64), P(i32), P(f64), P(f64), P(u8), P(i32)]
         lib.gx_trr_read.restype = i64
         lib.gx_trr_read.argtypes = [
-            ctypes.c_char_p, P(i64), i64, i32, P(f32), P(f32), P(f32), P(f32), P(i32), P(f64), P(f64), P(u8), i32,
+            ctypes.c_char_p, P(i64), i64, i32, i32, P(f32), P(f32), P(f32), P(f32), P(i32), P(f64), P(f64), P(u8), i32,
         ]
         lib.gx_trr_probe.restype = i64
         lib.gx_trr_probe.argtypes = [ctypes.c_char_p, P(i32)]
@@ -170,6 +176,39 @@ def xtc_read_frames(path, offsets, natoms: int, stop_after: int | None = None,
     return coords, boxes, steps, times, precisions
 
 
+def xtc_read_frames_q16(path, offsets, natoms: int, stop_after: int | None = None,
+                        n_threads: int | None = None):
+    """Decode frames into RAW quantized int16 coordinates (the compact
+    on-wire format for device transfer; dequantize with
+    `q.astype(f32) * (1.0/precision)` for floats bit-identical to
+    `xtc_read_frames`).  Raises NativeError(code='Range') when the file's
+    integer bounds exceed int16 — fall back to the float path.
+
+    -> (q [F, stop_after, 3] int16, boxes [F, 9], steps, times, precisions)
+    """
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nf = offsets.shape[0]
+    stop = int(stop_after) if stop_after is not None else int(natoms)
+    q = np.empty((nf, stop, 3), np.int16)
+    boxes = np.empty((nf, 9), np.float32)
+    steps = np.empty(nf, np.int32)
+    times = np.empty(nf, np.float32)
+    precisions = np.empty(nf, np.float32)
+    rc = lib.gx_xtc_read_q16(
+        str(path).encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nf, natoms, stop,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _fptr(boxes),
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _fptr(times), _fptr(precisions),
+        n_threads if n_threads is not None else n_default_threads(),
+    )
+    _check(rc, path)
+    return q, boxes, steps, times, precisions
+
+
 def xtc_write_frame(path, natoms: int, step: int, time: float, box9, coords, precision: float):
     lib = get_lib()
     box9 = np.ascontiguousarray(box9, np.float32).reshape(9) if box9 is not None else None
@@ -218,15 +257,17 @@ def trr_probe(path):
 
 
 def trr_read_frames(path, offsets, natoms: int, want_x=True, want_v=True, want_f=True,
-                    n_threads: int | None = None):
-    """-> (x, v, f (each [F, natoms, 3] or None), boxes [F, 9], steps,
-    times f64, lambdas f64, flags u8)."""
+                    stop_after: int | None = None, n_threads: int | None = None):
+    """-> (x, v, f (each [F, stop_after, 3] or None), boxes [F, 9], steps,
+    times f64, lambdas f64, flags u8).  `stop_after` reads only the first
+    K atoms of each block at the byte level (TRR blocks are uncompressed)."""
     lib = get_lib()
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     nf = offsets.shape[0]
-    x = np.zeros((nf, natoms, 3), np.float32) if want_x else None
-    v = np.zeros((nf, natoms, 3), np.float32) if want_v else None
-    f = np.zeros((nf, natoms, 3), np.float32) if want_f else None
+    stop = int(stop_after) if stop_after is not None else int(natoms)
+    x = np.zeros((nf, stop, 3), np.float32) if want_x else None
+    v = np.zeros((nf, stop, 3), np.float32) if want_v else None
+    f = np.zeros((nf, stop, 3), np.float32) if want_f else None
     boxes = np.empty((nf, 9), np.float32)
     steps = np.empty(nf, np.int32)
     times = np.empty(nf, np.float64)
@@ -235,7 +276,7 @@ def trr_read_frames(path, offsets, natoms: int, want_x=True, want_v=True, want_f
     rc = lib.gx_trr_read(
         str(path).encode(),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        nf, natoms, _fptr(x), _fptr(v), _fptr(f), _fptr(boxes),
+        nf, natoms, stop, _fptr(x), _fptr(v), _fptr(f), _fptr(boxes),
         steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         lambdas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

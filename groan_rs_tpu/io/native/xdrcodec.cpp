@@ -30,6 +30,7 @@
 #include <cstring>
 #include <functional>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 #include <fcntl.h>
@@ -47,6 +48,7 @@ enum GxError : int64_t {
   GX_ERR_IO = -5,
   GX_ERR_RANGE = -6,
   GX_ERR_PRECISION = -7,
+  GX_ERR_Q16 = -8,  // quantized ints do not fit int16 (q16 decode only)
 };
 
 // ------------------------------------------------------------------ XDR helpers
@@ -368,10 +370,34 @@ int64_t parse_xtc_header(const FileReader& f, int64_t off, XtcHeader* h) {
   return GX_OK;
 }
 
+// Emit one decoded coordinate triple.  OutT=float converts via the
+// canonical `float(int) * (1/precision)`; OutT=int16_t emits the raw
+// quantized integers (the on-wire format for device transfer: dequantize
+// on device with the same multiply for bit-identical floats).
+template <typename OutT>
+static inline void emit3(OutT*& fp, const int32_t* c, float inv_precision) {
+  if constexpr (std::is_same_v<OutT, float>) {
+    fp[0] = float(c[0]) * inv_precision;
+    fp[1] = float(c[1]) * inv_precision;
+    fp[2] = float(c[2]) * inv_precision;
+  } else {
+    fp[0] = OutT(c[0]);
+    fp[1] = OutT(c[1]);
+    fp[2] = OutT(c[2]);
+  }
+  fp += 3;
+}
+
 // Decode the packed coordinate payload into out[0 .. 3*stop_after).
 // `stop_after` <= natoms enables partial-frame decode.
-int64_t decode_3dfcoord(const XtcHeader& h, const uint8_t* data, size_t datalen,
-                        float* out, int stop_after) {
+template <typename OutT>
+int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datalen,
+                          OutT* out, int stop_after) {
+  if constexpr (std::is_same_v<OutT, int16_t>) {
+    // quantized output must fit int16 (checked up front via header bounds)
+    for (int a = 0; a < 3; a++)
+      if (h.minint[a] < -32768 || h.maxint[a] > 32767) return GX_ERR_Q16;
+  }
   const float inv_precision = 1.0f / h.precision;
   uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
   for (int i = 0; i < 3; i++) sizeint[i] = uint32_t(h.maxint[i] - h.minint[i]) + 1;
@@ -396,7 +422,7 @@ int64_t decode_3dfcoord(const XtcHeader& h, const uint8_t* data, size_t datalen,
   int run = 0;
   int i = 0;
   const int lsize = h.natoms;
-  float* fp = out;
+  OutT* fp = out;
 
   while (i < lsize) {
     if (i >= stop_after) return GX_OK;  // partial-frame early stop
@@ -438,25 +464,16 @@ int64_t decode_3dfcoord(const XtcHeader& h, const uint8_t* data, size_t datalen,
           std::swap(thiscoord[0], prevcoord[0]);
           std::swap(thiscoord[1], prevcoord[1]);
           std::swap(thiscoord[2], prevcoord[2]);
-          fp[0] = float(prevcoord[0]) * inv_precision;
-          fp[1] = float(prevcoord[1]) * inv_precision;
-          fp[2] = float(prevcoord[2]) * inv_precision;
-          fp += 3;
+          emit3(fp, prevcoord, inv_precision);
         } else {
           prevcoord[0] = thiscoord[0];
           prevcoord[1] = thiscoord[1];
           prevcoord[2] = thiscoord[2];
         }
-        fp[0] = float(thiscoord[0]) * inv_precision;
-        fp[1] = float(thiscoord[1]) * inv_precision;
-        fp[2] = float(thiscoord[2]) * inv_precision;
-        fp += 3;
+        emit3(fp, thiscoord, inv_precision);
       }
     } else {
-      fp[0] = float(thiscoord[0]) * inv_precision;
-      fp[1] = float(thiscoord[1]) * inv_precision;
-      fp[2] = float(thiscoord[2]) * inv_precision;
-      fp += 3;
+      emit3(fp, thiscoord, inv_precision);
     }
     smallidx += is_smaller;
     if (is_smaller < 0) {
@@ -474,9 +491,12 @@ int64_t decode_3dfcoord(const XtcHeader& h, const uint8_t* data, size_t datalen,
 }
 
 // Decode one frame (header already parsed) into out/box/etc.
-int64_t decode_xtc_frame(const FileReader& f, const XtcHeader& h,
-                         std::vector<uint8_t>& scratch, float* coords, int stop_after) {
+template <typename OutT>
+int64_t decode_xtc_frame_t(const FileReader& f, const XtcHeader& h,
+                           std::vector<uint8_t>& scratch, OutT* coords, int stop_after) {
   if (h.natoms <= 9) {
+    // tiny systems store raw floats — no quantized representation exists
+    if constexpr (!std::is_same_v<OutT, float>) return GX_ERR_Q16;
     scratch.resize(size_t(h.nbytes));
     if (!f.read_at(h.data_offset, scratch.data(), h.nbytes)) return GX_ERR_IO;
     int n = std::min(stop_after, int(h.natoms));
@@ -485,8 +505,13 @@ int64_t decode_xtc_frame(const FileReader& f, const XtcHeader& h,
   }
   scratch.resize(size_t(h.nbytes));
   if (!f.read_at(h.data_offset, scratch.data(), h.nbytes)) return GX_ERR_IO;
-  return decode_3dfcoord(h, scratch.data(), scratch.size(), coords,
-                         std::min(stop_after, int(h.natoms)));
+  return decode_3dfcoord_t(h, scratch.data(), scratch.size(), coords,
+                           std::min(stop_after, int(h.natoms)));
+}
+
+int64_t decode_xtc_frame(const FileReader& f, const XtcHeader& h,
+                         std::vector<uint8_t>& scratch, float* coords, int stop_after) {
+  return decode_xtc_frame_t(f, h, scratch, coords, stop_after);
 }
 
 // ------------------------------------------------------------------ XTC compression
@@ -758,6 +783,37 @@ void parallel_for(int64_t n, int n_threads, const std::function<void(int64_t)>& 
   for (auto& th : pool) th.join();
 }
 
+// Bulk multi-frame XTC decode shared by the float and int16 C entry points.
+template <typename OutT>
+int64_t gx_xtc_read_impl(const char* path, const int64_t* offsets, int64_t nframes,
+                         int32_t expected_natoms, int32_t stop_after, OutT* coords,
+                         float* boxes, int32_t* steps, float* times, float* precisions,
+                         int32_t n_threads) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  std::atomic<int64_t> err{GX_OK};
+  parallel_for(nframes, n_threads, [&](int64_t i) {
+    if (err.load(std::memory_order_relaxed) != GX_OK) return;
+    XtcHeader h;
+    int64_t rc = parse_xtc_header(f, offsets[i], &h);
+    if (rc == GX_OK && h.natoms != expected_natoms) rc = GX_ERR_NATOMS;
+    if (rc == GX_OK) {
+      std::vector<uint8_t> scratch;
+      rc = decode_xtc_frame_t(f, h, scratch, coords + i * int64_t(stop_after) * 3, stop_after);
+    }
+    if (rc == GX_OK) {
+      if (boxes) std::memcpy(boxes + i * 9, h.box, 9 * sizeof(float));
+      if (steps) steps[i] = h.step;
+      if (times) times[i] = h.time;
+      if (precisions) precisions[i] = h.precision;
+    } else {
+      int64_t expected = GX_OK;
+      err.compare_exchange_strong(expected, rc);
+    }
+  });
+  return err.load();
+}
+
 }  // namespace
 
 // ==================================================================== C ABI
@@ -800,29 +856,21 @@ int64_t gx_xtc_scan(const char* path, int64_t cap, int64_t* offsets, int32_t* st
 int64_t gx_xtc_read(const char* path, const int64_t* offsets, int64_t nframes,
                     int32_t expected_natoms, int32_t stop_after, float* coords, float* boxes,
                     int32_t* steps, float* times, float* precisions, int32_t n_threads) {
-  FileReader f;
-  if (!f.open(path)) return GX_ERR_OPEN;
-  std::atomic<int64_t> err{GX_OK};
-  parallel_for(nframes, n_threads, [&](int64_t i) {
-    if (err.load(std::memory_order_relaxed) != GX_OK) return;
-    XtcHeader h;
-    int64_t rc = parse_xtc_header(f, offsets[i], &h);
-    if (rc == GX_OK && h.natoms != expected_natoms) rc = GX_ERR_NATOMS;
-    if (rc == GX_OK) {
-      std::vector<uint8_t> scratch;
-      rc = decode_xtc_frame(f, h, scratch, coords + i * int64_t(stop_after) * 3, stop_after);
-    }
-    if (rc == GX_OK) {
-      if (boxes) std::memcpy(boxes + i * 9, h.box, 9 * sizeof(float));
-      if (steps) steps[i] = h.step;
-      if (times) times[i] = h.time;
-      if (precisions) precisions[i] = h.precision;
-    } else {
-      int64_t expected = GX_OK;
-      err.compare_exchange_strong(expected, rc);
-    }
-  });
-  return err.load();
+  return gx_xtc_read_impl(path, offsets, nframes, expected_natoms, stop_after, coords,
+                          boxes, steps, times, precisions, n_threads);
+}
+
+// Quantized variant: emits the raw 3dfcoord integers as int16 (fails with
+// GX_ERR_RANGE if any frame's integer bounds exceed int16 — callers fall
+// back to the float path).  Intended as a compact on-wire format for
+// host->device transfer: dequantizing on device with float(q) * (1/prec)
+// reproduces the float path bit-for-bit.
+int64_t gx_xtc_read_q16(const char* path, const int64_t* offsets, int64_t nframes,
+                        int32_t expected_natoms, int32_t stop_after, int16_t* coords,
+                        float* boxes, int32_t* steps, float* times, float* precisions,
+                        int32_t n_threads) {
+  return gx_xtc_read_impl(path, offsets, nframes, expected_natoms, stop_after, coords,
+                          boxes, steps, times, precisions, n_threads);
 }
 
 // Probe natoms/magic from the first frame header.
@@ -921,12 +969,18 @@ int64_t gx_trr_scan(const char* path, int64_t cap, int64_t* offsets, int32_t* st
 
 // Read TRR frames.  x/v/f buffers are [nframes, natoms, 3] (may be null);
 // absent blocks leave the corresponding frame slice untouched.
+// stop_after <= natoms reads only the first stop_after atoms of each
+// x/v/f block — TRR blocks are uncompressed, so partial reads touch only
+// the needed byte ranges (cf. the reference's GroupXtcReader concept,
+// molly_xtc.rs:475; TRR can do it exactly, no sequential decode needed).
 int64_t gx_trr_read(const char* path, const int64_t* offsets, int64_t nframes, int32_t natoms,
-                    float* x, float* v, float* fr, float* boxes, int32_t* steps, double* times,
-                    double* lambdas, uint8_t* flags, int32_t n_threads) {
+                    int32_t stop_after, float* x, float* v, float* fr, float* boxes,
+                    int32_t* steps, double* times, double* lambdas, uint8_t* flags,
+                    int32_t n_threads) {
   FileReader f;
   if (!f.open(path)) return GX_ERR_OPEN;
   std::atomic<int64_t> err{GX_OK};
+  const int64_t n3 = int64_t(stop_after) * 3;
   parallel_for(nframes, n_threads, [&](int64_t i) {
     if (err.load(std::memory_order_relaxed) != GX_OK) return;
     TrrHeader h;
@@ -935,7 +989,6 @@ int64_t gx_trr_read(const char* path, const int64_t* offsets, int64_t nframes, i
     if (rc == GX_OK) {
       std::vector<uint8_t> scratch;
       int64_t p = h.body_offset + h.box_size + h.vir_size + h.pres_size;
-      int64_t n3 = int64_t(natoms) * 3;
       bool ok = true;
       if (h.x_size && x) ok = ok && read_reals(f, p, n3, h.is_double, x + i * n3, scratch);
       p += h.x_size;

@@ -156,13 +156,11 @@ class TrrSource(FrameSource):
         self.natoms = natoms
 
     def read_batch(self, frame_ids, stop_after=None):
+        # byte-level partial read: TRR blocks are uncompressed, so only the
+        # first stop_after atoms of each x/v/f block are fetched
         x, v, f, boxes, steps, times, lambdas, flags = native.trr_read_frames(
-            self.path, self.offsets[frame_ids], self.natoms
+            self.path, self.offsets[frame_ids], self.natoms, stop_after=stop_after
         )
-        if stop_after is not None:
-            x = x[:, :stop_after]
-            v = v[:, :stop_after]
-            f = f[:, :stop_after]
         return FrameBatch(
             positions=x,
             velocities=v,
@@ -181,67 +179,87 @@ _TIME_STEP_RE = re.compile(r"t=\s*([\d\.\-]+)\s+step=\s*(\d+)")
 
 
 class GroSource(FrameSource):
-    """Multi-frame GRO trajectory (reference: gro_io/trajectory.rs:37)."""
+    """Multi-frame GRO trajectory (reference: gro_io/trajectory.rs:37).
+
+    Streaming design: construction only SCANS the file (recording each
+    frame's byte offset, time and step from the title line); atom blocks
+    are parsed lazily per requested batch, so arbitrarily large multi-frame
+    GRO files never materialize whole in memory.
+    """
 
     kind = "gro"
 
     def __init__(self, path):
-        from .gro import parse_atom_block, parse_box_line
-
         self.path = str(path)
+        offsets, times, steps = [], [], []
+        natoms = None
         try:
-            with open(path) as fh:
-                raw = fh.read().splitlines()
+            fh = open(path, "rb")
         except OSError:
             raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
-
-        frames = []
-        i = 0
-        natoms = None
-        while i < len(raw):
-            if not raw[i].strip() and i + 1 >= len(raw):
-                break
-            title = raw[i]
-            if i + 1 >= len(raw):
-                raise ReadTrajError(f"truncated gro trajectory '{path}'", code="FrameNotFound")
-            try:
-                n = int(raw[i + 1].strip())
-            except ValueError:
-                raise ReadTrajError(
-                    f"could not parse number of atoms in '{path}'", code="FrameNotFound"
-                ) from None
-            if natoms is None:
-                natoms = n
-            elif natoms != n:
-                raise ReadTrajError(
-                    f"inconsistent atom count in '{path}'", code="AtomsNumberMismatch"
-                )
-            if i + 2 + n >= len(raw) + 1 and n > 0:
-                raise ReadTrajError(f"truncated frame in '{path}'", code="FrameNotFound")
-            atom_lines = raw[i + 2 : i + 2 + n]
-            if len(atom_lines) < n or i + 2 + n >= len(raw) + 0:
-                if i + 2 + n > len(raw) - 1:
-                    raise ReadTrajError(f"truncated frame in '{path}'", code="FrameNotFound")
-            try:
-                _, _, _, _, pos, vel, has_vel = parse_atom_block(atom_lines)
-            except Exception as e:
-                raise ReadTrajError(f"could not parse frame in '{path}': {e}", code="FrameNotFound") from None
-            try:
-                box = parse_box_line(raw[i + 2 + n])
-            except Exception as e:
-                raise ReadTrajError(f"invalid box in '{path}': {e}", code="InvalidBox") from None
-            m = _TIME_STEP_RE.search(title)
-            time, step = (float(m.group(1)), int(m.group(2))) if m else (0.0, 0)
-            frames.append((pos, vel, has_vel, np.array(list(iter(box)), np.float32), time, step))
-            i += 2 + n + 1
+        with fh:
+            while True:
+                start = fh.tell()
+                title = fh.readline()
+                if not title:
+                    break
+                if not title.strip() and not fh.readline():
+                    break
+                if not title.strip():
+                    raise ReadTrajError(
+                        f"could not parse number of atoms in '{path}'", code="FrameNotFound"
+                    )
+                nline = fh.readline()
+                try:
+                    n = int(nline.strip())
+                except ValueError:
+                    raise ReadTrajError(
+                        f"could not parse number of atoms in '{path}'", code="FrameNotFound"
+                    ) from None
+                if natoms is None:
+                    natoms = n
+                elif natoms != n:
+                    raise ReadTrajError(
+                        f"inconsistent atom count in '{path}'", code="AtomsNumberMismatch"
+                    )
+                for _ in range(n + 1):  # atom lines + box line
+                    if not fh.readline():
+                        raise ReadTrajError(
+                            f"truncated frame in '{path}'", code="FrameNotFound"
+                        )
+                m = _TIME_STEP_RE.search(title.decode(errors="replace"))
+                t, st = (float(m.group(1)), int(m.group(2))) if m else (0.0, 0)
+                offsets.append(start)
+                times.append(t)
+                steps.append(st)
 
         self.natoms = natoms or 0
-        self._frames = frames
-        self.times = np.array([f[4] for f in frames], np.float32)
-        self.steps = np.array([f[5] for f in frames], np.int64)
+        self._offsets = np.asarray(offsets, np.int64)
+        self.times = np.asarray(times, np.float32)
+        self.steps = np.asarray(steps, np.int64)
 
     def n_frames(self) -> int:
-        return len(self._frames)
+        return self._offsets.shape[0]
+
+    def _parse_frame(self, fh, stop):
+        from .gro import parse_atom_block, parse_box_line
+
+        fh.readline()  # title
+        n = int(fh.readline().strip())
+        atom_lines = [fh.readline().rstrip("\n") for _ in range(n)]
+        box_line = fh.readline()
+        try:
+            _, _, _, _, pos, vel, has_vel = parse_atom_block(atom_lines)
+        except Exception as e:
+            raise ReadTrajError(
+                f"could not parse frame in '{self.path}': {e}", code="FrameNotFound"
+            ) from None
+        try:
+            box = parse_box_line(box_line)
+        except Exception as e:
+            raise ReadTrajError(f"invalid box in '{self.path}': {e}", code="InvalidBox") from None
+        box9 = np.array(list(iter(box)), np.float32)
+        return pos[:stop], (vel[:stop] if vel is not None else None), has_vel, box9
 
     def read_batch(self, frame_ids, stop_after=None):
         stop = stop_after if stop_after is not None else self.natoms
@@ -251,13 +269,15 @@ class GroSource(FrameSource):
         vel = np.zeros((b, stop, 3), np.float32)
         has_v = np.zeros(b, bool)
         boxes = np.zeros((b, 9), np.float32)
-        for k, fid in enumerate(ids):
-            p, v, hv, box9, _, _ = self._frames[fid]
-            pos[k] = p[:stop]
-            if v is not None:
-                vel[k] = v[:stop]
-                has_v[k] = bool(hv.all())
-            boxes[k] = box9
+        with open(self.path) as fh:
+            for k, fid in enumerate(ids):
+                fh.seek(self._offsets[fid])
+                p, v, hv, box9 = self._parse_frame(fh, stop)
+                pos[k] = p
+                if v is not None:
+                    vel[k] = v
+                    has_v[k] = bool(hv.all())
+                boxes[k] = box9
         return FrameBatch(
             positions=pos,
             velocities=vel,

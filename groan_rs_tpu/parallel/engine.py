@@ -60,12 +60,25 @@ class FrameEngine:
         pad = [(0, b_target - b)] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pad, mode="edge")
 
-    def run(self, batches, collect: bool = True):
-        """Iterate FrameBatches, running the step on each; returns the
-        per-frame results concatenated over the whole trajectory."""
+    def run(self, batches, collect: bool = True, fold=None, init=None,
+            on_batch=None):
+        """Iterate FrameBatches, running the step on each.
+
+        - default: per-frame results come back to host, concatenated over
+          the trajectory.
+        - `fold(carry, step_out, frame_mask) -> carry` keeps the reduction
+          ON DEVICE (the `ParallelTrajData::reduce` analogue,
+          reference parallel.rs:31-49): the step output never leaves HBM;
+          `init` is the initial carry pytree.  Returns (collected, carry).
+        - `on_batch(frame_batch)` is called after each batch completes
+          (progress ticking / cooperative abort — raise to stop the pass,
+          the reference's error-flag analogue, parallel.rs:28,230).
+        """
         import jax
         import jax.numpy as jnp
 
+        fold_j = jax.jit(fold) if fold is not None else None
+        carry = init
         outs = []
         for fb in batches:
             b = fb.positions.shape[0]
@@ -79,10 +92,26 @@ class FrameEngine:
             mask = np.zeros(b_pad, dtype=bool)
             mask[:b] = True
             mask_d = jax.device_put(mask, self._in_shard)
-            res = self._step(pos, boxes, mask_d)
+            try:
+                res = self._step(pos, boxes, mask_d)
+                if fold_j is not None:
+                    carry = fold_j(carry, res, mask_d)
+            except Exception as e:
+                raise ParallelError(
+                    f"analysis step failed on frames "
+                    f"{int(fb.frame_numbers[0])}..{int(fb.frame_numbers[-1])}: {e}"
+                ) from e
             if collect:
                 host = jax.tree.map(lambda x: np.asarray(x)[:b], res)
                 outs.append(host)
+            if on_batch is not None:
+                on_batch(fb)
+        if fold is not None:
+            collected = (
+                jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+                if collect and outs else ({} if collect else None)
+            )
+            return collected, carry
         if not collect:
             return None
         if not outs:
@@ -90,21 +119,33 @@ class FrameEngine:
         return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
 
-def traj_iter_map_reduce(system, filenames, body, *, init=None, reduce=None,
-                         group: str | None = None, fmt: str | None = None,
-                         batch_size: int = 64, start_time=None, end_time=None,
-                         step=None, progress=None):
+def traj_iter_map_reduce(system, filenames, body, *, init=None, fold=None,
+                         reduce=None, group: str | None = None,
+                         fmt: str | None = None, batch_size: int = 64,
+                         start_time=None, end_time=None, step=None,
+                         progress=None, mesh=None, collect=None,
+                         progress_shards: int | None = None):
     """API-parity analogue of `System::traj_iter_map_reduce`
     (reference: parallel.rs:208) running device-parallel.
 
-    - `body(frame_results_pytree) -> value` is applied to the batched
-      per-frame outputs if `body` is a host function; if `body` is a
-      jittable step (callable taking (positions, boxes, mask)), it runs
-      on-device sharded over frames.
-    - `reduce(values) -> result` folds the collected outputs (defaults to
-      concatenation, matching `ParallelTrajData::reduce` semantics).
+    - `body(positions, boxes, mask) -> pytree` — the jitted per-batch step,
+      sharded over the mesh's `frames` axis (the thread-body analogue).
+    - `init` + `fold(carry, step_out, mask) -> carry` — optional DEVICE-side
+      reduction across batches (the `ParallelTrajData::{initialize,reduce}`
+      protocol, parallel.rs:31-49); per-frame outputs then never leave HBM
+      unless `collect=True` is forced.
+    - `reduce(x) -> result` — host finalization, applied to the carry (when
+      `fold` is given) or to the concatenated per-frame outputs.
+    - `progress` — a ProgressPrinter; emits the reference's master-thread
+      output: a jump line, the master shard's frames, COMPLETED at its last
+      frame, then a final COMPLETED with the globally latest (step, time)
+      (parallel.rs:287-296, goldens progress_multithreaded_*.txt).
+    - errors in any batch abort the pass: progress flips to FAILED and a
+      ParallelError with the frame range propagates (the reference's shared
+      error-flag behaviour, parallel.rs:28,230,298-309).
     """
     from ..io.traj import cat_iter, traj_iter
+    from ..progress import ProgressStatus
 
     if isinstance(filenames, (list, tuple)):
         reader = cat_iter(system, filenames, fmt=fmt, group=group,
@@ -114,11 +155,60 @@ def traj_iter_map_reduce(system, filenames, body, *, init=None, reduce=None,
         reader = traj_iter(system, filenames, fmt=fmt, group=group,
                            batch_size=batch_size, start_time=start_time,
                            end_time=end_time, step=step)
-    if progress is not None:
-        reader.print_progress(progress)
 
-    engine = FrameEngine(body)
-    out = engine.run(reader.batches())
+    engine = FrameEngine(body, mesh=mesh)
+
+    on_batch = None
+    if progress is not None:
+        n_sh = max(progress_shards or engine.n_shards, 1)
+        times = reader.times
+        steps_arr = reader.steps
+        # the master shard's frames (thread 0 of n, parallel.rs:425-448)
+        master = np.arange(0, times.shape[0], n_sh)
+        state = {"printed": 0}
+
+        progress.print_jumping()
+
+        def on_batch(fb):
+            lo = state["printed"]
+            # global positions covered so far
+            done_until = state.get("done", 0) + len(fb)
+            state["done"] = done_until
+            while lo < master.shape[0] and master[lo] < done_until:
+                g = master[lo]
+                progress.print(lo, int(steps_arr[g]), float(times[g]))
+                lo += 1
+            state["printed"] = lo
+
+    collect_flag = (fold is None) if collect is None else collect
+    try:
+        out = engine.run(reader.batches(), collect=collect_flag, fold=fold,
+                         init=init, on_batch=on_batch)
+    except Exception:
+        if progress is not None:
+            progress.set_status(ProgressStatus.FAILED)
+            progress.print(0, system.get_step(), system.get_time())
+        raise
+
+    if progress is not None:
+        progress.set_status(ProgressStatus.COMPLETED)
+        if state["printed"] > 0:
+            # the master shard's own completion prints WITHOUT the end
+            # newline (reference: parallel.rs:411 clones the printer with
+            # newline_at_end=false for the worker pass)
+            saved = progress.newline_at_end
+            progress.newline_at_end = False
+            g = master[state["printed"] - 1]
+            progress.print(0, int(steps_arr[g]), float(times[g]))
+            progress.newline_at_end = saved
+        # final print with the globally latest step/time (parallel.rs:287-296)
+        if times.shape[0] > 0:
+            progress.print(0, int(steps_arr[-1]), float(times[-1]))
+
+    if fold is not None:
+        collected, carry = out
+        result = reduce(carry) if reduce is not None else carry
+        return (result, collected) if collect_flag else result
     if reduce is not None:
         return reduce(out)
     return out
