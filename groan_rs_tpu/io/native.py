@@ -125,7 +125,10 @@ def xtc_scan(path):
     """Frame index of an XTC file -> (offsets i64[F], steps i32[F],
     times f32[F], natoms)."""
     lib = get_lib()
-    fsize = os.path.getsize(path)
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
     cap = max(16, fsize // 56 + 4)
     offsets = np.empty(cap, np.int64)
     steps = np.empty(cap, np.int32)
@@ -225,7 +228,10 @@ def trr_scan(path):
     """-> (offsets, steps i32, times f64, lambdas f64, flags u8, natoms);
     flag bits: 1 = x, 2 = v, 4 = f, 8 = double precision."""
     lib = get_lib()
-    fsize = os.path.getsize(path)
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
     cap = max(16, fsize // 76 + 4)
     offsets = np.empty(cap, np.int64)
     steps = np.empty(cap, np.int32)

@@ -66,6 +66,12 @@ def parse_ndx(filename, n_atoms: int):
                     raise ParseNdxError(
                         f"could not parse line '{line.rstrip()}'"
                     ) from None
+                if serial < 0:
+                    # reference parses usize: '-22' is a line parse error,
+                    # not an invalid index (ndx_io.rs read_invalid_line)
+                    raise ParseNdxError(
+                        f"could not parse line '{line.rstrip()}'"
+                    )
                 if serial == 0 or serial > n_atoms:
                     raise ParseNdxError(
                         f"invalid atom index {serial}", code="InvalidAtomIndex"

@@ -215,6 +215,7 @@ def write_pdb(system, filename, group: str = "all", write_conect: bool = False):
         if sb is not None:
             lengths = sb.lengths()
             angles = sb.angles()
+            fh.write("REMARK    THIS IS A SIMULATION BOX\n")
             fh.write(
                 f"CRYST1{lengths[0] * 10:>9.3f}{lengths[1] * 10:>9.3f}{lengths[2] * 10:>9.3f}"
                 f"{angles[0]:>7.2f}{angles[1]:>7.2f}{angles[2]:>7.2f} P 1           1\n"
@@ -225,6 +226,7 @@ def write_pdb(system, filename, group: str = "all", write_conect: bool = False):
         fh.write("TER\nENDMDL\n")
         if write_conect:
             _write_conect(system, fh, indices)
+        fh.write("END\n")
 
 
 def _write_conect(system, fh, indices):
@@ -234,5 +236,10 @@ def _write_conect(system, fh, indices):
         bonded = [j for j in system.topology.bonded[i] if j in index_set]
         if not bonded:
             continue
-        nums = "".join(f"{system.topology.atomnum[j] % 100000:>5}" for j in bonded)
-        fh.write(f"CONECT{system.topology.atomnum[i] % 100000:>5}{nums}\n")
+        # PDB spec: at most 4 bonded serials per CONECT record; longer
+        # bond lists repeat the record (reference writer does the same)
+        for k in range(0, len(bonded), 4):
+            nums = "".join(
+                f"{system.topology.atomnum[j] % 100000:>5}" for j in bonded[k : k + 4]
+            )
+            fh.write(f"CONECT{system.topology.atomnum[i] % 100000:>5}{nums}\n")

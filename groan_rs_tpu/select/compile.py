@@ -65,45 +65,55 @@ def evaluate_mask(select: ast.Select, system) -> np.ndarray:
         return mask
 
     if isinstance(select, ast.GroupName):
+        # reference semantics (select/mod.rs:156-190): a single regex may
+        # match nothing as long as the WHOLE expanded name vector is
+        # non-empty; a plain name that does not exist errors immediately
         mask = np.zeros(n, dtype=bool)
+        any_expanded = False
         for name in select.names:
             if name.is_regex:
-                matched = [g for g in system.groups if name.matches(g)]
-                if not matched:
-                    raise SelectError(
-                        f"no group matches regular expression '{name.raw}'",
-                        code=SelectError.GROUP_NOT_FOUND,
-                    )
-                for g in matched:
-                    mask |= system.groups[g].atoms.mask(n)
+                for g in system.groups:
+                    if name.matches(g):
+                        any_expanded = True
+                        mask |= system.groups[g].atoms.mask(n)
             else:
                 if name.raw not in system.groups:
                     raise SelectError(
                         f"group '{name.raw}' does not exist",
                         code=SelectError.GROUP_NOT_FOUND,
                     )
+                any_expanded = True
                 mask |= system.groups[name.raw].atoms.mask(n)
+        if not any_expanded and select.names:
+            raise SelectError(
+                f"no group matches regular expression '{select.names[0].raw}'",
+                code=SelectError.GROUP_NOT_FOUND,
+            )
         return mask
 
     if isinstance(select, ast.LabeledAtom):
+        # same whole-vector expansion semantics as GroupName above
         mask = np.zeros(n, dtype=bool)
+        any_expanded = False
         for name in select.names:
             if name.is_regex:
-                matched = [lbl for lbl in system.labeled_atoms if name.matches(lbl)]
-                if not matched:
-                    raise SelectError(
-                        f"no label matches regular expression '{name.raw}'",
-                        code=SelectError.LABEL_NOT_FOUND,
-                    )
-                for lbl in matched:
-                    mask[system.labeled_atoms[lbl]] = True
+                for lbl in system.labeled_atoms:
+                    if name.matches(lbl):
+                        any_expanded = True
+                        mask[system.labeled_atoms[lbl]] = True
             else:
                 if name.raw not in system.labeled_atoms:
                     raise SelectError(
                         f"label '{name.raw}' does not exist",
                         code=SelectError.LABEL_NOT_FOUND,
                     )
+                any_expanded = True
                 mask[system.labeled_atoms[name.raw]] = True
+        if not any_expanded and select.names:
+            raise SelectError(
+                f"no label matches regular expression '{select.names[0].raw}'",
+                code=SelectError.LABEL_NOT_FOUND,
+            )
         return mask
 
     if isinstance(select, ast.ElementName):

@@ -18,7 +18,7 @@ from .core import Group, GroupOverwriteWarning, SystemCore, name_is_valid
 from .groups import GroupsMixin
 from .guess import GuessMixin
 from .hbonds import HBondsMixin
-from .iterating import IteratingMixin
+from .iterating import IteratingMixin, PairIteratingMixin
 from .modifying import ModifyingMixin
 from .rmsd import RMSDMixin
 from .utility import UtilityMixin
@@ -29,6 +29,7 @@ class System(
     AnalysisMixin,
     ModifyingMixin,
     IteratingMixin,
+    PairIteratingMixin,
     UtilityMixin,
     RMSDMixin,
     GuessMixin,

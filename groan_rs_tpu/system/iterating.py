@@ -106,3 +106,59 @@ class IteratingMixin:
             geometry.inside(self.positions[idx], box)
         )
         return np.asarray(idx)[ok]
+
+
+def union_iter(iter1, iter2):
+    """Merge two index-ordered atom iterators, yielding each atom at most
+    once in System order (reference: UnionAtomIterator, iterators.rs:660)."""
+    a = next(iter1, None)
+    b = next(iter2, None)
+    while a is not None or b is not None:
+        if b is None or (a is not None and a.get_index() < b.get_index()):
+            yield a
+            a = next(iter1, None)
+        elif a is None or b.get_index() < a.get_index():
+            yield b
+            b = next(iter2, None)
+        else:  # same atom in both
+            yield a
+            a = next(iter1, None)
+            b = next(iter2, None)
+
+
+def intersection_iter(iter1, iter2):
+    """Yield atoms present in BOTH index-ordered iterators, in System order
+    (reference: IntersectionAtomIterator, iterators.rs:758)."""
+    a = next(iter1, None)
+    b = next(iter2, None)
+    while a is not None and b is not None:
+        ia, ib = a.get_index(), b.get_index()
+        if ia == ib:
+            yield a
+            a = next(iter1, None)
+            b = next(iter2, None)
+        elif ia < ib:
+            a = next(iter1, None)
+        else:
+            b = next(iter2, None)
+
+
+class PairIteratingMixin:
+    def atom_pairs_iter(self, pairs):
+        """Iterate (Atom, Atom) for explicit index pairs
+        (reference: AtomPairIterator, iterators.rs:1612)."""
+        n = self.get_n_atoms()
+        for i, j in pairs:
+            if not (0 <= i < n) or not (0 <= j < n):
+                raise AtomError(f"atom pair ({i}, {j}) out of range", code="OutOfRange")
+            yield Atom(self, int(i)), Atom(self, int(j))
+
+    atom_pairs_iter_mut = atom_pairs_iter
+
+    def group_union_iter(self, name1: str, name2: str):
+        """Union of two groups' atoms in System order."""
+        return union_iter(self.group_iter(name1), self.group_iter(name2))
+
+    def group_intersection_iter(self, name1: str, name2: str):
+        """Intersection of two groups' atoms in System order."""
+        return intersection_iter(self.group_iter(name1), self.group_iter(name2))

@@ -1,0 +1,183 @@
+"""Adversarial fixture corpus: corrupted/invalid inputs must fail with the
+right typed error (reference: error-path tests throughout src/io/*.rs using
+the fake_*/invalid_*/nan_* fixtures)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import (
+    ParseGroError,
+    ParseNdxError,
+    ParsePdbError,
+    ParsePqrError,
+    ReadTrajError,
+)
+from groan_rs_tpu.system import System
+
+
+def _p(test_files, name):
+    return os.path.join(test_files, name)
+
+
+# ----------------------------------------------------------------- GRO
+
+GRO_BAD = [
+    "nan_error.gro",               # NaN position (ParseGroError::InvalidFloat)
+    "nan_error_velocity.gro",      # NaN velocity
+    "example_invalid_position.gro",
+    "example_invalid_velocity.gro",
+    "example_invalid_atomid.gro",
+    "example_invalid_resid.gro",
+    "example_short_box.gro",
+    "example_empty.gro",           # LineNotFound
+    "example_only_title.gro",
+    "example_missing_natoms.gro",
+]
+
+
+@pytest.mark.parametrize("name", GRO_BAD)
+def test_gro_parse_errors(test_files, name):
+    with pytest.raises(ParseGroError):
+        System.from_file(_p(test_files, name))
+
+
+def test_gro_empty_box_line(test_files):
+    """An empty box line is invalid (reference: read_gro box parse)."""
+    with pytest.raises(ParseGroError):
+        System.from_file(_p(test_files, "example_empty_box_line.gro"))
+
+
+# ----------------------------------------------------------------- PDB
+
+PDB_BAD = [
+    "nan_error.pdb",
+    "example_invalid_atom.pdb",
+    "example_short_atom.pdb",
+]
+
+
+@pytest.mark.parametrize("name", PDB_BAD)
+def test_pdb_parse_errors(test_files, name):
+    with pytest.raises(ParsePdbError):
+        System.from_file(_p(test_files, name))
+
+
+@pytest.mark.parametrize("name", ["example_invalid_box.pdb", "example_invalid_box2.pdb",
+                                  "example_short_box.pdb"])
+def test_pdb_invalid_box(test_files, name):
+    with pytest.raises(ParsePdbError):
+        System.from_file(_p(test_files, name))
+
+
+@pytest.mark.parametrize("name", ["bonds_parse_error_1.pdb", "bonds_parse_error_2.pdb",
+                                  "bonds_invalid_index_1.pdb", "bonds_invalid_index_2.pdb",
+                                  "bonds_selfbonding.pdb"])
+def test_pdb_bond_errors(test_files, name):
+    """CONECT records with parse errors / out-of-range serials / self-bonds
+    (reference: pdb_io.rs:1135-1200)."""
+    s = System.from_file(_p(test_files, "bonds_for_example.pdb"))
+    with pytest.raises(ParsePdbError):
+        s.add_bonds_from_pdb(_p(test_files, name))
+
+
+# ----------------------------------------------------------------- PQR
+
+PQR_BAD = [
+    "nan_error.pqr",
+    "example_invalid_box.pqr",
+    "example_invalid_chain.pqr",
+    "example_invalid_coord.pqr",
+    "example_invalid_vdw.pqr",
+]
+
+
+@pytest.mark.parametrize("name", PQR_BAD)
+def test_pqr_parse_errors(test_files, name):
+    with pytest.raises(ParsePqrError):
+        System.from_file(_p(test_files, name))
+
+
+# ----------------------------------------------------------------- NDX
+
+def test_ndx_duplicate_indices_ok(test_files, example_gro_system=None):
+    """Duplicate serials inside a group are deduped without error
+    (reference: ndx_io.rs:400)."""
+    s = System.from_file(_p(test_files, "example.gro"))
+    s.read_ndx(_p(test_files, "index_duplicate.ndx"))
+
+
+def test_ndx_empty_ok(test_files):
+    s = System.from_file(_p(test_files, "example.gro"))
+    s.read_ndx(_p(test_files, "index_empty.ndx"))
+    assert s.get_n_groups() == 2  # only all/All
+
+
+@pytest.mark.parametrize("name", ["index_invalid_line.ndx", "index_invalid_index1.ndx",
+                                  "index_invalid_index2.ndx", "index_invalid_name.ndx"])
+def test_ndx_invalid(test_files, name):
+    # reference drives these against the 50-atom example_novelocities.gro
+    # (ndx_io.rs:493-552) — serial 51 must then be out of range
+    s = System.from_file(_p(test_files, "example_novelocities.gro"))
+    try:
+        s.read_ndx(_p(test_files, name))
+        failed = False
+    except ParseNdxError:
+        failed = True
+    if name == "index_invalid_name.ndx":
+        # invalid names are warnings in our reader (system still updated),
+        # matching read_ndx_with_default semantics; reference's strict path
+        # errors — accept either, but the group must not exist
+        assert not s.group_exists("[   ]")
+    else:
+        assert failed
+
+
+def test_pdb_without_atoms_gives_empty_system(test_files):
+    """A non-PDB text file has no ATOM records -> 0-atom system (the
+    reference only rejects fake_pdb via chemfiles, not read_pdb)."""
+    s = System.from_file(_p(test_files, "fake_pdb.pdb"))
+    assert s.get_n_atoms() == 0
+
+
+# ----------------------------------------------------------------- trajectories
+
+@pytest.mark.parametrize("name,fmt", [
+    ("fake_xtc.xtc", "xtc"),
+    ("fake_trr.trr", "trr"),
+    ("fake_dcd.dcd", "dcd"),
+    ("fake_nc.nc", "nc"),
+])
+def test_fake_trajectories_rejected(test_files, name, fmt):
+    s = System.from_file(_p(test_files, "example.gro"))
+    with pytest.raises(ReadTrajError):
+        list(s.traj_iter(_p(test_files, name), fmt=fmt))
+
+
+def test_tng_documented_unsupported(test_files):
+    s = System.from_file(_p(test_files, "example.gro"))
+    with pytest.raises(ReadTrajError):
+        list(s.traj_iter(_p(test_files, "short_trajectory.tng"), fmt="tng"))
+
+
+def test_xtc_wrong_natoms(test_files):
+    """Trajectory atom count must match the system (reference:
+    TrajError::AtomsNumberMismatch)."""
+    s = System.from_file(_p(test_files, "dodecahedron.gro"))  # 50 atoms
+    with pytest.raises(ReadTrajError):
+        list(s.xtc_iter(_p(test_files, "short_trajectory.xtc")))
+
+
+def test_gro_as_trajectory_rejects_empty(test_files):
+    s = System.from_file(_p(test_files, "example.gro"))
+    with pytest.raises(ReadTrajError):
+        list(s.traj_iter(_p(test_files, "example_empty.gro"), fmt="gro"))
+
+
+def test_missing_file_errors(test_files):
+    with pytest.raises(ParseGroError):
+        System.from_file(_p(test_files, "does_not_exist.gro"))
+    s = System.from_file(_p(test_files, "example.gro"))
+    with pytest.raises(ReadTrajError, match="not found|could not"):
+        list(s.xtc_iter(_p(test_files, "does_not_exist.xtc")))

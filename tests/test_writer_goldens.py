@@ -1,0 +1,147 @@
+"""Writer golden-file byte parity vs reference expected outputs
+(reference drivers: pdb_io.rs tests_write, pqr_io.rs, gro writers,
+make-whole/wrapping goldens)."""
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.system import System
+
+
+def _p(test_files, name):
+    return os.path.join(test_files, name)
+
+
+def _same(a, b):
+    return open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_write_pdb_golden(test_files, tmp_path):
+    """reference: pdb_io.rs write -> example_nochain.pdb byte-identical."""
+    s = System.from_file(_p(test_files, "example_novelocities.gro"))
+    out = tmp_path / "out.pdb"
+    s.write_pdb(out, False)
+    assert _same(out, _p(test_files, "example_nochain.pdb"))
+
+
+def test_write_pdb_conect_golden(test_files, tmp_path):
+    """reference: pdb_io.rs write_with_connectivity -> expected_bonds.pdb."""
+    s = System.from_file(_p(test_files, "conect.pdb"))
+    s.add_bonds_from_pdb(_p(test_files, "conect.pdb"))
+    out = tmp_path / "out.pdb"
+    s.write_pdb(out, True)
+    assert _same(out, _p(test_files, "expected_bonds.pdb"))
+
+
+def test_group_write_pdb_conect_golden(test_files, tmp_path):
+    """reference: pdb_io.rs group_write_with_connectivity ->
+    group_expected_bonds.pdb."""
+    s = System.from_file(_p(test_files, "conect.pdb"))
+    s.add_bonds_from_pdb(_p(test_files, "conect.pdb"))
+    s.group_create("Group", "serial 20 to 30")
+    out = tmp_path / "out.pdb"
+    s.group_write_pdb("Group", out, True)
+    assert _same(out, _p(test_files, "group_expected_bonds.pdb"))
+
+
+def test_write_gro_roundtrip_golden(test_files, tmp_path):
+    """GRO writer must reproduce the input byte-for-byte (the reference
+    diff-tests write_gro against the original)."""
+    src = _p(test_files, "example.gro")
+    s = System.from_file(src)
+    out = tmp_path / "out.gro"
+    s.write_gro(out, write_velocities=True)
+    # title lines may differ; compare atom+box content
+    a = open(src).read().splitlines()[1:]
+    b = open(out).read().splitlines()[1:]
+    assert a == b
+
+
+def test_number_wrapping_golden(test_files, tmp_path):
+    """reference: gro_io/structure.rs write_wrap -> wrapping_expected.gro
+    (atom/residue numbers wrap modulo 100000, names truncate to 5 chars)."""
+    from groan_rs_tpu.core.simbox import SimBox
+    from groan_rs_tpu.core.topology import Topology
+    from groan_rs_tpu.system import System as Sys
+
+    topo = Topology.from_columns(
+        resnum=[158, 158, 100003, 100003, 100003],
+        resname=["THR", "THR", "ARG", "ARGGGT", "ARG"],
+        atomname=["BBBBBT", "SC1", "BB", "SC1", "SC2"],
+        atomnum=[1, 99999, 100000, 200001, 200005],
+    )
+    s = Sys("Expected atom and residue wrapping", topo, SimBox.from_lengths(1.0, 1.0, 1.0))
+    out = tmp_path / "wrap.gro"
+    s.write_gro(out)
+    assert _same(out, _p(test_files, "wrapping_expected.gro"))
+
+
+def test_whole_molecules_expected_golden(test_files, tmp_path):
+    """reference: modifying.rs make_molecules_whole golden (conect.pdb +
+    translate + make whole -> whole_molecules_expected.gro)."""
+    s = System.from_file(_p(test_files, "conect.pdb"))
+    s.add_bonds_from_pdb(_p(test_files, "conect.pdb"))
+    s.atoms_translate([3.5, 4.5, -3.0])
+    s.make_molecules_whole()
+    out = tmp_path / "whole.gro"
+    s.write_gro(out)
+    assert _same(out, _p(test_files, "whole_molecules_expected.gro"))
+
+
+def test_make_group_whole_golden(test_files, tmp_path):
+    """reference: modifying.rs make_group_whole -> whole_group_expected.gro."""
+    s = System.from_file(_p(test_files, "conect.pdb"))
+    s.atoms_translate([3.5, 4.5, -3.0])
+    s.make_group_whole("all")
+    out = tmp_path / "gw.gro"
+    s.write_gro(out)
+    assert _same(out, _p(test_files, "whole_group_expected.gro"))
+
+
+def test_make_molecules_whole_aa_golden(test_files, tmp_path):
+    """reference: modifying.rs make_molecules_whole_aa ->
+    water_for_whole_expected.gro."""
+    s = System.from_file(_p(test_files, "water_for_whole.tpr"))
+    s.make_molecules_whole()
+    out = tmp_path / "ww.gro"
+    s.write_gro(out)
+    assert _same(out, _p(test_files, "water_for_whole_expected.gro"))
+
+
+def test_write_pqr_roundtrip(test_files, tmp_path):
+    """PQR write -> re-read gives identical atoms (reference: pqr_io.rs)."""
+    s = System.from_file(_p(test_files, "example.pqr"))
+    out = tmp_path / "out.pqr"
+    s.write_pqr(out)
+    s2 = System.from_file(out)
+    assert s2.get_n_atoms() == s.get_n_atoms()
+    np.testing.assert_allclose(s2.positions, s.positions, atol=1e-4)
+    np.testing.assert_allclose(s2.topology.charge, s.topology.charge, atol=1e-5)
+    np.testing.assert_allclose(s2.topology.vdw, s.topology.vdw, atol=1e-5)
+
+
+def test_group_write_pqr(test_files, tmp_path):
+    s = System.from_file(_p(test_files, "example.pqr"))
+    s.group_create("Few", "serial 1 to 10")
+    out = tmp_path / "few.pqr"
+    s.group_write_pqr("Few", out)
+    s2 = System.from_file(out)
+    assert s2.get_n_atoms() == 10
+
+
+def test_protein_trajectory_golden(test_files, tmp_path):
+    """reference: gro_io/trajectory.rs gro_writer_no_velocities —
+    protein.gro + first 3 frames of short_trajectory_protein.xtc ->
+    expected_protein_trajectory.gro byte-identical."""
+    s = System.from_file(_p(test_files, "protein.gro"))
+    out = tmp_path / "prot.gro"
+    s.traj_writer_init(str(out), fmt="gro")
+    for i, _ in enumerate(s.xtc_iter(_p(test_files, "short_trajectory_protein.xtc"))):
+        if i >= 3:
+            break
+        s.traj_write_frame()
+    s.traj_writers_close()
+    assert _same(out, _p(test_files, "expected_protein_trajectory.gro"))
