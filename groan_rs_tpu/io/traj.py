@@ -120,9 +120,21 @@ class FrameSource:
 class XtcSource(FrameSource):
     kind = "xtc"
 
-    def __init__(self, path):
+    def __init__(self, path, use_index_cache: bool = True):
+        from .index_cache import load_index, save_index
+
         self.path = str(path)
-        offsets, steps, times, natoms = native.xtc_scan(self.path)
+        cached = load_index(self.path) if use_index_cache else None
+        if cached is not None:
+            offsets = cached["offsets"]
+            steps = cached["steps"]
+            times = cached["times"]
+            natoms = int(cached["natoms"])
+        else:
+            offsets, steps, times, natoms = native.xtc_scan(self.path)
+            if use_index_cache:
+                save_index(self.path, dict(offsets=offsets, steps=steps,
+                                           times=times, natoms=natoms))
         self.offsets = offsets
         self.steps = steps.astype(np.int64)
         self.times = times

@@ -7,6 +7,15 @@ replacement for the reference's per-frame `TrajAnalyzer` plug-ins
 (`src/structures/traj_convert.rs:65`).
 """
 
+from .convert import (
+    FitConverter,
+    FrameAnalyze,
+    FrameConvert,
+    TranslateConverter,
+    WrapConverter,
+    analyze_iter,
+    convert_iter,
+)
 from .pipeline import TrajectoryAnalysis
 
 __all__ = ["TrajectoryAnalysis"]

@@ -1,0 +1,127 @@
+"""Pallas TPU kernels for the atom-axis hot ops (SURVEY §7: "Pallas where
+fusion wins" — tiled PBC pair kernels that never materialize N x M).
+
+`min_distance` / `contact_count` over two atom sets tile the pair grid
+like blockwise attention: each (TN, TM) tile loads two coordinate slabs
+into VMEM, computes minimum-image squared distances on the VPU, reduces
+in-register, and writes one scalar per tile; the [N, M] matrix never
+exists in HBM (SURVEY §5 long-context analogue).
+
+On CPU (tests, virtual meshes) the kernels run through the Pallas
+interpreter — same code path, bit-compatible semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TILE_N = 256
+TILE_M = 256
+_BIG = 1e30  # python float: jnp constants would be captured by the kernel
+
+
+def _pair_tile_kernel(n_ref, m_ref, cutoff_ref, a_ref, b_ref, box_ref,
+                      min_ref, cnt_ref):
+    """One (TN, TM) tile: min-image squared distances + reductions.
+
+    a_ref: [TN, 3]; b_ref: [TM, 3]; box_ref: [1, 3] (SMEM);
+    n_ref/m_ref/cutoff_ref: scalars (SMEM).  Outputs: per-tile min
+    distance^2 and contact count (distance^2 < cutoff^2), padding-masked.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    d2 = jnp.zeros((TILE_N, TILE_M), jnp.float32)
+    for ax in range(3):
+        aa = a_ref[:, ax].reshape(TILE_N, 1)
+        bb = b_ref[:, ax].reshape(1, TILE_M)
+        box_l = box_ref[0, ax]
+        d = aa - bb
+        # minimum image: d - L * floor(d / L + 0.5)
+        d = d - box_l * jnp.floor(d / box_l + 0.5)
+        d2 = d2 + d * d
+
+    # mask padded rows/cols
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_M), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_M), 1)
+    valid = (rows + i * TILE_N < n_ref[0]) & (cols + j * TILE_M < m_ref[0])
+
+    # accumulate across the sequential TPU grid into (8, 128) VMEM blocks
+    # (scalar broadcast keeps the layout aligned; element [0, 0] carries
+    # the global reduction)
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        min_ref[:] = jnp.full((8, 128), _BIG, jnp.float32)
+        cnt_ref[:] = jnp.zeros((8, 128), jnp.int32)
+
+    d2_min = jnp.where(valid, d2, _BIG)
+    min_ref[:] = jnp.minimum(min_ref[:], jnp.min(d2_min))
+
+    cut2 = cutoff_ref[0] * cutoff_ref[0]
+    tile_cnt = jnp.sum(
+        jnp.where(valid & (d2 < cut2), jnp.int32(1), jnp.int32(0))
+    )
+    cnt_ref[:] = cnt_ref[:] + tile_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pair_reduce(a, b, box, cutoff, *, interpret):
+    n, m = a.shape[0], b.shape[0]
+    n_pad = -(-n // TILE_N) * TILE_N
+    m_pad = -(-m // TILE_M) * TILE_M
+    a_p = jnp.pad(a.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    b_p = jnp.pad(b.astype(jnp.float32), ((0, m_pad - m), (0, 0)))
+    grid = (n_pad // TILE_N, m_pad // TILE_M)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    mins, cnts = pl.pallas_call(
+        _pair_tile_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # m
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cutoff
+            pl.BlockSpec((TILE_N, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE_M, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # box [1, 3]
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([n], jnp.int32),
+        jnp.asarray([m], jnp.int32),
+        jnp.asarray([cutoff], jnp.float32),
+        a_p,
+        b_p,
+        jnp.asarray(box, jnp.float32).reshape(1, 3),
+        )
+    return jnp.sqrt(mins[0, 0]), cnts[0, 0]
+
+
+def _use_interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def min_distance(a, b, box):
+    """Minimum PBC distance between two atom sets `[N, 3]`, `[M, 3]`
+    (orthogonal `box` `(3,)`) without materializing N x M."""
+    d, _ = _pair_reduce(a, b, box, 0.0, interpret=_use_interpret())
+    return d
+
+
+def contact_count(a, b, box, cutoff: float):
+    """Number of pairs with PBC distance < cutoff, tiled."""
+    _, c = _pair_reduce(a, b, box, float(cutoff), interpret=_use_interpret())
+    return c

@@ -61,7 +61,7 @@ class FrameEngine:
         return np.pad(arr, pad, mode="edge")
 
     def run(self, batches, collect: bool = True, fold=None, init=None,
-            on_batch=None):
+            on_batch=None, on_carry=None, profiler=None):
         """Iterate FrameBatches, running the step on each.
 
         - default: per-frame results come back to host, concatenated over
@@ -77,25 +77,47 @@ class FrameEngine:
         import jax
         import jax.numpy as jnp
 
+        import contextlib
+
         fold_j = jax.jit(fold) if fold is not None else None
         carry = init
         outs = []
-        for fb in batches:
+
+        def _stage(name):
+            return profiler.stage(name) if profiler is not None else contextlib.nullcontext()
+
+        it = iter(batches)
+        while True:
+            if profiler is not None:
+                profiler.start_batch(0)
+            with _stage("decode_wait"):
+                fb = next(it, None)
+            if fb is None:
+                if profiler is not None:
+                    profiler._open = None
+                break
+            if profiler is not None:
+                profiler._open["n_frames"] = len(fb)
             b = fb.positions.shape[0]
             b_pad = -(-b // self.n_shards) * self.n_shards
-            pos = jax.device_put(
-                self._pad(fb.positions, b_pad), self._in_shard
-            )
-            box_host = (fb.box_matrices() if self._box_mode == "matrix"
-                        else fb.box_lengths())
-            boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
-            mask = np.zeros(b_pad, dtype=bool)
-            mask[:b] = True
-            mask_d = jax.device_put(mask, self._in_shard)
+            with _stage("h2d"):
+                pos = jax.device_put(
+                    self._pad(fb.positions, b_pad), self._in_shard
+                )
+                box_host = (fb.box_matrices() if self._box_mode == "matrix"
+                            else fb.box_lengths())
+                boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
+                mask = np.zeros(b_pad, dtype=bool)
+                mask[:b] = True
+                mask_d = jax.device_put(mask, self._in_shard)
+                jax.block_until_ready((pos, boxes, mask_d))
             try:
-                res = self._step(pos, boxes, mask_d)
-                if fold_j is not None:
-                    carry = fold_j(carry, res, mask_d)
+                with _stage("compute"):
+                    res = self._step(pos, boxes, mask_d)
+                    if fold_j is not None:
+                        carry = fold_j(carry, res, mask_d)
+                    if profiler is not None:
+                        jax.block_until_ready(res)
             except Exception as e:
                 raise ParallelError(
                     f"analysis step failed on frames "
@@ -106,6 +128,10 @@ class FrameEngine:
                 outs.append(host)
             if on_batch is not None:
                 on_batch(fb)
+            if on_carry is not None and fold_j is not None:
+                on_carry(fb, carry)
+            if profiler is not None:
+                profiler.end_batch()
         if fold is not None:
             collected = (
                 jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
@@ -124,7 +150,8 @@ def traj_iter_map_reduce(system, filenames, body, *, init=None, fold=None,
                          fmt: str | None = None, batch_size: int = 64,
                          start_time=None, end_time=None, step=None,
                          progress=None, mesh=None, collect=None,
-                         progress_shards: int | None = None):
+                         progress_shards: int | None = None,
+                         checkpoint=None):
     """API-parity analogue of `System::traj_iter_map_reduce`
     (reference: parallel.rs:208) running device-parallel.
 
@@ -143,6 +170,11 @@ def traj_iter_map_reduce(system, filenames, body, *, init=None, fold=None,
     - errors in any batch abort the pass: progress flips to FAILED and a
       ParallelError with the frame range propagates (the reference's shared
       error-flag behaviour, parallel.rs:28,230,298-309).
+    - `checkpoint` (path, requires `fold`): resumable pass state — the
+      frame cursor and the partial reduction are saved after every batch;
+      an interrupted pass restarts from the last completed batch
+      (SURVEY §5 checkpoint/resume; the reference's analogue is O(1)
+      time-seek restart via `with_range`).
     """
     from ..io.traj import cat_iter, traj_iter
     from ..progress import ProgressStatus
@@ -181,9 +213,38 @@ def traj_iter_map_reduce(system, filenames, body, *, init=None, fold=None,
             state["printed"] = lo
 
     collect_flag = (fold is None) if collect is None else collect
+
+    # resumable pass state (requires a device-side fold)
+    ckpt_state = None
+    if checkpoint is not None:
+        if fold is None:
+            raise ParallelError("checkpoint requires a fold reduction")
+        from ..io.index_cache import PassState
+
+        ckpt_state = PassState.load(checkpoint, like=init) or PassState(0, init)
+        if ckpt_state.cursor > 0:
+            init = ckpt_state.carry
+            # restrict iteration to the unprocessed tail
+            sel = reader.selected_frames()
+            skip = sel[: ckpt_state.cursor]
+            newmask = reader._mask.copy()
+            newmask[skip] = False
+            reader._mask = newmask
+
+    on_carry = None
+    if ckpt_state is not None:
+        import jax
+
+        done = {"n": ckpt_state.cursor}
+
+        def on_carry(fb, carry):
+            done["n"] += len(fb)
+            ckpt_state.update(done["n"], jax.tree.map(np.asarray, carry))
+            ckpt_state.save(checkpoint)
+
     try:
         out = engine.run(reader.batches(), collect=collect_flag, fold=fold,
-                         init=init, on_batch=on_batch)
+                         init=init, on_batch=on_batch, on_carry=on_carry)
     except Exception:
         if progress is not None:
             progress.set_status(ProgressStatus.FAILED)

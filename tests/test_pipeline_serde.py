@@ -156,3 +156,44 @@ def test_dcd_iteration_via_system(example, test_files):
     times = [f.get_time() for f in s.traj_iter(os.path.join(test_files, "short_trajectory.dcd"))]
     assert len(times) == 11
     assert times[1] == pytest.approx(100.0)
+
+
+def test_convert_analyze_framework(example, test_files):
+    """reference: traj_convert.rs converter/analyzer protocol."""
+    import numpy as _np
+
+    from groan_rs_tpu.models import (
+        TranslateConverter, WrapConverter, analyze_iter, convert_iter,
+    )
+
+    s = example.copy()
+    s.group_create("Protein", "@protein")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+
+    # converter chain: translate + wrap; analyzer: protein center
+    conv = [TranslateConverter([1.0, 0.0, 0.0]), WrapConverter()]
+    centers = [
+        _np.asarray(v)
+        for _, v in analyze_iter(
+            s.xtc_iter(xtc), lambda sys: sys.group_get_center("Protein"), conv
+        )
+    ]
+    assert len(centers) == 11
+
+    # parity: translating by x shifts the center by x (mod box)
+    s2 = example.copy()
+    s2.group_create("Protein", "@protein")
+    raw = [
+        _np.asarray(f.group_get_center("Protein")) for f in s2.xtc_iter(xtc)
+    ]
+    box_x = s2.get_box().x
+    for c, r in zip(centers, raw):
+        dx = (c[0] - r[0]) % box_x
+        assert min(abs(dx - 1.0), abs(dx - 1.0 - box_x), abs(dx - 1.0 + box_x)) < 1e-3
+        _np.testing.assert_allclose(c[1:], r[1:], atol=1e-3)
+
+    # plain function converters work too
+    seen = []
+    for frame in convert_iter(s.xtc_iter(xtc), [lambda sys: seen.append(sys.get_time())]):
+        pass
+    assert len(seen) == 11
