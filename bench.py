@@ -130,6 +130,11 @@ def main():
     if not os.path.exists(xtc):
         log(f"building {N_ATOMS}-atom x {N_FRAMES}-frame trajectory...")
         build_trajectory(xtc, n_prot, n_mem)
+    # warm the page cache (cold disk reads on this host run at ~5 MB/s and
+    # would otherwise dominate the first timed pass)
+    with open(xtc, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
     log(f"setup: {time.perf_counter() - t_setup:.1f}s")
 
     import jax
@@ -294,7 +299,7 @@ def main():
 
     log("timed passes...")
     best = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPS", 3))):
+    for _ in range(int(os.environ.get("BENCH_REPS", 5))):
         t0 = time.perf_counter()
         run_pass()
         dt = time.perf_counter() - t0

@@ -200,7 +200,20 @@ struct BitReader {
   inline int get(int n) { return n == 0 ? 0 : int(get64(n)); }
 
   // unpack a multi-radix triple stored in `nbits_total` bits
-  inline void get_ints(int nints, int nbits_total, const uint32_t sizes[], int32_t nums[]) {
+  // exact unsigned division via double reciprocal + fixup: the reciprocal
+  // estimate is within a few ULP, the fixup loops correct it exactly
+  // (x < 2^57, d < 2^25 so q*d fits u64).  ~3x faster than divq on the
+  // decode hot path, where the divisor changes rarely but is loop-variant
+  // so the compiler cannot strength-reduce it.
+  static inline uint64_t fast_div(uint64_t x, uint32_t d, double inv) {
+    uint64_t q = uint64_t(double(x) * inv);
+    while ((q + 1) * uint64_t(d) <= x) q++;
+    while (q * uint64_t(d) > x) q--;
+    return q;
+  }
+
+  inline void get_ints(int nints, int nbits_total, const uint32_t sizes[],
+                       const double invs[], int32_t nums[]) {
     if (nints == 3 && nbits_total <= 57) {
       // fast path: gather the least-significant-chunk-first packed value
       // with one refill, then two divisions
@@ -216,9 +229,9 @@ struct BitReader {
         shift += 8;
       }
       x |= (v & ((1u << rem) - 1)) << shift;
-      uint64_t q = x / sizes[2];
+      uint64_t q = fast_div(x, sizes[2], invs[2]);
       nums[2] = int32_t(x - q * sizes[2]);
-      uint64_t q2 = q / sizes[1];
+      uint64_t q2 = fast_div(q, sizes[1], invs[1]);
       nums[1] = int32_t(q - q2 * sizes[1]);
       nums[0] = int32_t(q2);
       return;
@@ -417,6 +430,14 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
   uint32_t sizesmall[3] = {uint32_t(kMagicInts[smallidx]), uint32_t(kMagicInts[smallidx]),
                            uint32_t(kMagicInts[smallidx])};
 
+  // reciprocals for the fast_div hot path (sizeint fixed per frame;
+  // sizesmall follows the smallidx adaptation)
+  double inv_sizeint[3] = {sizeint[0] ? 1.0 / sizeint[0] : 0.0,
+                           sizeint[1] ? 1.0 / sizeint[1] : 0.0,
+                           sizeint[2] ? 1.0 / sizeint[2] : 0.0};
+  double inv_smallv = 1.0 / double(kMagicInts[smallidx]);
+  double inv_small[3] = {inv_smallv, inv_smallv, inv_smallv};
+
   BitReader br{data, datalen};
   int32_t thiscoord[3], prevcoord[3] = {0, 0, 0};
   int run = 0;
@@ -431,7 +452,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
       thiscoord[1] = br.get(int(bitsizeint[1]));
       thiscoord[2] = br.get(int(bitsizeint[2]));
     } else {
-      br.get_ints(3, bitsize, sizeint, thiscoord);
+      br.get_ints(3, bitsize, sizeint, inv_sizeint, thiscoord);
     }
     i++;
     thiscoord[0] += h.minint[0];
@@ -453,7 +474,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
 
     if (run > 0) {
       for (int k = 0; k < run; k += 3) {
-        br.get_ints(3, smallidx, sizesmall, thiscoord);
+        br.get_ints(3, smallidx, sizesmall, inv_small, thiscoord);
         i++;
         thiscoord[0] += prevcoord[0] - smallnum;
         thiscoord[1] += prevcoord[1] - smallnum;
@@ -485,6 +506,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
     }
     if (smallidx < kFirstIdx || smallidx > kLastIdx) return GX_ERR_CORRUPT;
     sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(kMagicInts[smallidx]);
+    inv_small[0] = inv_small[1] = inv_small[2] = 1.0 / double(kMagicInts[smallidx]);
     if (br.overrun) return GX_ERR_CORRUPT;
   }
   return GX_OK;

@@ -399,6 +399,27 @@ class TrajReader:
             )
         return self
 
+    def with_host_shard(self, host_id: int, n_hosts: int) -> "TrajReader":
+        """Restrict to this host's frame stripe for multi-host passes.
+
+        The multi-host (DCN) decomposition: each host opens the shared file
+        and takes frames `host_id::n_hosts` of the current selection by
+        byte offsets from the frame index — the cross-host generalization
+        of the reference's per-thread striding (parallel.rs:425-448).
+        Per-host partial reductions combine with a final cross-host
+        collective or gather.
+        """
+        if not (0 <= host_id < n_hosts):
+            raise ReadTrajError(
+                f"host_id {host_id} not in [0, {n_hosts})", code="InvalidHostShard"
+            )
+        sel = np.nonzero(self._mask)[0]
+        keep = sel[host_id::n_hosts]
+        newmask = np.zeros_like(self._mask)
+        newmask[keep] = True
+        self._mask = newmask
+        return self
+
     def with_step(self, step: int) -> "TrajReader":
         """Every `step`-th frame of the current selection
         (reference: traj_read.rs:394)."""

@@ -126,3 +126,23 @@ def test_mesh_shard_counts_agree(example, test_files):
             s, xtc, _center_body(s), batch_size=8, mesh=make_mesh(n, 1)))
     for o in outs[1:]:
         np.testing.assert_allclose(o["center"], outs[0]["center"], atol=1e-6)
+
+
+def test_host_sharding_partitions_frames(example, test_files):
+    """with_host_shard(k, n) stripes the frame selection; the union over
+    hosts is exactly the serial pass (the multi-host DCN decomposition)."""
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    all_times = []
+    for k in range(3):
+        s = example.copy()
+        reader = s.xtc_iter(xtc).with_host_shard(k, 3)
+        all_times.extend(float(t) for t in reader.times)
+    assert sorted(all_times) == [100.0 * i for i in range(11)]
+
+    # composes with range/step restrictions
+    s = example.copy()
+    r = s.xtc_iter(xtc).with_range(200.0, 900.0).with_host_shard(1, 2)
+    assert list(r.times) == [300.0, 500.0, 700.0, 900.0]
+
+    with pytest.raises(Exception):
+        example.copy().xtc_iter(xtc).with_host_shard(5, 3)
