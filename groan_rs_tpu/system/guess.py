@@ -181,31 +181,65 @@ class GuessMixin:
         except CellGridError as e:
             raise ElementError(str(e), code="BondGuessError") from e
 
-        box = self.box_lengths()
-        pos = self.positions
+        box = self.box_lengths().astype(np.float32)
+        pos = self.positions.astype(np.float32, copy=False)
         vdw = topo.vdw
-        pairs = []
-        for a_idx, b_idx, same in grid.neighbor_cell_pairs():
-            va = has_vdw[a_idx]
-            vb = has_vdw[b_idx]
-            a_use = a_idx[va]
-            b_use = b_idx[vb]
-            if a_use.shape[0] == 0 or b_use.shape[0] == 0:
-                continue
-            from ..ops import distances as dops
 
-            dm = np.asarray(dops.distance_matrix(pos[a_use], pos[b_use], box))
-            limit = factor * (vdw[a_use][:, None] + vdw[b_use][None, :])
-            hits = dm < limit
-            if same:
-                # upper triangle only, no self pairs
-                hits = np.triu(hits, k=1)
-            ai, bi = np.nonzero(hits)
-            for i, j in zip(a_use[ai], b_use[bi]):
-                if i != j:
-                    pairs.append((min(int(i), int(j)), max(int(i), int(j))))
+        # vectorized candidate generation over the 27-neighborhood (one CSR
+        # gather per relative offset, like the h-bond kernel) instead of a
+        # Python loop over cell pairs
+        ncells = grid.ncells
+        sorted_atoms = grid.sorted_atoms
+        cell_off = grid.offsets
+        wrapped = np.asarray(pbc.wrap(pos, box))
+        coords = np.minimum(
+            (wrapped / grid.cell_size).astype(np.int64), ncells - 1
+        )
 
-        topo.set_bonds_from_pairs(set(pairs))
+        def axis_offsets(nc):
+            out, seen = [], set()
+            for d in (-1, 0, 1):
+                m = d % nc
+                if m not in seen:
+                    seen.add(m)
+                    out.append(d)
+            return out
+
+        pair_i, pair_j = [], []
+        for dx in axis_offsets(int(ncells[0])):
+            for dy in axis_offsets(int(ncells[1])):
+                for dz in axis_offsets(int(ncells[2])):
+                    nb0 = (coords[:, 0] + dx) % ncells[0]
+                    nb1 = (coords[:, 1] + dy) % ncells[1]
+                    nb2 = (coords[:, 2] + dz) % ncells[2]
+                    cid = (nb0 * ncells[1] + nb1) * ncells[2] + nb2
+                    s = cell_off[cid]
+                    cnt = cell_off[cid + 1] - s
+                    nz = np.nonzero(cnt)[0]
+                    if nz.shape[0] == 0:
+                        continue
+                    c = cnt[nz]
+                    rep_i = np.repeat(nz, c)
+                    grp = np.repeat(np.cumsum(c) - c, c)
+                    within = np.arange(rep_i.shape[0]) - grp
+                    rep_j = sorted_atoms[np.repeat(s[nz], c) + within]
+                    keep = rep_i < rep_j  # dedupe unordered pairs + no self
+                    pair_i.append(rep_i[keep])
+                    pair_j.append(rep_j[keep])
+
+        pairs = set()
+        if pair_i:
+            pi = np.concatenate(pair_i)
+            pj = np.concatenate(pair_j)
+            ok = has_vdw[pi] & has_vdw[pj]
+            pi, pj = pi[ok], pj[ok]
+            d = np.asarray(pbc.min_image(pos[pi] - pos[pj], box))
+            dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+            limit = (factor * (vdw[pi] + vdw[pj])).astype(np.float32)
+            hit = dist < limit
+            pairs = set(zip(pi[hit].tolist(), pj[hit].tolist()))
+
+        topo.set_bonds_from_pairs(pairs)
 
         # over/under-bonded warnings (reference: check_unexpected_bonds)
         n_bonded = np.array([len(b) for b in topo.bonded])

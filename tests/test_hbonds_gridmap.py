@@ -118,3 +118,83 @@ def test_gridmap_reference_invalid(test_files):
                 os.path.join(test_files, "gridmaps", bad),
                 split=("|",), parser=lambda s: s, comments=("#", "@"),
             )
+
+
+def test_hbonds_protein_frame0(membrane, test_files):
+    """reference: hbonds.rs test_hbonds_analyze_simple_protein — frame 0's
+    exact protein-protein hydrogen bonds (donor, hydrogen, acceptor,
+    distance, angle)."""
+    expected = [
+        (118, 119, 61, 0.277, 158.384),
+        (129, 130, 72, 0.299, 155.371),
+        (193, 194, 132, 0.286, 164.124),
+        (212, 213, 151, 0.287, 168.456),
+        (238, 239, 170, 0.282, 158.546),
+        (291, 292, 241, 0.297, 162.274),
+        (309, 310, 252, 0.279, 170.511),
+        (358, 359, 301, 0.263, 172.024),
+    ]
+    s = membrane.copy()
+    chains = [HBondChain(
+        "@protein and elsymbol N O",
+        "@protein and elsymbol N O",
+        "element name hydrogen",
+    )]
+    it = s.hbonds_analyze(os.path.join(test_files, "aa_membrane_peptide.xtc"),
+                          chains, [(0, 0)], 0.3, 150.0)
+    _, hmap = next(iter(it))
+    bonds = hmap[(0, 0)]
+    assert len(bonds) == len(expected)
+    for b, (d, h, a, dist, ang) in zip(bonds, expected):
+        assert (b.donor, b.hydrogen, b.acceptor) == (d, h, a)
+        assert b.distance == pytest.approx(dist, abs=1e-3)
+        assert b.angle == pytest.approx(ang, abs=1e-2)
+
+
+def test_hbonds_protein_water_pairs(membrane, test_files):
+    """reference: hbonds.rs test_hbonds_analyze_protein_water — two chains,
+    pairs (0,0) and (0,1), exact bonds on the gro frame."""
+    expected_pp = [
+        (69, 70, 12, 0.289, 151.553),
+        (118, 119, 61, 0.278, 162.882),
+        (129, 130, 72, 0.286, 164.932),
+        (133, 134, 91, 0.293, 161.708),
+        (152, 153, 110, 0.280, 173.645),
+        (193, 194, 132, 0.296, 156.956),
+        (212, 213, 151, 0.281, 161.991),
+        (231, 232, 170, 0.288, 150.634),
+        (238, 239, 170, 0.267, 178.283),
+        (253, 254, 211, 0.295, 162.803),
+        (309, 310, 252, 0.287, 174.566),
+        (332, 333, 290, 0.300, 155.969),
+        (358, 359, 301, 0.255, 150.333),
+    ]
+    expected_pw = [
+        (17725, 17727, 358, 0.287, 161.447),
+        (19834, 19835, 350, 0.275, 161.685),
+        (21883, 21885, 361, 0.279, 158.936),
+        (24292, 24293, 362, 0.274, 165.203),
+        (26173, 26174, 309, 0.267, 169.959),
+        (29929, 29930, 331, 0.266, 171.977),
+        (29929, 29931, 361, 0.267, 152.451),
+        (30919, 30921, 361, 0.271, 167.135),
+        (32, 33, 24247, 0.297, 166.586),
+        (187, 189, 30775, 0.285, 168.139),
+    ]
+    s = membrane.copy()
+    chains = [
+        HBondChain("@protein and elsymbol N O", "@protein and elsymbol N O",
+                   "element name hydrogen"),
+        HBondChain("resname SOL and name OW", "resname SOL and name OW",
+                   "element name hydrogen"),
+    ]
+    it = s.hbonds_analyze(os.path.join(test_files, "aa_membrane_peptide.gro"),
+                          chains, [(0, 0), (0, 1)], 0.3, 150.0, fmt="gro")
+    _, hmap = next(iter(it))
+    for key, expected in [((0, 0), expected_pp), ((0, 1), expected_pw)]:
+        bonds = hmap[key]
+        assert len(bonds) == len(expected), key
+        for b, (d, h, a, dist, ang) in zip(bonds, expected):
+            assert (b.donor, b.hydrogen, b.acceptor) == (d, h, a)
+            assert b.distance == pytest.approx(dist, abs=1e-3)
+            assert b.angle == pytest.approx(ang, abs=1e-2)
