@@ -668,7 +668,9 @@ class RMSDTrajIterator:
                             weights=system.topology.mass[self._idx],
                         )
                     )
-                    system.positions = np.asarray(
+                    # np.array (not asarray): views of jax buffers are
+                    # read-only and the next frame writes in place
+                    system.positions = np.array(
                         rmsd_ops.fit_transform(
                             system.positions, box, com, rots[k], self._ref_group_com
                         ),
