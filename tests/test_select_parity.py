@@ -1,0 +1,82 @@
+"""Selection-language error taxonomy + geometry-filter iterator parity
+(reference: select/mod.rs fail_tests:2659+, iterators.rs:1699-1900)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.core.dimension import Dimension
+from groan_rs_tpu.core.shapes import Cylinder, Rectangular, Sphere
+from groan_rs_tpu.errors import SelectError
+from groan_rs_tpu.select import parse_query
+from groan_rs_tpu.system import System
+
+
+@pytest.mark.parametrize("query", [
+    "",                                   # EmptyQuery
+    "resname LYS and resname",            # EmptyArgument
+    "name BB or name",
+    "resid 1-3 or resid",
+    "atomnum 65 66 69 and serial",
+    "Protein Membrane and group",
+    "resid 1 to x",                       # InvalidNumber
+    "serial 25 24 23 22 21 2O 19 18 17",
+    "serial 19 20 21 21.5 22 22.3",
+    "resid 25-20",                        # inverted ranges
+    "resid 25 -20",
+    "resid 25- 20",
+    "resid 25 - 20",
+    "serial <",
+    "serial <==7",
+    "resid <<=  7",
+    "atomnum <<=7",
+    "atomnum 1 5 >",
+    "atomnum 1 -> 8",
+    "chain AB",                           # InvalidChainId
+    "chain myidentifier",
+    "(resname LYS and name SC1",          # InvalidParentheses
+    "resname LYS and name SC1)",
+    "((resname LYS and name SC1)",
+    "(((resname LYS and name SC1))))",
+    "(resname LYS) and (name SC1))",
+    "resname LYS and",                    # MissingArgument
+    "or serial 2-154",
+])
+def test_parse_query_fails(query):
+    with pytest.raises(SelectError):
+        parse_query(query)
+
+
+@pytest.mark.parametrize("query", [
+    "resname LYS",
+    "serial 1 to 10",
+    "resid 1 - 5 or resid 7",
+    "name BB SC1 and resname LEU LYS",
+    "!(resname W) && serial < 100",
+    "(name BB || name SC1) and not resname W ION",
+    "serial >= 16840",
+    "@protein or @water",
+    "resname r'^PO.*'",
+])
+def test_parse_query_succeeds(query):
+    assert parse_query(query) is not None
+
+
+def test_filter_geometry_iterators(test_files):
+    """reference: iterators.rs:1699 — atoms_iter().filter_geometry(shape)
+    yields exactly the group created from the same shape."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+
+    shapes = {
+        "Sphere": Sphere([10.5, 11.2, 1.7], 4.0),
+        "Cylinder": Cylinder([0.5, 1.2, 10.3], 2.5, 4.5, Dimension.Z),
+        "Rectangular": Rectangular([1.3, 12.4, 10.7], 6.5, 4.5, 5.0),
+    }
+    for name, shape in shapes.items():
+        s.group_create_from_geometry(name, "all", shape)
+        filtered = [int(i) for i in s.atoms_filter_geometry(shape)]
+        group = list(s.group_indices(name))
+        assert filtered == group, name
+        assert len(filtered) == s.group_get_n_atoms(name)
+        assert len(filtered) > 0, name
