@@ -13,7 +13,7 @@ from ..core.simbox import SimBox
 from ..core.topology import Topology
 from ..errors import FileTypeError
 from ..files import FileType
-from .analysis import AnalysisMixin
+from .analysis import AnalysisMixin, TriclinicAnalysisMixin
 from .core import Group, GroupOverwriteWarning, SystemCore, name_is_valid
 from .groups import GroupsMixin
 from .guess import GuessMixin
@@ -27,6 +27,7 @@ from .utility import UtilityMixin
 class System(
     GroupsMixin,
     AnalysisMixin,
+    TriclinicAnalysisMixin,
     ModifyingMixin,
     IteratingMixin,
     PairIteratingMixin,

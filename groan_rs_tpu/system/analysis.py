@@ -111,3 +111,48 @@ class AnalysisMixin:
         return float(
             pbc.distance(self.positions[index1], self.positions[index2], box, dim.value)
         )
+
+
+class TriclinicAnalysisMixin:
+    """Exact triclinic analysis (surpass feature: the reference reads
+    triclinic boxes but its PBC math is orthogonal-only,
+    src/lib.rs:353-355).  These methods accept ANY Gromacs-legal box."""
+
+    def _box_matrix(self) -> np.ndarray:
+        sb = self.get_box()
+        if sb is None:
+            raise SimBoxError("system has no simulation box", code="DoesNotExist")
+        return np.asarray(sb.to_matrix(), np.float32)
+
+    def group_get_center_triclinic(self, name: str) -> np.ndarray:
+        """Refined Bai-Breen center of geometry under the exact triclinic
+        minimum image (fractional-space trig)."""
+        pos = self._group_positions(name)
+        return np.asarray(center_ops.center_triclinic(pos, self._box_matrix()))
+
+    def group_get_com_triclinic(self, name: str) -> np.ndarray:
+        pos = self._group_positions(name)
+        w = self._group_masses(name)
+        return np.asarray(
+            center_ops.center_triclinic(pos, self._box_matrix(), weights=w)
+        )
+
+    def group_distance_triclinic(self, name1: str, name2: str) -> float:
+        """Exact triclinic minimum-image distance between group centers."""
+        c1 = self.group_get_center_triclinic(name1)
+        c2 = self.group_get_center_triclinic(name2)
+        return float(pbc.distance_triclinic(c1, c2, self._box_matrix()))
+
+    def atoms_distance_triclinic(self, i: int, j: int) -> float:
+        """Exact triclinic minimum-image distance between two atoms."""
+        from ..errors import AtomError
+
+        n = self.get_n_atoms()
+        for k in (i, j):
+            if not (0 <= k < n):
+                raise AtomError(f"atom {k} out of range", code="OutOfRange")
+        return float(
+            pbc.distance_triclinic(
+                self.positions[i], self.positions[j], self._box_matrix()
+            )
+        )

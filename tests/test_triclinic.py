@@ -190,3 +190,69 @@ def test_rmsd_triclinic_self_is_zero(test_files):
     )
     rms_all = np.asarray(rms_all)
     assert np.isfinite(rms_all).all() and (rms_all < 5.0).all()
+
+
+def test_system_triclinic_methods(test_files):
+    """System-level triclinic analysis on the dodecahedron structure:
+    centers/distances verified against the frame-batched kernels."""
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(os.path.join(test_files, "dodecahedron.gro"))
+    s.group_create("A", "serial 1 to 25")
+    s.group_create("B", "serial 26 to 50")
+    h = np.asarray(s.get_box().to_matrix(), np.float32)
+
+    ca = s.group_get_center_triclinic("A")
+    cb = s.group_get_center_triclinic("B")
+    ca_k = np.asarray(center_triclinic(s.positions[s.group_indices("A")], h))
+    np.testing.assert_allclose(ca, ca_k, atol=1e-6)
+
+    d = s.group_distance_triclinic("A", "B")
+    dk = float(np.asarray(distance_triclinic_frames(
+        ca[None, :], cb[None, :], h[None])))
+    assert d == pytest.approx(dk, abs=1e-5)
+
+    d01 = s.atoms_distance_triclinic(0, 5)
+    brute = np.sqrt(_brute_min_norm2(
+        (s.positions[0] - s.positions[5]).astype(np.float64), h.astype(np.float64)))
+    assert d01 == pytest.approx(brute, abs=1e-4)
+
+
+def test_xtc_magic_2023_decode(test_files, tmp_path):
+    """The large-frame magic-2023 variant (64-bit payload size) decodes
+    bit-identically to the same data framed as magic 1995
+    (changelog.md:8; molly_xtc.rs:95-104)."""
+    import struct
+
+    from groan_rs_tpu.io import native
+
+    src = os.path.join(test_files, "short_trajectory.xtc")
+    data = open(src, "rb").read()
+    out = bytearray()
+    off = 0
+    while off < len(data):
+        natoms = struct.unpack_from(">i", data, off + 4)[0]
+        assert natoms > 9
+        hdr = bytearray(data[off:off + 56])
+        struct.pack_into(">i", hdr, 0, 2023)
+        out += hdr
+        out += data[off + 56:off + 88]  # precision, minint, maxint, smallidx
+        nbytes = struct.unpack_from(">i", data, off + 88)[0]
+        out += struct.pack(">q", nbytes)
+        padded = (nbytes + 3) & ~3
+        out += data[off + 92:off + 92 + padded]
+        off += 92 + padded
+
+    p2023 = tmp_path / "traj2023.xtc"
+    p2023.write_bytes(bytes(out))
+
+    o1, s1, t1, n1 = native.xtc_scan(src)
+    o2, s2, t2, n2 = native.xtc_scan(str(p2023))
+    assert n1 == n2 and len(o1) == len(o2)
+    np.testing.assert_array_equal(s1, s2)
+    c1, *_ = native.xtc_read_frames(src, o1, n1)
+    c2, *_ = native.xtc_read_frames(str(p2023), o2, n2)
+    np.testing.assert_array_equal(c1, c2)
+    # the q16 path handles 2023 too
+    q2, *_ = native.xtc_read_frames_q16(str(p2023), o2, n2)
+    assert q2.dtype == np.int16
