@@ -56,6 +56,8 @@ class FrameBatch:
     has_x: np.ndarray | None = None  # [B] bool (TRR frames may lack blocks)
     has_v: np.ndarray | None = None
     has_f: np.ndarray | None = None
+    vel_mask: np.ndarray | None = None  # [B, K] per-atom velocity presence
+                                        # (mixed-velocity GRO frames)
     atom_indices: np.ndarray | None = None  # selection indices if partial
 
     def __len__(self) -> int:
@@ -240,7 +242,14 @@ class GroSource(FrameSource):
                             f"truncated frame in '{path}'", code="FrameNotFound"
                         )
                 m = _TIME_STEP_RE.search(title.decode(errors="replace"))
-                t, st = (float(m.group(1)), int(m.group(2))) if m else (0.0, 0)
+                if m:
+                    t, st = float(m.group(1)), int(m.group(2))
+                else:
+                    # a title without t=/step= keeps the previous frame's
+                    # values (reference: time.unwrap_or(system time),
+                    # gro_io/trajectory.rs:210,340)
+                    t = times[-1] if times else 0.0
+                    st = steps[-1] if steps else 0
                 offsets.append(start)
                 times.append(t)
                 steps.append(st)
@@ -271,7 +280,8 @@ class GroSource(FrameSource):
         except Exception as e:
             raise ReadTrajError(f"invalid box in '{self.path}': {e}", code="InvalidBox") from None
         box9 = np.array(list(iter(box)), np.float32)
-        return pos[:stop], (vel[:stop] if vel is not None else None), has_vel, box9
+        return (pos[:stop], (vel[:stop] if vel is not None else None),
+                np.asarray(has_vel)[:stop], box9)
 
     def read_batch(self, frame_ids, stop_after=None):
         stop = stop_after if stop_after is not None else self.natoms
@@ -280,6 +290,7 @@ class GroSource(FrameSource):
         pos = np.zeros((b, stop, 3), np.float32)
         vel = np.zeros((b, stop, 3), np.float32)
         has_v = np.zeros(b, bool)
+        vel_mask = np.zeros((b, stop), bool)
         boxes = np.zeros((b, 9), np.float32)
         with open(self.path) as fh:
             for k, fid in enumerate(ids):
@@ -288,7 +299,11 @@ class GroSource(FrameSource):
                 pos[k] = p
                 if v is not None:
                     vel[k] = v
-                    has_v[k] = bool(hv.all())
+                    # per-atom presence: a frame may mix lines with and
+                    # without velocity columns (reference: line_as_atom
+                    # leaves velocity None per atom)
+                    vel_mask[k] = hv
+                    has_v[k] = bool(hv.any())
                 boxes[k] = box9
         return FrameBatch(
             positions=pos,
@@ -300,6 +315,7 @@ class GroSource(FrameSource):
             has_x=np.ones(b, bool),
             has_v=has_v,
             has_f=np.zeros(b, bool),
+            vel_mask=vel_mask,
         )
 
 
@@ -561,7 +577,10 @@ class TrajReader:
                 s.has_position[:] = False
             if has_v:
                 s.velocities[:] = batch.velocities[k]
-                s.has_velocity[:] = True
+                if batch.vel_mask is not None:
+                    s.has_velocity[:] = batch.vel_mask[k]
+                else:
+                    s.has_velocity[:] = True
             else:
                 s.has_velocity[:] = False
             if has_f:
