@@ -12,26 +12,51 @@ The `prelude` mirrors the reference's `groan_rs::prelude` (lib.rs:377-426).
 """
 
 from . import errors
+from .core.atom import Atom
+from .core.cellgrid import CellGrid
 from .core.dimension import Dimension
 from .core.elements import Element, Elements
 from .core.gridmap import GridMap
-from .core.shapes import Cylinder, Rectangular, Shape, Sphere, TriangularPrism
+from .core.shapes import (
+    Cylinder,
+    NaiveShape,
+    Rectangular,
+    Shape,
+    Sphere,
+    TriangularPrism,
+)
 from .core.simbox import SimBox
 from .core.container import AtomContainer
 from .files import FileType
+from .io.traj import TrajReader, TrajWriter
+from .models import (
+    FitConverter,
+    FrameAnalyze,
+    FrameConvert,
+    TrajectoryAnalysis,
+    TranslateConverter,
+    WrapConverter,
+    analyze_iter,
+    convert_iter,
+)
+from .parallel import traj_iter_map_reduce
+from .parallel.engine import FrameEngine, make_mesh
 from .progress import ProgressPrinter, ProgressStatus
 from .system import Group, System
-from .system.hbonds import HBond, HBondChain
+from .system.hbonds import HBond, HBondAnalysis, HBondChain
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "System",
     "Group",
+    "Atom",
     "AtomContainer",
+    "CellGrid",
     "SimBox",
     "Dimension",
     "Shape",
+    "NaiveShape",
     "Sphere",
     "Rectangular",
     "Cylinder",
@@ -41,9 +66,23 @@ __all__ = [
     "GridMap",
     "HBond",
     "HBondChain",
+    "HBondAnalysis",
     "FileType",
     "ProgressPrinter",
     "ProgressStatus",
+    "TrajReader",
+    "TrajWriter",
+    "TrajectoryAnalysis",
+    "FrameConvert",
+    "FrameAnalyze",
+    "TranslateConverter",
+    "WrapConverter",
+    "FitConverter",
+    "convert_iter",
+    "analyze_iter",
+    "traj_iter_map_reduce",
+    "FrameEngine",
+    "make_mesh",
     "errors",
     "__version__",
 ]
@@ -53,9 +92,13 @@ __all__ = [
 class prelude:
     System = System
     Group = Group
+    Atom = Atom
     AtomContainer = AtomContainer
+    CellGrid = CellGrid
     SimBox = SimBox
     Dimension = Dimension
+    Shape = Shape
+    NaiveShape = NaiveShape
     Sphere = Sphere
     Rectangular = Rectangular
     Cylinder = Cylinder
@@ -64,6 +107,10 @@ class prelude:
     GridMap = GridMap
     HBond = HBond
     HBondChain = HBondChain
+    HBondAnalysis = HBondAnalysis
     FileType = FileType
     ProgressPrinter = ProgressPrinter
     ProgressStatus = ProgressStatus
+    TrajReader = TrajReader
+    TrajWriter = TrajWriter
+    TrajectoryAnalysis = TrajectoryAnalysis

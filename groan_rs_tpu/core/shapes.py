@@ -167,3 +167,8 @@ class TriangularPrism(Shape):
         has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
         has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
         return within_height & ~(has_neg & has_pos)
+
+
+# API parity: the reference's `NaiveShape` trait (shape.rs:464) is the
+# no-PBC view of a shape; here every Shape carries `inside_naive` directly.
+NaiveShape = Shape
