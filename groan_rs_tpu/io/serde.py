@@ -170,7 +170,9 @@ def system_from_dict(data: dict):
 
 
 def system_to_yaml(system, filename=None) -> str:
-    text = yaml.safe_dump(system_to_dict(system), sort_keys=False, default_flow_style=False)
+    # libyaml emitter: the pure-Python one takes ~50 s on a 17k-atom system
+    text = yaml.dump(system_to_dict(system), Dumper=yaml.CSafeDumper,
+                     sort_keys=False, default_flow_style=False)
     if filename is not None:
         with open(filename, "w") as fh:
             fh.write(text)
@@ -183,9 +185,9 @@ def system_from_yaml(source):
 
     if isinstance(source, str) and "\n" not in source and os.path.exists(source):
         with open(source) as fh:
-            data = yaml.safe_load(fh)
+            data = yaml.load(fh, Loader=yaml.CSafeLoader)
     else:
-        data = yaml.safe_load(source)
+        data = yaml.load(source, Loader=yaml.CSafeLoader)
     if not isinstance(data, dict):
         raise GroanError("invalid serialized System")
     return system_from_dict(data)
