@@ -316,6 +316,15 @@ def main():
         best_group = min(best_group, time.perf_counter() - t0)
     group_fps = N_FRAMES / best_group
 
+    # CPU-health canary: a fixed numpy workload; this host is a shared
+    # 1-vCPU box with up to 10x steal swings between runs — the canary lets
+    # readers normalize the headline number (typical healthy value ~60 ms)
+    canary = np.random.default_rng(0).random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        canary = canary @ canary * 1e-3
+    cpu_canary_ms = round((time.perf_counter() - t0) * 1e3, 1)
+
     fps = N_FRAMES / best
     result = {
         "metric": "frames/sec/chip, 1M-atom XTC dist+COM+RMSD pass; float32 parity vs groan_rs",
@@ -329,6 +338,7 @@ def main():
         "parity_ok": parity_ok,
         "fixture_parity_ok": fixture_ok,
         "group_read_fps": round(group_fps, 2),
+        "cpu_canary_ms": cpu_canary_ms,
         "breakdown": timings,
     }
     print(json.dumps(result), flush=True)
