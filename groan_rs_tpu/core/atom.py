@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..errors import AtomError, PositionError
+from ..errors import PositionError
 from .container import AtomContainer
 
 

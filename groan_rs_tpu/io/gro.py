@@ -217,8 +217,6 @@ def write_gro_frame(system, fh, group: str, write_velocities: bool, is_trajector
 
 def write_gro(system, filename, group: str = "all", write_velocities: bool = False):
     """reference: System::write_gro / group_write_gro (gro_io/structure.rs:41-116)."""
-    from ..errors import GroupError
-
     if not system.group_exists(group):
         raise WriteGroError(f"group '{group}' does not exist", code="GroupNotFound")
     try:

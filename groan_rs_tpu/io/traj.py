@@ -768,8 +768,6 @@ class TrajWriter:
     """Base frame writer (reference: traj_write.rs:451 sealed trait)."""
 
     def __init__(self, system, path, group: str = "all"):
-        from ..errors import GroupError
-
         if not system.group_exists(group):
             raise WriteTrajError(f"group '{group}' does not exist", code="GroupNotFound")
         self.system = system
