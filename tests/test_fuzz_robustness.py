@@ -1,0 +1,106 @@
+"""Robustness fuzzing: corrupted binary inputs and garbage queries must
+raise typed errors, never crash (the native codec is C++ — bounds issues
+would take down the interpreter; reference analogue: fake_*/truncated
+fixtures + FATAL panics)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import GroanError, ReadTrajError, SelectError
+from groan_rs_tpu.io import native
+from groan_rs_tpu.select import parse_query
+
+
+def test_truncated_xtc_all_cut_points(test_files, tmp_path):
+    """Truncating an XTC at many byte offsets: scan/read either succeed on
+    the intact prefix frames or raise ReadTrajError — no crash, no garbage
+    beyond the cut."""
+    src = os.path.join(test_files, "short_trajectory.xtc")
+    data = open(src, "rb").read()
+    offs, _, _, na = native.xtc_scan(src)
+    full, *_ = native.xtc_read_frames(src, offs, na)
+
+    rng = np.random.default_rng(0)
+    cuts = sorted(set(
+        [1, 5, 55, 56, 60, 91, 92, 100, len(data) - 1]
+        + [int(x) for x in rng.integers(1, len(data), size=30)]
+    ))
+    for cut in cuts:
+        p = tmp_path / "cut.xtc"
+        p.write_bytes(data[:cut])
+        try:
+            o2, s2, t2, n2 = native.xtc_scan(str(p))
+        except ReadTrajError:
+            continue
+        # scanned frames must decode to the same coords as the intact file
+        if len(o2):
+            try:
+                c2, *_ = native.xtc_read_frames(str(p), o2, n2)
+            except ReadTrajError:
+                continue
+            np.testing.assert_array_equal(c2, full[: len(o2)])
+
+
+def test_bitflip_xtc_never_crashes(test_files, tmp_path):
+    """Random byte corruption inside frame payloads: decode raises or
+    produces (possibly wrong) floats — never a crash or OOB."""
+    src = os.path.join(test_files, "short_trajectory.xtc")
+    data = bytearray(open(src, "rb").read())
+    rng = np.random.default_rng(1)
+    for trial in range(25):
+        corrupted = bytearray(data)
+        for _ in range(4):
+            k = int(rng.integers(100, len(data)))
+            corrupted[k] ^= int(rng.integers(1, 256))
+        p = tmp_path / f"bad{trial}.xtc"
+        p.write_bytes(bytes(corrupted))
+        try:
+            o, _, _, n = native.xtc_scan(str(p))
+            if len(o):
+                native.xtc_read_frames(str(p), o, n)
+        except GroanError:
+            pass  # typed failure is fine
+
+
+def test_truncated_trr_never_crashes(test_files, tmp_path):
+    src = os.path.join(test_files, "short_trajectory.trr")
+    data = open(src, "rb").read()
+    rng = np.random.default_rng(2)
+    for cut in [3, 71, 72, 100, 1000] + [int(x) for x in rng.integers(1, len(data), 15)]:
+        p = tmp_path / "cut.trr"
+        p.write_bytes(data[:cut])
+        try:
+            o, s, t, lam, fl, n = native.trr_scan(str(p))
+            if len(o):
+                native.trr_read_frames(str(p), o, n)
+        except GroanError:
+            pass
+
+
+def test_gsl_fuzz_never_crashes():
+    """Random garbage queries either parse or raise SelectError."""
+    rng = np.random.default_rng(3)
+    alphabet = list("abcXYZ019 ()!&|<>=-'r@_\"\\")
+    tokens = ["resname", "name", "serial", "resid", "and", "or", "not",
+              "to", "mol", "with", "@protein", "r'['", "chain", "group",
+              "label", "element", "''", "((", "))"]
+    for trial in range(300):
+        if trial % 2:
+            q = "".join(rng.choice(alphabet) for _ in range(int(rng.integers(1, 40))))
+        else:
+            q = " ".join(rng.choice(tokens) for _ in range(int(rng.integers(1, 8))))
+        try:
+            parse_query(q)
+        except SelectError:
+            pass
+
+
+def test_gsl_deep_nesting():
+    """Deeply nested parentheses parse (or raise) without recursion crash."""
+    q = "(" * 60 + "name BB" + ")" * 60
+    parse_query(q)
+    with pytest.raises(SelectError):
+        parse_query("(" * 61 + "name BB" + ")" * 60)

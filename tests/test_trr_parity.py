@@ -116,3 +116,26 @@ def test_trr_write_roundtrip(sys_, test_files, tmp_path):
     f0 = next(it3)
     np.testing.assert_allclose(f0.positions[0], [9.497, 1.989, 7.498], atol=1e-5)
     np.testing.assert_allclose(f0.velocities[0], [-0.0683, 0.1133, 0.0005], atol=1e-5)
+
+
+def test_trr_double_precision(test_files):
+    """Double-precision TRR downcasts to f32 and matches the
+    single-precision twin at shared frames (trr_io.rs:806,1055;
+    src/lib.rs:357)."""
+    from groan_rs_tpu.io.traj import open_source
+
+    d = open_source(os.path.join(test_files,
+                                 "triclinic_trajectory_double_precision.trr"))
+    s = open_source(os.path.join(test_files, "triclinic_trajectory.trr"))
+    fd = d.read_batch(np.arange(d.n_frames()))
+    fs = s.read_batch(np.arange(s.n_frames()))
+    assert d.natoms == s.natoms == 50
+    # double flag set on every frame of the double fixture
+    assert (d.flags & 8).all()
+    assert not (s.flags & 8).any()
+    # the two fixtures share only the starting structure (they are separate
+    # runs): frame 0 must agree to f32 rounding; later frames diverge
+    assert fd.has_x[0] and fs.has_x[0]
+    np.testing.assert_allclose(fd.positions[0], fs.positions[0], atol=1e-4)
+    assert np.isfinite(fd.positions[fd.has_x]).all()
+    assert np.isfinite(fd.velocities[fd.has_v]).all()
