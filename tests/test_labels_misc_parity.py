@@ -1,0 +1,84 @@
+"""Labeled atoms + System misc error paths (reference: labeled_atoms.rs,
+system/mod.rs)."""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import AtomError, LabelError
+from groan_rs_tpu.system import System
+
+
+@pytest.fixture()
+def sys_(test_files):
+    return System.from_file(os.path.join(test_files, "example.gro"))
+
+
+def test_label_atom_pass(sys_):
+    sys_.label_atom("labeled atom", 174)
+    assert sys_.label_exists("labeled atom")
+    assert sys_.get_labeled_atom("labeled atom").get_index() == 174
+
+
+def test_label_atom_overwrite_warns(sys_):
+    """labeled_atoms.rs:277 — overwriting keeps the new index and warns."""
+    sys_.label_atom("labeled atom", 174)
+    with pytest.warns(UserWarning):
+        sys_.label_atom("labeled atom", 7564)
+    assert sys_.labeled_atoms["labeled atom"] == 7564
+
+
+def test_label_atom_invalid_and_out_of_range(sys_):
+    with pytest.raises(LabelError):
+        sys_.label_atom("bad!label", 0)
+    with pytest.raises(LabelError):
+        sys_.label_atom("fine", 10**7)
+    assert not sys_.label_exists("fine")
+
+
+def test_select_and_label_multimatch(sys_):
+    """labeled_atoms.rs:81 — the query must match exactly one atom."""
+    sys_.select_and_label("one", "serial 17")
+    assert sys_.get_labeled_atom("one").get_atom_number() == 17
+    with pytest.raises(LabelError):
+        sys_.select_and_label("many", "resname POPC")
+    with pytest.raises(LabelError):
+        sys_.select_and_label("none", "serial 999999")
+
+
+def test_labeled_atoms_iter_and_unlabel(sys_):
+    sys_.label_atom("a", 1)
+    sys_.label_atom("b", 5)
+    pairs = {lbl: a.get_index() for lbl, a in sys_.labeled_atoms_iter()}
+    assert pairs == {"a": 1, "b": 5}
+    sys_.unlabel_atom("a")
+    assert not sys_.label_exists("a")
+    with pytest.raises(LabelError):
+        sys_.unlabel_atom("a")
+
+
+def test_label_select_in_queries(sys_):
+    sys_.label_atom("marker", 10)
+    sys_.group_create("M", "label marker")
+    assert sys_.group_get_n_atoms("M") == 1
+    assert sys_.group_isin("M", 10)
+
+
+def test_get_atom_out_of_range(sys_):
+    with pytest.raises(AtomError):
+        sys_.get_atom(10**7)
+    with pytest.raises(AtomError):
+        sys_.get_atom(-1)
+
+
+def test_copy_independence(sys_):
+    """System::clone semantics: copies do not alias (mod.rs tests)."""
+    c = sys_.copy()
+    c.positions[0] = [1.0, 2.0, 3.0]
+    assert not np.allclose(sys_.positions[0], [1.0, 2.0, 3.0])
+    c.group_create("New", "serial 1")
+    assert not sys_.group_exists("New")
+    c.topology.resnum[0] = 999
+    assert sys_.topology.resnum[0] != 999
