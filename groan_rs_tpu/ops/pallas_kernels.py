@@ -125,3 +125,98 @@ def contact_count(a, b, box, cutoff: float):
     """Number of pairs with PBC distance < cutoff, tiled."""
     _, c = _pair_reduce(a, b, box, float(cutoff), interpret=_use_interpret())
     return c
+
+
+# ======================================================================
+# Fused Bai-Breen refined center (SURVEY §7: "Bai-Breen trig reduce")
+# ======================================================================
+
+def _center_tile_kernel(n_ref, a_ref, w_ref, box_ref, trig_ref):
+    """Accumulate per-tile Bai-Breen partial sums for one frame.
+
+    Grid: (n_tiles,) over the atom axis.  a_ref: [TN, 3] coords;
+    w_ref: [TN, 1] weights (0 = masked/padded); box_ref: [1, 3] SMEM.
+    trig_ref accumulates [8, 128] lanes where lanes 0..5 of row 0 carry
+    (xi_x, xi_y, xi_z, zeta_x, zeta_y, zeta_z) and lane 6 the weight sum.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        trig_ref[:] = jnp.zeros((8, 128), jnp.float32)
+
+    two_pi = 6.283185307179586
+    w = w_ref[:, 0:1]  # [TN, 1]: Mosaic wants 2-D refs (no 1-D offsets)
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for ax in range(3):
+        box_l = box_ref[0, ax]
+        x = a_ref[:, ax:ax + 1]  # [TN, 1]
+        # wrap into the box, then angle
+        xw = x - box_l * jnp.floor(x / box_l)
+        theta = xw * (two_pi / box_l)
+        xi = jnp.sum(w * jnp.cos(theta))
+        zeta = jnp.sum(w * jnp.sin(theta))
+        onehot_xi = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == ax) & (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        )
+        onehot_zeta = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 3 + ax) & (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        )
+        acc = acc + jnp.where(onehot_xi, xi, 0.0) + jnp.where(onehot_zeta, zeta, 0.0)
+    onehot_w = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 6) & (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    )
+    acc = acc + jnp.where(onehot_w, jnp.sum(w), 0.0)
+    trig_ref[:] = trig_ref[:] + acc
+
+
+TILE_C = 512
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bai_breen_estimate(positions, weights, box, *, interpret):
+    """Pallas pass 1: masked circular-mean estimate of one frame.
+
+    positions [N, 3], weights [N] (0 = excluded), box (3,) -> est [3]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = positions.shape[0]
+    n_pad = -(-n // TILE_C) * TILE_C
+    a = jnp.pad(positions.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
+                constant_values=1.0)  # padded coords are masked by w=0
+    w = jnp.pad(weights.astype(jnp.float32), (0, n_pad - n))[:, None]
+    grid = (n_pad // TILE_C,)
+
+    trig = pl.pallas_call(
+        _center_tile_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n (unused placeholder)
+            pl.BlockSpec((TILE_C, 3), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_C, 1), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # box [1, 3]
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray([n], jnp.int32),
+        a,
+        w,
+        jnp.asarray(box, jnp.float32).reshape(1, 3),
+    )
+    xi = trig[0, 0:3]
+    zeta = trig[0, 3:6]
+    box_v = jnp.asarray(box, jnp.float32)
+    theta_c = jnp.arctan2(-zeta, -xi) + jnp.pi
+    return theta_c * (box_v / jnp.float32(6.283185307179586))
+
+
+def bai_breen_estimate(positions, weights, box):
+    """Pallas-fused Bai-Breen circular-mean center estimate for one frame
+    (`estimate_center` semantics; the wrap + trig + masked reduce is a
+    single VMEM-resident pass over the atom axis)."""
+    return _bai_breen_estimate(
+        jnp.asarray(positions), jnp.asarray(weights), box,
+        interpret=_use_interpret(),
+    )

@@ -50,3 +50,27 @@ def test_pbc_across_boundary(sets):
     b = np.array([[4.95, 5.95, 6.95]], np.float32)
     got = float(pk.min_distance(a, b, box))
     assert got == pytest.approx(np.sqrt(3 * 0.1**2), abs=1e-5)
+
+
+def test_bai_breen_estimate_matches_xla(sets):
+    """The fused Pallas trig-reduce reproduces ops.center.estimate_center."""
+    from groan_rs_tpu.ops.center import estimate_center
+
+    a, _, box = sets
+    w = np.ones(a.shape[0], np.float32)
+    w[::5] = 0.0  # masked atoms
+    got = np.asarray(pk.bai_breen_estimate(a, w, box))
+    ref = np.asarray(estimate_center(a, box, mask=w > 0))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_bai_breen_estimate_weighted(sets):
+    """Mass weights behave like estimate_center(weights=...)."""
+    from groan_rs_tpu.ops.center import estimate_center
+
+    a, _, box = sets
+    rng = np.random.default_rng(9)
+    w = rng.uniform(1.0, 16.0, size=a.shape[0]).astype(np.float32)
+    got = np.asarray(pk.bai_breen_estimate(a, w, box))
+    ref = np.asarray(estimate_center(a, box, weights=w))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
