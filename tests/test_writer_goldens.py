@@ -145,3 +145,33 @@ def test_protein_trajectory_golden(test_files, tmp_path):
         s.traj_write_frame()
     s.traj_writers_close()
     assert _same(out, _p(test_files, "expected_protein_trajectory.gro"))
+
+
+def test_pqr_precision_variants(test_files, tmp_path):
+    """reference: pqr_io.rs PqrPrecision (custom decimal places round-trip)."""
+    from groan_rs_tpu.io.pqr import PqrPrecision
+
+    s = System.from_file(_p(test_files, "example.pqr"))
+    out = tmp_path / "prec.pqr"
+    s.write_pqr(out, precision=PqrPrecision(position=5, charge=3, vdw=3))
+    line = [l for l in open(out) if l.startswith("ATOM")][0]
+    # 5 decimals on coordinates, 3 on charge/vdw
+    import re
+    floats = re.findall(r"-?\d+\.\d+", line)
+    decs = [len(f.split(".")[1]) for f in floats]
+    assert decs[:3] == [5, 5, 5]
+    assert decs[3:5] == [3, 3]
+    s2 = System.from_file(out)
+    np.testing.assert_allclose(s2.positions, s.positions, atol=1e-5)
+
+
+def test_xtc_write_precision_overflow(tmp_path):
+    """Coordinates that overflow int32 at the requested precision raise the
+    typed error (native GX_ERR_PRECISION; reference: xdrfile overflow)."""
+    from groan_rs_tpu.errors import WriteTrajError
+    from groan_rs_tpu.io import native
+
+    bad = np.full((50, 3), 5.0e6, np.float32)
+    box9 = np.diag([1e7, 1e7, 1e7]).astype(np.float32).reshape(9)
+    with pytest.raises(WriteTrajError):
+        native.xtc_write_frame(str(tmp_path / "o.xtc"), 50, 0, 0.0, box9, bad, 1e6)
