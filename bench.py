@@ -227,29 +227,31 @@ def main():
             t_wait += time.perf_counter() - t0
             coords, boxes, dec_s = staged.pop(ci)
             t_dec += dec_s
+            # Schedule for a 1-core host: the tunnel client needs CPU to
+            # push bytes (transfers crawl ~30 MB/s while the decode thread
+            # runs, ~500+ MB/s when the CPU is free).  So: force the wire
+            # transfer NOW (decode thread is idle, we just joined), then
+            # start the next decode overlapped only with device COMPUTE.
+            t0 = time.perf_counter()
+            cj = jax.device_put(coords)
+            bj = jax.device_put(boxes)
+            out = step(cj, bj)  # dispatch; forces the upload
+            jax.block_until_ready((cj, bj))
+            t_put += time.perf_counter() - t0
             if ci + 1 < len(chunks):
                 th = threading.Thread(target=decode, args=(ci + 1,))
                 th.start()
             if timed:
-                # diagnostic pass: block at each stage to attribute time
                 t0 = time.perf_counter()
-                cj = jax.device_put(coords)
-                bj = jax.device_put(boxes)
-                jax.block_until_ready((cj, bj))
-                t_put += time.perf_counter() - t0
-                t0 = time.perf_counter()
-                out = step(cj, bj)
                 jax.block_until_ready(out)
                 t_step += time.perf_counter() - t0
-            else:
-                # production pipeline: everything async, block once at the end
-                out = step(jax.device_put(coords), jax.device_put(boxes))
             outs.append(out)
         jax.block_until_ready(outs)
         if timed:
+            timings["h2d_s"] = round(t_put, 4)
+        if timed:
             timings["decode_wait_s"] = round(t_wait, 4)
             timings["decode_total_s"] = round(t_dec, 4)
-            timings["h2d_s"] = round(t_put, 4)
             timings["compute_s"] = round(t_step, 4)
         return outs
 
