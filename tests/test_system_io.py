@@ -248,3 +248,29 @@ def test_mol_with(test_files):
     s.group_create("mols", "mol with serial 1")
     n = s.group_get_n_atoms("mols")
     assert n == len(s.get_molecule_indices(0))
+
+
+def test_triclinic_tpr_box(test_files):
+    """triclinic.tpr loads with its non-orthogonal box intact."""
+    import numpy as np
+
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(os.path.join(test_files, "triclinic.tpr"))
+    sb = s.get_box()
+    assert sb is not None and not sb.is_orthogonal()
+    m = np.asarray(sb.to_matrix())
+    assert np.abs(m[1, 0]) + np.abs(m[2, 0]) + np.abs(m[2, 1]) > 0
+    assert s.get_n_atoms() == 50
+
+
+def test_gro_box9_write_roundtrip(test_files, tmp_path):
+    """reference: gro_io/structure.rs write_gro9 — a 9-component box file
+    round-trips byte-for-byte."""
+    from groan_rs_tpu.system import System
+
+    src = os.path.join(test_files, "example_box9.gro")
+    s = System.from_file(src)
+    out = tmp_path / "out.gro"
+    s.write_gro(out)
+    assert open(src, "rb").read() == open(out, "rb").read()
