@@ -53,14 +53,19 @@ def _sharded_step(pos, box, frame_mask, mask_a, mask_b, masses, ref_local,
                   ref_center, ref_wsum):
     """Body run per device shard (under shard_map).
 
-    pos [b, n_local, 3]; box [b, 3]; frame_mask [b];
-    mask_a / mask_b [n_local] group masks; masses [n_local];
-    ref_local [n_local, 3] reference coords (already centered at the
-    reference box center and masked); ref_center [3]; ref_wsum [] total
-    reference mass (precomputed host-side).
+    pos [b, n_local, 3] float32 OR int16 (the q16 wire format: raw
+    quantized XTC ints, dequantized in-shard with the decoder's own
+    multiply — the full host->device input pipeline under shard_map);
+    box [b, 3]; frame_mask [b]; mask_a / mask_b [n_local] group masks;
+    masses [n_local]; ref_local [n_local, 3] reference coords (already
+    centered at the reference box center and masked); ref_center [3];
+    ref_wsum [] total reference mass (precomputed host-side).
     """
     import jax
     import jax.numpy as jnp
+
+    if pos.dtype == jnp.int16:
+        pos = pos.astype(jnp.float32) * jnp.float32(1.0 / 1000.0)
 
     from .pbc import min_image, wrap
     from .rmsd import _quaternion_to_matrix
