@@ -188,6 +188,24 @@ class GridMap:
         if len(fast_vals) < 2 or len(slow_vals) < 1:
             raise GridMapError("all coordinates are identical", code="InvalidSpan")
 
+        # coordinates must progress in increasing order (reference:
+        # "Invalidity reason: Not Increasing", gridmap.rs file tests)
+        slow_seen = []
+        for v in np.round(slow, 4):
+            if slow_seen and v < slow_seen[-1] and v not in slow_seen[:-1]:
+                if not math.isclose(v, slow_seen[-1], abs_tol=1e-4):
+                    raise GridMapError(
+                        "coordinates are not increasing", code="NotIncreasing"
+                    )
+            if not slow_seen or v != slow_seen[-1]:
+                slow_seen.append(v)
+        for k in range(1, len(fast)):
+            same_block = math.isclose(slow[k], slow[k - 1], abs_tol=1e-4)
+            if same_block and fast[k] < fast[k - 1] - 1e-4:
+                raise GridMapError(
+                    "coordinates are not increasing", code="NotIncreasing"
+                )
+
         def spacing(vals, what):
             if len(vals) < 2:
                 return 1.0

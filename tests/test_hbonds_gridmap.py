@@ -198,3 +198,31 @@ def test_hbonds_protein_water_pairs(membrane, test_files):
             assert (b.donor, b.hydrogen, b.acceptor) == (d, h, a)
             assert b.distance == pytest.approx(dist, abs=1e-3)
             assert b.angle == pytest.approx(ang, abs=1e-2)
+
+
+def test_gridmap_row_major_fixture(test_files):
+    """Row-major fixture parses with auto-detected order."""
+    path = os.path.join(test_files, "gridmaps", "map_row_major.dat")
+    gm = GridMap.from_file(path, split=("|",), parser=lambda s: s,
+                           comments=("#", "@"))
+    assert gm.n_tiles_x() == 3 and gm.n_tiles_y() == 2
+    assert gm.get_at(0.0, 0.0) == "10"
+
+
+@pytest.mark.parametrize("bad", [
+    "map_column_major_decreasing.dat",
+    "map_column_major_not_fully_increasing.dat",
+    "map_column_major_x_inconsistency.dat",
+    "map_column_major_y_inconsistency.dat",
+    "map_row_major_decreasing.dat",
+    "map_row_major_redefinition.dat",
+    "map_row_major_x_inconsistency.dat",
+    "map_row_major_y_inconsistency.dat",
+])
+def test_gridmap_invalid_fixtures(test_files, bad):
+    """All malformed gridmap fixtures are rejected (gridmap.rs file tests)."""
+    with pytest.raises(GridMapError):
+        GridMap.from_file(
+            os.path.join(test_files, "gridmaps", bad),
+            split=("|",), parser=lambda s: s, comments=("#", "@"),
+        )
