@@ -21,6 +21,16 @@
 // multi-radix packing, run-length encoded "small" deltas with the
 // water-molecule atom-swap optimization).
 //
+// Provenance note: the DECODER is a from-scratch redesign (pread reader,
+// left-aligned 64-bit MSB-first BitReader with single-refill multi-radix
+// unpack and reciprocal division, frame-parallel pool, partial-frame early
+// stop, int16 quantized output). The ENCODER's control flow necessarily
+// mirrors the canonical public-domain/BSD xdrfile compressor
+// (xdrfile_compress_coord_float) because byte-identical output is a
+// correctness requirement — the smallidx adaptation and run heuristics ARE
+// the format; tests assert byte-for-byte round trips against
+// gromacs-written fixtures.
+//
 // C ABI exported at the bottom; Python binds via ctypes (io/native.py).
 
 #include <algorithm>
