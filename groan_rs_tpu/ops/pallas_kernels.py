@@ -220,3 +220,79 @@ def bai_breen_estimate(positions, weights, box):
         jnp.asarray(positions), jnp.asarray(weights), box,
         interpret=_use_interpret(),
     )
+
+
+def _refine_tile_kernel(a_ref, w_ref, box_ref, est_ref, out_ref):
+    """Pass 2: unwrap each atom around the estimate and accumulate the
+    weighted mean numerator (lanes 0..2) and denominator (lane 3)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((8, 128), jnp.float32)
+
+    w = w_ref[:, 0:1]
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for ax in range(3):
+        box_l = box_ref[0, ax]
+        est = est_ref[0, ax]
+        x = a_ref[:, ax:ax + 1]
+        half = box_l * 0.5
+        d = x - est + half
+        unwrapped = est + (d - box_l * jnp.floor(d / box_l) - half)
+        num = jnp.sum(w * unwrapped)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == ax) & (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        )
+        acc = acc + jnp.where(onehot, num, 0.0)
+    onehot_den = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 3) & (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    )
+    acc = acc + jnp.where(onehot_den, jnp.sum(w), 0.0)
+    out_ref[:] = out_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bai_breen_center(positions, weights, box, *, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    est = _bai_breen_estimate(positions, jnp.ones(positions.shape[0],
+                                                  jnp.float32) * (weights > 0),
+                              box, interpret=interpret)
+    n = positions.shape[0]
+    n_pad = -(-n // TILE_C) * TILE_C
+    a = jnp.pad(positions.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
+                constant_values=1.0)
+    w = jnp.pad(weights.astype(jnp.float32), (0, n_pad - n))[:, None]
+    grid = (n_pad // TILE_C,)
+
+    out = pl.pallas_call(
+        _refine_tile_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_C, 3), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_C, 1), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # box [1, 3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # est [1, 3]
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        a,
+        w,
+        jnp.asarray(box, jnp.float32).reshape(1, 3),
+        est.reshape(1, 3),
+    )
+    return out[0, 0:3] / out[0, 3]
+
+
+def bai_breen_center(positions, weights, box):
+    """Pallas-fused REFINED Bai-Breen center for one frame: the geometric
+    circular-mean estimate pass plus the unwrap-and-weighted-mean
+    refinement pass (`ops.center.center` semantics; iterators.rs:1237-1266)
+    — two VMEM-resident passes over the atom axis."""
+    return _bai_breen_center(
+        jnp.asarray(positions), jnp.asarray(weights), box,
+        interpret=_use_interpret(),
+    )

@@ -74,3 +74,16 @@ def test_bai_breen_estimate_weighted(sets):
     got = np.asarray(pk.bai_breen_estimate(a, w, box))
     ref = np.asarray(estimate_center(a, box, weights=w))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_bai_breen_refined_center(sets):
+    """The two-pass fused kernel reproduces the refined ops.center.center."""
+    from groan_rs_tpu.ops.center import center
+
+    a, _, box = sets
+    rng = np.random.default_rng(11)
+    w = rng.uniform(1.0, 16.0, size=a.shape[0]).astype(np.float32)
+    w[::9] = 0.0  # masked atoms
+    got = np.asarray(pk.bai_breen_center(a, w, box))
+    ref = np.asarray(center(a, box, mask=w > 0, weights=np.where(w > 0, w, 1)))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
