@@ -82,3 +82,29 @@ def test_copy_independence(sys_):
     assert not sys_.group_exists("New")
     c.topology.resnum[0] = 999
     assert sys_.topology.resnum[0] != 999
+
+
+def test_filetype_sniffing(test_files):
+    """files.rs FileType extension dispatch."""
+    from groan_rs_tpu.files import FileType
+
+    cases = {
+        "a.gro": "gro", "b.pdb": "pdb", "c.xtc": "xtc", "d.ndx": "ndx",
+        "e.trr": "trr", "f.pqr": "pqr", "g.tpr": "tpr", "h.yaml": "yaml",
+        "i.nc": "nc", "j.dcd": "dcd", "k.tng": "tng", "l.lammpstrj": "lammpstrj",
+    }
+    for name, kind in cases.items():
+        assert FileType.from_name(name).value == kind, name
+    assert FileType.from_name("noext").value == "unknown"
+    assert FileType.from_name("weird.xyz").value == "unknown"
+
+
+def test_read_ndx_with_default(sys_, test_files):
+    """utility.rs:26 — explicit path wins; missing default is tolerated."""
+    s = sys_.copy()
+    s.read_ndx_with_default(os.path.join(test_files, "index.ndx"), "not_used.ndx")
+    assert s.group_exists("Protein")
+    s2 = sys_.copy()
+    # default that does not exist: no groups added, no exception
+    s2.read_ndx_with_default(None, "definitely_missing.ndx")
+    assert not s2.group_exists("Protein")
