@@ -80,8 +80,12 @@ def test_guess_bonds_large_matches_tpr(test_files):
 def test_guess_properties(test_files):
     """guess_properties fills mass/vdw without touching element names
     (guess.rs:1289-1310)."""
+    import warnings
+
     s = System.from_file(os.path.join(test_files, "aa_membrane_peptide.gro"))
     s.guess_elements()
     before = s.topology.mass.copy()
-    s.guess_properties()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # ions lack vdw in the default DB
+        s.guess_properties()
     np.testing.assert_allclose(s.topology.mass, before, atol=1e-6)
