@@ -176,6 +176,48 @@ class TrajectoryAnalysis:
         self._specs.append((name or f"mindist_{group1}_{group2}", fn))
         return self
 
+    def add_density_map(self, group: str, plane: str = "xy",
+                        tile: float = 0.1, span=None, name: str | None = None):
+        """Accumulated 2D density map of a selection over the trajectory
+        -> [F, nx, ny] per-frame counts (sum over axis 0 for the full map;
+        `GridMap` renders/saves it — the reference's GridMap accumulator
+        role, gridmap.rs:52, computed as a device-side scatter-add).
+
+        plane: 'xy' | 'xz' | 'yz'; tile: bin size (nm); span: ((x0,x1),
+        (y0,y1)) — defaults to the system box at configuration time.
+        """
+        import jax.numpy as jnp
+
+        axes = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[plane]
+        idx = jnp.asarray(self._indices(group))
+        if span is None:
+            box = np.asarray(self.system.box_lengths(), np.float64)
+            span = ((0.0, float(box[axes[0]])), (0.0, float(box[axes[1]])))
+        (x0, x1), (y0, y1) = span
+        nx = max(1, int(round((x1 - x0) / tile)))
+        ny = max(1, int(round((y1 - y0) / tile)))
+
+        def fn(pos, boxes):
+            g = jnp.take(pos, idx, axis=1)  # [B, n, 3]
+            u = (g[..., axes[0]] - x0) / (x1 - x0) * nx
+            v = (g[..., axes[1]] - y0) / (y1 - y0) * ny
+            ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 1)
+            vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ny - 1)
+            inside = (u >= 0) & (u < nx) & (v >= 0) & (v < ny)
+            flat = ui * ny + vi
+            # per-frame scatter-add histogram on device
+            def one(f_flat, f_in):
+                return jnp.zeros(nx * ny, jnp.int32).at[f_flat].add(
+                    f_in.astype(jnp.int32))
+
+            import jax
+
+            hist = jax.vmap(one)(flat, inside)
+            return hist.reshape(-1, nx, ny)
+
+        self._specs.append((name or f"density_{group}_{plane}", fn))
+        return self
+
     def add_contacts(self, group1: str, group2: str, cutoff: float,
                      name: str | None = None):
         """Contact count within cutoff per frame -> [F]."""

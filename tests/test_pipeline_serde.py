@@ -197,3 +197,41 @@ def test_convert_analyze_framework(example, test_files):
     for frame in convert_iter(s.xtc_iter(xtc), [lambda sys: seen.append(sys.get_time())]):
         pass
     assert len(seen) == 11
+
+
+def test_density_map_pipeline(example, test_files):
+    """Device-side 2D density histogram over a trajectory matches a host
+    numpy histogram, and feeds a GridMap."""
+    import numpy as _np
+
+    from groan_rs_tpu import GridMap, TrajectoryAnalysis
+    from groan_rs_tpu.io.traj import open_source
+
+    s = example.copy()
+    s.group_create("Protein", "@protein")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    out = (TrajectoryAnalysis(s).add_density_map("Protein", "xy", tile=1.0)
+           .run(xtc, batch_size=4))
+    dm = out["density_Protein_xy"]
+    assert dm.shape[0] == 11
+    total = dm.sum(axis=0)
+
+    # host reference histogram
+    src = open_source(xtc)
+    fb = src.read_batch(_np.arange(11))
+    idx = s.group_indices("Protein")
+    box = _np.asarray(s.box_lengths(), _np.float64)
+    nx, ny = total.shape
+    href = _np.zeros((nx, ny), _np.int64)
+    for k in range(11):
+        g = fb.positions[k][idx]
+        ui = _np.floor(g[:, 0] / box[0] * nx).astype(int)
+        vi = _np.floor(g[:, 1] / box[1] * ny).astype(int)
+        ok = (ui >= 0) & (ui < nx) & (vi >= 0) & (vi < ny)
+        _np.add.at(href, (ui[ok], vi[ok]), 1)
+    _np.testing.assert_array_equal(total, href)
+    assert total.sum() > 0
+
+    # renders into a GridMap
+    gm = GridMap((0.0, float(box[0])), (0.0, float(box[1])), (1.0, 1.0))
+    assert gm.values.shape[0] >= nx and gm.values.shape[1] >= ny
