@@ -144,3 +144,19 @@ def test_atoms_distance_out_of_range(test_files):
         s.atoms_distance(12, 16844, Dimension.XY)
     with pytest.raises(AtomError):
         s.atoms_distance(197_392, 12, Dimension.YZ)
+
+
+def test_group_all_distances_xy_cross_groups(ndx_system):
+    """analysis.rs:1500 — Membrane x Protein XY matrix: exact min/max and
+    spot entries."""
+    d = np.asarray(ndx_system.group_all_distances("Membrane", "Protein",
+                                                  Dimension.XY))
+    nm = ndx_system.group_get_n_atoms("Membrane")
+    npr = ndx_system.group_get_n_atoms("Protein")
+    assert d.shape == (nm, npr)
+    assert float(d.max()) == pytest.approx(9.190487, abs=1e-5)
+    assert float(d.min()) == pytest.approx(0.02607, abs=1e-5)
+    assert float(d[0, 0]) == pytest.approx(3.747651, abs=1e-5)
+    assert float(d[1240, 12]) == pytest.approx(3.7207017, abs=1e-5)
+    assert float(d[12, 34]) == pytest.approx(6.2494035, abs=1e-5)
+    assert float(d[6143, 60]) == pytest.approx(4.7850933, abs=1e-5)
