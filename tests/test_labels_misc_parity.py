@@ -108,3 +108,31 @@ def test_read_ndx_with_default(sys_, test_files):
     # default that does not exist: no groups added, no exception
     s2.read_ndx_with_default(None, "definitely_missing.ndx")
     assert not s2.group_exists("Protein")
+
+
+def test_molecule_iter_bfs_order(test_files):
+    """reference: iterating.rs:912-946 — molecule_iter yields the exact BFS
+    visit order over the bond graph."""
+    s = System.from_file(os.path.join(test_files, "conect.pdb"))
+    s.add_bonds_from_pdb(os.path.join(test_files, "conect.pdb"))
+
+    expected0 = [1, 2, 3, 4, 6, 5, 7, 8, 9, 10, 11, 13, 12, 14, 15, 16, 17,
+                 18, 19, 20, 21, 24, 22, 23, 25, 26, 27, 28, 29, 30, 32, 36,
+                 38, 42, 48, 31, 33, 34, 35, 37, 39, 41, 45, 49, 40, 43, 46,
+                 44, 47]
+    got0 = [a.get_atom_number() for a in s.molecule_iter(0)]
+    assert got0 == expected0
+
+    expected28 = [29, 28, 30, 32, 36, 38, 42, 48, 26, 31, 33, 34, 35, 37, 39,
+                  41, 45, 49, 24, 27, 40, 43, 46, 20, 25, 44, 47, 18, 21, 16,
+                  19, 22, 23, 15, 17, 13, 14, 10, 8, 11, 6, 9, 12, 3, 7, 1,
+                  4, 2, 5]
+    got28 = [a.get_atom_number() for a in s.molecule_iter(28)]
+    assert got28 == expected28
+
+    # isolated atom: its own molecule
+    got49 = [a.get_atom_number() for a in s.molecule_iter(49)]
+    assert got49 == [50]
+
+    with pytest.raises(AtomError):
+        list(s.molecule_iter(50))
