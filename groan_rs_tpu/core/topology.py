@@ -258,3 +258,31 @@ class Topology:
         t.bonded = [list(b) for b in self.bonded]
         t._invalidate_bonds()
         return t
+
+    def subset(self, indices) -> "Topology":
+        """New topology of the selected atoms (bond graph restricted to the
+        subset and remapped; reference analogue: `Vec<Atom>` extraction,
+        system/mod.rs:453,479)."""
+        idx = np.asarray(indices, np.int64)
+        t = Topology.__new__(Topology)
+        t.n_atoms = int(idx.shape[0])
+        t.resnum = self.resnum[idx].copy()
+        t.resname = self.resname.take(idx)
+        t.atomname = self.atomname.take(idx)
+        t.atomnum = self.atomnum[idx].copy()
+        t.chain = self.chain.take(idx)
+        for f in ("charge", "mass", "vdw"):
+            setattr(t, f, getattr(self, f)[idx].copy())
+            setattr(t, "has_" + f, getattr(self, "has_" + f)[idx].copy())
+        for f in ("expected_min_bonds", "expected_max_bonds"):
+            setattr(t, f, getattr(self, f)[idx].copy())
+            setattr(t, "has_" + f, getattr(self, "has_" + f)[idx].copy())
+        t.element_name = self.element_name.take(idx)
+        t.element_symbol = self.element_symbol.take(idx)
+        remap = {int(old): new for new, old in enumerate(idx)}
+        t.bonded = [
+            sorted(remap[j] for j in self.bonded[int(old)] if int(j) in remap)
+            for old in idx
+        ]
+        t._invalidate_bonds()
+        return t

@@ -40,6 +40,25 @@ class System(
     """The central object: topology + current frame + groups."""
 
     # ------------------------------------------------------------- construction
+    def group_extract(self, name: str) -> "System":
+        """New System containing only the group's atoms (bond graph
+        restricted + remapped; reference: System::group_extract,
+        mod.rs:479 + System::new)."""
+        from .core import _extract_system
+
+        return _extract_system(self, self.group_indices(name),
+                               f"Group `{name}` extracted from {self.get_name()}")
+
+    def atoms_extract(self) -> "System":
+        """New System with copies of all atoms but no custom groups
+        (reference: System::atoms_extract, mod.rs:453)."""
+        from .core import _extract_system
+
+        import numpy as _np
+
+        return _extract_system(self, _np.arange(self.get_n_atoms()),
+                               self.get_name())
+
     @classmethod
     def from_file(cls, filename) -> "System":
         """Construct from GRO/PDB/PQR/TPR (reference: system/mod.rs:197)."""

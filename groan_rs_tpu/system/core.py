@@ -258,3 +258,21 @@ class SystemCore:
     def box_lengths(self) -> np.ndarray:
         sb = simbox_check(self.simbox)
         return sb.to_lengths_vec()
+
+
+def _extract_system(system, indices, name: str):
+    """Build a new System holding only `indices` (reference analogue:
+    System::new(name, system.group_extract(g), box), mod.rs:453,479)."""
+    from . import System
+
+    new = System(name, system.topology.subset(indices), system.get_box_copy())
+    idx = np.asarray(indices, np.int64)
+    new.positions = system.positions[idx].copy()
+    new.has_position = system.has_position[idx].copy()
+    new.velocities = system.velocities[idx].copy()
+    new.has_velocity = system.has_velocity[idx].copy()
+    new.forces = system.forces[idx].copy()
+    new.has_force = system.has_force[idx].copy()
+    new.set_step(system.get_step())
+    new.set_time(system.get_time())
+    return new

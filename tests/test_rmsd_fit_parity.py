@@ -100,3 +100,33 @@ def test_fit_trajectory_broken_at_pbc(tpr, test_files, tmp_path):
         0.26422343, 0.27013618, 0.26398134, 0.23475659, 0.24208021,
     ]
     np.testing.assert_allclose(rmsds, expected, atol=1e-4)
+
+
+def test_calc_rmsd_partial_extracted_reference(tpr):
+    """reference: rmsd.rs test_calc_rmsd_partial — the reference system may
+    be the extracted group alone."""
+    s = tpr.copy()
+    ref = s.group_extract("Protein")
+    ref.group_create("Protein", "all")
+    assert ref.get_n_atoms() == 61
+    assert s.calc_rmsd(ref, "Protein") == pytest.approx(0.0, abs=1e-4)
+
+
+def test_extract_semantics(tpr, test_files):
+    """group_extract/atoms_extract build independent sub-systems with
+    remapped bonds."""
+    s = tpr.copy()
+    sub = s.group_extract("Protein")
+    assert sub.get_n_atoms() == 61
+    assert sub.get_box().x == pytest.approx(s.get_box().x)
+    # bonds are remapped into [0, 61)
+    for i, b in enumerate(sub.topology.bonded):
+        assert all(0 <= j < 61 for j in b)
+    # independence
+    sub.positions[0] = [0.0, 0.0, 0.0]
+    assert not np.allclose(s.positions[s.group_indices("Protein")][0], 0.0)
+    # atoms_extract copies everything without custom groups
+    full = s.atoms_extract()
+    assert full.get_n_atoms() == s.get_n_atoms()
+    assert not full.group_exists("Protein")
+    np.testing.assert_allclose(full.positions, s.positions)
