@@ -14,7 +14,8 @@ from ..core.topology import Topology
 from ..errors import FileTypeError
 from ..files import FileType
 from .analysis import AnalysisMixin, TriclinicAnalysisMixin
-from .core import Group, GroupOverwriteWarning, SystemCore, name_is_valid
+from .core import (Group, GroupOverwriteWarning, SystemCore,
+                   SystemExtrasMixin, name_is_valid)
 from .groups import GroupsMixin
 from .guess import GuessMixin
 from .hbonds import HBondsMixin
@@ -36,6 +37,7 @@ class System(
     GuessMixin,
     HBondsMixin,
     SystemCore,
+    SystemExtrasMixin,
 ):
     """The central object: topology + current frame + groups."""
 
@@ -199,6 +201,51 @@ class System(
         (reference: traj_write.rs:235)."""
         for w in self._traj_writers.values():
             w.write_frame()
+
+    # reference-named writer aliases (traj_write.rs)
+    def traj_writer_auto_init(self, filename, **kw):
+        """reference: traj_write.rs:174 (format from extension)."""
+        return self.traj_writer_init(filename, **kw)
+
+    def traj_group_writer_init(self, group, filename, fmt=None, **kw):
+        """reference: traj_write.rs:154."""
+        return self.group_traj_writer_init(group, filename, fmt, **kw)
+
+    def traj_group_writer_auto_init(self, group, filename, **kw):
+        return self.group_traj_writer_init(group, filename, **kw)
+
+    def get_n_writers(self) -> int:
+        return len(self._traj_writers)
+
+    def traj_write_frame_to_file(self, filename):
+        """Write the current frame to one specific writer."""
+        from ..errors import WriteTrajError
+
+        key = str(filename)
+        if key not in self._traj_writers:
+            raise WriteTrajError(f"no writer for '{filename}'", code="WriterNotFound")
+        self._traj_writers[key].write_frame()
+
+    def traj_close_file(self, filename):
+        from ..errors import WriteTrajError
+
+        key = str(filename)
+        if key not in self._traj_writers:
+            raise WriteTrajError(f"no writer for '{filename}'", code="WriterNotFound")
+        self._traj_writers.pop(key).close()
+
+    def traj_close(self):
+        """reference name for closing all writers."""
+        return self.traj_writers_close()
+
+    def traj_iter_map_reduce(self, filenames, body, **kw):
+        """Device-sharded map-reduce over a trajectory (the reference's
+        System::traj_iter_map_reduce, parallel.rs:208)."""
+        from ..parallel import traj_iter_map_reduce as _mr
+
+        return _mr(self, filenames, body, **kw)
+
+    traj_iter_cat_map_reduce = traj_iter_map_reduce
 
     def traj_writers_close(self):
         """reference: traj_write.rs:246."""

@@ -276,3 +276,46 @@ def _extract_system(system, indices, name: str):
     new.set_step(system.get_step())
     new.set_time(system.get_time())
     return new
+
+
+class SystemExtrasMixin:
+    """Reference-named convenience methods (API-parity aliases and small
+    predicates from system/mod.rs)."""
+
+    # ------------------------------------------------------------- atoms
+    def get_atoms(self) -> list:
+        """All atoms as views (reference: System::get_atoms)."""
+        return [self.get_atom(i) for i in range(self.get_n_atoms())]
+
+    def get_atoms_copy(self) -> list:
+        """reference: System::get_atoms_copy (views over a copied System)."""
+        return self.copy().get_atoms()
+
+    def get_atom_mut(self, index: int):
+        """Views are always writable; alias of get_atom (mod.rs)."""
+        return self.get_atom(index)
+
+    def has_positions(self) -> bool:
+        return bool(self.has_position.all()) and self.get_n_atoms() > 0
+
+    def has_velocities(self) -> bool:
+        return bool(self.has_velocity.all()) and self.get_n_atoms() > 0
+
+    def has_forces(self) -> bool:
+        return bool(self.has_force.all()) and self.get_n_atoms() > 0
+
+    def has_duplicate_atom_numbers(self) -> bool:
+        return len(np.unique(self.topology.atomnum)) != self.get_n_atoms()
+
+    # ------------------------------------------------------------- box
+    def get_box_mut(self):
+        return self.get_box()
+
+    def reset_box(self):
+        """reference: System::reset_box."""
+        self.set_box(None)
+
+    def reset_mol_references(self):
+        """Invalidate the cached molecule decomposition (recomputed on next
+        use; reference: System::reset_mol_references)."""
+        self.topology._invalidate_bonds()

@@ -163,3 +163,17 @@ class GroupsMixin:
     def groups_member(self, index: int) -> list[str]:
         """All groups containing the atom (reference: groups.rs:781)."""
         return [n for n, g in self.groups.items() if g.atoms.isin(index)]
+
+    # ------------------------------------------------------- ndx writability
+    def group_make_writable(self, name: str):
+        """Mark a group for inclusion in write_ndx output
+        (reference: groups.rs:565)."""
+        self._get_group(name).print_ndx = True
+
+    def group_make_nonwritable(self, name: str):
+        """Exclude a group from write_ndx output (reference: groups.rs:574)."""
+        self._get_group(name).print_ndx = False
+
+    def group_names_writable(self) -> list:
+        """Names of ndx-writable groups (reference: groups.rs:743)."""
+        return [n for n, g in self.groups.items() if g.print_ndx]

@@ -136,3 +136,62 @@ def test_molecule_iter_bfs_order(test_files):
 
     with pytest.raises(AtomError):
         list(s.molecule_iter(50))
+
+
+def test_system_extras_api(sys_, test_files, tmp_path):
+    """Reference-named System conveniences (mod.rs / traj_write.rs)."""
+    s = sys_.copy()
+    s.group_create("P", "@protein")
+    # predicates
+    assert s.has_positions() and s.has_velocities() and not s.has_forces()
+    assert not s.has_duplicate_atom_numbers()
+    s2 = s.copy()
+    s2.topology.atomnum[1] = s2.topology.atomnum[0]
+    assert s2.has_duplicate_atom_numbers()
+    # atoms views
+    atoms = s.get_atoms()
+    assert len(atoms) == s.get_n_atoms()
+    assert atoms[0].get_atom_name() == s.get_atom(0).get_atom_name()
+    # writability flags drive write_ndx
+    s.group_make_nonwritable("P")
+    assert "P" not in s.group_names_writable()
+    out = tmp_path / "x.ndx"
+    s.write_ndx(out)
+    assert "[ P ]" not in open(out).read()
+    s.group_make_writable("P")
+    s.write_ndx(out)
+    assert "[ P ]" in open(out).read()
+    # writer registry aliases
+    x1 = str(tmp_path / "a.xtc")
+    s.traj_writer_auto_init(x1)
+    s.traj_group_writer_init("P", str(tmp_path / "b.xtc"))
+    assert s.get_n_writers() == 2
+    s.traj_write_frame()
+    s.traj_write_frame_to_file(x1)
+    s.traj_close_file(x1)
+    assert s.get_n_writers() == 1
+    s.traj_close()
+    assert s.get_n_writers() == 0
+    # reset box
+    s3 = s.copy()
+    s3.reset_box()
+    assert s3.get_box() is None
+
+
+def test_system_level_map_reduce(sys_, test_files):
+    """System.traj_iter_map_reduce delegates to the engine (parallel.rs)."""
+    import jax.numpy as jnp
+
+    from groan_rs_tpu.ops import center as center_ops
+
+    s = sys_.copy()
+    s.group_create("Protein", "@protein")
+    idx = jnp.asarray(s.group_indices("Protein"))
+
+    def body(positions, boxes, mask):
+        return {"c": center_ops.center(jnp.take(positions, idx, 1),
+                                       boxes[:, None, :])}
+
+    out = s.traj_iter_map_reduce(
+        os.path.join(test_files, "short_trajectory.xtc"), body, batch_size=4)
+    assert out["c"].shape == (11, 3)
