@@ -319,3 +319,13 @@ class SystemExtrasMixin:
         """Invalidate the cached molecule decomposition (recomputed on next
         use; reference: System::reset_mol_references)."""
         self.topology._invalidate_bonds()
+
+
+# extra reference-named aliases attached to the extras mixin
+def _get_groups_copy(self):
+    """reference: System::get_groups_copy."""
+    return {name: g.copy() for name, g in self.groups.items()}
+
+
+SystemExtrasMixin.get_groups_copy = _get_groups_copy
+SystemExtrasMixin.group_isempty = lambda self, name: self.group_is_empty(name)

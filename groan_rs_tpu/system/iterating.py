@@ -92,6 +92,8 @@ class IteratingMixin:
                     yield (Atom(self, a), Atom(self, int(b)))
 
     # ------------------------------------------------------------- geometry filtering
+    molecule_bonds_iter_mut = molecule_bonds_iter
+
     def atoms_filter_geometry(self, geometry):
         """Indices of atoms (with positions) inside a shape — the vectorized
         analogue of `filter_geometry` (iterators.rs:1094)."""
