@@ -77,3 +77,40 @@ def test_container_empty():
     assert c.get_n_atoms() == 0
     assert not c.isin(0)
     assert list(c.indices()) == []
+
+
+def test_container_from_ranges_merging():
+    """container.rs: overlapping/adjacent ranges merge into minimal blocks."""
+    c = AtomContainer.from_ranges([(0, 5), (6, 10), (3, 7), (20, 20)], 100)
+    assert list(c.indices()) == list(range(0, 11)) + [20]
+    assert len(c.blocks) == 2  # [0-10], [20]
+
+
+def test_container_difference_and_iter():
+    a = AtomContainer.from_indices(range(0, 10), 100)
+    b = AtomContainer.from_indices([2, 3, 7], 100)
+    d = a.difference(b)
+    assert list(d.indices()) == [0, 1, 4, 5, 6, 8, 9]
+    assert list(iter(d)) == [0, 1, 4, 5, 6, 8, 9]
+    assert d.first() == 0 and d.last() == 9
+    assert not d.is_empty()
+    assert AtomContainer.empty().is_empty()
+    assert AtomContainer.empty().first() is None
+
+
+def test_container_equality_and_mask_roundtrip():
+    a = AtomContainer.from_indices([1, 2, 3, 10], 20)
+    b = AtomContainer.from_mask(a.mask(20))
+    assert a == b
+    assert a.get_n_atoms() == 4
+
+
+def test_container_union_disjoint_and_nested():
+    a = AtomContainer.from_indices([0, 1, 2], 50)
+    b = AtomContainer.from_indices([10, 11], 50)
+    assert list(a.union(b).indices()) == [0, 1, 2, 10, 11]
+    outer = AtomContainer.from_indices(range(0, 20), 50)
+    inner = AtomContainer.from_indices(range(5, 10), 50)
+    assert outer.union(inner) == outer
+    assert inner.intersection(outer) == inner
+    assert outer.intersection(AtomContainer.empty()).is_empty()
