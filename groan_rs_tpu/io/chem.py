@@ -8,7 +8,7 @@ Plays the role of the optional chemfiles C++ dependency in the reference
   (matching the reference's documented DCD limitations, chemfiles.rs:36).
 - Amber NetCDF: via scipy's netcdf reader ('coordinates' in Angstrom).
 - LAMMPSTRJ: text dump with ITEM: sections (Angstrom -> nm).
-TNG is not supported natively; reading it raises with a clear message.
+TNG is handled by the native container parser in `io/tng.py`.
 """
 
 from __future__ import annotations
@@ -302,9 +302,8 @@ def open_extra_source(path, fmt: str):
         return NetCdfSource(path)
     if fmt == "lammpstrj":
         return LammpsSource(path)
-    if fmt == "tng":
-        raise ReadTrajError(
-            "TNG reading is not supported by the native readers; convert to "
-            "XTC/TRR first", code="Unsupported",
-        )
+    if fmt == "tng":  # routed to io/tng.py by open_source; kept for direct calls
+        from .tng import TngSource
+
+        return TngSource(path)
     raise ReadTrajError(f"unsupported trajectory format '{fmt}'", code="UnknownFormat")

@@ -328,7 +328,11 @@ def open_source(path, fmt: str | None = None) -> FrameSource:
         return TrrSource(path)
     if fmt == "gro":
         return GroSource(path)
-    if fmt in ("dcd", "nc", "lammpstrj", "tng"):
+    if fmt == "tng":
+        from .tng import TngSource
+
+        return TngSource(path)
+    if fmt in ("dcd", "nc", "lammpstrj"):
         from .chem import open_extra_source
 
         return open_extra_source(path, fmt)
@@ -741,6 +745,13 @@ def gro_iter(system, filename, **kw) -> TrajReader:
     return traj_iter(system, filename, fmt="gro", **kw)
 
 
+def tng_iter(system, filename, **kw) -> TrajReader:
+    """Iterate a TNG trajectory (reference behavior: ChemfilesReader over
+    TNG, src/io/chemfiles.rs:25-41; here via the native container parser,
+    io/tng.py)."""
+    return traj_iter(system, filename, fmt="tng", **kw)
+
+
 def cat_iter(system, filenames, fmt: str | None = None, group: str | None = None,
              **kw) -> TrajReader:
     """Concatenated iteration with boundary dedup (reference: traj_cat.rs)."""
@@ -824,6 +835,30 @@ class GroTrajWriter(TrajWriter):
             write_gro_frame(self.system, fh, self.group, self.write_velocities, is_trajectory=True)
 
 
+class TngTrajWriter(TrajWriter):
+    """TNG writer (gzip codec) — surpass feature, the reference cannot
+    write TNG (chemfiles is read-only there, src/io/chemfiles.rs)."""
+
+    def __init__(self, system, path, group: str = "all"):
+        super().__init__(system, path, group)
+        from .tng import TngFrameWriter
+
+        self._w = TngFrameWriter(self.path, len(self.indices))
+
+    def write_frame(self):
+        s = self.system
+        box = s.get_box()
+        box33 = box.to_matrix() if box is not None else None
+        idx = self.indices
+        v = s.velocities[idx] if s.has_velocity[idx].all() else None
+        f = s.forces[idx] if s.has_force[idx].all() else None
+        self._w.write_frame(s.positions[idx], box33, s.get_step(), s.get_time(),
+                            velocities=v, forces=f, lam=s.get_lambda())
+
+    def close(self):
+        self._w.close()
+
+
 def make_writer(system, path, group: str = "all", fmt: str | None = None, **kw) -> TrajWriter:
     if fmt is None:
         fmt = FileType.from_name(path).value
@@ -833,4 +868,6 @@ def make_writer(system, path, group: str = "all", fmt: str | None = None, **kw) 
         return TrrWriter(system, path, group)
     if fmt == "gro":
         return GroTrajWriter(system, path, group, **kw)
+    if fmt == "tng":
+        return TngTrajWriter(system, path, group)
     raise WriteTrajError(f"unsupported trajectory format '{fmt}'", code="UnknownFormat")

@@ -145,6 +145,11 @@ class System(
 
         return _it(self, filename, **kw)
 
+    def tng_iter(self, filename, **kw):
+        from ..io.traj import tng_iter as _it
+
+        return _it(self, filename, **kw)
+
     def group_xtc_iter(self, group: str, filename, **kw):
         from ..io.traj import xtc_iter as _it
 

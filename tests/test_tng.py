@@ -1,0 +1,196 @@
+"""Native TNG container reader/writer tests.
+
+Reference: TNG reading via chemfiles (src/io/chemfiles.rs:25-41, tng tests
+around chemfiles.rs test_chemfiles_read_tng*). The native parser reads
+container metadata of GROMACS-written files (steps, times, boxes) and
+fully round-trips gzip-codec TNG written by this framework; the bespoke
+tng_compress position codec is rejected with a precise error.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import ReadTrajError
+from groan_rs_tpu.io.tng import TngFrameWriter, TngSource, read_tng, tng_info
+from groan_rs_tpu.system import System
+
+
+# ----------------------------------------------------------- gmx fixtures
+
+def test_gmx_container_metadata(test_files):
+    info = tng_info(os.path.join(test_files, "short_trajectory.tng"))
+    assert info["n_atoms"] == 16844
+    assert info["n_frames"] == 11
+    np.testing.assert_array_equal(info["steps"], np.arange(11) * 5000)
+    np.testing.assert_allclose(info["times"], np.arange(11) * 100.0)
+    assert info["codecs"]["POSITIONS"] == 2  # tng_compress
+    assert info["codecs"]["BOX SHAPE"] == 3  # gzip
+    assert info["program"].startswith("gmx")
+
+
+def test_gmx_box_matches_xtc(test_files):
+    """BOX SHAPE blocks are gzip-coded and must match the XTC boxes."""
+    from groan_rs_tpu.io import native
+
+    endian, _, _, sets = read_tng(os.path.join(test_files, "short_trajectory.tng"))
+    offsets, steps, times, natoms = native.xtc_scan(
+        os.path.join(test_files, "short_trajectory.xtc"))
+    _, boxes, *_ = native.xtc_read_frames(
+        os.path.join(test_files, "short_trajectory.xtc"), offsets, natoms)
+    tng_boxes = np.stack([fs.data[0x10000000].decode(endian)[0].reshape(3, 3)
+                          for fs in sets])
+    np.testing.assert_allclose(tng_boxes, boxes.reshape(-1, 3, 3), atol=1e-6)
+
+
+def test_gmx_positions_unsupported_codec(test_files):
+    src = TngSource(os.path.join(test_files, "short_trajectory.tng"))
+    assert src.n_frames() == 11 and src.natoms == 16844
+    with pytest.raises(ReadTrajError) as e:
+        src.read_batch([0])
+    assert e.value.code == "UnsupportedCodec"
+    assert "tng_compress" in str(e.value)
+
+
+def test_octahedron_container(test_files):
+    info = tng_info(os.path.join(test_files, "octahedron_trajectory.tng"))
+    assert info["n_atoms"] == 50
+    assert info["n_frames"] == 11
+
+
+def test_fake_tng_rejected(test_files):
+    with pytest.raises(ReadTrajError):
+        tng_info(os.path.join(test_files, "fake_tng.tng"))
+    with pytest.raises(ReadTrajError) as e:
+        tng_info("/nonexistent/file.tng")
+    assert e.value.code == "FileNotFound"
+
+
+# ----------------------------------------------------------- round trips
+
+@pytest.fixture()
+def gro_system(test_files):
+    return System.from_file(os.path.join(test_files, "example.gro"))
+
+
+def test_xtc_to_tng_roundtrip(gro_system, test_files, tmp_path):
+    out = str(tmp_path / "rt.tng")
+    s = gro_system
+    s.traj_writer_init(out, fmt="tng")
+    ref = []
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+        ref.append((np.array(fr.positions), fr.get_step(), fr.get_time(),
+                    np.array(fr.get_box().to_matrix())))
+    s.traj_writers_close()
+
+    s2 = System.from_file(os.path.join(test_files, "example.gro"))
+    n = 0
+    for fr in s2.tng_iter(out):
+        p, st, t, b = ref[n]
+        np.testing.assert_array_equal(np.array(fr.positions), p)  # lossless
+        assert fr.get_step() == st
+        assert fr.get_time() == pytest.approx(t, abs=1e-4)
+        np.testing.assert_allclose(np.array(fr.get_box().to_matrix()), b, atol=1e-6)
+        n += 1
+    assert n == 11
+
+    # batched source path is bit-exact too
+    src = TngSource(out)
+    fb = src.read_batch(np.arange(n))
+    np.testing.assert_array_equal(fb.positions, np.stack([r[0] for r in ref]))
+    np.testing.assert_array_equal(fb.steps, [r[1] for r in ref])
+
+
+def test_trr_to_tng_keeps_velocities_forces(gro_system, test_files, tmp_path):
+    out = str(tmp_path / "vf.tng")
+    s = gro_system
+    s.traj_writer_init(out, fmt="tng")
+    ref = []
+    for fr in s.trr_iter(os.path.join(test_files, "short_trajectory.trr")):
+        fr.traj_write_frame()
+        hv = bool(fr.has_velocity.all())
+        hf = bool(fr.has_force.all())
+        ref.append((np.array(fr.velocities) if hv else None,
+                    np.array(fr.forces) if hf else None))
+    s.traj_writers_close()
+
+    src = TngSource(out)
+    fb = src.read_batch(np.arange(src.n_frames()))
+    for i, (v, f) in enumerate(ref):
+        assert fb.has_v[i] == (v is not None)
+        assert fb.has_f[i] == (f is not None)
+        if v is not None:
+            np.testing.assert_array_equal(fb.velocities[i], v)
+        if f is not None:
+            np.testing.assert_array_equal(fb.forces[i], f)
+
+
+def test_group_tng_writer(gro_system, test_files, tmp_path):
+    """Group writers store only the selection (reference: group writers,
+    traj_write.rs)."""
+    out = str(tmp_path / "prot.tng")
+    s = gro_system
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    s.group_traj_writer_init("Protein", out, fmt="tng")
+    idx = s.group_indices("Protein")
+    ref = []
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+        ref.append(np.array(fr.positions[idx]))
+    s.traj_writers_close()
+    src = TngSource(out)
+    assert src.natoms == len(idx)
+    fb = src.read_batch(np.arange(src.n_frames()))
+    np.testing.assert_array_equal(fb.positions, np.stack(ref))
+
+
+def test_tng_written_frameset_linkage(gro_system, test_files, tmp_path):
+    """The frame-set linked list and general-info pointers are patched at
+    close (valid for strided readers), and md5s stay consistent."""
+    import hashlib
+    import struct
+
+    out = str(tmp_path / "link.tng")
+    s = gro_system
+    s.traj_writer_init(out, fmt="tng")
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+    s.traj_writers_close()
+
+    data = open(out, "rb").read()
+    endian, blocks, info, sets = read_tng(out)
+    fs_blocks = [b for b in blocks if b.block_id == 0x2]
+    assert len(fs_blocks) == 11
+    # every block's md5 must match its contents
+    for b in blocks:
+        md5 = data[b.offset + 24:b.offset + 40]
+        assert hashlib.md5(data[b.contents_offset:b.end]).digest() == md5
+    # next pointers chain the frame sets in order
+    for i, b in enumerate(fs_blocks):
+        nxt, = struct.unpack_from("<q", data, b.contents_offset + 16)
+        expected = fs_blocks[i + 1].offset if i + 1 < len(fs_blocks) else -1
+        assert nxt == expected
+    # general info first/last frame set positions
+    gi = data[blocks[0].contents_offset:blocks[0].end]
+    p = 0
+    for _ in range(9):
+        p = gi.index(b"\0", p) + 1
+    p += 17
+    first, last = struct.unpack_from("<qq", gi, p)
+    assert first == fs_blocks[0].offset and last == fs_blocks[-1].offset
+
+
+def test_tng_traj_iter_with_range_and_step(gro_system, test_files, tmp_path):
+    out = str(tmp_path / "range.tng")
+    s = gro_system
+    s.traj_writer_init(out, fmt="tng")
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+    s.traj_writers_close()
+
+    s2 = System.from_file(os.path.join(test_files, "example.gro"))
+    times = [fr.get_time() for fr in
+             s2.tng_iter(out).with_range(200.0, 600.0).with_step(2)]
+    assert times == [pytest.approx(200.0), pytest.approx(400.0), pytest.approx(600.0)]
