@@ -146,6 +146,26 @@ class Atom:
     def has_position(self) -> bool:
         return bool(self._system.has_position[self._index])
 
+    def _set_position_axis(self, axis: int, v: float):
+        s = self._system
+        if not s.has_position[self._index]:
+            raise PositionError(f"atom {self._index} has no position")
+        s.positions[self._index, axis] = np.float32(v)
+
+    def set_position_x(self, v: float):
+        """reference: atom.rs set_position_x"""
+        self._set_position_axis(0, v)
+
+    def set_position_y(self, v: float):
+        self._set_position_axis(1, v)
+
+    def set_position_z(self, v: float):
+        self._set_position_axis(2, v)
+
+    def reset_position(self):
+        """Remove the position (reference: atom.rs reset_position)."""
+        self.set_position(None)
+
     def get_velocity(self):
         s = self._system
         if not s.has_velocity[self._index]:
@@ -163,6 +183,9 @@ class Atom:
     def has_velocity(self) -> bool:
         return bool(self._system.has_velocity[self._index])
 
+    def reset_velocity(self):
+        self.set_velocity(None)
+
     def get_force(self):
         s = self._system
         if not s.has_force[self._index]:
@@ -179,6 +202,9 @@ class Atom:
 
     def has_force(self) -> bool:
         return bool(self._system.has_force[self._index])
+
+    def reset_force(self):
+        self.set_force(None)
 
     # ------------------------------------------------------------- bonds
     def get_bonded(self) -> AtomContainer:
@@ -234,6 +260,33 @@ class Atom:
         if p is None:
             raise PositionError(f"atom {self._index} has no position")
         self.set_position(p + np.asarray(shift, np.float32))
+
+    def distance_naive(self, other: "Atom", dim) -> float:
+        """Oriented distance without PBC (reference: atom.rs distance_naive;
+        single-axis results keep the sign of self - other)."""
+        from .dimension import Dimension
+
+        p1, p2 = self.get_position(), other.get_position()
+        if p1 is None:
+            raise PositionError(f"atom {self._index} has no position")
+        if p2 is None:
+            raise PositionError(f"atom {other._index} has no position")
+        dmask = dim.value if isinstance(dim, Dimension) else dim
+        d = (p1 - p2) * np.asarray(dmask, np.float32)
+        n = int(np.sum(np.asarray(dmask) != 0))
+        if n == 0:
+            return 0.0
+        if n == 1:
+            return float(d.sum())
+        return float(np.sqrt((d * d).sum()))
+
+    def rotate(self, rotation, simbox):
+        """Rotate and wrap into the box (reference: atom.rs rotate)."""
+        from ..ops import pbc
+
+        self.rotate_nopbc(rotation)
+        self.set_position(np.asarray(pbc.wrap(self.get_position(),
+                                              simbox.to_lengths_vec())))
 
     def rotate_nopbc(self, rotation):
         """Apply a 3x3 rotation matrix (column-vector convention, as nalgebra)."""
