@@ -22,7 +22,7 @@ import os
 
 import numpy as np
 
-_MAGIC = "groan-gxidx-v1"
+_MAGIC = "groan-gxidx-v2"
 
 
 def _fingerprint(path) -> tuple[int, int]:

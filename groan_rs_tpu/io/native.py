@@ -119,6 +119,22 @@ def n_default_threads() -> int:
     return max(1, (os.cpu_count() or 1))
 
 
+
+
+def _steps_u32(steps):
+    """XTC/TRR store the simulation step as 32 raw bits; GROMACS (and the
+    reference via molly, molly_xtc.rs) interprets them unsigned, so steps
+    beyond 2^31 (e.g. test_files/large_step.xtc) must not come back
+    negative."""
+    return steps.astype(np.uint32).astype(np.int64)
+
+
+def _step_bits(step: int) -> int:
+    """Clamp a (possibly >2^31) step into the signed-32 bit pattern the C
+    layer pushes onto the wire."""
+    step = int(step) & 0xFFFFFFFF
+    return step - 0x100000000 if step >= 0x80000000 else step
+
 # ---------------------------------------------------------------- XTC API
 
 def xtc_scan(path):
@@ -142,7 +158,7 @@ def xtc_scan(path):
         ctypes.byref(natoms),
     )
     n = _check(rc, path)
-    return offsets[:n].copy(), steps[:n].copy(), times[:n].copy(), int(natoms.value)
+    return offsets[:n].copy(), _steps_u32(steps[:n]), times[:n].copy(), int(natoms.value)
 
 
 def xtc_probe(path):
@@ -176,7 +192,7 @@ def xtc_read_frames(path, offsets, natoms: int, stop_after: int | None = None,
         n_threads if n_threads is not None else n_default_threads(),
     )
     _check(rc, path)
-    return coords, boxes, steps, times, precisions
+    return coords, boxes, _steps_u32(steps), times, precisions
 
 
 def xtc_read_frames_q16(path, offsets, natoms: int, stop_after: int | None = None,
@@ -209,7 +225,7 @@ def xtc_read_frames_q16(path, offsets, natoms: int, stop_after: int | None = Non
         n_threads if n_threads is not None else n_default_threads(),
     )
     _check(rc, path)
-    return q, boxes, steps, times, precisions
+    return q, boxes, _steps_u32(steps), times, precisions
 
 
 def xtc_write_frame(path, natoms: int, step: int, time: float, box9, coords, precision: float):
@@ -217,7 +233,7 @@ def xtc_write_frame(path, natoms: int, step: int, time: float, box9, coords, pre
     box9 = np.ascontiguousarray(box9, np.float32).reshape(9) if box9 is not None else None
     coords = np.ascontiguousarray(coords, np.float32).reshape(-1)
     rc = lib.gx_xtc_write_frame(
-        str(path).encode(), natoms, step, float(time), _fptr(box9), _fptr(coords), float(precision)
+        str(path).encode(), natoms, _step_bits(step), float(time), _fptr(box9), _fptr(coords), float(precision)
     )
     _check(rc, path, write=True)
 
@@ -250,7 +266,7 @@ def trr_scan(path):
     )
     n = _check(rc, path)
     return (
-        offsets[:n].copy(), steps[:n].copy(), times[:n].copy(), lambdas[:n].copy(),
+        offsets[:n].copy(), _steps_u32(steps[:n]), times[:n].copy(), lambdas[:n].copy(),
         flags[:n].copy(), int(natoms.value),
     )
 
@@ -290,7 +306,7 @@ def trr_read_frames(path, offsets, natoms: int, want_x=True, want_v=True, want_f
         n_threads if n_threads is not None else n_default_threads(),
     )
     _check(rc, path)
-    return x, v, f, boxes, steps, times, lambdas, flags
+    return x, v, f, boxes, _steps_u32(steps), times, lambdas, flags
 
 
 def trr_write_frame(path, natoms: int, step: int, time: float, lam: float, box9,
@@ -302,7 +318,7 @@ def trr_write_frame(path, natoms: int, step: int, time: float, lam: float, box9,
         return np.ascontiguousarray(a, np.float32).reshape(-1) if a is not None else None
 
     rc = lib.gx_trr_write_frame(
-        str(path).encode(), natoms, step, float(time), float(lam), _fptr(box9),
+        str(path).encode(), natoms, _step_bits(step), float(time), float(lam), _fptr(box9),
         _fptr(prep(x)), _fptr(prep(v)), _fptr(prep(f)),
     )
     _check(rc, path, write=True)

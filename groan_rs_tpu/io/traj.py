@@ -814,9 +814,11 @@ class TrrWriter(TrajWriter):
         box = s.get_box()
         box33 = box.to_matrix().reshape(9) if box is not None else None
         idx = self.indices
-        x = s.positions[idx] if s.has_position[idx].all() else None
-        v = s.velocities[idx] if s.has_velocity[idx].all() else None
-        f = s.forces[idx] if s.has_force[idx].all() else None
+        # the reference ALWAYS writes x, v and f blocks, substituting zeros
+        # for atoms that lack the vector (trr_io.rs:483-506)
+        x = np.where(s.has_position[idx, None], s.positions[idx], 0.0)
+        v = np.where(s.has_velocity[idx, None], s.velocities[idx], 0.0)
+        f = np.where(s.has_force[idx, None], s.forces[idx], 0.0)
         native.trr_write_frame(
             self.path, len(idx), s.get_step(), s.get_time(), s.get_lambda(), box33,
             x=x, v=v, f=f,

@@ -194,3 +194,47 @@ def test_xtc_transcode_byte_identical(test_files, name, tmp_path):
         native.xtc_write_frame(out, na, int(st[i]), float(tm[i]), b9[i], c[i],
                                float(pr[i]))
     assert open(src, "rb").read() == open(out, "rb").read()
+
+
+def test_read_xtc_large_simulation_step(test_files):
+    """xtc_io/mod.rs:1014 — steps beyond 2^31 are unsigned 32-bit on the
+    wire and must read back as 3000000000+ (not negative)."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    steps = [fr.get_step() for fr in
+             s.xtc_iter(os.path.join(test_files, "large_step.xtc"))]
+    assert steps == [3000000000 + 5000 * i for i in range(11)]
+
+
+def test_write_xtc_large_simulation_step_roundtrip(test_files, tmp_path):
+    """Writing a >2^31 step stores the same 32-bit pattern GROMACS would."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    out = str(tmp_path / "big.xtc")
+    s.traj_writer_init(out)
+    for fr in s.xtc_iter(os.path.join(test_files, "large_step.xtc")):
+        fr.traj_write_frame()
+    s.traj_writers_close()
+    s2 = System.from_file(os.path.join(test_files, "example.gro"))
+    steps = [fr.get_step() for fr in s2.xtc_iter(out)]
+    assert steps == [3000000000 + 5000 * i for i in range(11)]
+
+
+def test_group_xtc_writer_byte_golden_snapshot(test_files, tmp_path):
+    """xtc_io/mod.rs:1162/1191 — group writer output is byte-identical to
+    short_trajectory_protein.xtc even when the group is replaced AND
+    removed after writer init (the writer snapshots the selection)."""
+    import warnings
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    out = str(tmp_path / "prot.xtc")
+    s.group_traj_writer_init("Protein", out, fmt="xtc")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s.group_create("Protein", "serial 1")
+    s.group_remove("Protein")
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+    s.traj_writers_close()
+    got = open(out, "rb").read()
+    want = open(os.path.join(test_files, "short_trajectory_protein.xtc"), "rb").read()
+    assert got == want

@@ -139,3 +139,28 @@ def test_trr_double_precision(test_files):
     np.testing.assert_allclose(fd.positions[0], fs.positions[0], atol=1e-4)
     assert np.isfinite(fd.positions[fd.has_x]).all()
     assert np.isfinite(fd.velocities[fd.has_v]).all()
+
+
+def test_trr_group_writer_byte_golden(test_files, tmp_path):
+    """trr_io.rs write_group_trr — group writer output is byte-identical to
+    the reference's short_trajectory_protein.trr golden, and replacing or
+    removing the group after init does not affect it (snapshot semantics,
+    trr_io.rs write_group_trr_replace/remove)."""
+    import warnings
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    out = str(tmp_path / "prot.trr")
+    s.group_traj_writer_init("Protein", out, fmt="trr")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s.group_create("Protein", "serial 1")
+    s.group_remove("Protein")
+    # the reference test feeds XTC frames into the TRR writer
+    # (trr_io.rs:1787) — x from the trajectory, v/f zero-filled
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+    s.traj_writers_close()
+    got = open(out, "rb").read()
+    want = open(os.path.join(test_files, "short_trajectory_protein.trr"), "rb").read()
+    assert got == want
