@@ -294,3 +294,139 @@ def test_atom_pairs_iter(example):
     from groan_rs_tpu.errors import AtomError
     with _pytest.raises(AtomError):
         list(s.atom_pairs_iter([(0, 10**9)]))
+
+
+# =====================================================================
+# Group management parity (groups.rs: extend/remove/rename/isin/isempty)
+# =====================================================================
+
+@pytest.fixture()
+def ndx(example, test_files):
+    s = example.copy()
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    return s
+
+
+def test_group_extend_simple_and_overlap(ndx):
+    """groups.rs group_extend_simple/_overlap."""
+    old = ndx.group_get_n_atoms("Protein")
+    ndx.group_extend("Protein", "ION")
+    assert ndx.group_get_n_atoms("Protein") == old + ndx.group_get_n_atoms("ION")
+    old_pm = ndx.group_get_n_atoms("Protein_Membrane")
+    ndx.group_extend("Protein_Membrane", "Membrane")
+    assert ndx.group_get_n_atoms("Protein_Membrane") == old_pm
+    with pytest.raises(GroupError):
+        ndx.group_extend("Protein", "Nonexistent")
+
+
+def test_group_remove_and_nonexistent(ndx):
+    ndx.group_remove("Protein")
+    assert not ndx.group_exists("Protein")
+    with pytest.raises(GroupError, match="Proin"):
+        ndx.group_remove("Proin")
+    # default groups are protected
+    with pytest.raises(GroupError):
+        ndx.group_remove("all")
+
+
+def test_group_rename_variants(ndx):
+    """groups.rs group_rename/_nonexistent/_overwrite."""
+    ndx.group_rename("Protein", "My Protein Group")
+    assert not ndx.group_exists("Protein")
+    assert ndx.group_exists("My Protein Group")
+    assert all(ndx.group_isin("My Protein Group", i) for i in range(61))
+
+    with pytest.raises(GroupError, match="Proin"):
+        ndx.group_rename("Proin", "Whatever")
+
+    with pytest.warns(GroupOverwriteWarning):
+        ndx.group_rename("My Protein Group", "Membrane")
+    assert not ndx.group_exists("My Protein Group")
+    assert ndx.group_exists("Membrane")
+    assert all(ndx.group_isin("Membrane", i) for i in range(61))
+
+
+def test_group_isin_advanced_and_fails(ndx):
+    """groups.rs group_isin_advanced/_fails — exact index spans from
+    index.ndx."""
+    assert all(ndx.group_isin("Transmembrane_all", i) for i in range(0, 61))
+    assert all(ndx.group_isin("Membrane", i) for i in range(61, 6205))
+    assert all(ndx.group_isin("ION", i) for i in range(16604, 16844))
+    with pytest.raises(GroupError, match="Nonexistent"):
+        ndx.group_isin("Nonexistent", 3)
+    assert not ndx.group_isin("Protein", 16845)
+
+
+def test_group_isempty_exact(example):
+    """groups.rs group_isempty."""
+    s = example.copy()
+    s.group_create("Membrane2", "@membrane and name PO4")
+    s.group_create("Single", "serial 15")
+    s.group_create("Empty", "resname NON")
+    assert not s.group_isempty("Membrane2")
+    assert not s.group_isempty("Single")
+    assert s.group_isempty("Empty")
+    with pytest.raises(GroupError, match="Nonexistent"):
+        s.group_isempty("Nonexistent")
+
+
+def test_split_by_resname_counts(example):
+    """groups.rs split_by_resname — group per residue name with exact
+    counts."""
+    s = example.copy()
+    names = s.atoms_split_by_resname()
+    assert set(names) >= {"resname POPC", "resname W", "resname ION"}
+    assert s.group_get_n_atoms("resname POPC") == 6144
+    total = sum(s.group_get_n_atoms(n) for n in names)
+    assert total == s.get_n_atoms()
+
+
+def test_group_split_by_resid_not_first_group(ndx):
+    """groups.rs group_split_by_resid_not_first_group — splitting a
+    non-'all' group only covers that group's atoms."""
+    names = ndx.group_split_by_resid("Protein")
+    got = sum(ndx.group_get_n_atoms(n) for n in names)
+    assert got == 61
+    assert all(n.startswith("resid ") for n in names)
+    with pytest.raises(GroupError):
+        ndx.group_split_by_resid("Nonexistent")
+
+
+def test_group_create_invalid_names(example):
+    """groups.rs group_create_invalid_names + from_indices/_ranges
+    variants."""
+    s = example.copy()
+    for bad in ("Memb!rane", "Group<>", "Group&& x"):
+        with pytest.raises(GroupError):
+            s.group_create_from_indices(bad, [1, 2, 3])
+        with pytest.raises(GroupError):
+            s.group_create_from_ranges(bad, [(0, 10)])
+
+
+def test_group_from_geometry_atoms_without_positions(example):
+    """groups.rs:1710 — atoms lacking positions are never geometry-selected
+    (the group comes out empty, no error)."""
+    s = example.copy()
+    for i in range(s.get_n_atoms()):
+        s.has_position[i] = False
+    s.group_create_from_geometry(
+        "No atoms", "all", Rectangular([5.0, 0.0, 2.0], 5.0, 4.0, 4.3))
+    assert s.group_get_n_atoms("No atoms") == 0
+
+
+def test_group_from_geometries_complex(example):
+    """groups.rs group_create_from_geometries_complex — intersection of
+    multiple shapes."""
+    s = example.copy()
+    s.group_create_from_geometries(
+        "G", "all",
+        [Sphere([6.0, 6.0, 6.0], 4.0), Rectangular([4.0, 4.0, 4.0], 4.0, 4.0, 4.0)],
+    )
+    sph = s.copy()
+    sph.group_create_from_geometry("S", "all", Sphere([6.0, 6.0, 6.0], 4.0))
+    rect = s.copy()
+    rect.group_create_from_geometry("R", "all",
+                                    Rectangular([4.0, 4.0, 4.0], 4.0, 4.0, 4.0))
+    inter = set(map(int, sph.group_indices("S"))) & set(map(int, rect.group_indices("R")))
+    assert set(map(int, s.group_indices("G"))) == inter
+    assert len(inter) > 0
