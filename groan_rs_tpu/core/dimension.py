@@ -49,6 +49,16 @@ class Dimension(enum.Enum):
         """Return the `(3,)` axis mask as a numpy constant."""
         return np.array(self.value, dtype=dtype)
 
+    def to_unit_vector(self) -> np.ndarray:
+        """Unit vector along the dimension's diagonal (reference:
+        `impl From<Dimension> for Vector3D`, dimension.rs — XY gives
+        [1/sqrt2, 1/sqrt2, 0], XYZ gives [1/sqrt3]*3, NONE gives zeros)."""
+        m = self.mask(np.float32)
+        n = m.sum()
+        if n == 0:
+            return m
+        return m / np.float32(np.sqrt(n))
+
     @classmethod
     def from_string(cls, s: str) -> "Dimension":
         key = s.strip().upper()

@@ -8,6 +8,7 @@ import pytest
 
 from groan_rs_tpu.core.dimension import Dimension
 from groan_rs_tpu.ops import pbc
+from groan_rs_tpu.ops import vecmath
 from groan_rs_tpu.ops.vecmath import (
     angle,
     cross,
@@ -228,3 +229,52 @@ def test_dimension_filter(dim, expected):
     mask = np.asarray(dim.value, bool)
     out = np.where(mask, v(4.3, 1.8, 2.7), 0.0)
     np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_to_unit_null_is_nan():
+    """vector3d.rs to_unit_null — normalizing the zero vector gives NaN."""
+    u = np.asarray(vecmath.to_unit(np.zeros(3, np.float32)))
+    assert np.isnan(u).all()
+
+
+def test_to_unit_small():
+    u = np.asarray(vecmath.to_unit(np.array([0.13, 0.0, 0.0], np.float32)))
+    np.testing.assert_allclose(u, [1.0, 0.0, 0.0], atol=1e-6)
+    assert float(vecmath.length(u)) == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("v1,v2,expected", [
+    ([2, 0, 0], [0, 2, 0], np.pi / 2),
+    ([2, 0, 0], [0, -2, 0], np.pi / 2),
+    ([1, 0, 0], [0, 0, 7], np.pi / 2),
+    ([1, 0, 0], [3, 0, 3], np.pi / 4),
+    ([1, 0, 0], [4, 0, 0], 0.0),
+    ([1, 0, 0], [-4, 0, 0], np.pi),
+    ([1, -1, 3.5], [1.2, 2.4, -0.7], 1.9269546),
+])
+def test_angle_all_reference_cases(v1, v2, expected):
+    """vector3d.rs angle_1..7 exact values."""
+    a = float(vecmath.angle(np.asarray(v1, np.float32), np.asarray(v2, np.float32)))
+    assert a == pytest.approx(expected, abs=1e-5)
+
+
+def test_dimension_to_unit_vector():
+    """dimension.rs From<Dimension> for Vector3D exact components."""
+    from groan_rs_tpu.core.dimension import Dimension
+
+    r2, r3 = 1.0 / np.sqrt(2.0), 1.0 / np.sqrt(3.0)
+    cases = {
+        Dimension.NONE: [0, 0, 0],
+        Dimension.X: [1, 0, 0],
+        Dimension.Y: [0, 1, 0],
+        Dimension.Z: [0, 0, 1],
+        Dimension.XY: [r2, r2, 0],
+        Dimension.XZ: [r2, 0, r2],
+        Dimension.YZ: [0, r2, r2],
+        Dimension.XYZ: [r3, r3, r3],
+    }
+    for dim, want in cases.items():
+        got = dim.to_unit_vector()
+        np.testing.assert_allclose(got, want, atol=1e-7)
+        if dim is not Dimension.NONE:
+            assert float(np.linalg.norm(got)) == pytest.approx(1.0, abs=1e-6)
