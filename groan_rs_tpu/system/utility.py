@@ -37,18 +37,18 @@ class UtilityMixin:
     def atoms_center(self, reference: str, dimension: Dimension):
         """Center the reference group's estimated COG in the box
         (reference: utility.rs:109)."""
-        ref_center = self.group_estimate_center(reference)
-        if self.group_get_n_atoms(reference) == 0:
+        if self.group_get_n_atoms(reference) == 0:  # raises NotFound first
             raise GroupError(f"group '{reference}' is empty", code="EmptyGroup")
+        ref_center = self.group_estimate_center(reference)
         box_center = self.get_box_center()
         shift = (box_center - ref_center) * dimension.mask()
         self.atoms_translate(shift)
 
     def atoms_center_mass(self, reference: str, dimension: Dimension):
         """Center the reference group's estimated COM (reference: utility.rs:168)."""
-        ref_center = self.group_estimate_com(reference)
-        if self.group_get_n_atoms(reference) == 0:
+        if self.group_get_n_atoms(reference) == 0:  # raises NotFound first
             raise GroupError(f"group '{reference}' is empty", code="EmptyGroup")
+        ref_center = self.group_estimate_com(reference)
         box_center = self.get_box_center()
         shift = (box_center - ref_center) * dimension.mask()
         self.atoms_translate(shift)
