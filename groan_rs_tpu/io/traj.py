@@ -368,7 +368,8 @@ class TrajReader:
                 )
         if natoms != system.get_n_atoms():
             raise ReadTrajError(
-                f"trajectory has {natoms} atoms but system has {system.get_n_atoms()}",
+                f"trajectory '{sources[0].path}' has {natoms} atoms but "
+                f"system has {system.get_n_atoms()}",
                 code="AtomsNumberMismatch",
             )
 
@@ -826,15 +827,21 @@ class TrrWriter(TrajWriter):
 
 
 class GroTrajWriter(TrajWriter):
-    def __init__(self, system, path, group: str = "all", write_velocities: bool = False):
+    def __init__(self, system, path, group: str = "all",
+                 write_velocities: bool | None = None):
         super().__init__(system, path, group)
+        # None = reference behavior: write velocities per frame iff the
+        # whole system has them (gro_io/trajectory.rs:545 passes
+        # system.has_velocities()); an explicit bool overrides.
         self.write_velocities = write_velocities
 
     def write_frame(self):
         from .gro import write_gro_frame
 
+        wv = (self.system.has_velocities() if self.write_velocities is None
+              else self.write_velocities)
         with open(self.path, "a") as fh:
-            write_gro_frame(self.system, fh, self.group, self.write_velocities, is_trajectory=True)
+            write_gro_frame(self.system, fh, self.group, wv, is_trajectory=True)
 
 
 class TngTrajWriter(TrajWriter):

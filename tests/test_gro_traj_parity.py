@@ -75,3 +75,53 @@ def test_gro_iter_invalid(test_files, name):
     with pytest.raises(ReadTrajError):
         for _ in s.traj_iter(os.path.join(test_files, name), fmt="gro"):
             pass
+
+
+def test_gro_writer_goldens(test_files, tmp_path):
+    """gro_io/trajectory.rs:985/1011 — writer output is byte-identical to
+    expected_protein_trajectory(.gro/_velocities.gro); velocities are
+    written automatically whenever the system has them."""
+    s = System.from_file(os.path.join(test_files, "protein.gro"))
+    out = str(tmp_path / "novel.gro")
+    s.traj_writer_init(out, fmt="gro")
+    for i, fr in enumerate(s.xtc_iter(
+            os.path.join(test_files, "short_trajectory_protein.xtc"))):
+        if i >= 3:
+            break
+        fr.traj_write_frame()
+    s.traj_writers_close()
+    want = open(os.path.join(test_files, "expected_protein_trajectory.gro")).read()
+    assert open(out).read() == want
+
+    s2 = System.from_file(os.path.join(test_files, "protein.gro"))
+    out2 = str(tmp_path / "vel.gro")
+    s2.traj_writer_init(out2, fmt="gro")
+    for fr in s2.gro_iter(os.path.join(
+            test_files, "expected_protein_trajectory_velocities.gro")):
+        fr.traj_write_frame()
+    s2.traj_writers_close()
+    want2 = open(os.path.join(
+        test_files, "expected_protein_trajectory_velocities.gro")).read()
+    assert open(out2).read() == want2
+
+
+def test_gro_iter_nan_position(test_files):
+    """gro_io/trajectory.rs:956 — NaN coordinates in a trajectory frame
+    raise a parse error, not silently propagate."""
+    from groan_rs_tpu.errors import GroanError
+
+    s = System.from_file(os.path.join(test_files, "protein.gro"))
+    with pytest.raises(GroanError):
+        for _ in s.gro_iter(os.path.join(test_files, "nan_trajectory.gro")):
+            pass
+
+
+def test_gro_iter_invalid_atom_numbers(test_files):
+    """gro_io/trajectory.rs:906 — frame atom count differing from the
+    system raises AtomsNumberMismatch naming the file."""
+    from groan_rs_tpu.errors import ReadTrajError
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    with pytest.raises(ReadTrajError, match="protein_trajectory.gro"):
+        for _ in s.gro_iter(os.path.join(test_files, "protein_trajectory.gro")):
+            pass
