@@ -384,12 +384,15 @@ class TrajReader:
         src_ids, local_ids, times, steps = [], [], [], []
         last_time = None
         for si, s in enumerate(sources):
+            at_boundary = si > 0
             for fi in range(s.n_frames()):
                 t = float(s.times[fi])
-                # concatenation dedup: drop adjacent equal-time frames
-                # (reference: traj_cat.rs:229-260)
-                if len(sources) > 1 and last_time is not None and t == last_time:
+                # concatenation dedup: drop equal-time frames ONLY at file
+                # boundaries; duplicates inside one file are kept
+                # (reference: traj_cat.rs:229-260, test at traj_cat.rs:624)
+                if at_boundary and last_time is not None and t == last_time:
                     continue
+                at_boundary = False
                 src_ids.append(si)
                 local_ids.append(fi)
                 times.append(t)

@@ -238,3 +238,40 @@ def test_group_xtc_writer_byte_golden_snapshot(test_files, tmp_path):
     got = open(out, "rb").read()
     want = open(os.path.join(test_files, "short_trajectory_protein.xtc"), "rb").read()
     assert got == want
+
+
+def test_cat_duplicate_not_at_boundary(system, test_files):
+    """traj_cat.rs:624 — dedup only removes duplicates AT file boundaries;
+    traj3b repeats time 300 inside the stream and both copies survive."""
+    s = system.copy()
+    split = os.path.join(test_files, "split")
+    files = [os.path.join(split, n) for n in
+             ("traj1.xtc", "traj2.xtc", "traj3b.xtc", "traj4.xtc",
+              "traj5.xtc", "traj6.xtc")]
+    times = [f.get_time() for f in s.xtc_cat_iter(files)]
+    assert times == pytest.approx([0.0, 100.0, 200.0, 300.0, 300.0, 400.0,
+                                   500.0, 600.0, 700.0, 800.0, 900.0, 1000.0])
+
+
+def test_cat_duplicate_not_at_boundary_step3(system, test_files):
+    """traj_cat.rs:647 — with_step(3) counts the duplicate frame."""
+    s = system.copy()
+    split = os.path.join(test_files, "split")
+    files = [os.path.join(split, n) for n in
+             ("traj1.xtc", "traj2.xtc", "traj3b.xtc", "traj4.xtc",
+              "traj5.xtc", "traj6.xtc")]
+    times = [f.get_time() for f in s.xtc_cat_iter(files).with_step(3)]
+    assert times == pytest.approx([0.0, 300.0, 500.0, 800.0])
+
+
+def test_cat_trr(system, test_files):
+    """traj_cat.rs cat_trr — TRR concatenation with boundary dedup matches
+    the unsplit trajectory."""
+    s1 = system.copy()
+    split = os.path.join(test_files, "split")
+    files = [os.path.join(split, f"traj{i}.trr") for i in (1, 2, 3, 4, 5, 6)]
+    times_cat = [f.get_time() for f in s1.trr_cat_iter(files)]
+    s2 = system.copy()
+    times_full = [f.get_time() for f in
+                  s2.trr_iter(os.path.join(test_files, "short_trajectory.trr"))]
+    assert times_cat == pytest.approx(times_full)
