@@ -274,3 +274,34 @@ def test_gro_box9_write_roundtrip(test_files, tmp_path):
     out = tmp_path / "out.gro"
     s.write_gro(out)
     assert open(src, "rb").read() == open(out, "rb").read()
+
+
+def test_write_ndx_byte_golden(test_files, tmp_path):
+    """ndx_io.rs write — rewriting index.ndx reproduces it byte-for-byte."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    out = str(tmp_path / "out.ndx")
+    s.write_ndx(out)
+    assert open(out, "rb").read() == open(
+        os.path.join(test_files, "index.ndx"), "rb").read()
+
+
+def test_gro_cat_range_step_matches_xtc(test_files):
+    """gro_io/trajectory.rs:830 — concatenated GRO split with range+step
+    tracks the XTC trajectory frame-for-frame."""
+    import itertools
+
+    s1 = System.from_file(os.path.join(test_files, "protein_trajectory.gro"))
+    s2 = System.from_file(os.path.join(test_files, "example.gro"))
+    it1 = s1.traj_cat_iter(
+        [os.path.join(test_files, "split", f"traj{i}.gro") for i in (1, 2, 3, 4, 5)]
+    ).with_range(300.0, 800.0).with_step(2)
+    it2 = s2.xtc_iter(
+        os.path.join(test_files, "short_trajectory.xtc")
+    ).with_range(300.0, 800.0).with_step(2)
+    n = 0
+    for f1, f2 in itertools.zip_longest(it1, it2):
+        assert f1 is not None and f2 is not None
+        assert f1.get_time() == pytest.approx(f2.get_time(), abs=1e-3)
+        n += 1
+    assert n == 3  # 300, 500, 700
