@@ -21,13 +21,13 @@ def _extract(system, group: str):
     except SimBoxError as e:
         raise RMSDError(str(e), code="InvalidSimBox") from e
     try:
-        com = system.group_get_com(group)
         idx = system.group_indices(group)
+        if idx.shape[0] == 0:  # before the COM kernel (it rejects empties)
+            raise RMSDError(f"group '{group}' is empty", code="EmptyGroup")
+        com = system.group_get_com(group)
     except GroupError as e:
         code = {"NotFound": "NonexistentGroup"}.get(e.code, e.code)
         raise RMSDError(str(e), code=code) from e
-    if idx.shape[0] == 0:
-        raise RMSDError(f"group '{group}' is empty", code="EmptyGroup")
     pos = system.positions[idx]
     box_center = box * 0.5
     from ..ops import pbc

@@ -130,3 +130,82 @@ def test_extract_semantics(tpr, test_files):
     assert full.get_n_atoms() == s.get_n_atoms()
     assert not full.group_exists("Protein")
     np.testing.assert_allclose(full.positions, s.positions)
+
+
+# =====================================================================
+# Kabsch unit parity (rmsd.rs test_kabsch_*): exact rotation/translation/
+# rmsd values. Our rotation is the row-vector convention (pc @ r), the
+# transpose of the reference's column-vector Matrix3.
+# =====================================================================
+
+def test_kabsch_rotation_and_translation_exact():
+    """rmsd.rs test_kabsch_rotation_and_translation."""
+    from groan_rs_tpu.ops.rmsd import kabsch
+
+    p = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    q = np.array([[1.6666666, 2, 1], [0.6666666, 1, 1], [1.6666666, 1, 2]],
+                 np.float32)
+    w = np.ones(3, np.float32)
+    r, t, rms = kabsch(p, q, w, np.float32([1 / 3] * 3), np.float32([4 / 3] * 3))
+    expected_rot = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(r).T, expected_rot, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), [1.0, 1.0, 1.0], atol=1e-6)
+    assert float(rms) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_kabsch_nonzero_rmsd_exact():
+    """rmsd.rs test_kabsch_nonzero_rmsd — full rotation matrix, translation
+    and rmsd 4.471225."""
+    from groan_rs_tpu.ops.rmsd import kabsch
+
+    p = np.array([[4.3, 2.1, -5.2], [1.4, 2.1, 3.9], [2.4, -3.3, 1.8]], np.float32)
+    q = np.array([[2.2, 0.0, 4.6], [-1.4, 0.2, 0.3], [1.3, 9.9, 11.3]], np.float32)
+    w = np.ones(3, np.float32)
+    r, t, rms = kabsch(p, q, w, np.float32([2.7, 0.3, 0.16666667]),
+                       np.float32([0.7, 3.3666667, 5.4]))
+    expected_rot = np.array([
+        [0.8842437, -0.10340805, -0.45543456],
+        [0.2840647, -0.65496445, 0.70023507],
+        [-0.37070346, -0.7485511, -0.5497733],
+    ])
+    np.testing.assert_allclose(np.asarray(r).T, expected_rot, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(t), [-2.0, 3.066666, 5.233333], atol=1e-5)
+    assert float(rms) == pytest.approx(4.471225, abs=1e-5)
+
+
+def test_calc_rmsd_failure_modes(tpr, test_files):
+    """rmsd.rs test_calc_rmsd_fail_* — missing/inconsistent/empty groups,
+    no box, no mass."""
+    from groan_rs_tpu.errors import GroanError
+
+    s = tpr.copy()
+    ref = tpr.copy()
+    with pytest.raises(GroanError):
+        s.calc_rmsd(ref, "Nonexistent")
+    ref2 = tpr.copy()
+    ref2.group_remove("Protein")
+    with pytest.raises(GroanError):
+        s.calc_rmsd(ref2, "Protein")
+    # inconsistent group sizes
+    ref3 = tpr.copy()
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref3.group_create("Protein", "serial 1 to 10")
+    with pytest.raises(GroanError):
+        s.calc_rmsd(ref3, "Protein")
+    # empty group
+    s4 = tpr.copy()
+    ref4 = tpr.copy()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for t in (s4, ref4):
+            t.group_create("Protein", "resname NON")
+    with pytest.raises(GroanError):
+        s4.calc_rmsd(ref4, "Protein")
+    # no box
+    s5 = tpr.copy()
+    s5.set_box(None)
+    with pytest.raises(GroanError):
+        s5.calc_rmsd(tpr.copy(), "Protein")
