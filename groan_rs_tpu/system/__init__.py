@@ -86,7 +86,8 @@ class System(
 
             return read_tpr(filename)
         raise FileTypeError(
-            f"cannot construct a System from file type '{filetype.value}'"
+            f"cannot construct a System from '{filename}' "
+            f"(file type '{filetype.value}')"
         )
 
     @classmethod

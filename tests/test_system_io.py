@@ -305,3 +305,45 @@ def test_gro_cat_range_step_matches_xtc(test_files):
         assert f1.get_time() == pytest.approx(f2.get_time(), abs=1e-3)
         n += 1
     assert n == 3  # 300, 500, 700
+
+
+def test_from_file_unknown_and_no_extension(test_files):
+    """mod.rs:759/767 — unsupported or extension-less paths error naming
+    the file."""
+    from groan_rs_tpu.errors import GroanError
+
+    with pytest.raises(GroanError, match="index.ndx"):
+        System.from_file(os.path.join(test_files, "index.ndx"))
+    with pytest.raises(GroanError, match="info.txt"):
+        System.from_file(os.path.join(test_files, "split", "info.txt"))
+
+
+def test_has_duplicate_atom_numbers(test_files):
+    """mod.rs:928."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    assert not s.has_duplicate_atom_numbers()
+    s.get_atom(1).set_atom_number(1)
+    assert s.has_duplicate_atom_numbers()
+
+
+def test_get_box_center_not_orthogonal(test_files):
+    """mod.rs:1119 — triclinic boxes reject the orthogonal box-center
+    helper."""
+    from groan_rs_tpu.errors import SimBoxError
+
+    s = System.from_file(os.path.join(test_files, "triclinic.gro"))
+    with pytest.raises(SimBoxError):
+        s.get_box_center()
+
+
+def test_from_file_with_format_overrides_extension(test_files, tmp_path):
+    """mod.rs:775 — explicit FileType overrides the extension."""
+    import shutil
+
+    from groan_rs_tpu.files import FileType
+
+    renamed = str(tmp_path / "example.txt")
+    shutil.copy(os.path.join(test_files, "example.gro"), renamed)
+    s = System.from_file_with_format(renamed, FileType.GRO)
+    auto = System.from_file(os.path.join(test_files, "example.gro"))
+    assert s.get_n_atoms() == auto.get_n_atoms()
