@@ -146,3 +146,62 @@ def test_host_sharding_partitions_frames(example, test_files):
 
     with pytest.raises(Exception):
         example.copy().xtc_iter(xtc).with_host_shard(5, 3)
+
+
+def test_group_map_reduce_matches_full(example, test_files):
+    """parallel.rs:1984 group_xtc_iter_map_reduce_basic — group-restricted
+    map-reduce yields the same per-frame values as the full read."""
+    import jax.numpy as jnp
+
+    s = example.copy()
+    s.group_create("Membrane", "@membrane")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    k = int(s.group_indices("Membrane").shape[0])
+
+    def body(positions, boxes, mask):
+        return {"mean": positions.mean(axis=1)}
+
+    full_idx = s.group_indices("Membrane")
+
+    def body_full(positions, boxes, mask):
+        g = jnp.take(positions, jnp.asarray(full_idx), axis=1)
+        return {"mean": g.mean(axis=1)}
+
+    grp = traj_iter_map_reduce(s, [xtc], body, group="Membrane")
+    ful = traj_iter_map_reduce(s, [xtc], body_full)
+    np.testing.assert_allclose(np.asarray(grp["mean"]),
+                               np.asarray(ful["mean"]), atol=1e-6)
+    assert np.asarray(grp["mean"]).shape[0] == 11
+
+
+def test_group_map_reduce_range_steps(example, test_files):
+    """parallel.rs group_xtc_iter_map_range_steps — range+step composes
+    with group reads."""
+    s = example.copy()
+    s.group_create("Membrane", "@membrane")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+
+    def body(positions, boxes, mask):
+        return {"mean": positions.mean(axis=1)}
+
+    out = traj_iter_map_reduce(s, [xtc], body, group="Membrane",
+                               start_time=300.0, end_time=800.0, step=2)
+    assert np.asarray(out["mean"]).shape[0] == 3  # 300, 500, 700
+
+
+def test_gro_map_reduce_basic(test_files):
+    """parallel.rs gro_iter_map_reduce_basic — the engine also runs over
+    multi-frame GRO sources."""
+    s = System.from_file(os.path.join(test_files, "protein.gro"))
+
+    def body(positions, boxes, mask):
+        return {"mean": positions.mean(axis=1)}
+
+    gro = os.path.join(test_files, "protein_trajectory.gro")
+    out = traj_iter_map_reduce(s, [gro], body, fmt="gro")
+    serial = []
+    s2 = System.from_file(os.path.join(test_files, "protein.gro"))
+    for fr in s2.gro_iter(gro):
+        serial.append(np.asarray(fr.positions).mean(axis=0))
+    np.testing.assert_allclose(np.asarray(out["mean"]), np.stack(serial),
+                               atol=1e-5)
