@@ -80,3 +80,44 @@ def test_filter_geometry_iterators(test_files):
         assert filtered == group, name
         assert len(filtered) == s.group_get_n_atoms(name)
         assert len(filtered) > 0, name
+
+
+@pytest.mark.parametrize("query", ["''", '""'])
+def test_empty_quotes_fail(query):
+    """select/mod.rs empty_quotes_1..4 — quoted empty strings are
+    EmptyQuery/EmptyArgument errors."""
+    with pytest.raises(SelectError):
+        parse_query(query)
+
+
+def test_invalid_regex_fails():
+    """select/mod.rs invalid_regex — a malformed regex names the token."""
+    with pytest.raises(SelectError, match=r"\*L\*"):
+        parse_query("name r'*L*'")
+
+
+def test_regex_group_expansion_semantics(test_files):
+    """select/mod.rs expand_regex_group* — group regexes expand against
+    existing group names; an all-empty expansion errors, a partial match
+    succeeds."""
+    from groan_rs_tpu.errors import GroupError
+    from groan_rs_tpu.system import System as S
+
+    s = S.from_file(os.path.join(test_files, "example.gro"))
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    s.group_create("Matched", "group r'^Prot.*'")
+    assert s.group_get_n_atoms("Matched") >= s.group_get_n_atoms("Protein")
+    with pytest.raises((SelectError, GroupError)):
+        s.group_create("NoMatch", "group r'^Zebra.*'")
+
+
+def test_select_reparse_stability(test_files):
+    """select/mod.rs *_to_yaml analogue — our serde keeps the query string;
+    re-parsing an already-parsed query's source selects the same atoms."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    for q in ("resname LYS", "(name BB || name SC1) and not resname W ION",
+              "serial 1 to 10 or @protein"):
+        s.group_create("A", q)
+        s.group_create("B", q)
+        assert s.group_get_n_atoms("A") == s.group_get_n_atoms("B")
+        s.group_remove("A"); s.group_remove("B")
