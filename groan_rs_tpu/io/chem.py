@@ -172,6 +172,22 @@ class NetCdfSource(FrameSource):
         )
 
 
+_LAMMPS_TIME_TO_PS = {
+    # reference: chemfiles.rs lammps_time_convert:413-428 (unit -> ps factor)
+    "lj": 1.0, "real": 1e-3, "metal": 1.0, "si": 1e12, "cgs": 1e12,
+    "electron": 1e-3, "micro": 1e6, "nano": 1e3,
+}
+
+
+def _lammps_time_to_ps(time: float, units) -> float:
+    if units is None:
+        return float(time)
+    try:
+        return float(time) * _LAMMPS_TIME_TO_PS[units]
+    except KeyError:
+        raise ReadTrajError(f"unknown LAMMPS units '{units}'", code="UnknownUnits") from None
+
+
 class LammpsSource(FrameSource):
     kind = "lammpstrj"
 
@@ -226,7 +242,7 @@ class LammpsSource(FrameSource):
                 body = raw[i + 1 : i + 1 + n]
                 frames.append(
                     (cur.get("step", len(frames)), cur.get("time"), cur.get("bounds"),
-                     cols, body)
+                     cols, body, cur.get("units"))
                 )
                 cur = {}
                 i += 1 + n
@@ -237,7 +253,8 @@ class LammpsSource(FrameSource):
         self._frames = frames
         self.steps = np.array([f[0] for f in frames], np.int64)
         self.times = np.array(
-            [f[1] if f[1] is not None else k for k, f in enumerate(frames)], np.float32
+            [_lammps_time_to_ps(f[1], f[5]) if f[1] is not None else k
+             for k, f in enumerate(frames)], np.float32
         )
 
     def n_frames(self) -> int:
@@ -270,7 +287,7 @@ class LammpsSource(FrameSource):
         pos = np.zeros((len(ids), stop, 3), np.float32)
         boxes = np.zeros((len(ids), 9), np.float32)
         for k, fid in enumerate(ids):
-            step, time, bounds, cols, body = self._frames[int(fid)]
+            step, time, bounds, cols, body, _units = self._frames[int(fid)]
             ci = {c: j for j, c in enumerate(cols)}
             names = None
             for cand in (("x", "y", "z"), ("xu", "yu", "zu")):

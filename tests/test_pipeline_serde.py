@@ -235,3 +235,25 @@ def test_density_map_pipeline(example, test_files):
     # renders into a GridMap
     gm = GridMap((0.0, float(box[0])), (0.0, float(box[1])), (1.0, 1.0))
     assert gm.values.shape[0] >= nx and gm.values.shape[1] >= ny
+
+
+def test_lammps_time_units_conversion(test_files):
+    """chemfiles.rs lammps_time_convert:413 — TIME in declared units
+    converts to ps ('real' = fs -> x1e-3); matches the XTC twin."""
+    from groan_rs_tpu.io.traj import open_source
+
+    lm = open_source(os.path.join(test_files, "octahedron_trajectory.lammpstrj"))
+    xt = open_source(os.path.join(test_files, "octahedron_trajectory.xtc"))
+    np.testing.assert_allclose(lm.times, xt.times, atol=1e-3)
+    np.testing.assert_array_equal(lm.steps, xt.steps)
+
+
+def test_lammps_unknown_units_errors(test_files, tmp_path):
+    from groan_rs_tpu.errors import ReadTrajError
+    from groan_rs_tpu.io.traj import open_source
+
+    src = open(os.path.join(test_files, "octahedron_trajectory.lammpstrj")).read()
+    bad = str(tmp_path / "bad.lammpstrj")
+    open(bad, "w").write(src.replace("real", "parsecs", 1))
+    with pytest.raises(ReadTrajError, match="parsecs"):
+        open_source(bad, "lammpstrj")
