@@ -189,6 +189,20 @@ struct BitReader {
   bool overrun = false;
 
   inline void refill() {
+    if (nbits > 56) return;
+    if (cnt + 8 <= len) {
+      // bulk path: one unaligned big-endian load refills up to 8 bytes.
+      // OR-ing a partially-consumed byte again is idempotent (identical
+      // bits land at identical positions), so only whole bytes advance cnt.
+      uint64_t chunk;
+      std::memcpy(&chunk, data + cnt, 8);
+      chunk = __builtin_bswap64(chunk);
+      acc |= chunk >> nbits;
+      int take = (64 - nbits) >> 3;
+      cnt += size_t(take);
+      nbits += take * 8;
+      return;
+    }
     while (nbits <= 56) {
       uint64_t byte = (cnt < len) ? data[cnt] : 0;  // zero-pad past EOF
       cnt++;
@@ -229,16 +243,14 @@ struct BitReader {
       // with one refill, then two divisions
       uint64_t v = get64(nbits_total);
       // v holds the chunks MSB-first: [c0 (8b)][c1 (8b)]...[ck (rem)];
-      // the packed integer is X = c0 + c1*2^8 + ... + ck*2^(8k)
-      uint64_t x = 0;
-      int shift = 0;
-      int rem = nbits_total;
-      while (rem > 8) {
-        rem -= 8;
-        x |= ((v >> rem) & 0xff) << shift;
-        shift += 8;
-      }
-      x |= (v & ((1u << rem) - 1)) << shift;
+      // the packed integer is X = c0 + c1*2^8 + ... + ck*2^(8k).
+      // bswap reverses the byte order in O(1); the final (rem<8)-bit chunk
+      // lands high-aligned inside its byte and is re-seated explicitly.
+      int k = (nbits_total - 1) >> 3;        // index of the remainder chunk
+      int rem = nbits_total - 8 * k;         // 1..8 bits
+      uint64_t b = __builtin_bswap64(v << (64 - nbits_total));
+      uint64_t x = (b & ((uint64_t(1) << (8 * k)) - 1))
+                 | ((b >> (8 * k + 8 - rem)) << (8 * k));
       uint64_t q = fast_div(x, sizes[2], invs[2]);
       nums[2] = int32_t(x - q * sizes[2]);
       uint64_t q2 = fast_div(q, sizes[1], invs[1]);
