@@ -275,3 +275,21 @@ def test_cat_trr(system, test_files):
     times_full = [f.get_time() for f in
                   s2.trr_iter(os.path.join(test_files, "short_trajectory.trr"))]
     assert times_cat == pytest.approx(times_full)
+
+
+def test_range_step_error_modes(system, test_files):
+    """xtc_io/mod.rs read_xtc_range_negative/_end_start/_start_not_found,
+    read_xtc_step_0 — invalid range/step arguments raise typed errors."""
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    s = system.copy()
+    with pytest.raises(ReadTrajError):
+        s.xtc_iter(xtc).with_range(-300.0, 800.0)
+    with pytest.raises(ReadTrajError):
+        s.xtc_iter(xtc).with_range(800.0, 300.0)
+    with pytest.raises(ReadTrajError):
+        s.xtc_iter(xtc).with_range(20000.0, 30000.0)  # start beyond the end
+    with pytest.raises(ReadTrajError):
+        s.xtc_iter(xtc).with_step(0)
+    # full range is a no-op
+    times = [f.get_time() for f in s.xtc_iter(xtc).with_range(0.0, 10000.0)]
+    assert len(times) == 11
