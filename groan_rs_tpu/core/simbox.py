@@ -98,6 +98,11 @@ class SimBox:
 
         return np.array([ang(v2, v3), ang(v1, v3), ang(v1, v2)], dtype=np.float32)
 
+    def to_lengths_angles(self):
+        """(lengths, angles) tuple — the inverse of `from_lengths_angles`
+        (reference: simbox.rs to_lengths_angles)."""
+        return self.lengths(), self.angles()
+
     def is_orthogonal(self) -> bool:
         """reference: simbox.rs:185"""
         return (

@@ -114,3 +114,29 @@ def test_container_union_disjoint_and_nested():
     assert outer.union(inner) == outer
     assert inner.intersection(outer) == inner
     assert outer.intersection(AtomContainer.empty()).is_empty()
+
+
+def test_from_lengths_angles_exact_case2():
+    """simbox.rs from_lengths_angles_2 exact components + round trip."""
+    sb = SimBox.from_lengths_angles(5.297, 4.863, 2.976, 120.0, 70.0, 80.0)
+    assert float(sb.v1x) == pytest.approx(5.297, abs=1e-5)
+    assert float(sb.v2y) == pytest.approx(4.78912, abs=1e-5)
+    assert float(sb.v3z) == pytest.approx(2.2277796, abs=1e-5)
+    assert float(sb.v2x) == pytest.approx(0.8444507, abs=1e-5)
+    assert float(sb.v3x) == pytest.approx(1.0178516, abs=1e-5)
+    assert float(sb.v3y) == pytest.approx(-1.6904297, abs=1e-5)
+    lengths, angles = sb.to_lengths_angles()
+    np.testing.assert_allclose(lengths, [5.297, 4.863, 2.976], atol=1e-4)
+    np.testing.assert_allclose(angles, [120.0, 70.0, 80.0], atol=1e-3)
+
+
+def test_from_lengths_angles_exact_case4_octahedron():
+    """simbox.rs from_lengths_angles_4 — the truncated-octahedron angles."""
+    sb = SimBox.from_lengths_angles(6.26832, 6.26832, 6.26832,
+                                    70.53, 109.47, 70.53)
+    assert float(sb.v1x) == pytest.approx(6.26832, abs=1e-5)
+    assert float(sb.v2y) == pytest.approx(5.90987, abs=1e-5)
+    assert float(sb.v3z) == pytest.approx(5.11825, abs=1e-5)
+    assert float(sb.v2x) == pytest.approx(2.08931, abs=1e-5)
+    assert float(sb.v3x) == pytest.approx(-2.08931, abs=1e-5)
+    assert float(sb.v3y) == pytest.approx(2.95467, abs=1e-5)
