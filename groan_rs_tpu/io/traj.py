@@ -137,6 +137,13 @@ class XtcSource(FrameSource):
             if use_index_cache:
                 save_index(self.path, dict(offsets=offsets, steps=steps,
                                            times=times, natoms=natoms))
+        if natoms <= 0:
+            # an empty/headerless file has no magic number to read
+            # (reference: ReadTrajError::CouldNotReadMagic, xtc_io tests)
+            raise ReadTrajError(
+                f"could not read magic number from '{self.path}' (empty or "
+                "not an xtc file)", code="CouldNotReadMagic",
+            )
         self.offsets = offsets
         self.steps = steps.astype(np.int64)
         self.times = times
@@ -162,6 +169,11 @@ class TrrSource(FrameSource):
     def __init__(self, path):
         self.path = str(path)
         offsets, steps, times, lambdas, flags, natoms = native.trr_scan(self.path)
+        if natoms <= 0:
+            raise ReadTrajError(
+                f"could not read magic number from '{self.path}' (empty or "
+                "not a trr file)", code="CouldNotReadMagic",
+            )
         self.offsets = offsets
         self.steps = steps.astype(np.int64)
         self.times = times.astype(np.float32)

@@ -293,3 +293,15 @@ def test_range_step_error_modes(system, test_files):
     # full range is a no-op
     times = [f.get_time() for f in s.xtc_iter(xtc).with_range(0.0, 10000.0)]
     assert len(times) == 11
+
+
+def test_read_empty_trajectory_files(system, test_files, tmp_path):
+    """xtc_io read_xtc_empty / trr equivalent — an empty file fails with
+    CouldNotReadMagic, and a GRO-as-XTC fails cleanly too."""
+    for suffix in (".xtc", ".trr"):
+        empty = str(tmp_path / f"empty{suffix}")
+        open(empty, "wb").close()
+        with pytest.raises(ReadTrajError, match="magic"):
+            system.copy().traj_iter(empty)
+    with pytest.raises(ReadTrajError):
+        system.copy().xtc_iter(os.path.join(test_files, "triclinic.gro"))
