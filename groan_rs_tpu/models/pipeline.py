@@ -218,6 +218,34 @@ class TrajectoryAnalysis:
         self._specs.append((name or f"density_{group}_{plane}", fn))
         return self
 
+    def add_rdf(self, group1: str, group2: str, r_max: float = 2.0,
+                n_bins: int = 200, name: str | None = None):
+        """Radial distribution function g(r) between two selections per
+        frame -> [F, n_bins] (surpass feature — the reference has no RDF;
+        classic MD observable computed on-device: min-image distance
+        matrix + scatter-add histogram + ideal-gas shell normalization).
+        Average over axis 0 for the trajectory g(r); bin centers are
+        `(np.arange(n_bins) + 0.5) * r_max / n_bins`."""
+        import jax.numpy as jnp
+
+        i1 = jnp.asarray(self._indices(group1))
+        i2 = jnp.asarray(self._indices(group2))
+        same = group1 == group2
+        n1, n2 = int(i1.shape[0]), int(i2.shape[0])
+
+        def fn(pos, boxes):
+            a = jnp.take(pos, i1, axis=1)
+            b = jnp.take(pos, i2, axis=1)
+            hist = distance_ops.pair_distance_histogram(
+                a, b, boxes[:, None, :][:, 0, :], float(r_max), int(n_bins),
+                exclude_self=same)
+            ideal = distance_ops.rdf_normalization(
+                boxes, n1, n2, float(r_max), int(n_bins), exclude_self=same)
+            return hist.astype(jnp.float32) / ideal
+
+        self._specs.append((name or f"rdf_{group1}_{group2}", fn))
+        return self
+
     def add_contacts(self, group1: str, group2: str, cutoff: float,
                      name: str | None = None):
         """Contact count within cutoff per frame -> [F]."""

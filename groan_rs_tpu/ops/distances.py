@@ -100,3 +100,52 @@ def min_distance(a, b, box, mask_a=None, mask_b=None):
         mb = jnp.ones(d.shape[:-2] + d.shape[-1:], bool) if mask_b is None else jnp.asarray(mask_b)[..., None, :]
         d = jnp.where(ma & mb, d, jnp.inf)
     return jnp.min(d, axis=(-2, -1))
+
+
+def pair_distance_histogram(a, b, box, r_max, n_bins: int,
+                            exclude_self: bool = False):
+    """Per-frame histogram of PBC pair distances in (0, r_max] -> `[..., n_bins]`.
+
+    The RDF building block (surpass feature; the reference has no RDF).
+    Bin k counts pairs with distance in (k*dr, (k+1)*dr], dr = r_max/n_bins.
+    `exclude_self=True` drops the diagonal (same-group RDF).  The bin index
+    is computed on device and accumulated with a scatter-add; XLA keeps the
+    [N, M] intermediate fused with the binning.
+    """
+    d = distance_matrix(a, b, box)
+    dr = r_max / n_bins
+    idx = jnp.ceil(d / dr).astype(jnp.int32) - 1  # (0, dr] -> bin 0
+    valid = (d > 0.0) & (idx >= 0) & (idx < n_bins)
+    if exclude_self:
+        n, m = d.shape[-2], d.shape[-1]
+        eye = jnp.eye(n, m, dtype=bool)
+        valid = valid & ~eye
+    idx = jnp.clip(idx, 0, n_bins - 1)
+
+    flat_idx = idx.reshape(idx.shape[:-2] + (-1,))
+    flat_ok = valid.reshape(valid.shape[:-2] + (-1,))
+
+    def one(ii, ok):
+        return jnp.zeros(n_bins, jnp.int32).at[ii].add(ok.astype(jnp.int32))
+
+    if flat_idx.ndim == 1:
+        return one(flat_idx, flat_ok)
+    import jax
+
+    return jax.vmap(one)(flat_idx.reshape(-1, flat_idx.shape[-1]),
+                         flat_ok.reshape(-1, flat_ok.shape[-1])).reshape(
+        idx.shape[:-2] + (n_bins,))
+
+
+def rdf_normalization(box_lengths, n_a: int, n_b: int, r_max, n_bins: int,
+                      exclude_self: bool = False):
+    """Ideal-gas shell counts for normalizing a pair histogram into g(r):
+    g(r_k) = hist_k / (n_pairs * V_shell_k / V_box), `[..., n_bins]`."""
+    import numpy as np
+
+    dr = r_max / n_bins
+    edges = np.arange(n_bins + 1) * dr
+    shell = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    vol = jnp.prod(jnp.asarray(box_lengths, jnp.float32), axis=-1)
+    n_pairs = n_a * n_b - (n_a if exclude_self else 0)
+    return n_pairs * jnp.asarray(shell, jnp.float32) / vol[..., None]
