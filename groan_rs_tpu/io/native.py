@@ -33,6 +33,7 @@ _ERRORS = {
     -6: ("CapacityExceeded", "frame index capacity exceeded"),
     -7: ("PrecisionTooHigh", "coordinate does not fit the requested precision"),
     -8: ("Q16Range", "quantized coordinates do not fit int16"),
+    -9: ("DeltaRange", "inter-frame deltas do not fit int8 (or precision varies)"),
 }
 
 
@@ -87,6 +88,13 @@ def get_lib():
         lib.gx_xtc_read_q16.restype = i64
         lib.gx_xtc_read_q16.argtypes = [
             ctypes.c_char_p, P(i64), i64, i32, i32, P(i16), P(f32), P(i32), P(f32), P(f32), i32,
+        ]
+        i8 = ctypes.c_int8
+        lib.gx_xtc_read_delta.restype = i64
+        lib.gx_xtc_read_delta.argtypes = [
+            ctypes.c_char_p, P(i64), i64, i32, i32, P(i32), f32, P(i8),
+            P(i32), P(i32), P(i32), P(i32), i32, P(i32), P(i32), P(i32),
+            P(f32), P(i32), P(f32), P(f32), i32,
         ]
         lib.gx_xtc_probe.restype = i64
         lib.gx_xtc_probe.argtypes = [ctypes.c_char_p, P(i32), P(i32)]
@@ -226,6 +234,84 @@ def xtc_read_frames_q16(path, offsets, natoms: int, stop_after: int | None = Non
     )
     _check(rc, path)
     return q, boxes, _steps_u32(steps), times, precisions
+
+
+def xtc_read_frames_delta(path, offsets, natoms: int, base=None,
+                          base_prec: float = 0.0, stop_after: int | None = None,
+                          esc_cap: int | None = None,
+                          n_threads: int | None = None):
+    """Decode frames into the int8 DELTA wire format (~3 bytes/atom-frame):
+    int8 inter-frame deltas plus a sparse per-frame escape list (atom
+    index + absolute quantized ints) for boundary-crossers / fast movers.
+
+    `base` is the previous chunk's last quantized frame (int32 [stop, 3],
+    quantized at `base_prec`); when given and the precision matches,
+    deltas chain across chunks and no key frame ships.  Returns
+    (deltas int8 [F, stop, 3], shifts int32 [F, 3], esc_idx int32 [F, E],
+     esc_val int32 [F, E, 3], base_out int32 [stop, 3] or None,
+     last int32 [stop, 3], boxes [F, 9], steps, times, precisions) where
+    E = max escapes over the chunk's frames and padding entries have
+    esc_idx == stop (scatter with mode='drop' ignores them); `base_out`
+    is None when `base` was used, else the key frame to ship.  `shifts`
+    is a per-frame global drift term (median delta) removed from the
+    int8 stream so whole-system translation does not blow the budget.
+
+    Raises ReadTrajError(code='DeltaRange') when a frame needs more than
+    `esc_cap` escapes (default stop//8: dense motion means the wire saves
+    nothing) or precision varies — fall back to q16.  Exact device-side
+    unpack (bit-identical to the float path):
+        carry = base
+        for f: carry += shifts[f] + deltas[f]; carry[esc_idx[f]] = esc_val[f]
+        pos[f] = float32(carry) * (1/precision)
+    """
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nf = offsets.shape[0]
+    stop = int(stop_after) if stop_after is not None else int(natoms)
+    cap = int(esc_cap) if esc_cap is not None else max(64, stop // 8)
+    deltas = np.empty((nf, stop, 3), np.int8)
+    shifts = np.empty((nf, 3), np.int32)
+    # pre-fill with `stop`: unused slots scatter out-of-bounds -> dropped
+    esc_idx = np.full((nf, cap), stop, np.int32)
+    esc_val = np.empty((nf, cap, 3), np.int32)
+    esc_count = np.zeros(nf, np.int32)
+    base_out = np.empty((stop, 3), np.int32)
+    last = np.empty((stop, 3), np.int32)
+    base_used = ctypes.c_int32(0)
+    boxes = np.empty((nf, 9), np.float32)
+    steps = np.empty(nf, np.int32)
+    times = np.empty(nf, np.float32)
+    precisions = np.empty(nf, np.float32)
+    if base is not None:
+        base = np.ascontiguousarray(base, np.int32)
+        if base.shape != (stop, 3):
+            raise ValueError(f"base shape {base.shape} != ({stop}, 3)")
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.gx_xtc_read_delta(
+        str(path).encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nf, natoms, stop,
+        base.ctypes.data_as(P32) if base is not None else None,
+        float(base_prec),
+        deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        shifts.ctypes.data_as(P32),
+        esc_idx.ctypes.data_as(P32),
+        esc_val.ctypes.data_as(P32),
+        esc_count.ctypes.data_as(P32),
+        cap,
+        base_out.ctypes.data_as(P32),
+        last.ctypes.data_as(P32),
+        ctypes.byref(base_used),
+        _fptr(boxes),
+        steps.ctypes.data_as(P32),
+        _fptr(times), _fptr(precisions),
+        n_threads if n_threads is not None else n_default_threads(),
+    )
+    _check(rc, path)
+    e = int(esc_count.max()) if nf else 0
+    return (deltas, shifts, esc_idx[:, :e], esc_val[:, :e],
+            None if base_used.value else base_out, last,
+            boxes, _steps_u32(steps), times, precisions)
 
 
 def xtc_write_frame(path, natoms: int, step: int, time: float, box9, coords, precision: float):

@@ -39,6 +39,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <thread>
 #include <type_traits>
 #include <vector>
@@ -59,6 +60,7 @@ enum GxError : int64_t {
   GX_ERR_RANGE = -6,
   GX_ERR_PRECISION = -7,
   GX_ERR_Q16 = -8,  // quantized ints do not fit int16 (q16 decode only)
+  GX_ERR_DELTA = -9,  // inter-frame deltas do not fit int8 (delta wire only)
 };
 
 // ------------------------------------------------------------------ XDR helpers
@@ -915,6 +917,156 @@ int64_t gx_xtc_read_q16(const char* path, const int64_t* offsets, int64_t nframe
                         int32_t n_threads) {
   return gx_xtc_read_impl(path, offsets, nframes, expected_natoms, stop_after, coords,
                           boxes, steps, times, precisions, n_threads);
+}
+
+// Delta-wire variant: decode frames to raw quantized int32, then emit
+// int8 INTER-FRAME deltas (3 bytes/atom-frame vs 6 for q16, 12 for f32)
+// plus a sparse per-frame ESCAPE list for atoms whose motion does not fit
+// int8 — periodic-boundary crossers (a wrap jumps by the whole quantized
+// box length) and fast movers.  An escape stores the atom index and its
+// absolute quantized coords; its delta slot is zeroed.
+//
+// A per-frame global int shift (`shifts`, the median inter-frame delta
+// over a coordinate sample) is removed before the int8 test, so
+// whole-system drift — common in real MD output — does not blow the
+// escape budget.
+//
+// Reconstruction (exact, bit-identical to the float decode path):
+//   carry = base
+//   for f in frames:
+//     carry += shifts[f] + deltas[f]; carry[esc_idx[f]] = esc_val[f]
+//   q[f] = carry; pos = float32(q) * (1/precision)
+// carry equals the true quantized frame after every step (escaped atoms
+// are reset to their absolute ints), so deltas are plain
+// q[f] - q[f-1] - shift[f] and every frame converts independently in
+// parallel.
+//
+// `base` ([stop_after, 3] int32, quantized at `base_prec`) chains chunks:
+// a whole trajectory ships as one int32 key frame plus int8+escape
+// streams.  When base is absent (or its precision mismatches this chunk),
+// frame 0 is all-escape-free (deltas[0] = 0), base_out receives q[0] (the
+// key frame to ship) and *base_used = 0.  last_out always receives the
+// final frame's quantized ints — the base for the NEXT chunk.
+//
+// Fails with GX_ERR_DELTA when any frame needs more than `esc_cap`
+// escapes (dense motion — e.g. frames saved far apart in time) or when
+// precision varies across frames; callers fall back to the q16 wire.
+int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nframes,
+                          int32_t expected_natoms, int32_t stop_after,
+                          const int32_t* base, float base_prec, int8_t* deltas,
+                          int32_t* shifts, int32_t* esc_idx, int32_t* esc_val,
+                          int32_t* esc_count, int32_t esc_cap, int32_t* base_out,
+                          int32_t* last_out, int32_t* base_used, float* boxes,
+                          int32_t* steps, float* times, float* precisions,
+                          int32_t n_threads) {
+  FileReader f;
+  if (!f.open(path)) return GX_ERR_OPEN;
+  if (nframes <= 0) return GX_OK;
+  const int64_t natoms3 = int64_t(stop_after) * 3;
+  // int16 scratch (uninitialized): the delta wire presupposes q16-able
+  // ints (GX_ERR_Q16 falls through to the q16/f32 paths otherwise), and
+  // halving the scratch write traffic matters on this 1-vCPU host
+  std::unique_ptr<int16_t[]> q(new int16_t[size_t(nframes) * size_t(natoms3)]);
+  std::unique_ptr<int16_t[]> base16;
+  std::atomic<int64_t> err{GX_OK};
+  parallel_for(nframes, n_threads, [&](int64_t i) {
+    if (err.load(std::memory_order_relaxed) != GX_OK) return;
+    XtcHeader h;
+    int64_t rc = parse_xtc_header(f, offsets[i], &h);
+    if (rc == GX_OK && h.natoms != expected_natoms) rc = GX_ERR_NATOMS;
+    if (rc == GX_OK) {
+      std::vector<uint8_t> scratch;
+      rc = decode_xtc_frame_t(f, h, scratch, q.get() + i * natoms3, stop_after);
+    }
+    if (rc == GX_OK) {
+      if (boxes) std::memcpy(boxes + i * 9, h.box, 9 * sizeof(float));
+      if (steps) steps[i] = h.step;
+      if (times) times[i] = h.time;
+      if (precisions) precisions[i] = h.precision;
+    } else {
+      int64_t expected = GX_OK;
+      err.compare_exchange_strong(expected, rc);
+    }
+  });
+  if (err.load() != GX_OK) return err.load();
+  // deltas only make sense inside ONE quantization grid
+  for (int64_t i = 1; i < nframes; i++)
+    if (precisions[i] != precisions[0]) return GX_ERR_DELTA;
+
+  const int16_t* base0 = nullptr;
+  int used = (base != nullptr && base_prec == precisions[0]) ? 1 : 0;
+  if (used) {
+    base16.reset(new int16_t[size_t(natoms3)]);
+    for (int64_t k = 0; k < natoms3; k++) {
+      if (base[k] < -32768 || base[k] > 32767) return GX_ERR_DELTA;
+      base16[size_t(k)] = int16_t(base[k]);
+    }
+    base0 = base16.get();
+  } else {
+    for (int64_t k = 0; k < natoms3; k++) base_out[k] = q[size_t(k)];
+    base0 = q.get();
+  }
+  if (base_used) *base_used = used;
+
+  parallel_for(nframes, n_threads, [&](int64_t i) {
+    if (err.load(std::memory_order_relaxed) != GX_OK) return;
+    const int16_t* prev = (i == 0) ? base0 : q.get() + (i - 1) * natoms3;
+    const int16_t* cur = q.get() + i * natoms3;
+    int8_t* out = deltas + i * natoms3;
+    int32_t* eidx = esc_idx + i * int64_t(esc_cap);
+    int32_t* eval = esc_val + i * int64_t(esc_cap) * 3;
+
+    // global-drift removal: median per-axis delta over a strided sample
+    int32_t shift[3] = {0, 0, 0};
+    {
+      const int32_t ns = std::min<int32_t>(stop_after, 1024);
+      const int32_t stride = std::max<int32_t>(1, stop_after / ns);
+      std::vector<int32_t> samp(static_cast<size_t>(ns), 0);
+      for (int c = 0; c < 3; c++) {
+        int32_t k = 0;
+        for (int32_t a = 0; a < stop_after && k < ns; a += stride, k++)
+          samp[size_t(k)] = int32_t(cur[3 * a + c]) - int32_t(prev[3 * a + c]);
+        std::nth_element(samp.begin(), samp.begin() + k / 2, samp.begin() + k);
+        shift[c] = samp[size_t(k / 2)];
+      }
+    }
+    shifts[3 * i] = shift[0];
+    shifts[3 * i + 1] = shift[1];
+    shifts[3 * i + 2] = shift[2];
+
+    int32_t ne = 0;
+    for (int32_t a = 0; a < stop_after; a++) {
+      const int16_t* c = cur + 3 * a;
+      const int16_t* p = prev + 3 * a;
+      int32_t d0 = int32_t(c[0]) - p[0] - shift[0],
+              d1 = int32_t(c[1]) - p[1] - shift[1],
+              d2 = int32_t(c[2]) - p[2] - shift[2];
+      if (((d0 + 128) | (d1 + 128) | (d2 + 128)) & ~0xff) {
+        if (ne >= esc_cap) {
+          int64_t expected = GX_OK;
+          err.compare_exchange_strong(expected, int64_t(GX_ERR_DELTA));
+          return;
+        }
+        eidx[ne] = a;
+        eval[3 * ne] = c[0];
+        eval[3 * ne + 1] = c[1];
+        eval[3 * ne + 2] = c[2];
+        ne++;
+        out[3 * a] = out[3 * a + 1] = out[3 * a + 2] = 0;
+      } else {
+        out[3 * a] = int8_t(d0);
+        out[3 * a + 1] = int8_t(d1);
+        out[3 * a + 2] = int8_t(d2);
+      }
+    }
+    esc_count[i] = ne;
+  });
+  if (err.load() != GX_OK) return err.load();
+  {
+    const int16_t* lastf = q.get() + (nframes - 1) * natoms3;
+    for (int64_t k = 0; k < natoms3; k++) last_out[k] = lastf[k];
+  }
+  return GX_OK;
 }
 
 // Probe natoms/magic from the first frame header.
