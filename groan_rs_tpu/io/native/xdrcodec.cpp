@@ -468,6 +468,10 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
   int i = 0;
   const int lsize = h.natoms;
   OutT* fp = out;
+  // partial-frame decode: a water-run can span the stop boundary, so every
+  // run emission is guarded against the output end (the loop-top check
+  // alone would overrun `out` by up to one run)
+  OutT* const fp_end = out + 3 * int64_t(std::min(stop_after, lsize));
 
   while (i < lsize) {
     if (i >= stop_after) return GX_OK;  // partial-frame early stop
@@ -509,12 +513,14 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
           std::swap(thiscoord[0], prevcoord[0]);
           std::swap(thiscoord[1], prevcoord[1]);
           std::swap(thiscoord[2], prevcoord[2]);
+          if (fp >= fp_end) return GX_OK;
           emit3(fp, prevcoord, inv_precision);
         } else {
           prevcoord[0] = thiscoord[0];
           prevcoord[1] = thiscoord[1];
           prevcoord[2] = thiscoord[2];
         }
+        if (fp >= fp_end) return GX_OK;
         emit3(fp, thiscoord, inv_precision);
       }
     } else {

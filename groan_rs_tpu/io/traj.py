@@ -43,9 +43,23 @@ TIME_PRECISION = 0.001  # reference: molly_xtc.rs:30
 
 @dataclass
 class FrameBatch:
-    """A decoded batch of frames (host numpy, ready for device_put)."""
+    """A decoded batch of frames (host numpy, ready for device_put).
 
-    positions: np.ndarray  # [B, K, 3]
+    `wire` selects the on-wire coordinate format (the compact formats cut
+    host->device transfer, the usual TPU bottleneck; all dequantize on
+    device bit-identically to the float decode path):
+      - "f32":   positions are float32 [B, K, 3] (12 B/atom)
+      - "q16":   positions are raw quantized int16 (6 B/atom);
+                 pos = f32(q) * (1/precision)
+      - "delta": positions are int8 inter-frame deltas (~3 B/atom) with
+                 per-frame drift `shifts` [B, 3] i32 and sparse escapes
+                 (`esc_idx` [B, E] i32, `esc_val` [B, E, 3] i32; index K
+                 marks padding).  `base_q` i32 [K, 3], present on chain
+                 resets, (re)seeds the device-side carry:
+                   carry += shifts[f] + deltas[f]; carry[esc_idx[f]] = esc_val[f]
+    """
+
+    positions: np.ndarray  # [B, K, 3] (dtype per `wire`)
     boxes9: np.ndarray  # [B, 9] gro-order box components
     steps: np.ndarray  # [B]
     times: np.ndarray  # [B]
@@ -59,6 +73,11 @@ class FrameBatch:
     vel_mask: np.ndarray | None = None  # [B, K] per-atom velocity presence
                                         # (mixed-velocity GRO frames)
     atom_indices: np.ndarray | None = None  # selection indices if partial
+    wire: str = "f32"
+    base_q: np.ndarray | None = None  # i32 [K, 3] delta-chain key frame
+    shifts: np.ndarray | None = None  # i32 [B, 3] per-frame drift
+    esc_idx: np.ndarray | None = None  # i32 [B, E]
+    esc_val: np.ndarray | None = None  # i32 [B, E, 3]
 
     def __len__(self) -> int:
         return self.positions.shape[0]
@@ -364,12 +383,16 @@ class TrajReader:
     """
 
     def __init__(self, system, sources: list[FrameSource], group: str | None = None,
-                 batch_size: int = 64):
+                 batch_size: int = 64, indices=None):
         self.system = system
         self.sources = sources
         self.group = group
         self.batch_size = batch_size
         self.progress: ProgressPrinter | None = None
+        if group is not None and indices is not None:
+            raise ReadTrajError(
+                "pass either group or indices, not both", code="InvalidSelection"
+            )
 
         natoms = sources[0].natoms
         for s in sources:
@@ -388,6 +411,15 @@ class TrajReader:
         if group is not None:
             self._sel = system.group_indices(group)
             self._stop_after = int(self._sel[-1]) + 1 if len(self._sel) else 0
+        elif indices is not None:
+            sel = np.unique(np.asarray(indices, np.int64))
+            if len(sel) and (sel[0] < 0 or sel[-1] >= natoms):
+                raise ReadTrajError(
+                    f"selection indices out of range [0, {natoms})",
+                    code="InvalidSelection",
+                )
+            self._sel = sel
+            self._stop_after = int(sel[-1]) + 1 if len(sel) else 0
         else:
             self._sel = None
             self._stop_after = None
@@ -488,21 +520,46 @@ class TrajReader:
         return self._steps[self._mask]
 
     # ------------------------------------------------------------- batch pipeline
-    def batches(self, batch_size: int | None = None, prefetch: bool = True):
-        """Yield FrameBatches (bulk native decode, background prefetch)."""
+    def batches(self, batch_size: int | None = None, prefetch: bool = True,
+                wire: str = "f32", deferred: bool = False):
+        """Iterate FrameBatches (bulk native decode, background prefetch).
+
+        `wire` requests a host->device coordinate format ("f32", "q16",
+        "delta", or "auto" = smallest the file supports, with per-chunk
+        fallback delta -> q16 -> f32); see `FrameBatch`.  Non-XTC sources
+        always produce f32.  With `deferred=True` the returned loader does
+        NOT start decoding the next chunk until `.release()` is called —
+        on a host where the device transfer itself needs CPU (tunnel
+        clients, 1-vCPU boxes) the consumer calls release() after its
+        transfer completes so decode overlaps device compute, not the
+        wire push (FrameEngine does this).
+        """
         bs = batch_size or self.batch_size
         sel = self.selected_frames()
         chunks = [sel[i : i + bs] for i in range(0, len(sel), bs)]
+        wire = os.environ.get("GROAN_WIRE", wire)
+        if wire not in ("f32", "q16", "delta", "auto"):
+            raise ReadTrajError(f"unknown wire format '{wire}'", code="InvalidWire")
+        # delta chains across consecutive chunks of one file; state below
+        state = {"prev_q": None, "prev_prec": 0.0, "prev_src": None,
+                 "delta_ok": wire in ("auto", "delta"),
+                 "q16_ok": wire in ("auto", "delta", "q16")}
 
         def load(chunk) -> FrameBatch:
             # group by source (chunks can straddle file boundaries)
-            out = None
             srcs = self._src[chunk]
+            uniq = np.unique(srcs)
             parts = []
-            for si in np.unique(srcs):
+            for si in uniq:
                 ids = self._local[chunk[srcs == si]]
-                fb = self.sources[si].read_batch(ids, stop_after=self._stop_after)
-                parts.append(fb)
+                if len(uniq) > 1:
+                    # a chunk straddling files cannot be one coherent wire
+                    # stream; ship it absolute and reset the delta chain
+                    state["prev_q"] = None
+                    parts.append(self.sources[int(si)].read_batch(
+                        ids, stop_after=self._stop_after))
+                else:
+                    parts.append(self._read_part(int(si), ids, state))
             if len(parts) == 1:
                 out = parts[0]
             else:
@@ -520,33 +577,95 @@ class TrajReader:
                     has_f=_cat_opt([p.has_f for p in parts]),
                 )
             if self._sel is not None:
-                out.positions = out.positions[:, self._sel, :]
-                if out.velocities is not None:
-                    out.velocities = out.velocities[:, self._sel, :]
-                if out.forces is not None:
-                    out.forces = out.forces[:, self._sel, :]
-                out.atom_indices = self._sel
+                self._gather_selection(out)
             return out
 
-        if not prefetch or len(chunks) <= 1:
-            for c in chunks:
-                yield load(c)
-            return
+        return _PipelinedLoader(load, chunks,
+                                deferred=deferred, prefetch=prefetch)
 
-        # double-buffered prefetch on a worker thread
-        result = {}
-        def worker(idx, chunk):
-            result[idx] = load(chunk)
+    def _read_part(self, si: int, ids: np.ndarray, state: dict) -> FrameBatch:
+        """Read one source's frames in the smallest wire format allowed."""
+        src = self.sources[si]
+        compact = (state["delta_ok"] or state["q16_ok"]) and src.kind == "xtc"
+        if not compact:
+            return src.read_batch(ids, stop_after=self._stop_after)
+        if state["prev_src"] != si:
+            # a different file is a new quantization stream: reset the chain
+            state["prev_q"] = None
+        stop = self._stop_after if self._stop_after is not None else src.natoms
+        if state["delta_ok"]:
+            try:
+                (d, sh, ei, ev, base_out, last, boxes, steps, times,
+                 precs) = native.xtc_read_frames_delta(
+                    src.path, src.offsets[ids], src.natoms,
+                    base=state["prev_q"], base_prec=state["prev_prec"],
+                    stop_after=stop,
+                )
+                state["prev_q"], state["prev_prec"] = last, float(precs[0])
+                state["prev_src"] = si
+                # pad the escape width up to a power-of-two bucket so jitted
+                # consumers see a bounded set of shapes (pad index = `stop`,
+                # the scatter-drop sentinel)
+                e = ei.shape[1]
+                tgt = 0 if e == 0 else max(16, 1 << (e - 1).bit_length())
+                if tgt > e:
+                    ei = np.concatenate(
+                        [ei, np.full((ei.shape[0], tgt - e), stop, np.int32)], axis=1)
+                    ev = np.concatenate(
+                        [ev, np.zeros((ev.shape[0], tgt - e, 3), np.int32)], axis=1)
+                return FrameBatch(
+                    positions=d, boxes9=_xtc_box_to_gro9(boxes),
+                    steps=steps.astype(np.int64), times=times,
+                    frame_numbers=np.asarray(ids, np.int64),
+                    precisions=precs, wire="delta", base_q=base_out,
+                    shifts=sh, esc_idx=ei, esc_val=ev,
+                )
+            except ReadTrajError as e:
+                if e.code not in ("DeltaRange", "Q16Range"):
+                    raise
+                # hysteresis: dense motion (frames far apart in time) will
+                # recur every chunk — stop paying the doomed decode
+                state["delta_ok"] = False
+        if state["q16_ok"]:
+            try:
+                q, boxes, steps, times, precs = native.xtc_read_frames_q16(
+                    src.path, src.offsets[ids], src.natoms, stop_after=stop
+                )
+                state["prev_q"] = q[-1].astype(np.int32)
+                state["prev_prec"] = float(precs[0]) if len(precs) else 0.0
+                state["prev_src"] = si
+                return FrameBatch(
+                    positions=q, boxes9=_xtc_box_to_gro9(boxes),
+                    steps=steps.astype(np.int64), times=times,
+                    frame_numbers=np.asarray(ids, np.int64),
+                    precisions=precs, wire="q16",
+                )
+            except ReadTrajError as e:
+                if e.code != "Q16Range":
+                    raise
+                state["q16_ok"] = False
+        state["prev_q"] = None
+        return src.read_batch(ids, stop_after=self._stop_after)
 
-        t = threading.Thread(target=worker, args=(0, chunks[0]))
-        t.start()
-        for i in range(len(chunks)):
-            t.join()
-            batch = result.pop(i)
-            if i + 1 < len(chunks):
-                t = threading.Thread(target=worker, args=(i + 1, chunks[i + 1]))
-                t.start()
-            yield batch
+    def _gather_selection(self, out: FrameBatch) -> None:
+        """Compact a decoded batch to the atom selection (all wires)."""
+        sel = self._sel
+        out.positions = out.positions[:, sel, :]
+        if out.velocities is not None:
+            out.velocities = out.velocities[:, sel, :]
+        if out.forces is not None:
+            out.forces = out.forces[:, sel, :]
+        if out.base_q is not None:
+            out.base_q = out.base_q[sel]
+        if out.esc_idx is not None and out.esc_idx.size:
+            # escapes are indexed in decode space [0, stop]: drop atoms
+            # outside the selection, remap the rest; index len(sel) is the
+            # scatter-drop sentinel
+            stop = int(self._stop_after)
+            lut = np.full(stop + 1, len(sel), np.int32)
+            lut[sel] = np.arange(len(sel), dtype=np.int32)
+            out.esc_idx = lut[out.esc_idx]
+        out.atom_indices = sel
 
     # ------------------------------------------------------------- analyzers
     def calc_rmsd(self, reference, group: str) -> "RMSDTrajIterator":
@@ -627,6 +746,72 @@ class TrajReader:
         s.set_time(float(batch.times[k]))
         if batch.precisions is not None and batch.precisions[k] > 0:
             s.set_precision(int(batch.precisions[k]))
+
+
+class _PipelinedLoader:
+    """Single-worker chunk loader with an explicit decode-release handshake.
+
+    Chunks MUST decode sequentially (the delta wire chains through the
+    previous chunk's last frame), so there is exactly one worker thread.
+    Eager mode starts the next decode as soon as a batch is handed out;
+    deferred mode waits for `release()` (or the next `__next__` as a
+    fallback) so the consumer can schedule host-CPU-hungry work (device
+    transfer) while the decoder is idle.
+    """
+
+    def __init__(self, load, chunks, deferred: bool = False, prefetch: bool = True):
+        self._load = load
+        self._chunks = list(chunks)
+        self._deferred = deferred
+        self._prefetch = prefetch
+        self._i = 0
+        self._thread = None
+        self._result = {}
+        if self._prefetch and self._chunks:
+            self._start(0)
+
+    def __len__(self) -> int:
+        return len(self._chunks)
+
+    def _start(self, i: int) -> None:
+        def work():
+            try:
+                self._result[i] = self._load(self._chunks[i])
+            except BaseException as e:  # re-raised on the consumer side
+                self._result[i] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._thread = (i, t)
+
+    def release(self) -> None:
+        """Start decoding the next chunk (no-op if already running/done)."""
+        if self._thread is None and self._i < len(self._chunks):
+            self._start(self._i)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> FrameBatch:
+        i = self._i
+        if i >= len(self._chunks):
+            raise StopIteration
+        if not self._prefetch:
+            self._i = i + 1
+            return self._load(self._chunks[i])
+        if self._thread is None:
+            self._start(i)
+        ti, t = self._thread
+        assert ti == i, "loader consumed out of order"
+        t.join()
+        self._thread = None
+        out = self._result.pop(i)
+        self._i = i + 1
+        if isinstance(out, BaseException):
+            raise out
+        if not self._deferred and self._i < len(self._chunks):
+            self._start(self._i)
+        return out
 
 
 class RMSDTrajIterator:
@@ -733,8 +918,10 @@ def _cat_opt(parts):
 
 def traj_iter(system, filename, fmt: str | None = None, group: str | None = None,
               start_time: float | None = None, end_time: float | None = None,
-              step: int | None = None, batch_size: int = 64) -> TrajReader:
-    reader = TrajReader(system, [open_source(filename, fmt)], group=group, batch_size=batch_size)
+              step: int | None = None, batch_size: int = 64,
+              indices=None) -> TrajReader:
+    reader = TrajReader(system, [open_source(filename, fmt)], group=group,
+                        batch_size=batch_size, indices=indices)
     if start_time is not None or end_time is not None:
         reader = reader.with_range(
             0.0 if start_time is None else start_time,

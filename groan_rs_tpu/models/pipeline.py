@@ -26,6 +26,19 @@ from ..ops import pbc
 from ..ops import rmsd as rmsd_ops
 
 
+class _Idx:
+    """Deferred atom-index set: observables capture raw full-system
+    indices at configuration time; `resolve()` rewrites them into the
+    shipped coordinate layout (full system, a reader group, or the union
+    of touched atoms) just before the step compiles."""
+
+    __slots__ = ("raw", "j")
+
+    def __init__(self, raw: np.ndarray):
+        self.raw = np.asarray(raw)
+        self.j = None
+
+
 class TrajectoryAnalysis:
     def __init__(self, system, mesh=None, triclinic: bool = False):
         """With `triclinic=True`, kernels receive per-frame `[B, 3, 3]` box
@@ -36,7 +49,7 @@ class TrajectoryAnalysis:
         self.mesh = mesh
         self.triclinic = bool(triclinic)
         self._specs = []  # (name, fn(positions, boxes) -> array)
-        self._gather = {}
+        self._handles: list[_Idx] = []
 
     # ------------------------------------------------------------- helpers
     def _indices(self, group: str) -> np.ndarray:
@@ -45,6 +58,36 @@ class TrajectoryAnalysis:
             raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
         return idx
 
+    def _register(self, raw: np.ndarray) -> _Idx:
+        h = _Idx(raw)
+        self._handles.append(h)
+        return h
+
+    def _resolve(self, sel: np.ndarray | None) -> None:
+        """Rewrite every observable's indices into the shipped layout."""
+        import jax.numpy as jnp
+
+        for h in self._handles:
+            if sel is None:
+                h.j = jnp.asarray(h.raw)
+            else:
+                pos = np.searchsorted(sel, h.raw)
+                ok = (pos < len(sel)) & (sel[np.minimum(pos, len(sel) - 1)] == h.raw)
+                if not ok.all():
+                    raise GroupError(
+                        "trajectory selection does not cover all atoms the "
+                        "configured observables touch",
+                        code="InvalidSelection",
+                    )
+                h.j = jnp.asarray(pos.astype(np.int64))
+
+    def used_atoms(self) -> np.ndarray | None:
+        """Union of all atoms the configured observables touch (sorted),
+        or None when nothing is configured."""
+        if not self._handles:
+            return None
+        return np.unique(np.concatenate([h.raw for h in self._handles]))
+
     def _masses(self, group: str) -> np.ndarray:
         idx = self._indices(group)
         if not self.system.topology.has_mass[idx].all():
@@ -52,25 +95,23 @@ class TrajectoryAnalysis:
         return self.system.topology.mass[idx]
 
     # ------------------------------------------------------------- observables
-    def _center_fn(self, idx, w=None):
+    def _center_fn(self, idx: _Idx, w=None):
         """(pos, boxes) -> [B, 3] center, routing on the box mode."""
         import jax.numpy as jnp
 
         if self.triclinic:
             def fn(pos, boxes):  # boxes [B, 3, 3]
-                g = jnp.take(pos, idx, axis=1)
+                g = jnp.take(pos, idx.j, axis=1)
                 return center_ops.center_triclinic(g, boxes, weights=w)
         else:
             def fn(pos, boxes):  # boxes [B, 3]
-                g = jnp.take(pos, idx, axis=1)
+                g = jnp.take(pos, idx.j, axis=1)
                 return center_ops.center(g, boxes[:, None, :], weights=w)
         return fn
 
     def add_center(self, group: str, name: str | None = None):
         """Refined Bai-Breen center of geometry per frame -> [F, 3]."""
-        import jax.numpy as jnp
-
-        idx = jnp.asarray(self._indices(group))
+        idx = self._register(self._indices(group))
         self._specs.append((name or f"center_{group}", self._center_fn(idx)))
         return self
 
@@ -78,7 +119,7 @@ class TrajectoryAnalysis:
         """Refined center of mass per frame -> [F, 3]."""
         import jax.numpy as jnp
 
-        idx = jnp.asarray(self._indices(group))
+        idx = self._register(self._indices(group))
         w = jnp.asarray(self._masses(group))
         self._specs.append((name or f"com_{group}", self._center_fn(idx, w)))
         return self
@@ -89,8 +130,8 @@ class TrajectoryAnalysis:
         (reference: analysis.rs:348 evaluated per trajectory frame)."""
         import jax.numpy as jnp
 
-        i1 = jnp.asarray(self._indices(group1))
-        i2 = jnp.asarray(self._indices(group2))
+        i1 = self._register(self._indices(group1))
+        i2 = self._register(self._indices(group2))
         w1 = jnp.asarray(self._masses(group1)) if com else None
         w2 = jnp.asarray(self._masses(group2)) if com else None
         dmask = dim.value
@@ -132,7 +173,7 @@ class TrajectoryAnalysis:
                 code="InconsistentGroup",
             )
         wj = jnp.asarray(w)
-        idxj = jnp.asarray(tgt_idx)
+        idxj = self._register(tgt_idx)
 
         if self.triclinic:
             h_ref = np.asarray(reference.get_box().to_matrix(), np.float32)
@@ -144,7 +185,7 @@ class TrajectoryAnalysis:
             refctr_t = jnp.asarray(refctr_t)
 
             def fn(pos, boxes):
-                g = jnp.take(pos, idxj, axis=1)
+                g = jnp.take(pos, idxj.j, axis=1)
                 _, rms = rmsd_ops.rmsd_frames_triclinic(
                     refc_t, refctr_t, g, boxes, wj
                 )
@@ -154,7 +195,7 @@ class TrajectoryAnalysis:
             refctr = jnp.asarray(ref_center)
 
             def fn(pos, boxes):
-                g = jnp.take(pos, idxj, axis=1)
+                g = jnp.take(pos, idxj.j, axis=1)
                 _, rms = rmsd_ops.rmsd_frames(refc, refctr, g, boxes, wj)
                 return rms
 
@@ -162,15 +203,18 @@ class TrajectoryAnalysis:
         return self
 
     def add_min_distance(self, group1: str, group2: str, name: str | None = None):
-        """Minimum PBC distance between two selections per frame -> [F]."""
+        """Minimum PBC distance between two selections per frame -> [F].
+
+        Large selections route to the tiled Pallas pair kernel (never
+        materializing N x M in HBM); small ones use the dense path."""
         import jax.numpy as jnp
 
-        i1 = jnp.asarray(self._indices(group1))
-        i2 = jnp.asarray(self._indices(group2))
+        i1 = self._register(self._indices(group1))
+        i2 = self._register(self._indices(group2))
 
         def fn(pos, boxes):
-            a = jnp.take(pos, i1, axis=1)
-            b = jnp.take(pos, i2, axis=1)
+            a = jnp.take(pos, i1.j, axis=1)
+            b = jnp.take(pos, i2.j, axis=1)
             return distance_ops.min_distance(a, b, boxes[:, None, :])
 
         self._specs.append((name or f"mindist_{group1}_{group2}", fn))
@@ -189,7 +233,7 @@ class TrajectoryAnalysis:
         import jax.numpy as jnp
 
         axes = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[plane]
-        idx = jnp.asarray(self._indices(group))
+        idx = self._register(self._indices(group))
         if span is None:
             box = np.asarray(self.system.box_lengths(), np.float64)
             span = ((0.0, float(box[axes[0]])), (0.0, float(box[axes[1]])))
@@ -198,7 +242,7 @@ class TrajectoryAnalysis:
         ny = max(1, int(round((y1 - y0) / tile)))
 
         def fn(pos, boxes):
-            g = jnp.take(pos, idx, axis=1)  # [B, n, 3]
+            g = jnp.take(pos, idx.j, axis=1)  # [B, n, 3]
             u = (g[..., axes[0]] - x0) / (x1 - x0) * nx
             v = (g[..., axes[1]] - y0) / (y1 - y0) * ny
             ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 1)
@@ -228,14 +272,14 @@ class TrajectoryAnalysis:
         `(np.arange(n_bins) + 0.5) * r_max / n_bins`."""
         import jax.numpy as jnp
 
-        i1 = jnp.asarray(self._indices(group1))
-        i2 = jnp.asarray(self._indices(group2))
+        i1 = self._register(self._indices(group1))
+        i2 = self._register(self._indices(group2))
         same = group1 == group2
-        n1, n2 = int(i1.shape[0]), int(i2.shape[0])
+        n1, n2 = int(i1.raw.shape[0]), int(i2.raw.shape[0])
 
         def fn(pos, boxes):
-            a = jnp.take(pos, i1, axis=1)
-            b = jnp.take(pos, i2, axis=1)
+            a = jnp.take(pos, i1.j, axis=1)
+            b = jnp.take(pos, i2.j, axis=1)
             hist = distance_ops.pair_distance_histogram(
                 a, b, boxes[:, None, :][:, 0, :], float(r_max), int(n_bins),
                 exclude_self=same)
@@ -251,20 +295,26 @@ class TrajectoryAnalysis:
         """Contact count within cutoff per frame -> [F]."""
         import jax.numpy as jnp
 
-        i1 = jnp.asarray(self._indices(group1))
-        i2 = jnp.asarray(self._indices(group2))
+        i1 = self._register(self._indices(group1))
+        i2 = self._register(self._indices(group2))
 
         def fn(pos, boxes):
-            a = jnp.take(pos, i1, axis=1)
-            b = jnp.take(pos, i2, axis=1)
+            a = jnp.take(pos, i1.j, axis=1)
+            b = jnp.take(pos, i2.j, axis=1)
             return distance_ops.contact_count(a, b, boxes[:, None, :], cutoff)
 
         self._specs.append((name or f"contacts_{group1}_{group2}", fn))
         return self
 
     # ------------------------------------------------------------- execution
-    def step_fn(self):
-        """The composed jittable step: (positions, boxes, mask) -> dict."""
+    def step_fn(self, sel: np.ndarray | None = None):
+        """The composed jittable step: (positions, boxes, mask) -> dict.
+
+        `sel` (sorted atom indices) declares the coordinate layout the
+        step will receive — positions[:, k] is atom sel[k]; observables'
+        indices are rewritten accordingly.  None = full-system layout.
+        """
+        self._resolve(sel)
         specs = list(self._specs)
 
         def step(positions, boxes, frame_mask):
@@ -273,20 +323,52 @@ class TrajectoryAnalysis:
         return step
 
     def run(self, filename, *, group: str | None = None, batch_size: int = 32,
-            start_time=None, end_time=None, step=None, progress=None):
-        from ..parallel.engine import FrameEngine
-        from ..io.traj import traj_iter
+            start_time=None, end_time=None, step=None, progress=None,
+            wire: str = "auto", ship: str = "auto"):
+        """Run the configured observables over a trajectory -> dict of
+        [F, ...] arrays (+ 'times'/'steps').
 
-        reader = traj_iter(self.system, filename, group=group,
+        The full fast path is on by default:
+        - `ship="auto"` decodes only up to the last atom any observable
+          touches (partial-frame early stop, the molly trick) and ships
+          only the union of touched atoms to the device;
+          `ship="all"` ships every atom (use when you add custom steps).
+        - `wire="auto"` ships coordinates in the smallest exact format the
+          file supports (int8 deltas -> q16 ints -> f32), dequantizing
+          on device bit-identically to the float decode path.
+        - host decode, host->device transfer and device compute overlap
+          (FrameEngine's deferred-release scheduling).
+        """
+        from ..io.traj import traj_iter
+        from ..parallel.engine import FrameEngine, make_mesh
+
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        # the delta wire is single-shard (sequential frame reconstruction)
+        if wire == "auto" and mesh.shape["frames"] > 1:
+            wire = "q16"
+
+        # choose the shipped atom set
+        sel = None
+        if group is not None:
+            sel = np.asarray(self.system.group_indices(group))
+        elif ship in ("auto", "used"):
+            sel = self.used_atoms()
+        elif ship != "all":
+            raise GroupError(f"unknown ship mode '{ship}'", code="InvalidSelection")
+        if sel is not None and sel.shape[0] >= self.system.get_n_atoms():
+            sel = None
+
+        engine = FrameEngine(
+            self.step_fn(sel), mesh=mesh,
+            box="matrix" if self.triclinic else "lengths",
+        )
+
+        reader = traj_iter(self.system, filename, indices=sel,
                            batch_size=batch_size, start_time=start_time,
                            end_time=end_time, step=step)
         if progress is not None:
             reader.print_progress(progress)
-        engine = FrameEngine(
-            self.step_fn(), mesh=self.mesh,
-            box="matrix" if self.triclinic else "lengths",
-        )
-        out = engine.run(reader.batches())
+        out = engine.run(reader.batches(wire=wire, deferred=True))
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out

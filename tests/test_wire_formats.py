@@ -1,0 +1,230 @@
+"""Compact host->device wire formats (q16 / int8-delta) and the
+decode-side partial-frame guard.
+
+The fast path moved INTO the framework this round (VERDICT r2 item 1):
+TrajReader.batches(wire=...) produces compact FrameBatches, FrameEngine
+dequantizes inside the jitted step, and TrajectoryAnalysis.run ships only
+the atoms its observables touch.  Everything must stay BIT-IDENTICAL to
+the plain float decode path (the decoder's own `float(q) * (1/prec)`
+multiply is replayed on device).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import ReadTrajError
+from groan_rs_tpu.io import native
+from groan_rs_tpu.io.traj import TrajReader, XtcSource
+from groan_rs_tpu.parallel.engine import FrameEngine, make_mesh
+from groan_rs_tpu.system import System
+
+FIX_GRO = "/root/reference/test_files/example.gro"
+FIX_XTC = "/root/reference/test_files/short_trajectory.xtc"
+
+
+class _BareSystem:
+    """Minimal reader host for synthetic trajectories."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def get_n_atoms(self):
+        return self.n
+
+
+def _write_drifting_xtc(path, natoms=5000, nframes=10, box=8.0, seed=0,
+                        step_sigma=0.02, drift=0.03):
+    rng = np.random.default_rng(seed)
+    box9 = np.diag([box] * 3).astype(np.float32).reshape(9)
+    pos = rng.uniform(0, box, size=(natoms, 3)).astype(np.float32)
+    for f in range(nframes):
+        if f:
+            pos = (pos + rng.normal(size=pos.shape).astype(np.float32) * step_sigma
+                   + drift) % box
+        native.xtc_write_frame(path, natoms, f, f * 1.0, box9, pos, 1000.0)
+
+
+@pytest.fixture(scope="module")
+def drifting_xtc():
+    path = tempfile.mktemp(suffix=".xtc")
+    _write_drifting_xtc(path)
+    yield path
+    os.remove(path)
+
+
+# ---------------------------------------------------------------- native
+
+
+def test_partial_decode_never_overruns_and_matches_prefix(test_files):
+    """Partial-frame decode (molly semantics) must stop exactly at
+    stop_after even when a water-run spans the boundary.
+
+    Regression: the run loop used to emit the whole run past stop_after,
+    overflowing the output buffer by up to ~10 atoms on the last frame
+    (caught by glibc heap checks once the delta path allocated exactly)."""
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    offs, _, _, natoms = native.xtc_scan(xtc)
+    full, *_ = native.xtc_read_frames(xtc, offs[:3], natoms)
+    for stop in (1, 2, 3, 7, 100, 1001, natoms - 1, natoms):
+        part, *_ = native.xtc_read_frames(xtc, offs[:3], natoms, stop_after=stop)
+        assert part.shape == (3, stop, 3)
+        assert np.array_equal(part, full[:, :stop])
+        q, *_ = native.xtc_read_frames_q16(xtc, offs[:3], natoms, stop_after=stop)
+        assert q.shape == (3, stop, 3)
+
+
+def test_q16_wire_bit_identical(test_files):
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    offs, _, _, natoms = native.xtc_scan(xtc)
+    full, _, _, _, prec = native.xtc_read_frames(xtc, offs, natoms)
+    q, _, _, _, prec2 = native.xtc_read_frames_q16(xtc, offs, natoms)
+    rec = q.astype(np.float32) * (np.float32(1.0) / prec2[:, None, None])
+    assert np.array_equal(rec, full)
+
+
+def test_delta_wire_bit_identical_chained(drifting_xtc):
+    offs, _, _, natoms = native.xtc_scan(drifting_xtc)
+    full, _, _, _, prec = native.xtc_read_frames(drifting_xtc, offs, natoms)
+
+    d1, sh1, ei1, ev1, base1, last1, *_ = native.xtc_read_frames_delta(
+        drifting_xtc, offs[:6], natoms)
+    assert base1 is not None  # first chunk ships the key frame
+    p1 = float(prec[0])
+    d2, sh2, ei2, ev2, base2, last2, *_ = native.xtc_read_frames_delta(
+        drifting_xtc, offs[6:], natoms, base=last1, base_prec=p1)
+    assert base2 is None  # chained: no key frame
+
+    def recon(base, deltas, shifts, eidx, eval_):
+        carry = base.astype(np.int64).copy()
+        out = []
+        for f in range(len(deltas)):
+            carry += deltas[f].astype(np.int64) + shifts[f][None, :]
+            ok = eidx[f] < natoms
+            carry[eidx[f][ok]] = eval_[f][ok]
+            out.append(carry.copy())
+        return np.stack(out)
+
+    q = np.concatenate([recon(base1, d1, sh1, ei1, ev1),
+                        recon(last1, d2, sh2, ei2, ev2)])
+    rec = q.astype(np.float32) * np.float32(1.0 / 1000.0)
+    assert np.array_equal(rec, full)
+
+
+def test_delta_wire_falls_back_when_frames_far_apart(test_files):
+    """Frames saved every ~200 ps move too far for int8 deltas; the native
+    call must fail with the typed error (readers then fall back to q16)."""
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    offs, _, _, natoms = native.xtc_scan(xtc)
+    with pytest.raises(ReadTrajError) as e:
+        native.xtc_read_frames_delta(xtc, offs, natoms)
+    assert e.value.code == "DeltaRange"
+
+
+# ---------------------------------------------------------------- reader
+
+
+def test_reader_auto_wire_selects_delta_and_engine_is_exact(drifting_xtc):
+    src = XtcSource(drifting_xtc, use_index_cache=False)
+    sysb = _BareSystem(src.natoms)
+
+    wires = [fb.wire for fb in TrajReader(sysb, [src], batch_size=4).batches(wire="auto")]
+    assert wires == ["delta", "delta", "delta"]
+
+    mesh = make_mesh(1, 1)
+
+    def step(p, b, m):
+        return {"s": p.sum(axis=(1, 2)), "first": p[:, 0, :], "last": p[:, -1, :]}
+
+    out_ref = FrameEngine(step, mesh=mesh).run(
+        TrajReader(sysb, [src], batch_size=4).batches(wire="f32"))
+    for wire in ("q16", "delta", "auto"):
+        out = FrameEngine(step, mesh=mesh).run(
+            TrajReader(sysb, [src], batch_size=4).batches(wire=wire, deferred=True))
+        for k in out_ref:
+            assert np.array_equal(out[k], out_ref[k]), (wire, k)
+
+
+def test_reader_auto_wire_fixture_falls_back_to_q16(test_files):
+    """On the real fixture the delta attempt fails once (hysteresis) and
+    every chunk ships q16 — still bit-identical through the engine."""
+    s = System.from_file(FIX_GRO)
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    reader = TrajReader(s, [XtcSource(xtc, use_index_cache=False)], batch_size=4)
+    wires = [fb.wire for fb in reader.batches(wire="auto")]
+    assert set(wires) == {"q16"}
+
+
+def test_reader_selection_gathers_compact_wires(drifting_xtc):
+    """Subset ship: gathered q16/delta batches reconstruct the same atoms
+    as the full f32 decode (escape indices remapped into the selection)."""
+    src = XtcSource(drifting_xtc, use_index_cache=False)
+    sysb = _BareSystem(src.natoms)
+    rng = np.random.default_rng(1)
+    sel = np.unique(rng.choice(src.natoms, size=700, replace=False))
+
+    mesh = make_mesh(1, 1)
+
+    def step(p, b, m):
+        return {"p": p}
+
+    out_full = FrameEngine(step, mesh=mesh).run(
+        TrajReader(sysb, [src], batch_size=3).batches(wire="f32"))
+    for wire in ("q16", "delta"):
+        out_sel = FrameEngine(step, mesh=mesh).run(
+            TrajReader(sysb, [src], batch_size=3, indices=sel).batches(wire=wire))
+        assert np.array_equal(out_sel["p"], out_full["p"][:, sel]), wire
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+def test_pipeline_wire_ship_combinations_bit_identical(test_files):
+    from groan_rs_tpu.models import TrajectoryAnalysis
+
+    s = System.from_file(FIX_GRO)
+    s.group_create("Prot", "@protein")
+    s.group_create("Mem", "@membrane")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+
+    def build():
+        return (TrajectoryAnalysis(s)
+                .add_center("Prot")
+                .add_distance("Prot", "Mem")
+                .add_min_distance("Prot", "Mem"))
+
+    base = build().run(xtc, wire="f32", ship="all")
+    for wire in ("q16", "auto"):
+        for ship in ("all", "used"):
+            out = build().run(xtc, wire=wire, ship=ship)
+            for key in ("center_Prot", "distance_Prot_Mem", "mindist_Prot_Mem"):
+                assert np.array_equal(np.asarray(base[key]), np.asarray(out[key])), (
+                    wire, ship, key)
+
+
+def test_pipeline_group_run_remaps_spec_indices(test_files):
+    """run(group=...) feeds group-layout positions; observable indices are
+    remapped into that layout (this silently produced garbage before)."""
+    from groan_rs_tpu.models import TrajectoryAnalysis
+
+    s = System.from_file(FIX_GRO)
+    s.group_create("Prot", "@protein")
+    s.group_create("Mem", "@membrane")
+    s.group_create("Both", "@protein or @membrane")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+
+    def build():
+        return TrajectoryAnalysis(s).add_center("Prot").add_distance("Prot", "Mem")
+
+    full = build().run(xtc, wire="f32", ship="all")
+    grouped = build().run(xtc, group="Both")
+    for key in ("center_Prot", "distance_Prot_Mem"):
+        assert np.array_equal(np.asarray(full[key]), np.asarray(grouped[key])), key
+
+    # a group that does NOT cover the observables is a typed error
+    from groan_rs_tpu.errors import GroupError
+
+    with pytest.raises(GroupError):
+        build().run(xtc, group="Prot")
