@@ -3,9 +3,16 @@
 
 Builds (once, cached) a synthetic 1M-atom system with water-like atom
 triplets and a multi-frame XTC written by the native codec, then times the
-full pipeline: native threaded decode -> device transfer -> one jitted step
-per batch computing refined Bai-Breen COM ("protein" group), PBC distance
-between two group centers, and mass-weighted Kabsch RMSD vs frame 0.
+PRODUCT pipeline — `TrajectoryAnalysis(...).runner().run(xtc)` — which owns
+the full fast path: partial-frame decode up to the last touched atom,
+compact int8-delta/q16 wire with on-device dequantization (bit-identical
+to the float decode), subset-of-atoms ship, and decode/transfer/compute
+overlap scheduled for this 1-vCPU tunnel host.
+
+Parity: frame-0 COM and the FULL distance+RMSD series are checked against
+a float64 host recomputation of the reference algorithms (refined
+Bai-Breen center, iterators.rs:1237-1266; mass-weighted Kabsch,
+rmsd.rs:547-604), plus a per-frame COM trace on a real fixture trajectory.
 
 Baseline anchor (BASELINE.md row 1): groan_rs single-thread full-system XTC
 pass at ~47 M atom-frames/s == 47 frames/s at 1M atoms.
@@ -118,6 +125,48 @@ def host_refined_center(p, box, w=None):
     return (unwrapped * w[:, None]).sum(0) / w.sum()
 
 
+def host_kabsch_rmsd(ref, ref_com, p, box, w):
+    """Float64 host Kabsch RMSD vs prepared reference coords (the exact
+    algorithm of rmsd.rs:547-604: center both to the box center via the
+    refined COM, SVD with det sign fix, mass-weighted RMSD)."""
+    p = np.asarray(p, np.float64)
+    box = np.asarray(box, np.float64)
+    w = np.asarray(w, np.float64)
+    com = host_refined_center(p, box, w)
+    center = box / 2
+    shifted = np.mod(p + (center - com), box)
+    qc = shifted - center
+    pc = np.asarray(ref, np.float64) - np.asarray(ref_com, np.float64)
+    h = (w[:, None] * pc).T @ qc
+    u, s, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    rot = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    p_rot = pc @ rot.T
+    return float(np.sqrt((w * ((p_rot - qc) ** 2).sum(-1)).sum() / w.sum()))
+
+
+def build_system(n_prot, n_mem, frame0, box):
+    """Programmatic System: synthetic masses + index groups (no text I/O)."""
+    from groan_rs_tpu.core.simbox import SimBox
+    from groan_rs_tpu.core.topology import Topology
+    from groan_rs_tpu.system import System
+
+    rng = np.random.default_rng(3)
+    masses = rng.uniform(1.0, 16.0, size=N_ATOMS).astype(np.float32)
+    topo = Topology(N_ATOMS)
+    topo.mass = masses
+    topo.has_mass = np.ones(N_ATOMS, bool)
+    topo.atomnum = np.arange(1, N_ATOMS + 1, dtype=np.int64)
+    topo.resnum = np.arange(N_ATOMS, dtype=np.int64) // 3 + 1
+    s = System("bench", topo, simbox=SimBox.from_lengths(*map(float, box)),
+               positions=frame0)
+    s.set_precision(1000)
+    s.group_create_from_ranges("Protein", [(0, n_prot - 1)])
+    s.group_create_from_ranges("Membrane", [(n_prot, n_prot + n_mem - 1)])
+    s.group_create_from_ranges("Peptide", [(0, 399)])  # BASELINE row 6 analogue
+    return s, masses
+
+
 def main():
     t_setup = time.perf_counter()
     os.makedirs(CACHE, exist_ok=True)
@@ -138,134 +187,62 @@ def main():
     log(f"setup: {time.perf_counter() - t_setup:.1f}s")
 
     import jax
-    import jax.numpy as jnp
 
     from groan_rs_tpu.io import native
-    from groan_rs_tpu.ops import center as center_ops
-    from groan_rs_tpu.ops import pbc
-    from groan_rs_tpu.ops import rmsd as rmsd_ops
+    from groan_rs_tpu.models import TrajectoryAnalysis
 
     log(f"devices: {jax.devices()}")
 
-    offsets, steps, times, natoms = native.xtc_scan(xtc)
+    offsets, _, _, natoms = native.xtc_scan(xtc)
     assert natoms == N_ATOMS
-
-    idx_prot = np.arange(n_prot)
-    idx_mem = np.arange(n_prot, n_prot + n_mem)
-    rng = np.random.default_rng(3)
-    masses = rng.uniform(1.0, 16.0, size=N_ATOMS).astype(np.float32)
-    w_prot = jnp.asarray(masses[idx_prot])
-
-    # reference frame for RMSD: frame 0 protein coords prepared
     c0, b0, *_ = native.xtc_read_frames(xtc, offsets[:1], natoms)
     box_l = b0[0][[0, 4, 8]]
-    ref, ref_center = rmsd_ops.prepare_coords(c0[0][idx_prot], box_l, weights=masses[idx_prot])
-    ref = jnp.asarray(ref)
-    ref_center = jnp.asarray(ref_center)
 
-    # wire format: raw quantized int16 ints (2 bytes/coord, bit-identical
-    # after on-device dequantization with the decoder's own multiply);
-    # only the atoms the analysis consumes ([0, n_used)) ship to the device
-    n_used = n_prot + n_mem
-    prec0 = float(np.asarray(
-        native.xtc_read_frames(xtc, offsets[:1], natoms, stop_after=1)[4][0]
-    ))
-    inv_prec = jnp.float32(1.0) / jnp.float32(prec0)
-    wire = os.environ.get("BENCH_WIRE", "q16")
+    system, masses = build_system(n_prot, n_mem, c0[0], box_l)
 
-    @jax.jit
-    def step(positions, boxes):
-        if positions.dtype == jnp.int16:
-            positions = positions.astype(jnp.float32) * inv_prec
-        b = boxes[:, None, :]
-        ga = positions[:, :n_prot]
-        gb = positions[:, n_prot:n_used]
-        com = center_ops.center(ga, b, weights=w_prot)
-        cog = center_ops.center(gb, b)
-        dist = pbc.distance(com, cog, boxes)
-        _, rms = rmsd_ops.rmsd_frames(ref, ref_center, ga, boxes, w_prot)
-        return com, dist, rms
+    # ---- the product pipeline: THE thing being measured -----------------
+    pipe = (
+        TrajectoryAnalysis(system)
+        .add_com("Protein", name="com")
+        .add_distance("Protein", "Membrane", com=(True, False), name="dist")
+        .add_rmsd("Protein", reference=system, name="rmsd")
+    )
+    runner = pipe.runner()  # compiles once; fast path (ship=used, wire=auto)
 
-    timings = {}
-
-    def run_pass(timed=False, stop_after=None):
-        n_threads = native.n_default_threads()
-        chunks = [np.arange(i, min(i + BATCH, N_FRAMES)) for i in range(0, N_FRAMES, BATCH)]
-
-        # double-buffered host decode
-        import threading
-
-        staged = {}
-
-        def decode(ci):
-            t0 = time.perf_counter()
-            if wire == "q16":
-                # full-system decode (touches every atom), compact ship;
-                # stop_after engages partial-frame decode (GroupXtcReader
-                # semantics, molly_xtc.rs:475)
-                q, boxes9, _, _, _ = native.xtc_read_frames_q16(
-                    xtc, offsets[chunks[ci]], natoms, n_threads=n_threads,
-                    stop_after=stop_after,
-                )
-                coords = np.ascontiguousarray(q[:, :n_used])
-            else:
-                coords_f, boxes9, _, _, _ = native.xtc_read_frames(
-                    xtc, offsets[chunks[ci]], natoms, n_threads=n_threads,
-                    stop_after=stop_after,
-                )
-                coords = np.ascontiguousarray(coords_f[:, :n_used])
-            staged[ci] = (coords, boxes9[:, [0, 4, 8]] if boxes9.shape[1] == 9 else boxes9,
-                          time.perf_counter() - t0)
-
-        th = threading.Thread(target=decode, args=(0,))
-        th.start()
-        outs = []
-        t_wait = t_put = t_step = t_dec = 0.0
-        for ci in range(len(chunks)):
-            t0 = time.perf_counter()
-            th.join()
-            t_wait += time.perf_counter() - t0
-            coords, boxes, dec_s = staged.pop(ci)
-            t_dec += dec_s
-            # Schedule for a 1-core host: the tunnel client needs CPU to
-            # push bytes (transfers crawl ~30 MB/s while the decode thread
-            # runs, ~500+ MB/s when the CPU is free).  So: force the wire
-            # transfer NOW (decode thread is idle, we just joined), then
-            # start the next decode overlapped only with device COMPUTE.
-            t0 = time.perf_counter()
-            cj = jax.device_put(coords)
-            bj = jax.device_put(boxes)
-            out = step(cj, bj)  # dispatch; forces the upload
-            jax.block_until_ready((cj, bj))
-            t_put += time.perf_counter() - t0
-            if ci + 1 < len(chunks):
-                th = threading.Thread(target=decode, args=(ci + 1,))
-                th.start()
-            if timed:
-                t0 = time.perf_counter()
-                jax.block_until_ready(out)
-                t_step += time.perf_counter() - t0
-            outs.append(out)
-        jax.block_until_ready(outs)
-        if timed:
-            timings["h2d_s"] = round(t_put, 4)
-        if timed:
-            timings["decode_wait_s"] = round(t_wait, 4)
-            timings["decode_total_s"] = round(t_dec, 4)
-            timings["compute_s"] = round(t_step, 4)
-        return outs
-
-    # warmup (compiles)
     log("warmup pass...")
-    outs = run_pass()
+    out = runner.run(xtc, batch_size=BATCH)
+    wire_bytes_per_atom_frame = runner.engine.h2d_bytes / max(
+        1, runner.engine.frames_shipped
+    ) / len(pipe.used_atoms())
 
-    # parity: frame-0 protein COM vs float64 host refined Bai-Breen
-    # (the group is compact, so f32 vs f64 must agree tightly)
-    com0 = np.asarray(outs[0][0][0], np.float64)
-    ref_host = host_refined_center(c0[0][idx_prot], box_l, masses[idx_prot])
-    parity_ok = bool((np.abs(com0 - ref_host) < 2e-3).all())
-    rms0 = float(np.asarray(outs[0][2][0]))
-    parity_ok &= rms0 < 1e-3  # self-RMSD of reference frame
+    # ---- parity: series vs float64 host recomputation -------------------
+    idx_prot = np.arange(n_prot)
+    idx_mem = np.arange(n_prot, n_prot + n_mem)
+    w_prot = masses[idx_prot]
+    coords, b9, *_ = native.xtc_read_frames(xtc, offsets, natoms)
+    ref_com0 = host_refined_center(c0[0][idx_prot], box_l, w_prot)
+    com_err = np.abs(np.asarray(out["com"], np.float64)[0] - ref_com0).max()
+    parity_ok = bool(com_err < 2e-3)
+
+    dist_host = np.empty(N_FRAMES)
+    rmsd_host = np.empty(N_FRAMES)
+    for f in range(N_FRAMES):
+        p = coords[f]
+        ca = host_refined_center(p[idx_prot], box_l, w_prot)
+        cb = host_refined_center(p[idx_mem], box_l)
+        d = ca - cb
+        d -= box_l * np.round(d / np.asarray(box_l, np.float64))
+        dist_host[f] = np.sqrt((d * d).sum())
+        rmsd_host[f] = host_kabsch_rmsd(
+            np.mod(c0[0][idx_prot] + (np.asarray(box_l, np.float64) / 2 - ref_com0),
+                   box_l) - np.asarray(box_l, np.float64) / 2,
+            np.zeros(3), p[idx_prot], box_l, w_prot,
+        )
+    dist_err = np.abs(np.asarray(out["dist"], np.float64) - dist_host).max()
+    rmsd_err = np.abs(np.asarray(out["rmsd"], np.float64) - rmsd_host).max()
+    series_parity_ok = bool(dist_err < 2e-3 and rmsd_err < 2e-3)
+    parity_ok &= series_parity_ok
+    log(f"series parity: dist err {dist_err:.2e}, rmsd err {rmsd_err:.2e}")
 
     # parity on a REAL fixture trajectory (groan_rs semantics): per-frame
     # protein COM on short_trajectory.xtc vs float64 host reference
@@ -273,6 +250,9 @@ def main():
     fx = "/root/reference/test_files/short_trajectory.xtc"
     fg = "/root/reference/test_files/example.gro"
     if os.path.exists(fx) and os.path.exists(fg):
+        import jax.numpy as jnp
+
+        from groan_rs_tpu.ops import center as center_ops
         from groan_rs_tpu.system import System
 
         fsys = System.from_file(fg)
@@ -294,29 +274,47 @@ def main():
         fixture_ok = bool((np.abs(dev_com - host_com) < 2e-4).all())
         parity_ok &= fixture_ok
 
-    # one instrumented pass for the stage breakdown (stage blocking makes it
-    # slower than production; not used for the headline number)
-    run_pass(timed=True)
+    # ---- instrumented pass (stage breakdown; slower than production) ----
+    from groan_rs_tpu.utils.profiling import PipelineProfiler
+
+    prof = PipelineProfiler()
+    runner.run(xtc, batch_size=BATCH, profiler=prof)
+    totals = prof.totals()
+    timings = {k: round(v, 4) for k, v in totals.items()
+               if isinstance(v, float) and v > 0}
     log(f"breakdown (diagnostic, stage-blocked): {timings}")
 
+    # ---- timed passes ----------------------------------------------------
     log("timed passes...")
     best = float("inf")
     for _ in range(int(os.environ.get("BENCH_REPS", 5))):
         t0 = time.perf_counter()
-        run_pass()
+        runner.run(xtc, batch_size=BATCH)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         log(f"  pass {dt:.3f}s")
     timings["pass_s"] = round(best, 4)
 
-    # secondary: partial-frame group read (the reference's GroupXtcReader
-    # feature — decode stops after the last analysis atom)
-    best_group = float("inf")
-    for _ in range(2):
+    # ---- small-group pass (BASELINE.md row 6: ~400-atom peptide) --------
+    # decode early-stops at atom 400 and ships ~400 atoms: the partial-read
+    # wire saving the feature exists for (reference: GroupXtcReader)
+    small_pipe = (
+        TrajectoryAnalysis(system)
+        .add_com("Peptide", name="com")
+        .add_rmsd("Peptide", reference=system, name="rmsd")
+    )
+    small_runner = small_pipe.runner()
+    small_runner.run(xtc, batch_size=BATCH)  # compile
+    best_small = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        run_pass(stop_after=n_used)
-        best_group = min(best_group, time.perf_counter() - t0)
-    group_fps = N_FRAMES / best_group
+        small_out = small_runner.run(xtc, batch_size=BATCH)
+        best_small = min(best_small, time.perf_counter() - t0)
+    small_fps = N_FRAMES / best_small
+    small_com0 = host_refined_center(c0[0][:400], box_l, masses[:400])
+    small_ok = bool(
+        (np.abs(np.asarray(small_out["com"], np.float64)[0] - small_com0) < 2e-3).all()
+    )
 
     # CPU-health canary: a fixed numpy workload; this host is a shared
     # 1-vCPU box with up to 10x steal swings between runs — the canary lets
@@ -338,8 +336,11 @@ def main():
         "pass_seconds": round(best, 3),
         "atom_frames_per_sec": round(fps * N_ATOMS / 1e6, 1),
         "parity_ok": parity_ok,
+        "series_parity_ok": series_parity_ok,
         "fixture_parity_ok": fixture_ok,
-        "group_read_fps": round(group_fps, 2),
+        "small_group_fps": round(small_fps, 2),
+        "small_group_parity_ok": small_ok,
+        "wire_bytes_per_atom_frame": round(float(wire_bytes_per_atom_frame), 3),
         "cpu_canary_ms": cpu_canary_ms,
         "breakdown": timings,
     }

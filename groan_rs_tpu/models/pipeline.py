@@ -125,15 +125,19 @@ class TrajectoryAnalysis:
         return self
 
     def add_distance(self, group1: str, group2: str, dim: Dimension = Dimension.XYZ,
-                     com: bool = False, name: str | None = None):
+                     com=False, name: str | None = None):
         """Distance between group centers per frame -> [F]
-        (reference: analysis.rs:348 evaluated per trajectory frame)."""
+        (reference: analysis.rs:348 evaluated per trajectory frame).
+
+        `com` selects mass weighting: one bool for both groups, or a
+        (bool, bool) pair for mixed COM/COG distances."""
         import jax.numpy as jnp
 
+        com1, com2 = (com, com) if isinstance(com, bool) else com
         i1 = self._register(self._indices(group1))
         i2 = self._register(self._indices(group2))
-        w1 = jnp.asarray(self._masses(group1)) if com else None
-        w2 = jnp.asarray(self._masses(group2)) if com else None
+        w1 = jnp.asarray(self._masses(group1)) if com1 else None
+        w2 = jnp.asarray(self._masses(group2)) if com2 else None
         dmask = dim.value
         c1_fn = self._center_fn(i1, w1)
         c2_fn = self._center_fn(i2, w2)
@@ -322,11 +326,12 @@ class TrajectoryAnalysis:
 
         return step
 
-    def run(self, filename, *, group: str | None = None, batch_size: int = 32,
-            start_time=None, end_time=None, step=None, progress=None,
-            wire: str = "auto", ship: str = "auto"):
-        """Run the configured observables over a trajectory -> dict of
-        [F, ...] arrays (+ 'times'/'steps').
+    def runner(self, *, group: str | None = None, wire: str = "auto",
+               ship: str = "auto") -> "PipelineRunner":
+        """Compile the configured observables into a reusable runner.
+
+        The runner owns the jitted engine; calling `.run(filename)`
+        repeatedly (or over many files) reuses the compiled step.
 
         The full fast path is on by default:
         - `ship="auto"` decodes only up to the last atom any observable
@@ -339,7 +344,6 @@ class TrajectoryAnalysis:
         - host decode, host->device transfer and device compute overlap
           (FrameEngine's deferred-release scheduling).
         """
-        from ..io.traj import traj_iter
         from ..parallel.engine import FrameEngine, make_mesh
 
         mesh = self.mesh if self.mesh is not None else make_mesh()
@@ -362,13 +366,40 @@ class TrajectoryAnalysis:
             self.step_fn(sel), mesh=mesh,
             box="matrix" if self.triclinic else "lengths",
         )
+        return PipelineRunner(self.system, engine, sel, wire)
 
-        reader = traj_iter(self.system, filename, indices=sel,
+    def run(self, filename, *, group: str | None = None, batch_size: int = 32,
+            start_time=None, end_time=None, step=None, progress=None,
+            wire: str = "auto", ship: str = "auto"):
+        """Run the configured observables over a trajectory -> dict of
+        [F, ...] arrays (+ 'times'/'steps').  One-shot form of
+        `runner(...)` — see there for the fast-path knobs."""
+        return self.runner(group=group, wire=wire, ship=ship).run(
+            filename, batch_size=batch_size, start_time=start_time,
+            end_time=end_time, step=step, progress=progress,
+        )
+
+
+class PipelineRunner:
+    """A compiled TrajectoryAnalysis pass, reusable across files/calls."""
+
+    def __init__(self, system, engine, sel, wire):
+        self.system = system
+        self.engine = engine
+        self.sel = sel
+        self.wire = wire
+
+    def run(self, filename, *, batch_size: int = 32, start_time=None,
+            end_time=None, step=None, progress=None, profiler=None):
+        from ..io.traj import traj_iter
+
+        reader = traj_iter(self.system, filename, indices=self.sel,
                            batch_size=batch_size, start_time=start_time,
                            end_time=end_time, step=step)
         if progress is not None:
             reader.print_progress(progress)
-        out = engine.run(reader.batches(wire=wire, deferred=True))
+        out = self.engine.run(reader.batches(wire=self.wire, deferred=True),
+                              profiler=profiler)
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out

@@ -59,6 +59,8 @@ class FrameEngine:
         self._steps = {}
         self._box_mode = box
         self._carry_q = None  # delta-wire device carry (int32 [K, 3])
+        self.h2d_bytes = 0  # coordinate bytes shipped (wire accounting)
+        self.frames_shipped = 0
 
     def _step_for(self, kind: str):
         if kind in self._steps:
@@ -110,6 +112,11 @@ class FrameEngine:
         import jax
 
         kind = getattr(fb, "wire", "f32")
+        self.h2d_bytes += fb.positions.nbytes + sum(
+            a.nbytes for a in (fb.base_q, fb.shifts, fb.esc_idx, fb.esc_val)
+            if a is not None
+        )
+        self.frames_shipped += fb.positions.shape[0]
         box_host = (fb.box_matrices() if self._box_mode == "matrix"
                     else fb.box_lengths())
         boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
