@@ -15,10 +15,31 @@ which never materialize N x M in HBM beyond one tile.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .center import center
 from .pbc import distance, min_image
+
+# above this many pairs (N*M), min_distance/contact_count route to the
+# tiled Pallas kernels, which never materialize N x M in HBM; below it the
+# dense path wins (kernel launch overhead) and supports masks/dim_mask
+_PAIR_TILE_THRESHOLD = int(os.environ.get("GROAN_PAIR_TILE_THRESHOLD",
+                                          str(1 << 24)))
+
+
+def _tiled_route(a, b, mask_a, mask_b) -> bool:
+    return (mask_a is None and mask_b is None
+            and a.shape[-2] * b.shape[-2] >= _PAIR_TILE_THRESHOLD)
+
+
+def _box_rows(box, like):
+    """Normalize a broadcast-shaped box ([..., 1, 3]) to [..., 3]."""
+    box = jnp.asarray(box, dtype=like.dtype)
+    if box.ndim >= 2 and box.shape[-2] == 1:
+        box = box.reshape(box.shape[:-2] + (3,))
+    return box
 
 __all__ = [
     "center_distance",
@@ -82,7 +103,18 @@ def distance_matrix_masked(a, b, box, mask_a, mask_b, fill=jnp.nan,
 
 
 def contact_count(a, b, box, cutoff, mask_a=None, mask_b=None):
-    """Number of pairs within `cutoff` (never materializes N x M in HBM)."""
+    """Number of pairs within `cutoff`.
+
+    Large unmasked selections route to the tiled Pallas kernel (one VMEM
+    tile at a time, no N x M in HBM); small/masked ones use the dense
+    path.  Matches at the f32 level (same min-image arithmetic)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    box = _box_rows(box, a)  # [..., 1, 3] (per-atom broadcast form) -> [..., 3]
+    if _tiled_route(a, b, mask_a, mask_b):
+        from . import pallas_kernels
+
+        return pallas_kernels.contact_count_batched(a, b, box, float(cutoff))
     d = distance_matrix(a, b, box)
     within = d < cutoff
     if mask_a is not None:
@@ -93,7 +125,18 @@ def contact_count(a, b, box, cutoff, mask_a=None, mask_b=None):
 
 
 def min_distance(a, b, box, mask_a=None, mask_b=None):
-    """Minimum PBC distance between two selections."""
+    """Minimum PBC distance between two selections.
+
+    Large unmasked selections route to the tiled Pallas kernel (see
+    contact_count); the 200k x 100k scale the dense path cannot reach
+    (reference analogue: group_all_distances, analysis.rs:401)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    box = _box_rows(box, a)  # [..., 1, 3] (per-atom broadcast form) -> [..., 3]
+    if _tiled_route(a, b, mask_a, mask_b):
+        from . import pallas_kernels
+
+        return pallas_kernels.min_distance_batched(a, b, box)
     d = distance_matrix(a, b, box)
     if mask_a is not None or mask_b is not None:
         ma = jnp.ones(d.shape[:-1], bool) if mask_a is None else jnp.asarray(mask_a)[..., :, None]

@@ -127,6 +127,31 @@ def contact_count(a, b, box, cutoff: float):
     return c
 
 
+def _vmapped(fn, ndim):
+    for _ in range(ndim - 2):
+        fn = jax.vmap(fn)
+    return fn
+
+
+def min_distance_batched(a, b, box):
+    """`min_distance` over leading batch dims: a [..., N, 3], b [..., M, 3],
+    box [..., 3] -> [...] (vmap adds grid dimensions to the tiled kernel)."""
+    a = jnp.asarray(a)
+    if a.ndim == 2:
+        return min_distance(a, b, box)
+    return _vmapped(lambda aa, bb, bx: min_distance(aa, bb, bx), a.ndim)(
+        a, jnp.asarray(b), jnp.asarray(box))
+
+
+def contact_count_batched(a, b, box, cutoff: float):
+    """`contact_count` over leading batch dims (see min_distance_batched)."""
+    a = jnp.asarray(a)
+    if a.ndim == 2:
+        return contact_count(a, b, box, cutoff)
+    return _vmapped(lambda aa, bb, bx: contact_count(aa, bb, bx, cutoff), a.ndim)(
+        a, jnp.asarray(b), jnp.asarray(box))
+
+
 # ======================================================================
 # Fused Bai-Breen refined center (SURVEY §7: "Bai-Breen trig reduce")
 # ======================================================================
