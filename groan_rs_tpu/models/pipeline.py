@@ -50,6 +50,7 @@ class TrajectoryAnalysis:
         self.triclinic = bool(triclinic)
         self._specs = []  # (name, fn(positions, boxes) -> array)
         self._handles: list[_Idx] = []
+        self._decls = []  # declarative observable records (sharded compile)
 
     # ------------------------------------------------------------- helpers
     def _indices(self, group: str) -> np.ndarray:
@@ -112,7 +113,10 @@ class TrajectoryAnalysis:
     def add_center(self, group: str, name: str | None = None):
         """Refined Bai-Breen center of geometry per frame -> [F, 3]."""
         idx = self._register(self._indices(group))
-        self._specs.append((name or f"center_{group}", self._center_fn(idx)))
+        nm = name or f"center_{group}"
+        self._decls.append({"kind": "center", "name": nm, "group": group,
+                            "com": False})
+        self._specs.append((nm, self._center_fn(idx)))
         return self
 
     def add_com(self, group: str, name: str | None = None):
@@ -121,7 +125,10 @@ class TrajectoryAnalysis:
 
         idx = self._register(self._indices(group))
         w = jnp.asarray(self._masses(group))
-        self._specs.append((name or f"com_{group}", self._center_fn(idx, w)))
+        nm = name or f"com_{group}"
+        self._decls.append({"kind": "center", "name": nm, "group": group,
+                            "com": True})
+        self._specs.append((nm, self._center_fn(idx, w)))
         return self
 
     def add_distance(self, group1: str, group2: str, dim: Dimension = Dimension.XYZ,
@@ -157,7 +164,11 @@ class TrajectoryAnalysis:
             def fn(pos, boxes):
                 return pbc.distance(c1_fn(pos, boxes), c2_fn(pos, boxes), boxes, dmask)
 
-        self._specs.append((name or f"distance_{group1}_{group2}", fn))
+        nm = name or f"distance_{group1}_{group2}"
+        self._decls.append({"kind": "distance", "name": nm, "g1": group1,
+                            "g2": group2, "com1": com1, "com2": com2,
+                            "dim": dim})
+        self._specs.append((nm, fn))
         return self
 
     def add_rmsd(self, group: str, reference, name: str | None = None):
@@ -203,7 +214,10 @@ class TrajectoryAnalysis:
                 _, rms = rmsd_ops.rmsd_frames(refc, refctr, g, boxes, wj)
                 return rms
 
-        self._specs.append((name or f"rmsd_{group}", fn))
+        nm = name or f"rmsd_{group}"
+        self._decls.append({"kind": "rmsd", "name": nm, "group": group,
+                            "reference": reference})
+        self._specs.append((nm, fn))
         return self
 
     def add_min_distance(self, group1: str, group2: str, name: str | None = None):
@@ -221,7 +235,10 @@ class TrajectoryAnalysis:
             b = jnp.take(pos, i2.j, axis=1)
             return distance_ops.min_distance(a, b, boxes[:, None, :])
 
-        self._specs.append((name or f"mindist_{group1}_{group2}", fn))
+        nm = name or f"mindist_{group1}_{group2}"
+        self._decls.append({"kind": "min_distance", "name": nm, "g1": group1,
+                            "g2": group2})
+        self._specs.append((nm, fn))
         return self
 
     def add_density_map(self, group: str, plane: str = "xy",
@@ -263,7 +280,9 @@ class TrajectoryAnalysis:
             hist = jax.vmap(one)(flat, inside)
             return hist.reshape(-1, nx, ny)
 
-        self._specs.append((name or f"density_{group}_{plane}", fn))
+        nm = name or f"density_{group}_{plane}"
+        self._decls.append({"kind": "density", "name": nm})
+        self._specs.append((nm, fn))
         return self
 
     def add_rdf(self, group1: str, group2: str, r_max: float = 2.0,
@@ -291,7 +310,9 @@ class TrajectoryAnalysis:
                 boxes, n1, n2, float(r_max), int(n_bins), exclude_self=same)
             return hist.astype(jnp.float32) / ideal
 
-        self._specs.append((name or f"rdf_{group1}_{group2}", fn))
+        nm = name or f"rdf_{group1}_{group2}"
+        self._decls.append({"kind": "rdf", "name": nm})
+        self._specs.append((nm, fn))
         return self
 
     def add_contacts(self, group1: str, group2: str, cutoff: float,
@@ -307,10 +328,38 @@ class TrajectoryAnalysis:
             b = jnp.take(pos, i2.j, axis=1)
             return distance_ops.contact_count(a, b, boxes[:, None, :], cutoff)
 
-        self._specs.append((name or f"contacts_{group1}_{group2}", fn))
+        nm = name or f"contacts_{group1}_{group2}"
+        self._decls.append({"kind": "contacts", "name": nm, "g1": group1,
+                            "g2": group2, "cutoff": float(cutoff)})
+        self._specs.append((nm, fn))
         return self
 
     # ------------------------------------------------------------- execution
+    def sharded(self, mesh):
+        """Compile the configured observables into ONE jitted shard_map step
+        over a `(frames, atoms)` mesh — the multi-chip form of this pipeline
+        (atom partial sums combined with `psum`/`pmin` over ICI; see
+        `ops.sharded`).  The reference's serial-vs-parallel equivalence
+        contract (`src/system/parallel.rs` tests) maps to: this step and
+        `step_fn()` agree on any mesh shape.
+
+        Returns `(step, params, n_pad)` — call as
+        `step(positions[B, n_pad, 3], boxes[B, 3], frame_mask[B],
+        inv_prec[B], *params)`; positions int16 (q16 wire) are dequantized
+        in-shard with the decoder-reported `inv_prec`.
+        """
+        from ..errors import ParallelError
+        from ..ops.sharded import build_sharded_step, compile_decl
+
+        if self.triclinic:
+            raise ParallelError(
+                "the atoms-sharded step supports orthogonal boxes only"
+            )
+        if not self._decls:
+            raise ParallelError("no observables configured")
+        specs = [compile_decl(d, self.system) for d in self._decls]
+        return build_sharded_step(mesh, specs, self.system.get_n_atoms())
+
     def step_fn(self, sel: np.ndarray | None = None):
         """The composed jittable step: (positions, boxes, mask) -> dict.
 

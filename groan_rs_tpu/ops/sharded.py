@@ -1,9 +1,10 @@
 """Multi-device sharded analysis step (frames x atoms mesh).
 
 The full "training step" of this framework: one jitted `shard_map` over a
-`(frames, atoms)` `jax.sharding.Mesh` that evaluates the per-frame
-analysis suite (Bai-Breen COM, group-center distance, mass-weighted Kabsch
-RMSD) with
+`(frames, atoms)` `jax.sharding.Mesh` that evaluates a user-configured
+observable suite (the same observables `TrajectoryAnalysis` composes:
+Bai-Breen centers/COM, group-center distances, mass-weighted Kabsch RMSD,
+min distance, contact counts) with
 
 - the batch (frame) axis sharded over `frames`   — data parallelism, the
   TPU-native form of the reference's thread map-reduce (parallel.rs:208)
@@ -11,18 +12,45 @@ RMSD) with
   analogue (SURVEY §2.3): per-atom partial sums (trig sums, covariances,
   weighted means) are computed locally and combined with `psum` over the
   `atoms` axis riding ICI; only 3-vectors and 3x3 matrices cross chips.
+  Pair observables (min distance / contacts) `all_gather` ONE side's
+  coordinates over the atoms axis and reduce with `pmin`/`psum`.
 
 All collectives are XLA collectives inserted by shard_map; nothing is
 hand-scheduled.
+
+The step is built from a declarative observable spec
+(`TrajectoryAnalysis.sharded(mesh)` compiles its configured observables to
+this form), so the multi-chip dryrun certifies the same observable
+definitions the single-chip engine runs — the reference's
+serial-vs-parallel equivalence contract (`src/system/parallel.rs` tests).
+
+Wire formats: positions may arrive as float32 or as the q16 wire (int16
+quantized XTC ints); the per-frame dequantization factor `inv_prec[B]`
+comes from the decoder (`FrameBatch.precisions`) — never hardcoded.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from dataclasses import dataclass, field
 
 import numpy as np
 
 _TWO_PI = 6.283185307179586
+
+# array roles -> PartitionSpec over the (frames, atoms) mesh
+_ROLE_ATOM_VEC = "a"    # [N]    sharded over atoms
+_ROLE_ATOM_MAT = "a3"   # [N, 3] sharded over atoms
+_ROLE_REPL = "r"        # any    replicated
+
+
+@dataclass
+class CompiledSpec:
+    """One observable compiled to mask form over the full atom layout."""
+
+    name: str
+    kind: str
+    arrays: list = field(default_factory=list)  # [(role, np.ndarray), ...]
+    static: dict = field(default_factory=dict)
 
 
 def _masked_bai_breen_center(pos, box, w):
@@ -49,44 +77,53 @@ def _masked_bai_breen_center(pos, box, w):
     return num / den, den
 
 
-def _sharded_step(pos, box, frame_mask, mask_a, mask_b, masses, ref_local,
-                  ref_center, ref_wsum):
-    """Body run per device shard (under shard_map).
+def _eval_center(pos, box, static, arrays):
+    (w,) = arrays
+    c, _ = _masked_bai_breen_center(pos, box, w)
+    return c
 
-    pos [b, n_local, 3] float32 OR int16 (the q16 wire format: raw
-    quantized XTC ints, dequantized in-shard with the decoder's own
-    multiply — the full host->device input pipeline under shard_map);
-    box [b, 3]; frame_mask [b]; mask_a / mask_b [n_local] group masks;
-    masses [n_local]; ref_local [n_local, 3] reference coords (already
-    centered at the reference box center and masked); ref_center [3];
-    ref_wsum [] total reference mass (precomputed host-side).
+
+def _eval_distance(pos, box, static, arrays):
+    import jax.numpy as jnp
+
+    from .pbc import min_image
+
+    w1, w2 = arrays
+    c1, _ = _masked_bai_breen_center(pos, box, w1)
+    c2, _ = _masked_bai_breen_center(pos, box, w2)
+    d = min_image(c1 - c2, box)
+    dim_mask = static["dim_mask"]
+    n_active = sum(bool(v) for v in dim_mask)
+    mask = jnp.asarray(dim_mask, bool)
+    if n_active == 0:
+        return jnp.zeros(d.shape[:-1], d.dtype)
+    if n_active == 1:
+        # single active axis: ORIENTED per-axis minimum image
+        return jnp.sum(jnp.where(mask, d, 0.0), axis=-1)
+    d = jnp.where(mask, d, 0.0)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def _eval_rmsd(pos, box, static, arrays):
+    """Mass-weighted Kabsch RMSD vs a prepared reference, atoms-sharded.
+
+    Mirrors `ops.rmsd.rmsd_frames` in mask form: shift the target group's
+    refined COM to the box center, wrap, center, covariance via psum, QCP
+    quaternion rotation (reference's SVD+det fix analogue, rmsd.rs:547-604).
     """
     import jax
     import jax.numpy as jnp
 
-    if pos.dtype == jnp.int16:
-        pos = pos.astype(jnp.float32) * jnp.float32(1.0 / 1000.0)
-
-    from .pbc import min_image, wrap
+    from .pbc import wrap
     from .rmsd import _quaternion_to_matrix
 
-    wa = mask_a.astype(pos.dtype)
-    wb = mask_b.astype(pos.dtype)
-    wm = wa * masses
+    mask_f, wm, ref_local, ref_wsum = arrays
+    com_t, _ = _masked_bai_breen_center(pos, box, wm)
 
-    # group centers (refined Bai-Breen, atom-sharded)
-    com_a, _ = _masked_bai_breen_center(pos, box, wm)
-    cog_b, _ = _masked_bai_breen_center(pos, box, wb)
-
-    # PBC distance between the two group centers
-    d = min_image(com_a - cog_b, box)
-    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
-
-    # mass-weighted Kabsch RMSD of group A vs the reference
     box_center = box * 0.5
-    shifted = wrap(pos + (box_center - com_a)[:, None, :], box[:, None, :])
-    qc = (shifted - box_center[:, None, :]) * wa[None, :, None]  # masked, centered
-    pc = ref_local[None, :, :] - 0.0  # already centered & masked
+    shifted = wrap(pos + (box_center - com_t)[:, None, :], box[:, None, :])
+    qc = (shifted - box_center[:, None, :]) * mask_f[None, :, None]
+    pc = ref_local[None, :, :]  # already centered & masked
 
     h_local = jnp.einsum("bni,bnj->bij", jnp.broadcast_to(pc, qc.shape), qc,
                          precision=jax.lax.Precision.HIGHEST)
@@ -109,48 +146,221 @@ def _sharded_step(pos, box, frame_mask, mask_a, mask_b, masses, ref_local,
     dd = p_rot - qc
     local = jnp.sum(wm[None, :] * jnp.sum(dd * dd, axis=-1), axis=1)
     ssq = jax.lax.psum(local, "atoms")
-    rmsd = jnp.sqrt(ssq / ref_wsum)
-
-    # a trajectory-level reduction: mean COM over valid frames (psum over
-    # the frames axis — the reference's ParallelTrajData::reduce analogue)
-    fm = frame_mask.astype(pos.dtype)
-    com_sum = jax.lax.psum(jnp.sum(com_a * fm[:, None], axis=0), "frames")
-    n_frames = jax.lax.psum(jnp.sum(fm), "frames")
-    mean_com = com_sum / n_frames
-
-    return {"com": com_a, "distance": dist, "rmsd": rmsd, "mean_com": mean_com}
+    return jnp.sqrt(ssq / ref_wsum)
 
 
-def build_sharded_step(mesh):
-    """Compile the full sharded analysis step over `mesh` (frames x atoms)."""
+def _pair_valid_dist(pos, box, m1_local, m2_full):
+    """[b, n_local, N] min-image pair distances + validity mask.
+
+    One side stays shard-local; the other side's coordinates are
+    `all_gather`ed over the atoms axis (its mask rides along replicated) —
+    the blockwise-attention-style tiling of SURVEY §5's atom axis.
+    """
     import jax
+    import jax.numpy as jnp
+
+    from .pbc import min_image
+
+    pos_full = jax.lax.all_gather(pos, "atoms", axis=1, tiled=True)  # [b, N, 3]
+    d = pos[:, :, None, :] - pos_full[:, None, :, :]
+    d = min_image(d, box[:, None, None, :])
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))  # [b, n_local, N]
+    valid = (m1_local[None, :, None] > 0) & (m2_full[None, None, :] > 0)
+    return dist, valid
+
+
+def _eval_min_distance(pos, box, static, arrays):
+    import jax
+    import jax.numpy as jnp
+
+    m1, m2_full = arrays
+    dist, valid = _pair_valid_dist(pos, box, m1, m2_full)
+    local = jnp.min(jnp.where(valid, dist, jnp.inf), axis=(1, 2))
+    return jax.lax.pmin(local, "atoms")
+
+
+def _eval_contacts(pos, box, static, arrays):
+    import jax
+    import jax.numpy as jnp
+
+    m1, m2_full = arrays
+    dist, valid = _pair_valid_dist(pos, box, m1, m2_full)
+    local = jnp.sum((valid & (dist < static["cutoff"])).astype(jnp.int32),
+                    axis=(1, 2))
+    return jax.lax.psum(local, "atoms")
+
+
+_EVAL = {
+    "center": _eval_center,
+    "distance": _eval_distance,
+    "rmsd": _eval_rmsd,
+    "min_distance": _eval_min_distance,
+    "contacts": _eval_contacts,
+}
+
+_OUT_RANK = {"center": 2, "distance": 1, "rmsd": 1, "min_distance": 1,
+             "contacts": 1}
+
+
+def compile_decl(decl, system) -> CompiledSpec:
+    """Compile one TrajectoryAnalysis observable declaration to mask form
+    over the full-system atom layout."""
+    from ..errors import GroupError, ParallelError
+
+    kind = decl["kind"]
+    n = system.get_n_atoms()
+
+    def group_w(group, com):
+        mask = system.group_mask(group).astype(np.float32)
+        if not mask.any():
+            raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+        if com:
+            idx = np.nonzero(mask)[0]
+            if not system.topology.has_mass[idx].all():
+                raise GroupError(
+                    f"group '{group}' has atoms without mass", code="InvalidMass"
+                )
+            return mask * np.asarray(system.topology.mass, np.float32)
+        return mask
+
+    if kind == "center":
+        w = group_w(decl["group"], decl["com"])
+        return CompiledSpec(decl["name"], "center", [(_ROLE_ATOM_VEC, w)])
+
+    if kind == "distance":
+        w1 = group_w(decl["g1"], decl["com1"])
+        w2 = group_w(decl["g2"], decl["com2"])
+        return CompiledSpec(
+            decl["name"], "distance",
+            [(_ROLE_ATOM_VEC, w1), (_ROLE_ATOM_VEC, w2)],
+            {"dim_mask": tuple(decl["dim"].value)},
+        )
+
+    if kind == "rmsd":
+        from ..system.rmsd import _extract, _masses
+
+        reference = decl["reference"]
+        group = decl["group"]
+        # _extract returns prepared coords (COM shifted to the reference
+        # box center, wrapped) + that centroid (rmsd.rs:425 semantics)
+        ref_prep, ref_ctr, ref_idx = _extract(reference, group)
+        w = _masses(reference, group, ref_idx)
+        mask = system.group_mask(group).astype(np.float32)
+        idx = np.nonzero(mask)[0]
+        if idx.shape[0] != ref_idx.shape[0]:
+            from ..errors import RMSDError
+
+            raise RMSDError(
+                f"group '{group}' has {ref_idx.shape[0]} atoms in reference "
+                f"but {idx.shape[0]} in target",
+                code="InconsistentGroup",
+            )
+        wm = np.zeros(n, np.float32)
+        wm[idx] = w
+        ref_local = np.zeros((n, 3), np.float32)
+        ref_local[idx] = np.asarray(ref_prep, np.float32) - np.asarray(
+            ref_ctr, np.float32
+        )
+        return CompiledSpec(
+            decl["name"], "rmsd",
+            [
+                (_ROLE_ATOM_VEC, mask),
+                (_ROLE_ATOM_VEC, wm),
+                (_ROLE_ATOM_MAT, ref_local),
+                (_ROLE_REPL, np.float32(w.sum())),
+            ],
+        )
+
+    if kind in ("min_distance", "contacts"):
+        m1 = group_w(decl["g1"], False)
+        m2 = group_w(decl["g2"], False)
+        static = {"cutoff": float(decl["cutoff"])} if kind == "contacts" else {}
+        return CompiledSpec(
+            decl["name"], kind,
+            [(_ROLE_ATOM_VEC, m1), (_ROLE_REPL, m2)],
+            static,
+        )
+
+    raise ParallelError(
+        f"observable '{decl.get('name', kind)}' ({kind}) has no atoms-sharded "
+        "formulation; run it on a frames-only mesh via TrajectoryAnalysis.run"
+    )
+
+
+def build_sharded_step(mesh, specs, n_atoms: int):
+    """Compile the observable suite over `mesh` (frames x atoms).
+
+    Returns `(step, params, n_pad)`:
+
+    - `step(positions, boxes, frame_mask, inv_prec, *params) -> {name: out}`
+      jitted shard_map.  `positions` is `[B, n_pad, 3]` float32 OR int16
+      (the q16 wire: raw quantized XTC ints, dequantized in-shard with the
+      decoder-reported `inv_prec[B]`); `boxes [B, 3]`; `frame_mask [B]`.
+      B must be a multiple of the mesh's frames axis.
+    - `params`: tuple of numpy arrays (atom arrays padded to `n_pad`);
+      pass them through verbatim on every call.
+    - `n_pad`: the padded atom count positions must be padded to (zeros;
+      pad atoms carry zero weight in every observable).
+    """
+    import jax
+    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax import shard_map
+    import functools
 
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax: needs check_rep=False for psum outputs
+        from jax.experimental.shard_map import shard_map
+
+        shard_map = functools.partial(shard_map, check_rep=False)
+
+    na = mesh.shape["atoms"]
+    n_pad = -(-int(n_atoms) // na) * na
+
+    params = []
+    param_specs = []
+    counts = []
+    for s in specs:
+        counts.append(len(s.arrays))
+        for role, arr in s.arrays:
+            arr = np.asarray(arr)
+            if role in (_ROLE_ATOM_VEC, _ROLE_ATOM_MAT) and arr.shape[0] != n_pad:
+                pad = [(0, n_pad - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+                arr = np.pad(arr, pad)
+            params.append(arr)
+            param_specs.append(
+                P("atoms") if role == _ROLE_ATOM_VEC
+                else P("atoms", None) if role == _ROLE_ATOM_MAT
+                else P()
+            )
+
+    spec_list = list(specs)
+
+    def body(pos, boxes, frame_mask, inv_prec, *args):
+        if pos.dtype == jnp.int16:
+            pos = pos.astype(jnp.float32) * inv_prec[:, None, None]
+        out = {}
+        i = 0
+        for s, c in zip(spec_list, counts):
+            out[s.name] = _EVAL[s.kind](pos, boxes, s.static, args[i : i + c])
+            i += c
+        return out
+
+    out_specs = {
+        s.name: P("frames", None) if _OUT_RANK[s.kind] == 2 else P("frames")
+        for s in spec_list
+    }
     smapped = shard_map(
-        _sharded_step,
+        body,
         mesh=mesh,
         in_specs=(
             P("frames", "atoms", None),  # positions
-            P("frames", None),  # box
+            P("frames", None),  # box lengths
             P("frames"),  # frame mask
-            P("atoms"),  # mask_a
-            P("atoms"),  # mask_b
-            P("atoms"),  # masses
-            P("atoms", None),  # ref_local
-            P(),  # ref_center
-            P(),  # ref_wsum
+            P("frames"),  # per-frame dequant factor
+            *param_specs,
         ),
-        out_specs={
-            "com": P("frames", None),
-            "distance": P("frames"),
-            "rmsd": P("frames"),
-            "mean_com": P(),
-        },
-        check_rep=False,
+        out_specs=out_specs,
     )
-    return jax.jit(smapped)
+    return jax.jit(smapped), tuple(params), n_pad
