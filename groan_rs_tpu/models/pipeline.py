@@ -51,6 +51,7 @@ class TrajectoryAnalysis:
         self._specs = []  # (name, fn(positions, boxes) -> array)
         self._handles: list[_Idx] = []
         self._decls = []  # declarative observable records (sharded compile)
+        self._hbond_specs = []  # (name, HBondAnalysis) host-assisted specs
 
     # ------------------------------------------------------------- helpers
     def _indices(self, group: str) -> np.ndarray:
@@ -334,6 +335,34 @@ class TrajectoryAnalysis:
         self._specs.append((nm, fn))
         return self
 
+    def add_hbonds(self, chains, pairs, max_distance: float = 0.35,
+                   min_angle: float = 120.0, name: str | None = None):
+        """Per-frame hydrogen-bond counts per chain pair, riding the
+        batched pipeline (reference: HBondTrajRead::hbonds_analyze,
+        hbonds.rs:457, as a trajectory statistic).
+
+        Results carry one key per pair: `{name}_{c1}_{c2}` -> int64 [F].
+        Per batch, candidate triples come from integer-only host CSR cell
+        binning; the distance/angle criteria run as ONE masked jitted
+        kernel over [B, n_cand] with host re-scoring of threshold-boundary
+        triples, so counts equal the exact per-frame host path
+        (`System.hbonds_analyze`) on any backend — see
+        `system.hbonds.HBondAnalysis.analyze_batch`.
+        """
+        from ..system.hbonds import HBondAnalysis
+
+        analysis = HBondAnalysis(self.system, chains, pairs, max_distance,
+                                 min_angle)
+        touched = np.unique(np.concatenate(
+            [np.concatenate([c.acceptors, c.donors, c.h_idx])
+             for c in analysis.chains]
+        ))
+        self._register(touched)  # ship="auto" must cover the chains
+        nm = name or "hbonds"
+        self._decls.append({"kind": "hbonds", "name": nm})
+        self._hbond_specs.append((nm, analysis))
+        return self
+
     # ------------------------------------------------------------- execution
     def sharded(self, mesh):
         """Compile the configured observables into ONE jitted shard_map step
@@ -399,6 +428,15 @@ class TrajectoryAnalysis:
         # the delta wire is single-shard (sequential frame reconstruction)
         if wire == "auto" and mesh.shape["frames"] > 1:
             wire = "q16"
+        # hbond candidate binning needs absolute host coords per frame
+        if self._hbond_specs:
+            if wire == "delta":
+                raise GroupError(
+                    "hbond observables need absolute per-frame coordinates; "
+                    "use wire='q16' or 'f32'", code="InvalidWire",
+                )
+            if wire == "auto":
+                wire = "q16"
 
         # choose the shipped atom set
         sel = None
@@ -415,7 +453,17 @@ class TrajectoryAnalysis:
             self.step_fn(sel), mesh=mesh,
             box="matrix" if self.triclinic else "lengths",
         )
-        return PipelineRunner(self.system, engine, sel, wire)
+
+        # host-assisted hbond specs, remapped into the shipped layout
+        hbond_specs = self._hbond_specs
+        if hbond_specs and sel is not None:
+            from ..system.hbonds import remap_analysis
+
+            lut = np.full(self.system.get_n_atoms(), -1, np.int64)
+            lut[sel] = np.arange(sel.shape[0])
+            hbond_specs = [(nm, remap_analysis(a, lut))
+                           for nm, a in hbond_specs]
+        return PipelineRunner(self.system, engine, sel, wire, hbond_specs)
 
     def run(self, filename, *, group: str | None = None, batch_size: int = 32,
             start_time=None, end_time=None, step=None, progress=None,
@@ -432,11 +480,12 @@ class TrajectoryAnalysis:
 class PipelineRunner:
     """A compiled TrajectoryAnalysis pass, reusable across files/calls."""
 
-    def __init__(self, system, engine, sel, wire):
+    def __init__(self, system, engine, sel, wire, hbond_specs=()):
         self.system = system
         self.engine = engine
         self.sel = sel
         self.wire = wire
+        self.hbond_specs = list(hbond_specs)
 
     def run(self, filename, *, batch_size: int = 32, start_time=None,
             end_time=None, step=None, progress=None, profiler=None):
@@ -447,8 +496,38 @@ class PipelineRunner:
                            end_time=end_time, step=step)
         if progress is not None:
             reader.print_progress(progress)
+
+        on_batch = None
+        hb_counts = {nm: [] for nm, _ in self.hbond_specs}
+        if self.hbond_specs:
+            def on_batch(fb):
+                pos = fb.positions
+                q_pos = inv = None
+                if fb.wire == "q16":
+                    # ship the raw ints (half the f32 wire); dequantize a
+                    # host copy for candidate binning + exactness re-score
+                    q_pos = pos
+                    inv = (np.float32(1.0)
+                           / np.asarray(fb.precisions, np.float32))
+                    pos = pos.astype(np.float32) * inv[:, None, None]
+                boxes = fb.box_lengths()
+                for nm, analysis in self.hbond_specs:
+                    hb_counts[nm].append(
+                        analysis.analyze_batch(pos, boxes, counts_only=True,
+                                               q_positions=q_pos,
+                                               inv_prec=inv)
+                    )
+
         out = self.engine.run(reader.batches(wire=self.wire, deferred=True),
-                              profiler=profiler)
+                              profiler=profiler, on_batch=on_batch)
+        if out is None:
+            out = {}
+        for nm, analysis in self.hbond_specs:
+            for pair in analysis.pairs:
+                key = f"{nm}_{pair[0]}_{pair[1]}"
+                out[key] = np.concatenate(
+                    [c[tuple(pair)] for c in hb_counts[nm]]
+                ) if hb_counts[nm] else np.zeros(0, np.int64)
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out

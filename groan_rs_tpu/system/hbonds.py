@@ -170,20 +170,25 @@ def _axis_offsets(n):
     return out
 
 
-def _detect(positions, box, chain_acc: _ChainGroups, chain_don: _ChainGroups,
-            max_distance, min_angle):
-    """Cell-pruned vectorized detection: acceptors of `chain_acc` against
-    donors of `chain_don` (reference: analyze_single, hbonds.rs:229-298).
-    Returns a list of HBond in reference order."""
+def _candidate_pairs(positions, box, chain_acc: _ChainGroups,
+                     chain_don: _ChainGroups, max_distance):
+    """Cell-pruned candidate (donor, acceptor) pairs in reference order
+    (integer-only host work besides the cell binning; the float
+    distance/angle criteria are evaluated later — on host by `_detect`,
+    or batched on device by `HBondAnalysis.analyze_batch`).
+
+    Returns (d_rank, a_rank) int64 RANKS into `chain_don.donors` /
+    `chain_acc.acceptors`, with donor==acceptor self-pairs removed.
+    """
     acceptors = chain_acc.acceptors
     donors = chain_don.donors
+    empty = (np.zeros(0, np.int64),) * 2
     if acceptors.shape[0] == 0 or donors.shape[0] == 0:
-        return []
+        return empty
 
     box = box.astype(np.float32)
     pos = positions.astype(np.float32, copy=False)
     max_distance = np.float32(max_distance)
-    min_angle = np.float32(min_angle)
 
     # --- acceptor cell grid (cell size = max_distance, cellgrid.rs:444,472)
     ncells = np.maximum(np.floor(box / max_distance).astype(np.int64), 1)
@@ -228,42 +233,49 @@ def _detect(positions, box, chain_acc: _ChainGroups, chain_don: _ChainGroups,
                 off_rank += 1
 
     if not d_rank_parts:
-        return []
+        return empty
     d_rank = np.concatenate(d_rank_parts)
     a_rank = order[np.concatenate(a_pos_parts)]  # index into `acceptors`
     off_ranks = np.concatenate(off_rank_parts)
     withins = np.concatenate(within_parts)
 
-    d_idx = donors[d_rank]
-    a_idx = acceptors[a_rank]
-
-    # exclude the donor itself; distance criterion (skip when > max_distance)
-    keep = d_idx != a_idx
-    dist = _distance_xyz(pos[a_idx], pos[d_idx], box)
-    keep &= ~(dist > max_distance)
-    if not keep.any():
-        return []
-    d_rank, d_idx, a_idx, dist = d_rank[keep], d_idx[keep], a_idx[keep], dist[keep]
+    # exclude the donor itself (hbonds.rs:253)
+    keep = donors[d_rank] != acceptors[a_rank]
+    d_rank, a_rank = d_rank[keep], a_rank[keep]
     off_ranks, withins = off_ranks[keep], withins[keep]
 
     # reference order: donor-major, then neighbor-cell order, then in-cell
     srt = np.lexsort((withins, off_ranks, d_rank))
-    d_rank, d_idx, a_idx, dist = d_rank[srt], d_idx[srt], a_idx[srt], dist[srt]
+    return d_rank[srt], a_rank[srt]
 
-    # --- expand the donor's hydrogens per surviving (donor, acceptor) pair
+
+def _expand_hydrogens(chain_don: _ChainGroups, d_rank, a_rank, acceptors):
+    """(donor, acceptor) pairs -> hydrogen-expanded (d_idx, h_idx, a_idx)
+    triples in reference order (per acceptor, the donor's hydrogens in
+    bonded order)."""
     h_counts = (chain_don.h_offsets[d_rank + 1] - chain_don.h_offsets[d_rank])
     rep = np.repeat(np.arange(d_rank.shape[0]), h_counts)
     grp_start = np.repeat(np.cumsum(h_counts) - h_counts, h_counts)
     h_slot = np.arange(rep.shape[0]) - grp_start
     h_idx = chain_don.h_idx[chain_don.h_offsets[d_rank][rep] + h_slot]
-    d_idx_h = d_idx[rep]
-    a_idx_h = a_idx[rep]
-    dist_h = dist[rep]
+    return chain_don.donors[d_rank][rep], h_idx, acceptors[a_rank][rep]
 
-    # --- angle criterion (calc_angle, hbonds.rs:302-338)
+
+def _score_triples(pos, box, d_idx, h_idx, a_idx, max_distance, min_angle):
+    """Exact reference-f32 scoring of candidate triples on host.
+
+    Returns (keep bool, dist, angle) per triple — the distance criterion
+    (`!(distance > max_distance)`, hbonds.rs:256) and the D-H-A angle
+    criterion with NaN disambiguation (calc_angle, hbonds.rs:302-338).
+    """
+    max_distance = np.float32(max_distance)
+    min_angle = np.float32(min_angle)
+    dist = _distance_xyz(pos[a_idx], pos[d_idx], box)
+    keep = ~(dist > max_distance)
+
     hp = pos[h_idx]
-    hd = _vector_to(hp, pos[d_idx_h], box)
-    ha = _vector_to(hp, pos[a_idx_h], box)
+    hd = _vector_to(hp, pos[d_idx], box)
+    ha = _vector_to(hp, pos[a_idx], box)
     dot = hd[:, 0] * ha[:, 0] + hd[:, 1] * ha[:, 1] + hd[:, 2] * ha[:, 2]
     len_hd = np.sqrt(hd[:, 0] * hd[:, 0] + hd[:, 1] * hd[:, 1] + hd[:, 2] * hd[:, 2])
     len_ha = np.sqrt(ha[:, 0] * ha[:, 0] + ha[:, 1] * ha[:, 1] + ha[:, 2] * ha[:, 2])
@@ -273,19 +285,274 @@ def _detect(positions, box, chain_acc: _ChainGroups, chain_don: _ChainGroups,
     nan = np.isnan(angle)
     if nan.any():
         # handle_nan: 180 if H is closer to A than D is to A, else 0
-        ha_d = _distance_xyz(pos[h_idx[nan]], pos[a_idx_h[nan]], box)
-        da_d = _distance_xyz(pos[d_idx_h[nan]], pos[a_idx_h[nan]], box)
+        ha_d = _distance_xyz(pos[h_idx[nan]], pos[a_idx[nan]], box)
+        da_d = _distance_xyz(pos[d_idx[nan]], pos[a_idx[nan]], box)
         angle[nan] = np.where(ha_d < da_d, np.float32(180.0), np.float32(0.0))
-    keep_h = ~(angle < min_angle)
+    keep &= ~(angle < min_angle)
+    return keep, dist, angle
 
+
+def _detect(positions, box, chain_acc: _ChainGroups, chain_don: _ChainGroups,
+            max_distance, min_angle):
+    """Cell-pruned vectorized detection: acceptors of `chain_acc` against
+    donors of `chain_don` (reference: analyze_single, hbonds.rs:229-298).
+    Returns a list of HBond in reference order."""
+    box = box.astype(np.float32)
+    pos = positions.astype(np.float32, copy=False)
+    d_rank, a_rank = _candidate_pairs(pos, box, chain_acc, chain_don,
+                                      max_distance)
+    d_idx, h_idx, a_idx = _expand_hydrogens(chain_don, d_rank, a_rank,
+                                            chain_acc.acceptors)
+    if d_idx.shape[0] == 0:
+        return []
+    keep, dist, angle = _score_triples(pos, box, d_idx, h_idx, a_idx,
+                                       max_distance, min_angle)
     return [
         HBond(donor=int(d), hydrogen=int(h), acceptor=int(a),
               distance=float(di), angle=float(an))
         for d, h, a, di, an in zip(
-            d_idx_h[keep_h], h_idx[keep_h], a_idx_h[keep_h],
-            dist_h[keep_h], angle[keep_h]
+            d_idx[keep], h_idx[keep], a_idx[keep], dist[keep], angle[keep]
         )
     ]
+
+
+# ------------------------------------------------------------------ device
+# Batched evaluation of candidate triples: ONE masked jitted kernel over a
+# [B, n_cand] batch (SURVEY §2.2 hbonds row: "distance+angle criteria ->
+# masked pair kernel").  XLA may contract multiply-add chains into FMAs
+# and arccos is not correctly rounded, so device values can differ from
+# the numpy host path by float ulps.  Any triple whose keep DECISION could
+# be affected — distance within ~30 ulps of the cutoff, angle within the
+# conditioning-aware error bound of the threshold (arccos error grows as
+# 1/sqrt(1-cos^2) near 0/180 deg), or an ambiguous NaN disambiguation —
+# is re-scored on host with the exact reference-f32 semantics, so the
+# detected bond set is exact at device speed on any backend (CPU, TPU).
+
+_ANGLE_GUARD = np.float32(2e-3)       # flat floor, degrees
+_COS_EPS = np.float32(1e-6)           # assumed worst-case cos-chain ulp error
+_DIST_GUARD_REL = np.float32(1e-6)
+_GUARD_K = 128                        # compact guarded-slot list capacity
+
+
+def _build_device_score(n_pairs: int):
+    """The [B, n_cand] masked pair kernel, jitted per pair-count.
+
+    Inputs are compact PAIR RANKS into static per-analysis tables (donor
+    atom index, acceptor atom index, per-donor hydrogen rows), so the
+    host->device wire is ~10 bytes per candidate pair instead of shipping
+    hydrogen-expanded atom-index triples; hydrogens expand ON DEVICE from
+    the `h_tab` CSR rows (slot axis H).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _min_image_dev(d, box):
+        # `Vector3D::min_image` loop semantics (vector3d.rs:575-592):
+        # a fixed unrolled count replaces the data-dependent while (extra
+        # passes are no-ops, matching loop exit)
+        half = box * jnp.float32(0.5)
+        for _ in range(4):
+            d = jnp.where(d > half, d - box, d)
+        for _ in range(4):
+            d = jnp.where(d < -half, d + box, d)
+        return d
+
+    def _dist_dev(a, b, box):
+        d = _min_image_dev(a - b, box)
+        return jnp.sqrt(d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]
+                        + d[..., 2] * d[..., 2])
+
+    def _vector_to_dev(a, b, box):
+        # floor_mod(b - a + L/2, L) - L/2 with Rust's truncated `%`
+        half = box * jnp.float32(0.5)
+        x = b - a + half
+        return jnp.fmod(jnp.fmod(x, box) + box, box) - half
+
+    def score(pos, boxes, inv_prec, d_rank, a_rank, seg, valid,
+              don_idx, acc_idx, h_tab, h_cnt, max_distance, min_angle):
+        """pos [B,N,3] f32 or i16 (q16 wire); boxes [B,3]; inv_prec [B];
+        d_rank/a_rank [B,C] ranks; seg [B,C] pair ids; valid [B,C];
+        don_idx [ND], acc_idx [NA], h_tab [ND,H], h_cnt [ND].
+        -> (counts [B,P] i32, guard_cnt [B] i32,
+            keep [B,C,H], dist [B,C], angle [B,C,H], guard [B,C,H])."""
+        if pos.dtype == jnp.int16:
+            pos = pos.astype(jnp.float32) * inv_prec[:, None, None]
+        b, c = d_rank.shape
+        hmax = h_tab.shape[1]
+        box = boxes[:, None, :]  # [B,1,3]
+
+        d_i = jnp.take(don_idx, d_rank.astype(jnp.int32), mode="clip")
+        a_i = jnp.take(acc_idx, a_rank.astype(jnp.int32), mode="clip")
+        h_i = jnp.take(h_tab, d_rank.astype(jnp.int32), axis=0,
+                       mode="clip")  # [B,C,H]
+        n_h = jnp.take(h_cnt, d_rank.astype(jnp.int32), mode="clip")  # [B,C]
+
+        def take(idx):
+            flat = idx.reshape(b, -1)
+            out = jnp.take_along_axis(pos, flat[..., None], axis=1,
+                                      mode="clip")
+            return out.reshape(idx.shape + (3,))
+
+        dp, ap = take(d_i), take(a_i)  # [B,C,3]
+        dist = _dist_dev(ap, dp, box)  # [B,C]
+        keep_d = ~(dist > max_distance)
+
+        hp = take(h_i)  # [B,C,H,3]
+        box_h = box[:, :, None, :]
+        dp_h = dp[:, :, None, :]
+        ap_h = ap[:, :, None, :]
+        hd = _vector_to_dev(hp, dp_h, box_h)
+        ha = _vector_to_dev(hp, ap_h, box_h)
+        dot = (hd[..., 0] * ha[..., 0] + hd[..., 1] * ha[..., 1]
+               + hd[..., 2] * ha[..., 2])
+        len_hd = jnp.sqrt(hd[..., 0] * hd[..., 0] + hd[..., 1] * hd[..., 1]
+                          + hd[..., 2] * hd[..., 2])
+        len_ha = jnp.sqrt(ha[..., 0] * ha[..., 0] + ha[..., 1] * ha[..., 1]
+                          + ha[..., 2] * ha[..., 2])
+        cosang = dot / (len_hd * len_ha)
+        angle = jnp.degrees(jnp.arccos(cosang)).astype(jnp.float32)
+        nan = jnp.isnan(angle)
+        # handle_nan: 180 if H is closer to A than D is to A, else 0
+        ha_d = _dist_dev(hp, ap_h, box_h)
+        da_d = _dist_dev(dp_h, ap_h, box_h)
+        angle = jnp.where(nan, jnp.where(ha_d < da_d, jnp.float32(180.0),
+                                         jnp.float32(0.0)), angle)
+
+        h_valid = (jnp.arange(hmax)[None, None, :] < n_h[..., None])
+        tri_valid = valid[..., None] & h_valid
+        keep = tri_valid & keep_d[..., None] & ~(angle < min_angle)
+
+        # decision-boundary guard: angle error bound = flat floor +
+        # arccos conditioning term (blows up near 0/180 deg)
+        cond = jnp.float32(57.29578) * _COS_EPS / jnp.sqrt(
+            jnp.maximum(1.0 - cosang * cosang, jnp.float32(1e-12)))
+        guard = jnp.abs(angle - min_angle) < (_ANGLE_GUARD + cond)
+        guard |= (jnp.abs(dist - max_distance)
+                  < max_distance * _DIST_GUARD_REL)[..., None]
+        # ambiguous NaN disambiguation (ha_d vs da_d within ulps)
+        guard |= nan & (jnp.abs(ha_d - da_d)
+                        < (ha_d + da_d) * _DIST_GUARD_REL)
+        guard &= tri_valid
+
+        counts = jnp.stack(
+            [jnp.sum((keep & (seg == p)[..., None]).astype(jnp.int32),
+                     axis=(1, 2)) for p in range(n_pairs)],
+            axis=-1,
+        )
+        guard_cnt = jnp.sum(guard.astype(jnp.int32), axis=(1, 2))
+        # compact guarded-slot list: the counts path must never pull an
+        # O(n_cand) mask back over the wire — only these [B, K] slots
+        gflat = guard.reshape(b, -1)
+        import functools
+
+        (gidx,) = jax.vmap(functools.partial(
+            jnp.nonzero, size=_GUARD_K, fill_value=-1))(gflat)
+        keep_at = jnp.take_along_axis(
+            keep.reshape(b, -1), jnp.maximum(gidx, 0), axis=1)
+        return counts, guard_cnt, gidx.astype(jnp.int32), keep_at, \
+            keep, dist, angle, guard
+
+    return jax.jit(score)
+
+
+_device_score_cache: dict = {}
+
+
+def _get_device_score(n_pairs: int):
+    fn = _device_score_cache.get(n_pairs)
+    if fn is None:
+        fn = _device_score_cache[n_pairs] = _build_device_score(n_pairs)
+    return fn
+
+
+class _PairTables:
+    """Static device tables for one HBondAnalysis: combined donor/acceptor
+    atom-index tables and per-donor hydrogen rows across all
+    (pair, direction) legs (reference analyze_pair directions,
+    hbonds.rs:207-225)."""
+
+    def __init__(self, analysis: "HBondAnalysis"):
+        self.legs = []  # (pair_id, acc_chain, don_chain, don_off, acc_off)
+        don_parts, acc_parts = [], []
+        nd = na = 0
+        maxh = 1
+        for pair_id, (c1, c2) in enumerate(analysis.pairs):
+            directions = ([(c1, c1)] if c1 == c2 else [(c1, c2), (c2, c1)])
+            for acc_c, don_c in directions:
+                acc_g = analysis.chains[acc_c]
+                don_g = analysis.chains[don_c]
+                self.legs.append((pair_id, acc_g, don_g, nd, na))
+                don_parts.append(don_g.donors)
+                acc_parts.append(acc_g.acceptors)
+                cnts = don_g.h_offsets[1:] - don_g.h_offsets[:-1]
+                if cnts.shape[0]:
+                    maxh = max(maxh, int(cnts.max()))
+                nd += don_g.donors.shape[0]
+                na += acc_g.acceptors.shape[0]
+        self.don_idx = (np.concatenate(don_parts) if don_parts
+                        else np.zeros(0, np.int64)).astype(np.int32)
+        self.acc_idx = (np.concatenate(acc_parts) if acc_parts
+                        else np.zeros(0, np.int64)).astype(np.int32)
+        self.h_tab = np.zeros((max(nd, 1), maxh), np.int32)
+        self.h_cnt = np.zeros(max(nd, 1), np.int32)
+        for _, _, don_g, don_off, _ in self.legs:
+            for k in range(don_g.donors.shape[0]):
+                s, e = don_g.h_offsets[k], don_g.h_offsets[k + 1]
+                self.h_cnt[don_off + k] = e - s
+                self.h_tab[don_off + k, : e - s] = don_g.h_idx[s:e]
+        # compact rank dtype when tables are small (halves the pair wire)
+        self.rank_dtype = (np.int16 if max(nd, na) <= 32767 else np.int32)
+
+    def pack_frames(self, positions, boxes, max_distance):
+        """Candidate pairs for a [B] frame block -> padded rank arrays.
+
+        Returns (d_rank, a_rank [B,C], seg [B,C] i16 pair ids,
+        valid [B,C], segments per frame [(pair_key, start, stop), ...]).
+        C rounds up to a power of two (>= 64) so the kernel recompiles
+        per bucket, not per batch.
+        """
+        b = positions.shape[0]
+        per_frame = []
+        seg_list = []
+        for i in range(b):
+            ds, as_, ss = [], [], []
+            segments = []
+            n = 0
+            last_pair = None
+            for pair_id, acc_g, don_g, don_off, acc_off in self.legs:
+                d_r, a_r = _candidate_pairs(positions[i], boxes[i],
+                                            acc_g, don_g, max_distance)
+                ds.append(d_r + don_off)
+                as_.append(a_r + acc_off)
+                ss.append(np.full(d_r.shape[0], pair_id, np.int16))
+                if last_pair == pair_id:
+                    # second direction of a cross-chain pair: extend
+                    pk, s0, _ = segments[-1]
+                    segments[-1] = (pk, s0, n + d_r.shape[0])
+                else:
+                    segments.append((pair_id, n, n + d_r.shape[0]))
+                last_pair = pair_id
+                n += d_r.shape[0]
+            per_frame.append((np.concatenate(ds) if ds else np.zeros(0, np.int64),
+                              np.concatenate(as_) if as_ else np.zeros(0, np.int64),
+                              np.concatenate(ss) if ss else np.zeros(0, np.int16)))
+            seg_list.append(segments)
+
+        cmax = max((t[0].shape[0] for t in per_frame), default=0)
+        c_pad = 64
+        while c_pad < cmax:
+            c_pad *= 2
+        d = np.zeros((b, c_pad), self.rank_dtype)
+        a = np.zeros((b, c_pad), self.rank_dtype)
+        seg = np.full((b, c_pad), -1, np.int16)
+        valid = np.zeros((b, c_pad), bool)
+        for i, (di, ai, si) in enumerate(per_frame):
+            n = di.shape[0]
+            d[i, :n] = di
+            a[i, :n] = ai
+            seg[i, :n] = si
+            valid[i, :n] = True
+        return d, a, seg, valid, seg_list
 
 
 class HBondAnalysis:
@@ -319,6 +586,166 @@ class HBondAnalysis:
             out[(c1, c2)] = bonds
         return out
 
+    # ------------------------------------------------------------- batched
+    def _tables(self) -> _PairTables:
+        t = getattr(self, "_tables_cache", None)
+        if t is None:
+            t = self._tables_cache = _PairTables(self)
+        return t
+
+    def analyze_batch(self, positions, boxes, counts_only: bool = False,
+                      q_positions=None, inv_prec=None):
+        """Batched-device analysis of a `[B, N, 3]` frame block.
+
+        Host work is integer-only candidate PAIR generation (CSR cell
+        binning); the pairs ship as compact ranks into static device
+        tables, hydrogens expand on device, and the float distance/angle
+        criteria run as ONE masked jitted kernel over the padded
+        `[B, n_cand]` batch.  Returns a list of HBondMap per frame — or,
+        with `counts_only`, a dict `{pair: int[B]}` of per-frame bond
+        counts computed on device (only `[B, n_pairs]` ints come back to
+        host; the fast path for trajectory statistics).
+
+        `q_positions`/`inv_prec`: optionally ship the q16 wire format
+        (int16 quantized ints + per-frame dequant factor) instead of f32 —
+        halves the position wire; `positions` stays the host f32 copy used
+        for binning and the exactness re-score.
+
+        Exactness: see the module device-kernel note — every triple whose
+        keep decision could be affected by device/host float-ulp
+        differences is re-scored on host, so the detected bond SET equals
+        `analyze()` exactly on any backend.  Reported distance/angle
+        values may differ from the host path by float ulps (XLA FMA
+        contraction; arccos rounding), always well under the guard widths.
+        """
+        positions = np.asarray(positions, np.float32)
+        boxes = np.asarray(boxes, np.float32)
+        b = positions.shape[0]
+        tables = self._tables()
+        d_r, a_r, seg, valid, seg_list = tables.pack_frames(
+            positions, boxes, self.max_distance)
+
+        ship = positions if q_positions is None else q_positions
+        if inv_prec is None:
+            inv_prec = np.ones(b, np.float32)
+        (counts_d, guard_cnt_d, gidx_d, keep_at_d,
+         keep_d, dist_d, angle_d, guard_d) = (
+            _get_device_score(len(self.pairs))(
+                ship, boxes, np.asarray(inv_prec, np.float32),
+                d_r, a_r, seg, valid,
+                tables.don_idx, tables.acc_idx, tables.h_tab, tables.h_cnt,
+                np.float32(self.max_distance), np.float32(self.min_angle),
+            )
+        )
+        hmax = tables.h_tab.shape[1]
+
+        def _rescore(i, keep_i, dist_i, angle_i, guard_i):
+            """Exact host re-score of frame i's guarded (c, h) slots;
+            mutates the given per-frame arrays, returns adjusted."""
+            ci, hi = np.nonzero(guard_i)
+            if ci.shape[0] == 0:
+                return keep_i
+            g = d_r[i, ci].astype(np.int64)
+            d_idx = tables.don_idx[g].astype(np.int64)
+            h_idx = tables.h_tab[g, hi].astype(np.int64)
+            a_idx = tables.acc_idx[a_r[i, ci].astype(np.int64)].astype(np.int64)
+            k2, dist2, ang2 = _score_triples(
+                positions[i], boxes[i], d_idx, h_idx, a_idx,
+                self.max_distance, self.min_angle,
+            )
+            keep_i[ci, hi] = k2
+            dist_i[ci] = dist2
+            angle_i[ci, hi] = ang2
+            return keep_i
+
+        if counts_only:
+            counts = np.array(counts_d)
+            guard_cnt = np.asarray(guard_cnt_d)
+            need = np.nonzero(guard_cnt > 0)[0]
+            if need.shape[0]:
+                gidx = np.asarray(gidx_d)
+                keep_at = np.asarray(keep_at_d)
+            for i in need:
+                if guard_cnt[i] <= _GUARD_K:
+                    # compact path: only the guarded slots, no O(n_cand)
+                    # device->host transfer
+                    sl = gidx[i][gidx[i] >= 0]
+                    ci, hi = sl // hmax, sl % hmax
+                    g = d_r[i, ci].astype(np.int64)
+                    k2, _, _ = _score_triples(
+                        positions[i], boxes[i],
+                        tables.don_idx[g].astype(np.int64),
+                        tables.h_tab[g, hi].astype(np.int64),
+                        tables.acc_idx[a_r[i, ci].astype(np.int64)
+                                       ].astype(np.int64),
+                        self.max_distance, self.min_angle,
+                    )
+                    delta = (k2.astype(np.int64)
+                             - keep_at[i][: sl.shape[0]].astype(np.int64))
+                    segs = seg[i, ci]
+                    for p in range(len(self.pairs)):
+                        counts[i, p] += int(delta[segs == p].sum())
+                else:  # pathological: fall back to the full-frame pull
+                    keep_i = np.array(keep_d[i])
+                    before = keep_i.copy()
+                    keep_i = _rescore(i, keep_i, np.array(dist_d[i]),
+                                      np.array(angle_d[i]),
+                                      np.asarray(guard_d[i]))
+                    delta = keep_i.astype(np.int64) - before.astype(np.int64)
+                    for p in range(len(self.pairs)):
+                        counts[i, p] += int(delta[seg[i] == p].sum())
+            return {tuple(pair): counts[:, p].astype(np.int64)
+                    for p, pair in enumerate(self.pairs)}
+
+        keep = np.array(keep_d)
+        dist = np.array(dist_d)
+        angle = np.array(angle_d)
+        guard = np.asarray(guard_d)
+        maps = []
+        for i in range(b):
+            keep[i] = _rescore(i, keep[i], dist[i], angle[i], guard[i])
+            hmap = {}
+            for pair_id, s, e in seg_list[i]:
+                # row-major (pair, h-slot) = reference bond order
+                ci, hi = np.nonzero(keep[i, s:e])
+                ci = ci + s
+                g = d_r[i, ci].astype(np.int64)
+                hmap[tuple(self.pairs[pair_id])] = [
+                    HBond(donor=int(tables.don_idx[gj]),
+                          hydrogen=int(tables.h_tab[gj, hj]),
+                          acceptor=int(tables.acc_idx[int(a_r[i, cj])]),
+                          distance=float(dist[i, cj]),
+                          angle=float(angle[i, cj, hj]))
+                    for gj, cj, hj in zip(g, ci, hi)
+                ]
+            maps.append(hmap)
+        return maps
+
+
+def remap_analysis(analysis: "HBondAnalysis", lut: np.ndarray) -> "HBondAnalysis":
+    """Clone an HBondAnalysis with atom indices rewritten through `lut`
+    (full-system index -> shipped-layout index), so candidate generation
+    and scoring run directly on a gathered coordinate subset (the
+    pipeline's ship="auto" fast path)."""
+    import copy
+
+    out = copy.copy(analysis)
+    out._tables_cache = None  # tables hold atom indices; rebuild remapped
+    out.chains = []
+    for ch in analysis.chains:
+        c2 = copy.copy(ch)
+        c2.acceptors = lut[ch.acceptors]
+        c2.donors = lut[ch.donors]
+        c2.h_idx = lut[ch.h_idx]
+        if ((c2.acceptors < 0).any() or (c2.donors < 0).any()
+                or (c2.h_idx < 0).any()):
+            raise HBondError(
+                "shipped atom selection does not cover the hbond chains",
+                code="InvalidSelection",
+            )
+        out.chains.append(c2)
+    return out
+
 
 class HBondsMixin:
     def hbonds_analyze_frame(self, chains, pairs, max_distance: float = 0.35,
@@ -336,3 +763,33 @@ class HBondsMixin:
 
         for frame in traj_iter(self, trajectory, **traj_kw):
             yield frame, analysis.analyze(frame)
+
+    def hbonds_analyze_batched(self, trajectory, chains, pairs,
+                               max_distance: float = 0.35,
+                               min_angle: float = 120.0,
+                               batch_size: int = 16,
+                               counts_only: bool = False, **traj_kw):
+        """Trajectory hydrogen-bond pass riding the batched device
+        pipeline: frames decode in blocks and the distance/angle criteria
+        evaluate as one masked kernel per `[B, n_cand]` batch — results
+        equal `hbonds_analyze` exactly (see `HBondAnalysis.analyze_batch`).
+
+        Yields `(time, HBondMap)` per frame — or `(time, {pair: count})`
+        with `counts_only=True` (the fast path: no per-bond Python object
+        construction).
+        """
+        analysis = HBondAnalysis(self, chains, pairs, max_distance, min_angle)
+        from ..io.traj import traj_iter
+
+        reader = traj_iter(self, trajectory, batch_size=batch_size, **traj_kw)
+        for fb in reader.batches():
+            pos = fb.positions
+            boxes = fb.box_lengths()
+            if counts_only:
+                counts = analysis.analyze_batch(pos, boxes, counts_only=True)
+                for i in range(pos.shape[0]):
+                    yield float(fb.times[i]), {k: int(v[i])
+                                               for k, v in counts.items()}
+            else:
+                for i, hmap in enumerate(analysis.analyze_batch(pos, boxes)):
+                    yield float(fb.times[i]), hmap
