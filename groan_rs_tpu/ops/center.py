@@ -102,8 +102,11 @@ def center_triclinic(positions, box_matrix, mask=None, weights=None):
     if weights is not None:
         w = w * jnp.asarray(weights, dtype=dtype)
 
+    import jax
+
+    _hi = jax.lax.Precision.HIGHEST  # bf16 MXU defaults break f32 parity
     hinv = jnp.linalg.inv(h)
-    s = jnp.matmul(positions, hinv)  # fractional coords [..., N, 3]
+    s = jnp.matmul(positions, hinv, precision=_hi)  # fractional [..., N, 3]
     theta = (s - jnp.floor(s)) * _TWO_PI
     wx = w[..., None]
     xi = jnp.sum(wx * jnp.cos(theta), axis=-2)
@@ -116,7 +119,8 @@ def center_triclinic(positions, box_matrix, mask=None, weights=None):
     num = jnp.sum(wx * (est[..., None, :] + d), axis=-2)
     den = jnp.sum(w, axis=-1, keepdims=True)
     frac = num / den
-    return jnp.squeeze(jnp.matmul(frac[..., None, :], h), axis=-2)
+    return jnp.squeeze(jnp.matmul(frac[..., None, :], h, precision=_hi),
+                       axis=-2)
 
 
 def center_naive(positions, mask=None, weights=None):

@@ -64,7 +64,12 @@ def rotate(v, rotation_matrix):
     column-vector convention `R @ x`; for row-vector arrays x @ R^T)."""
     v = jnp.asarray(v)
     r = jnp.asarray(rotation_matrix, v.dtype)
-    return jnp.einsum("...j,...ij->...i", v, r)
+    # HIGHEST: TPU MXU default (bf16 inputs) costs ~1e-2 absolute on
+    # rotations — f32 parity requires full-precision accumulation
+    import jax
+
+    return jnp.einsum("...j,...ij->...i", v, r,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rotation_about_axis(axis, theta):

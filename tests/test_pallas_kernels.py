@@ -4,6 +4,10 @@ CPU; the same code path compiles via Mosaic on TPU)."""
 import numpy as np
 import pytest
 
+# numeric parity holds on the real chip too (backend matrix, SURVEY §4):
+# GROAN_TEST_PLATFORM=axon python -m pytest tests/ -m device_parity
+pytestmark = pytest.mark.device_parity
+
 from groan_rs_tpu.ops import distances
 from groan_rs_tpu.ops import pallas_kernels as pk
 

@@ -4,6 +4,10 @@
 import numpy as np
 import pytest
 
+# numeric parity holds on the real chip too (backend matrix, SURVEY §4):
+# GROAN_TEST_PLATFORM=axon python -m pytest tests/ -m device_parity
+pytestmark = pytest.mark.device_parity
+
 from groan_rs_tpu.core.dimension import Dimension
 from groan_rs_tpu.core.simbox import SimBox
 from groan_rs_tpu.ops import pbc

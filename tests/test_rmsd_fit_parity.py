@@ -5,6 +5,10 @@ import os
 import numpy as np
 import pytest
 
+# numeric parity holds on the real chip too (backend matrix, SURVEY §4):
+# GROAN_TEST_PLATFORM=axon python -m pytest tests/ -m device_parity
+pytestmark = pytest.mark.device_parity
+
 from groan_rs_tpu.system import System
 
 
