@@ -46,6 +46,10 @@ def _check(rc: int, path, write=False):
 
 
 def _build() -> str:
+    # instrumented-build override (ASan fuzz harness, tests/asan_fuzz.py)
+    override = os.environ.get("GROAN_NATIVE_LIB")
+    if override:
+        return override
     with open(_SRC, "rb") as fh:
         tag = hashlib.sha256(fh.read()).hexdigest()[:12]
     so_path = os.path.join(_DIR, "native", f"libgroanxdr-{tag}.so")
