@@ -313,8 +313,17 @@ def xtc_read_frames_delta(path, offsets, natoms: int, base=None,
     )
     _check(rc, path)
     e = int(esc_count.max()) if nf else 0
-    return (deltas, shifts, esc_idx[:, :e], esc_val[:, :e],
-            None if base_used.value else base_out, last,
+    esc_val = esc_val[:, :e]
+    # halve the key-frame / escape wire when quantized coords fit int16
+    # (typical: |q| <= precision * box ~ 32767 covers 32 nm at prec 1000);
+    # the device casts back to int32 before the delta scan
+    key = None if base_used.value else base_out
+    if key is not None and e >= 0 and abs(key).max(initial=0) <= 32767:
+        key = key.astype(np.int16)
+    if esc_val.size and np.abs(esc_val).max() <= 32767:
+        esc_val = esc_val.astype(np.int16)
+    return (deltas, shifts, esc_idx[:, :e], esc_val,
+            key, last,
             boxes, _steps_u32(steps), times, precisions)
 
 

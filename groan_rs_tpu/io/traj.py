@@ -612,7 +612,8 @@ class TrajReader:
                     ei = np.concatenate(
                         [ei, np.full((ei.shape[0], tgt - e), stop, np.int32)], axis=1)
                     ev = np.concatenate(
-                        [ev, np.zeros((ev.shape[0], tgt - e, 3), np.int32)], axis=1)
+                        [ev, np.zeros((ev.shape[0], tgt - e, 3), ev.dtype)],
+                        axis=1)
                 return FrameBatch(
                     positions=d, boxes9=_xtc_box_to_gro9(boxes),
                     steps=steps.astype(np.int64), times=times,

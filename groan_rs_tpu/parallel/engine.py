@@ -79,12 +79,16 @@ class FrameEngine:
             fn = jax.jit(q16_step)
         elif kind == "delta":
             def delta_step(carry, d, shifts, eidx, eval_, boxes, mask, inv_prec):
+                # key-frame reseeds / escape values may ship as int16
+                # (half the wire); widen on device
+                carry = carry.astype(jnp.int32)
+
                 def body(c, xs):
                     df, sf, ei, ev = xs
                     c = c + df.astype(jnp.int32) + sf[None, :]
                     # escapes: absolute quantized ints; padding rows carry
                     # the out-of-range sentinel index -> dropped
-                    c = c.at[ei].set(ev, mode="drop")
+                    c = c.at[ei].set(ev.astype(jnp.int32), mode="drop")
                     return c, c
 
                 carry2, qs = jax.lax.scan(body, carry, (d, shifts, eidx, eval_))
@@ -142,8 +146,9 @@ class FrameEngine:
                     "for multi-device meshes"
                 )
             if fb.base_q is not None:
+                # int16 key frames ship as-is; delta_step widens on device
                 self._carry_q = jax.device_put(
-                    np.asarray(fb.base_q, np.int32), self._replicated
+                    np.asarray(fb.base_q), self._replicated
                 )
             elif self._carry_q is None:
                 raise ParallelError(
@@ -164,7 +169,7 @@ class FrameEngine:
                 self._in_shard,
             )
             ev = jax.device_put(
-                self._pad(np.asarray(fb.esc_val, np.int32), b_pad, "zero"),
+                self._pad(np.asarray(fb.esc_val), b_pad, "zero"),
                 self._in_shard,
             )
             return kind, (self._carry_q, d, sh, ei, ev, boxes, mask_d, inv_d)
