@@ -96,9 +96,15 @@ def get_lib():
         i8 = ctypes.c_int8
         lib.gx_xtc_read_delta.restype = i64
         lib.gx_xtc_read_delta.argtypes = [
-            ctypes.c_char_p, P(i64), i64, i32, i32, P(i32), f32, P(i8),
-            P(i32), P(i32), P(i32), P(i32), i32, P(i32), P(i32), P(i32),
-            P(f32), P(i32), P(f32), P(f32), i32,
+            ctypes.c_char_p, P(i64), i64, i32, i32, P(i32), i32, P(i32), f32,
+            P(i8), P(i32), P(i32), P(i32), P(i32), i32, P(i32), P(i32),
+            P(i32), P(f32), P(i32), P(f32), P(f32), i32,
+        ]
+        lib.gx_xtc_read_delta6.restype = i64
+        lib.gx_xtc_read_delta6.argtypes = [
+            ctypes.c_char_p, P(i64), i64, i32, i32, P(i32), i32, P(i32), f32,
+            P(u8), P(i32), P(i32), P(i32), P(i32), i32, P(i32), P(i32),
+            P(i32), P(f32), P(i32), P(f32), P(f32), i32,
         ]
         lib.gx_xtc_probe.restype = i64
         lib.gx_xtc_probe.argtypes = [ctypes.c_char_p, P(i32), P(i32)]
@@ -243,6 +249,7 @@ def xtc_read_frames_q16(path, offsets, natoms: int, stop_after: int | None = Non
 def xtc_read_frames_delta(path, offsets, natoms: int, base=None,
                           base_prec: float = 0.0, stop_after: int | None = None,
                           esc_cap: int | None = None,
+                          sel=None,
                           n_threads: int | None = None):
     """Decode frames into the int8 DELTA wire format (~3 bytes/atom-frame):
     int8 inter-frame deltas plus a sparse per-frame escape list (atom
@@ -272,15 +279,18 @@ def xtc_read_frames_delta(path, offsets, natoms: int, base=None,
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     nf = offsets.shape[0]
     stop = int(stop_after) if stop_after is not None else int(natoms)
-    cap = int(esc_cap) if esc_cap is not None else max(64, stop // 8)
-    deltas = np.empty((nf, stop, 3), np.int8)
+    if sel is not None:
+        sel = np.ascontiguousarray(sel, np.int32)
+    nout = int(sel.shape[0]) if sel is not None else stop
+    cap = int(esc_cap) if esc_cap is not None else max(64, nout // 8)
+    deltas = np.empty((nf, nout, 3), np.int8)
     shifts = np.empty((nf, 3), np.int32)
-    # pre-fill with `stop`: unused slots scatter out-of-bounds -> dropped
-    esc_idx = np.full((nf, cap), stop, np.int32)
+    # pre-fill with `nout`: unused slots scatter out-of-bounds -> dropped
+    esc_idx = np.full((nf, cap), nout, np.int32)
     esc_val = np.empty((nf, cap, 3), np.int32)
     esc_count = np.zeros(nf, np.int32)
-    base_out = np.empty((stop, 3), np.int32)
-    last = np.empty((stop, 3), np.int32)
+    base_out = np.empty((nout, 3), np.int32)
+    last = np.empty((nout, 3), np.int32)
     base_used = ctypes.c_int32(0)
     boxes = np.empty((nf, 9), np.float32)
     steps = np.empty(nf, np.int32)
@@ -288,13 +298,14 @@ def xtc_read_frames_delta(path, offsets, natoms: int, base=None,
     precisions = np.empty(nf, np.float32)
     if base is not None:
         base = np.ascontiguousarray(base, np.int32)
-        if base.shape != (stop, 3):
-            raise ValueError(f"base shape {base.shape} != ({stop}, 3)")
+        if base.shape != (nout, 3):
+            raise ValueError(f"base shape {base.shape} != ({nout}, 3)")
     P32 = ctypes.POINTER(ctypes.c_int32)
     rc = lib.gx_xtc_read_delta(
         str(path).encode(),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nf, natoms, stop,
+        sel.ctypes.data_as(P32) if sel is not None else None, nout,
         base.ctypes.data_as(P32) if base is not None else None,
         float(base_prec),
         deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
@@ -323,6 +334,88 @@ def xtc_read_frames_delta(path, offsets, natoms: int, base=None,
     if esc_val.size and np.abs(esc_val).max() <= 32767:
         esc_val = esc_val.astype(np.int16)
     return (deltas, shifts, esc_idx[:, :e], esc_val,
+            key, last,
+            boxes, _steps_u32(steps), times, precisions)
+
+
+def xtc_read_frames_delta6(path, offsets, natoms: int, base=None,
+                           base_prec: float = 0.0, stop_after: int | None = None,
+                           esc_cap: int | None = None,
+                           sel=None,
+                           n_threads: int | None = None):
+    """Decode frames into the 6-BIT packed delta wire (~2.25 bytes/atom-
+    frame): biased inter-frame deltas u = d + 32 in [0, 63], four values
+    per 3 bytes (MSB-first within the group), plus the same per-frame
+    shift / escape / key-frame chaining as `xtc_read_frames_delta`.
+    Escapes fire at |d| > 31 so this tier suits densely-saved
+    trajectories; `ReadTrajError(code='DeltaRange')` signals the caller
+    to fall back to the int8 delta tier.
+
+    Returns (packed uint8 [F, NB], shifts, esc_idx, esc_val, base_out,
+    last, boxes, steps, times, precisions) where NB = ceil(stop*3/4)*3.
+    Device-side unpack (see FrameEngine's 'delta6' step):
+        b0,b1,b2 = packed bytes of each group
+        u = [b0>>2, ((b0&3)<<4)|(b1>>4), ((b1&15)<<2)|(b2>>6), b2&63]
+        d = u - 32
+    """
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nf = offsets.shape[0]
+    stop = int(stop_after) if stop_after is not None else int(natoms)
+    if sel is not None:
+        sel = np.ascontiguousarray(sel, np.int32)
+    nout = int(sel.shape[0]) if sel is not None else stop
+    cap = int(esc_cap) if esc_cap is not None else max(64, nout // 8)
+    nout3 = nout * 3
+    npad = (nout3 + 3) & ~3
+    nb = (npad // 4) * 3
+    packed = np.empty((nf, nb), np.uint8)
+    shifts = np.empty((nf, 3), np.int32)
+    esc_idx = np.full((nf, cap), nout, np.int32)
+    esc_val = np.empty((nf, cap, 3), np.int32)
+    esc_count = np.zeros(nf, np.int32)
+    base_out = np.empty((nout, 3), np.int32)
+    last = np.empty((nout, 3), np.int32)
+    base_used = ctypes.c_int32(0)
+    boxes = np.empty((nf, 9), np.float32)
+    steps = np.empty(nf, np.int32)
+    times = np.empty(nf, np.float32)
+    precisions = np.empty(nf, np.float32)
+    if base is not None:
+        base = np.ascontiguousarray(base, np.int32)
+        if base.shape != (nout, 3):
+            raise ValueError(f"base shape {base.shape} != ({nout}, 3)")
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.gx_xtc_read_delta6(
+        str(path).encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nf, natoms, stop,
+        sel.ctypes.data_as(P32) if sel is not None else None, nout,
+        base.ctypes.data_as(P32) if base is not None else None,
+        float(base_prec),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        shifts.ctypes.data_as(P32),
+        esc_idx.ctypes.data_as(P32),
+        esc_val.ctypes.data_as(P32),
+        esc_count.ctypes.data_as(P32),
+        cap,
+        base_out.ctypes.data_as(P32),
+        last.ctypes.data_as(P32),
+        ctypes.byref(base_used),
+        _fptr(boxes),
+        steps.ctypes.data_as(P32),
+        _fptr(times), _fptr(precisions),
+        n_threads if n_threads is not None else n_default_threads(),
+    )
+    _check(rc, path)
+    e = int(esc_count.max()) if nf else 0
+    esc_val = esc_val[:, :e]
+    key = None if base_used.value else base_out
+    if key is not None and abs(key).max(initial=0) <= 32767:
+        key = key.astype(np.int16)
+    if esc_val.size and np.abs(esc_val).max() <= 32767:
+        esc_val = esc_val.astype(np.int16)
+    return (packed, shifts, esc_idx[:, :e], esc_val,
             key, last,
             boxes, _steps_u32(steps), times, precisions)
 

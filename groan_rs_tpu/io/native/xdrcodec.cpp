@@ -957,9 +957,14 @@ int64_t gx_xtc_read_q16(const char* path, const int64_t* offsets, int64_t nframe
 // Fails with GX_ERR_DELTA when any frame needs more than `esc_cap`
 // escapes (dense motion — e.g. frames saved far apart in time) or when
 // precision varies across frames; callers fall back to the q16 wire.
-int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nframes,
+// Shared impl for the int8 and 6-bit-packed delta wires: exactly one of
+// `deltas` (int8, 3 B/atom) / `packed6` (6-bit biased u=d+32 MSB-first,
+// 2.25 B/atom; per-frame row of ceil(stop*3/4)*3 bytes) is non-null.
+static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t nframes,
                           int32_t expected_natoms, int32_t stop_after,
+                          const int32_t* sel, int32_t nsel,
                           const int32_t* base, float base_prec, int8_t* deltas,
+                          uint8_t* packed6,
                           int32_t* shifts, int32_t* esc_idx, int32_t* esc_val,
                           int32_t* esc_count, int32_t esc_cap, int32_t* base_out,
                           int32_t* last_out, int32_t* base_used, float* boxes,
@@ -969,6 +974,11 @@ int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nfra
   if (!f.open(path)) return GX_ERR_OPEN;
   if (nframes <= 0) return GX_OK;
   const int64_t natoms3 = int64_t(stop_after) * 3;
+  // selection mode: decode the full prefix but EMIT only `sel`'s atoms
+  // (deltas, escapes, key frames all live in selection space) — the
+  // compact wires then need no host-side gather pass at all
+  const int32_t nout = sel ? nsel : stop_after;
+  const int64_t nout3 = int64_t(nout) * 3;
   // int16 scratch (uninitialized): the delta wire presupposes q16-able
   // ints (GX_ERR_Q16 falls through to the q16/f32 paths otherwise), and
   // halving the scratch write traffic matters on this 1-vCPU host
@@ -999,14 +1009,23 @@ int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nfra
   for (int64_t i = 1; i < nframes; i++)
     if (precisions[i] != precisions[0]) return GX_ERR_DELTA;
 
-  const int16_t* base0 = nullptr;
+  const int16_t* base0 = nullptr;  // selection space when `sel` given
   int used = (base != nullptr && base_prec == precisions[0]) ? 1 : 0;
   if (used) {
-    base16.reset(new int16_t[size_t(natoms3)]);
-    for (int64_t k = 0; k < natoms3; k++) {
+    base16.reset(new int16_t[size_t(nout3)]);
+    for (int64_t k = 0; k < nout3; k++) {
       if (base[k] < -32768 || base[k] > 32767) return GX_ERR_DELTA;
       base16[size_t(k)] = int16_t(base[k]);
     }
+    base0 = base16.get();
+  } else if (sel) {
+    base16.reset(new int16_t[size_t(nout3)]);
+    for (int32_t j = 0; j < nout; j++)
+      for (int c = 0; c < 3; c++) {
+        const int16_t v = q[size_t(3 * int64_t(sel[j]) + c)];
+        base16[size_t(3 * j + c)] = v;
+        base_out[3 * j + c] = v;
+      }
     base0 = base16.get();
   } else {
     for (int64_t k = 0; k < natoms3; k++) base_out[k] = q[size_t(k)];
@@ -1016,22 +1035,33 @@ int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nfra
 
   parallel_for(nframes, n_threads, [&](int64_t i) {
     if (err.load(std::memory_order_relaxed) != GX_OK) return;
+    // prev is SELECTION space for frame 0 (the base), full-frame space
+    // otherwise; `at(p, j, c)` resolves the right index
+    const bool prev_is_sel = (i == 0);
     const int16_t* prev = (i == 0) ? base0 : q.get() + (i - 1) * natoms3;
     const int16_t* cur = q.get() + i * natoms3;
-    int8_t* out = deltas + i * natoms3;
+    const int64_t npad = (nout3 + 3) & ~int64_t(3);
+    int8_t* out = deltas ? deltas + i * nout3 : nullptr;
+    std::vector<uint8_t> stage;
+    if (packed6) stage.assign(size_t(npad), 32);  // pad decodes to d=0
+    auto prev_at = [&](int32_t j, int32_t a, int c) -> int32_t {
+      return prev_is_sel && sel ? prev[3 * j + c] : prev[3 * a + c];
+    };
     int32_t* eidx = esc_idx + i * int64_t(esc_cap);
     int32_t* eval = esc_val + i * int64_t(esc_cap) * 3;
 
     // global-drift removal: median per-axis delta over a strided sample
     int32_t shift[3] = {0, 0, 0};
     {
-      const int32_t ns = std::min<int32_t>(stop_after, 1024);
-      const int32_t stride = std::max<int32_t>(1, stop_after / ns);
+      const int32_t ns = std::min<int32_t>(nout, 1024);
+      const int32_t stride = std::max<int32_t>(1, nout / ns);
       std::vector<int32_t> samp(static_cast<size_t>(ns), 0);
       for (int c = 0; c < 3; c++) {
         int32_t k = 0;
-        for (int32_t a = 0; a < stop_after && k < ns; a += stride, k++)
-          samp[size_t(k)] = int32_t(cur[3 * a + c]) - int32_t(prev[3 * a + c]);
+        for (int32_t j = 0; j < nout && k < ns; j += stride, k++) {
+          const int32_t a = sel ? sel[j] : j;
+          samp[size_t(k)] = int32_t(cur[3 * a + c]) - prev_at(j, a, c);
+        }
         std::nth_element(samp.begin(), samp.begin() + k / 2, samp.begin() + k);
         shift[c] = samp[size_t(k / 2)];
       }
@@ -1041,28 +1071,47 @@ int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nfra
     shifts[3 * i + 2] = shift[2];
 
     int32_t ne = 0;
-    for (int32_t a = 0; a < stop_after; a++) {
+    for (int32_t j = 0; j < nout; j++) {
+      const int32_t a = sel ? sel[j] : j;
       const int16_t* c = cur + 3 * a;
-      const int16_t* p = prev + 3 * a;
-      int32_t d0 = int32_t(c[0]) - p[0] - shift[0],
-              d1 = int32_t(c[1]) - p[1] - shift[1],
-              d2 = int32_t(c[2]) - p[2] - shift[2];
-      if (((d0 + 128) | (d1 + 128) | (d2 + 128)) & ~0xff) {
+      int32_t d0 = int32_t(c[0]) - prev_at(j, a, 0) - shift[0],
+              d1 = int32_t(c[1]) - prev_at(j, a, 1) - shift[1],
+              d2 = int32_t(c[2]) - prev_at(j, a, 2) - shift[2];
+      const int32_t over = packed6
+          ? (((d0 + 32) | (d1 + 32) | (d2 + 32)) & ~0x3f)
+          : (((d0 + 128) | (d1 + 128) | (d2 + 128)) & ~0xff);
+      if (over) {
         if (ne >= esc_cap) {
           int64_t expected = GX_OK;
           err.compare_exchange_strong(expected, int64_t(GX_ERR_DELTA));
           return;
         }
-        eidx[ne] = a;
+        eidx[ne] = j;  // selection-space index
         eval[3 * ne] = c[0];
         eval[3 * ne + 1] = c[1];
         eval[3 * ne + 2] = c[2];
         ne++;
-        out[3 * a] = out[3 * a + 1] = out[3 * a + 2] = 0;
+        if (out) out[3 * j] = out[3 * j + 1] = out[3 * j + 2] = 0;
+        // stage already holds the zero-delta bias value 32
+      } else if (out) {
+        out[3 * j] = int8_t(d0);
+        out[3 * j + 1] = int8_t(d1);
+        out[3 * j + 2] = int8_t(d2);
       } else {
-        out[3 * a] = int8_t(d0);
-        out[3 * a + 1] = int8_t(d1);
-        out[3 * a + 2] = int8_t(d2);
+        stage[size_t(3 * j)] = uint8_t(d0 + 32);
+        stage[size_t(3 * j + 1)] = uint8_t(d1 + 32);
+        stage[size_t(3 * j + 2)] = uint8_t(d2 + 32);
+      }
+    }
+    if (packed6) {
+      // 4 biased values -> 3 bytes, MSB-first within the group
+      uint8_t* pk = packed6 + i * (npad / 4) * 3;
+      for (int64_t g = 0; g < npad / 4; g++) {
+        const uint8_t u0 = stage[size_t(4 * g)], u1 = stage[size_t(4 * g + 1)],
+                      u2 = stage[size_t(4 * g + 2)], u3 = stage[size_t(4 * g + 3)];
+        pk[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
+        pk[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
+        pk[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
       }
     }
     esc_count[i] = ne;
@@ -1070,9 +1119,50 @@ int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nfra
   if (err.load() != GX_OK) return err.load();
   {
     const int16_t* lastf = q.get() + (nframes - 1) * natoms3;
-    for (int64_t k = 0; k < natoms3; k++) last_out[k] = lastf[k];
+    if (sel) {
+      for (int32_t j = 0; j < nout; j++)
+        for (int c = 0; c < 3; c++)
+          last_out[3 * j + c] = lastf[3 * int64_t(sel[j]) + c];
+    } else {
+      for (int64_t k = 0; k < natoms3; k++) last_out[k] = lastf[k];
+    }
   }
   return GX_OK;
+}
+
+int64_t gx_xtc_read_delta(const char* path, const int64_t* offsets, int64_t nframes,
+                          int32_t expected_natoms, int32_t stop_after,
+                          const int32_t* sel, int32_t nsel,
+                          const int32_t* base, float base_prec, int8_t* deltas,
+                          int32_t* shifts, int32_t* esc_idx, int32_t* esc_val,
+                          int32_t* esc_count, int32_t esc_cap, int32_t* base_out,
+                          int32_t* last_out, int32_t* base_used, float* boxes,
+                          int32_t* steps, float* times, float* precisions,
+                          int32_t n_threads) {
+  return read_delta_impl(path, offsets, nframes, expected_natoms, stop_after,
+                         sel, nsel, base, base_prec, deltas, nullptr, shifts,
+                         esc_idx, esc_val, esc_count, esc_cap, base_out,
+                         last_out, base_used, boxes, steps, times, precisions,
+                         n_threads);
+}
+
+// 6-bit packed delta wire (2.25 B/atom-frame): biased deltas u = d + 32 in
+// [0, 63], four values per 3 bytes, escapes for |d| > 31.  Same chaining /
+// shift / escape semantics as the int8 wire.
+int64_t gx_xtc_read_delta6(const char* path, const int64_t* offsets, int64_t nframes,
+                           int32_t expected_natoms, int32_t stop_after,
+                           const int32_t* sel, int32_t nsel,
+                           const int32_t* base, float base_prec, uint8_t* packed,
+                           int32_t* shifts, int32_t* esc_idx, int32_t* esc_val,
+                           int32_t* esc_count, int32_t esc_cap, int32_t* base_out,
+                           int32_t* last_out, int32_t* base_used, float* boxes,
+                           int32_t* steps, float* times, float* precisions,
+                           int32_t n_threads) {
+  return read_delta_impl(path, offsets, nframes, expected_natoms, stop_after,
+                         sel, nsel, base, base_prec, nullptr, packed, shifts,
+                         esc_idx, esc_val, esc_count, esc_cap, base_out,
+                         last_out, base_used, boxes, steps, times, precisions,
+                         n_threads);
 }
 
 // Probe natoms/magic from the first frame header.

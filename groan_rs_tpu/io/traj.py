@@ -74,6 +74,7 @@ class FrameBatch:
                                         # (mixed-velocity GRO frames)
     atom_indices: np.ndarray | None = None  # selection indices if partial
     wire: str = "f32"
+    wire_natoms: int | None = None  # atom count for packed wires (delta6)
     base_q: np.ndarray | None = None  # i32 [K, 3] delta-chain key frame
     shifts: np.ndarray | None = None  # i32 [B, 3] per-frame drift
     esc_idx: np.ndarray | None = None  # i32 [B, E]
@@ -100,6 +101,20 @@ class FrameBatch:
         out[:, 2, 0] = b[:, 7]
         out[:, 2, 1] = b[:, 8]
         return out
+
+
+def _pad_escapes(ei: np.ndarray, ev: np.ndarray, stop: int):
+    """Pad the escape width up to a power-of-two bucket so jitted
+    consumers see a bounded set of shapes (pad index = `stop`, the
+    scatter-drop sentinel)."""
+    e = ei.shape[1]
+    tgt = 0 if e == 0 else max(16, 1 << (e - 1).bit_length())
+    if tgt > e:
+        ei = np.concatenate(
+            [ei, np.full((ei.shape[0], tgt - e), stop, np.int32)], axis=1)
+        ev = np.concatenate(
+            [ev, np.zeros((ev.shape[0], tgt - e, 3), ev.dtype)], axis=1)
+    return ei, ev
 
 
 def _xtc_box_to_gro9(box33: np.ndarray) -> np.ndarray:
@@ -538,12 +553,18 @@ class TrajReader:
         sel = self.selected_frames()
         chunks = [sel[i : i + bs] for i in range(0, len(sel), bs)]
         wire = os.environ.get("GROAN_WIRE", wire)
-        if wire not in ("f32", "q16", "delta", "auto"):
+        if wire not in ("f32", "q16", "delta", "delta6", "auto"):
             raise ReadTrajError(f"unknown wire format '{wire}'", code="InvalidWire")
-        # delta chains across consecutive chunks of one file; state below
+        # delta chains across consecutive chunks of one file; state below.
+        # ladder: 6-bit packed deltas -> int8 deltas -> q16 -> f32, each
+        # tier falling through on DeltaRange/Q16Range with hysteresis.
+        # atom selections are gathered INSIDE the native delta decoders
+        # (deltas/escapes/key frames in selection space — no host gather
+        # pass); the q16/f32 tiers gather on host.
         state = {"prev_q": None, "prev_prec": 0.0, "prev_src": None,
-                 "delta_ok": wire in ("auto", "delta"),
-                 "q16_ok": wire in ("auto", "delta", "q16")}
+                 "delta6_ok": wire in ("auto", "delta6"),
+                 "delta_ok": wire in ("auto", "delta", "delta6"),
+                 "q16_ok": wire in ("auto", "delta", "delta6", "q16")}
 
         def load(chunk) -> FrameBatch:
             # group by source (chunks can straddle file boundaries)
@@ -576,7 +597,7 @@ class TrajReader:
                     has_v=_cat_opt([p.has_v for p in parts]),
                     has_f=_cat_opt([p.has_f for p in parts]),
                 )
-            if self._sel is not None:
+            if self._sel is not None and out.atom_indices is None:
                 self._gather_selection(out)
             return out
 
@@ -593,33 +614,51 @@ class TrajReader:
             # a different file is a new quantization stream: reset the chain
             state["prev_q"] = None
         stop = self._stop_after if self._stop_after is not None else src.natoms
+        nout = len(self._sel) if self._sel is not None else stop
+        if state["delta6_ok"]:
+            try:
+                (pk, sh, ei, ev, base_out, last, boxes, steps, times,
+                 precs) = native.xtc_read_frames_delta6(
+                    src.path, src.offsets[ids], src.natoms,
+                    base=state["prev_q"], base_prec=state["prev_prec"],
+                    stop_after=stop, sel=self._sel,
+                )
+                state["prev_q"], state["prev_prec"] = last, float(precs[0])
+                state["prev_src"] = si
+                ei, ev = _pad_escapes(ei, ev, nout)
+                return FrameBatch(
+                    positions=pk, boxes9=_xtc_box_to_gro9(boxes),
+                    steps=steps.astype(np.int64), times=times,
+                    frame_numbers=np.asarray(ids, np.int64),
+                    precisions=precs, wire="delta6", wire_natoms=nout,
+                    base_q=base_out, shifts=sh, esc_idx=ei, esc_val=ev,
+                    atom_indices=self._sel,
+                )
+            except ReadTrajError as e:
+                if e.code not in ("DeltaRange", "Q16Range"):
+                    raise
+                # dense motion: |delta| > 31 too often — drop to int8 tier
+                state["delta6_ok"] = False
+                state["prev_q"] = None
         if state["delta_ok"]:
             try:
                 (d, sh, ei, ev, base_out, last, boxes, steps, times,
                  precs) = native.xtc_read_frames_delta(
                     src.path, src.offsets[ids], src.natoms,
                     base=state["prev_q"], base_prec=state["prev_prec"],
-                    stop_after=stop,
+                    stop_after=stop, sel=self._sel,
                 )
                 state["prev_q"], state["prev_prec"] = last, float(precs[0])
                 state["prev_src"] = si
-                # pad the escape width up to a power-of-two bucket so jitted
-                # consumers see a bounded set of shapes (pad index = `stop`,
-                # the scatter-drop sentinel)
-                e = ei.shape[1]
-                tgt = 0 if e == 0 else max(16, 1 << (e - 1).bit_length())
-                if tgt > e:
-                    ei = np.concatenate(
-                        [ei, np.full((ei.shape[0], tgt - e), stop, np.int32)], axis=1)
-                    ev = np.concatenate(
-                        [ev, np.zeros((ev.shape[0], tgt - e, 3), ev.dtype)],
-                        axis=1)
+                ei, ev = _pad_escapes(ei, ev, nout)
                 return FrameBatch(
                     positions=d, boxes9=_xtc_box_to_gro9(boxes),
                     steps=steps.astype(np.int64), times=times,
                     frame_numbers=np.asarray(ids, np.int64),
-                    precisions=precs, wire="delta", base_q=base_out,
+                    precisions=precs, wire="delta", wire_natoms=nout,
+                    base_q=base_out,
                     shifts=sh, esc_idx=ei, esc_val=ev,
+                    atom_indices=self._sel,
                 )
             except ReadTrajError as e:
                 if e.code not in ("DeltaRange", "Q16Range"):

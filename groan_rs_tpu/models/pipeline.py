@@ -430,7 +430,7 @@ class TrajectoryAnalysis:
             wire = "q16"
         # hbond candidate binning needs absolute host coords per frame
         if self._hbond_specs:
-            if wire == "delta":
+            if wire in ("delta", "delta6"):
                 raise GroupError(
                     "hbond observables need absolute per-frame coordinates; "
                     "use wire='q16' or 'f32'", code="InvalidWire",

@@ -96,6 +96,36 @@ class FrameEngine:
                 return user(pos, boxes, mask), carry2
 
             fn = jax.jit(delta_step)
+        elif kind == "delta6":
+            def delta6_step(carry, packed, shifts, eidx, eval_, boxes, mask,
+                            inv_prec):
+                carry = carry.astype(jnp.int32)
+                k3 = carry.shape[0] * 3
+
+                def unpack(row):
+                    # 4 biased 6-bit values per 3 bytes, MSB-first
+                    b = row.reshape(-1, 3).astype(jnp.int32)
+                    u = jnp.stack(
+                        [b[:, 0] >> 2,
+                         ((b[:, 0] & 3) << 4) | (b[:, 1] >> 4),
+                         ((b[:, 1] & 15) << 2) | (b[:, 2] >> 6),
+                         b[:, 2] & 63],
+                        axis=1,
+                    ).reshape(-1)[:k3]
+                    return (u - 32).reshape(-1, 3)
+
+                def body(c, xs):
+                    pf, sf, ei, ev = xs
+                    c = c + unpack(pf) + sf[None, :]
+                    c = c.at[ei].set(ev.astype(jnp.int32), mode="drop")
+                    return c, c
+
+                carry2, qs = jax.lax.scan(body, carry,
+                                          (packed, shifts, eidx, eval_))
+                pos = qs.astype(jnp.float32) * inv_prec[:, None, None]
+                return user(pos, boxes, mask), carry2
+
+            fn = jax.jit(delta6_step)
         else:  # pragma: no cover
             raise ParallelError(f"unknown wire format '{kind}'")
         self._steps[kind] = fn
@@ -138,7 +168,7 @@ class FrameEngine:
             pos = jax.device_put(self._pad(fb.positions, b_pad), self._in_shard)
             return kind, (pos, boxes, mask_d, inv_d)
 
-        if kind == "delta":
+        if kind in ("delta", "delta6"):
             if self.n_shards > 1:
                 raise ParallelError(
                     "the delta wire reconstructs sequentially over the frame "
@@ -155,17 +185,34 @@ class FrameEngine:
                     "delta batch without a base frame and no carry "
                     "(batches consumed out of order?)"
                 )
-            # zero-pad: padded frames repeat the last real frame in
-            # quantized space, keeping the carry exact
-            d = jax.device_put(self._pad(fb.positions, b_pad, "zero"), self._in_shard)
+            # pad frames decode to delta 0 (repeat the last real frame in
+            # quantized space, keeping the carry exact): zeros for int8
+            # deltas; the biased "all u=32" byte pattern for 6-bit packed
+            pos_host = fb.positions
+            if pos_host.shape[0] != b_pad:
+                if kind == "delta6":
+                    pad_row = np.tile(np.array([0x82, 0x08, 0x20], np.uint8),
+                                      pos_host.shape[1] // 3)
+                    pos_host = np.concatenate(
+                        [pos_host,
+                         np.broadcast_to(pad_row,
+                                         (b_pad - pos_host.shape[0],
+                                          pos_host.shape[1]))],
+                        axis=0,
+                    )
+                else:
+                    pos_host = self._pad(pos_host, b_pad, "zero")
+            d = jax.device_put(pos_host, self._in_shard)
             sh = jax.device_put(
                 self._pad(np.asarray(fb.shifts, np.int32), b_pad, "zero"),
                 self._in_shard,
             )
+            sentinel = (fb.wire_natoms if kind == "delta6"
+                        else fb.positions.shape[1])
             ei = jax.device_put(
                 # sentinel index = K (out of range -> scatter drops)
                 self._pad(np.asarray(fb.esc_idx, np.int32), b_pad, "zero",
-                          value=fb.positions.shape[1]),
+                          value=sentinel),
                 self._in_shard,
             )
             ev = jax.device_put(
@@ -232,11 +279,12 @@ class FrameEngine:
                         jax.block_until_ready(args)
                 with _stage("compute"):
                     res = step(*args)
-                    if kind == "delta":
+                    if kind in ("delta", "delta6"):
                         res, self._carry_q = res
                     if release is not None:
                         release()
-                    mask_d = args[2] if kind != "delta" else args[6]
+                    mask_d = (args[2] if kind not in ("delta", "delta6")
+                              else args[6])
                     if fold_j is not None:
                         carry = fold_j(carry, res, mask_d)
                     if profiler is not None:
