@@ -282,7 +282,9 @@ class TrajectoryAnalysis:
             return hist.reshape(-1, nx, ny)
 
         nm = name or f"density_{group}_{plane}"
-        self._decls.append({"kind": "density", "name": nm})
+        self._decls.append({"kind": "density", "name": nm, "group": group,
+                            "axes": axes, "span": (x0, x1, y0, y1),
+                            "nx": nx, "ny": ny})
         self._specs.append((nm, fn))
         return self
 
@@ -312,7 +314,9 @@ class TrajectoryAnalysis:
             return hist.astype(jnp.float32) / ideal
 
         nm = name or f"rdf_{group1}_{group2}"
-        self._decls.append({"kind": "rdf", "name": nm})
+        self._decls.append({"kind": "rdf", "name": nm, "g1": group1,
+                            "g2": group2, "r_max": float(r_max),
+                            "n_bins": int(n_bins), "same": same})
         self._specs.append((nm, fn))
         return self
 
@@ -425,6 +429,28 @@ class TrajectoryAnalysis:
         from ..parallel.engine import FrameEngine, make_mesh
 
         mesh = self.mesh if self.mesh is not None else make_mesh()
+
+        # atoms-sharded mesh: compile the whole observable suite into the
+        # shard_map step (ops.sharded) and run THAT over the trajectory —
+        # the full multi-chip path (frames x atoms) end to end
+        if mesh.shape["atoms"] > 1:
+            if group is not None:
+                raise GroupError(
+                    "the atoms-sharded step evaluates masks over the full "
+                    "atom layout; group reads are not supported",
+                    code="InvalidSelection",
+                )
+            if self._hbond_specs:
+                raise GroupError(
+                    "hbond observables have no atoms-sharded formulation",
+                    code="InvalidSelection",
+                )
+            step, params, n_pad = self.sharded(mesh)
+            engine = FrameEngine(None, mesh=mesh, spec=(step, params, n_pad))
+            if wire in ("auto", "delta", "delta6"):
+                wire = "q16"
+            return PipelineRunner(self.system, engine, None, wire)
+
         # the delta wire is single-shard (sequential frame reconstruction)
         if wire == "auto" and mesh.shape["frames"] > 1:
             wire = "q16"

@@ -190,16 +190,72 @@ def _eval_contacts(pos, box, static, arrays):
     return jax.lax.psum(local, "atoms")
 
 
+def _eval_rdf(pos, box, static, arrays):
+    import jax
+    import jax.numpy as jnp
+
+    m1, m2_full = arrays
+    r_max, n_bins = static["r_max"], static["n_bins"]
+    dist, valid = _pair_valid_dist(pos, box, m1, m2_full)
+    if static["exclude_self"]:
+        # global-id diagonal: local row j is global shard_off + j
+        n_local = m1.shape[0]
+        gid = jax.lax.axis_index("atoms") * n_local + jnp.arange(n_local)
+        valid &= (gid[None, :, None]
+                  != jnp.arange(dist.shape[-1])[None, None, :])
+    dr = r_max / n_bins
+    idx = jnp.ceil(dist / dr).astype(jnp.int32) - 1
+    ok = valid & (dist > 0.0) & (idx >= 0) & (idx < n_bins)
+    idx = jnp.clip(idx, 0, n_bins - 1)
+    flat_i = idx.reshape(idx.shape[0], -1)
+    flat_ok = ok.reshape(ok.shape[0], -1)
+
+    def one(ii, oo):
+        return jnp.zeros(n_bins, jnp.int32).at[ii].add(oo.astype(jnp.int32))
+
+    hist = jax.lax.psum(jax.vmap(one)(flat_i, flat_ok), "atoms")
+    from .distances import rdf_normalization
+
+    ideal = rdf_normalization(box, static["n1"], static["n2"], r_max,
+                              n_bins, exclude_self=static["exclude_self"])
+    return hist.astype(jnp.float32) / ideal
+
+
+def _eval_density(pos, box, static, arrays):
+    import jax
+    import jax.numpy as jnp
+
+    (mask,) = arrays
+    ax0, ax1 = static["axes"]
+    x0, x1, y0, y1 = static["span"]
+    nx, ny = static["nx"], static["ny"]
+    u = (pos[..., ax0] - x0) / (x1 - x0) * nx
+    v = (pos[..., ax1] - y0) / (y1 - y0) * ny
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ny - 1)
+    inside = ((u >= 0) & (u < nx) & (v >= 0) & (v < ny)
+              & (mask[None, :] > 0))
+    flat = ui * ny + vi
+
+    def one(ff, ii):
+        return jnp.zeros(nx * ny, jnp.int32).at[ff].add(ii.astype(jnp.int32))
+
+    hist = jax.lax.psum(jax.vmap(one)(flat, inside), "atoms")
+    return hist.reshape(-1, nx, ny)
+
+
 _EVAL = {
     "center": _eval_center,
     "distance": _eval_distance,
     "rmsd": _eval_rmsd,
     "min_distance": _eval_min_distance,
     "contacts": _eval_contacts,
+    "rdf": _eval_rdf,
+    "density": _eval_density,
 }
 
 _OUT_RANK = {"center": 2, "distance": 1, "rmsd": 1, "min_distance": 1,
-             "contacts": 1}
+             "contacts": 1, "rdf": 2, "density": 3}
 
 
 def compile_decl(decl, system) -> CompiledSpec:
@@ -281,6 +337,26 @@ def compile_decl(decl, system) -> CompiledSpec:
             static,
         )
 
+    if kind == "rdf":
+        m1 = group_w(decl["g1"], False)
+        m2 = group_w(decl["g2"], False)
+        return CompiledSpec(
+            decl["name"], "rdf",
+            [(_ROLE_ATOM_VEC, m1), (_ROLE_REPL, m2)],
+            {"r_max": float(decl["r_max"]), "n_bins": int(decl["n_bins"]),
+             "exclude_self": bool(decl["same"]),
+             "n1": int(m1.sum()), "n2": int(m2.sum())},
+        )
+
+    if kind == "density":
+        mask = group_w(decl["group"], False)
+        return CompiledSpec(
+            decl["name"], "density",
+            [(_ROLE_ATOM_VEC, mask)],
+            {"axes": tuple(decl["axes"]), "span": tuple(decl["span"]),
+             "nx": int(decl["nx"]), "ny": int(decl["ny"])},
+        )
+
     raise ParallelError(
         f"observable '{decl.get('name', kind)}' ({kind}) has no atoms-sharded "
         "formulation; run it on a frames-only mesh via TrajectoryAnalysis.run"
@@ -348,7 +424,7 @@ def build_sharded_step(mesh, specs, n_atoms: int):
         return out
 
     out_specs = {
-        s.name: P("frames", None) if _OUT_RANK[s.kind] == 2 else P("frames")
+        s.name: (P("frames",) + (None,) * (_OUT_RANK[s.kind] - 1))
         for s in spec_list
     }
     smapped = shard_map(
@@ -363,4 +439,13 @@ def build_sharded_step(mesh, specs, n_atoms: int):
         ),
         out_specs=out_specs,
     )
-    return jax.jit(smapped), tuple(params), n_pad
+    # place the static observable arrays on the mesh once (masks and
+    # reference coords are reused every batch — re-transferring them per
+    # call would dominate small passes)
+    from jax.sharding import NamedSharding
+
+    params_dev = tuple(
+        jax.device_put(arr, NamedSharding(mesh, spec))
+        for arr, spec in zip(params, param_specs)
+    )
+    return jax.jit(smapped), params_dev, n_pad

@@ -46,7 +46,15 @@ class FrameEngine:
     """
 
     def __init__(self, step_fn, mesh=None, donate: bool = False,
-                 box: str = "lengths"):
+                 box: str = "lengths", spec=None):
+        """`spec=(fn, params_device, n_atoms_pad)` switches the engine to
+        ATOMS-SHARDED mode: `fn` is a compiled shard_map step from
+        `TrajectoryAnalysis.sharded(mesh)` (signature
+        `fn(pos, boxes, mask, inv_prec, *params)`, pos f32 or q16 int16),
+        positions are sharded over BOTH mesh axes, and the static
+        observable arrays ride along pre-placed on the mesh.  The delta
+        wires are frame-sequential and unsupported here; use q16/f32.
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if box not in ("lengths", "matrix"):
@@ -58,11 +66,17 @@ class FrameEngine:
         self._user_step = step_fn
         self._steps = {}
         self._box_mode = box
+        self._spec = spec
+        if spec is not None:
+            self._pos_shard = NamedSharding(self.mesh,
+                                            P("frames", "atoms", None))
         self._carry_q = None  # delta-wire device carry (int32 [K, 3])
         self.h2d_bytes = 0  # coordinate bytes shipped (wire accounting)
         self.frames_shipped = 0
 
     def _step_for(self, kind: str):
+        if kind == "spec":
+            return self._spec[0]
         if kind in self._steps:
             return self._steps[kind]
         import jax
@@ -157,6 +171,27 @@ class FrameEngine:
         mask = np.zeros(b_pad, dtype=bool)
         mask[:fb.positions.shape[0]] = True
         mask_d = jax.device_put(mask, self._in_shard)
+
+        if self._spec is not None:
+            if kind not in ("f32", "q16"):
+                raise ParallelError(
+                    "the atoms-sharded step supports the q16/f32 wires only "
+                    f"(got '{kind}'); request wire='q16'"
+                )
+            _, params, n_pad = self._spec
+            pos_host = self._pad(fb.positions, b_pad)
+            if pos_host.shape[1] != n_pad:
+                pos_host = np.pad(
+                    pos_host,
+                    ((0, 0), (0, n_pad - pos_host.shape[1]), (0, 0)),
+                )
+            pos = jax.device_put(pos_host, self._pos_shard)
+            if kind == "q16":
+                inv = np.float32(1.0) / np.asarray(fb.precisions, np.float32)
+            else:
+                inv = np.ones(len(fb), np.float32)
+            inv_d = jax.device_put(self._pad(inv, b_pad), self._in_shard)
+            return "spec", (pos, boxes, mask_d, inv_d) + tuple(params)
 
         if kind == "f32":
             pos = jax.device_put(self._pad(fb.positions, b_pad), self._in_shard)

@@ -56,6 +56,8 @@ def _pipeline(system):
     pipe.add_rmsd("A", reference=system, name="rmsd")
     pipe.add_min_distance("A", "B", name="mindist")
     pipe.add_contacts("A", "B", cutoff=2.5, name="contacts")
+    pipe.add_rdf("A", "A", r_max=2.0, n_bins=40, name="rdf")
+    pipe.add_density_map("A", plane="xy", tile=0.5, name="dens")
     return pipe
 
 
@@ -89,9 +91,22 @@ def test_sharded_matches_unsharded_and_across_meshes():
                        positions, boxes)
     eight = _run_sharded(pipe, make_mesh(2, 4), positions, boxes)
 
-    for key in ("com", "distance", "rmsd", "mindist", "contacts"):
+    for key in ("com", "distance", "rmsd", "mindist", "contacts", "rdf",
+                "dens"):
         np.testing.assert_allclose(one[key], eight[key], rtol=2e-5, atol=2e-5,
                                    err_msg=f"1-dev vs 8-dev '{key}'")
+        if key == "rdf":
+            # histogram bins can flip by one count when a pair distance
+            # lands ulps from a bin edge; allow one-count slack in g(r)
+            # units (1/ideal_k per bin)
+            from groan_rs_tpu.ops.distances import rdf_normalization
+
+            na = int(system.group_indices("A").shape[0])
+            ideal = np.asarray(rdf_normalization(
+                boxes, na, na, 2.0, 40, exclude_self=True))
+            diff = np.abs(ref[key] - eight[key])
+            assert (diff <= 1.05 / ideal + 5e-5).all(), diff.max()
+            continue
         np.testing.assert_allclose(ref[key], eight[key], rtol=5e-5, atol=5e-5,
                                    err_msg=f"unsharded vs sharded '{key}'")
 
@@ -114,9 +129,11 @@ def test_sharded_q16_wire_uses_reported_precision():
 
 
 def test_sharded_rejects_unsupported_observable():
+    from groan_rs_tpu.system.hbonds import HBondChain
+
     system, positions, boxes = _make_system()
     pipe = TrajectoryAnalysis(system)
-    pipe.add_rdf("A", "B")
+    pipe._decls.append({"kind": "hbonds", "name": "hb"})  # host-assisted
     with pytest.raises(ParallelError, match="no atoms-sharded formulation"):
         pipe.sharded(make_mesh(2, 4))
 
@@ -125,3 +142,36 @@ def test_sharded_requires_observables():
     system, _, _ = _make_system()
     with pytest.raises(ParallelError, match="no observables"):
         TrajectoryAnalysis(system).sharded(make_mesh(2, 4))
+
+
+def test_atoms_sharded_runner_end_to_end(tmp_path):
+    """The full multi-chip trajectory path: TrajectoryAnalysis.runner on a
+    (frames x atoms) mesh decodes, ships q16 sharded over BOTH axes, and
+    evaluates the spec step — results equal the single-device fast path."""
+    import jax
+
+    from groan_rs_tpu.io import native
+
+    system, positions, boxes = _make_system(natoms=192, batch=10)
+    xtc = str(tmp_path / "t.xtc")
+    box9 = np.diag(boxes[0]).astype(np.float32).reshape(9)
+    rng = np.random.default_rng(9)
+    pos = positions[0]
+    for f in range(10):
+        if f:
+            pos = (pos + rng.normal(size=pos.shape).astype(np.float32) * 0.01
+                   ) % boxes[0]
+        native.xtc_write_frame(xtc, pos.shape[0], f, float(f), box9, pos,
+                               1000.0)
+
+    pipe = _pipeline(system)
+    ref = pipe.runner(ship="all").run(xtc, batch_size=4)
+
+    pipe2 = _pipeline(system)
+    pipe2.mesh = make_mesh(2, 4)
+    out = pipe2.runner(ship="all").run(xtc, batch_size=4)
+
+    for key in ("com", "distance", "rmsd", "mindist", "contacts", "dens"):
+        np.testing.assert_allclose(np.asarray(ref[key]), np.asarray(out[key]),
+                                   rtol=5e-5, atol=5e-5, err_msg=key)
+    np.testing.assert_array_equal(ref["times"], out["times"])
