@@ -52,6 +52,7 @@ class TrajectoryAnalysis:
         self._handles: list[_Idx] = []
         self._decls = []  # declarative observable records (sharded compile)
         self._hbond_specs = []  # (name, HBondAnalysis) host-assisted specs
+        self._spec_factories = []  # (name, factory(sel) -> [(key, fn)])
 
     # ------------------------------------------------------------- helpers
     def _indices(self, group: str) -> np.ndarray:
@@ -340,18 +341,28 @@ class TrajectoryAnalysis:
         return self
 
     def add_hbonds(self, chains, pairs, max_distance: float = 0.35,
-                   min_angle: float = 120.0, name: str | None = None):
+                   min_angle: float = 120.0, name: str | None = None,
+                   method: str = "auto"):
         """Per-frame hydrogen-bond counts per chain pair, riding the
         batched pipeline (reference: HBondTrajRead::hbonds_analyze,
         hbonds.rs:457, as a trajectory statistic).
 
-        Results carry one key per pair: `{name}_{c1}_{c2}` -> int64 [F].
-        Per batch, candidate triples come from integer-only host CSR cell
-        binning; the distance/angle criteria run as ONE masked jitted
-        kernel over [B, n_cand] with host re-scoring of threshold-boundary
-        triples, so counts equal the exact per-frame host path
-        (`System.hbonds_analyze`) on any backend — see
-        `system.hbonds.HBondAnalysis.analyze_batch`.
+        Results carry one key per pair: `{name}_{c1}_{c2}` -> [F] counts.
+
+        `method` selects the evaluation strategy:
+        - "cells": host CSR cell binning generates candidate pair ranks
+          per batch; distance/angle criteria run as one masked jitted
+          kernel with host re-scoring of threshold-boundary triples —
+          counts equal `System.hbonds_analyze` EXACTLY on any backend
+          (`system.hbonds.HBondAnalysis.analyze_batch`).  Scales to any
+          system size (candidates are O(N)).
+        - "dense": a pure in-step observable (no host work, no extra
+          wire): every donor x acceptor pair evaluates on device, tiled
+          over donors (`system.hbonds.make_dense_counter`).  Fastest below
+          ~10^9 pairs/frame; boundary float-ulp cases are theoretically
+          unguarded (exact on the reference fixtures).
+        - "auto": "dense" when every leg is under 10^8 donor*acceptor
+          pairs, else "cells".
         """
         from ..system.hbonds import HBondAnalysis
 
@@ -364,7 +375,37 @@ class TrajectoryAnalysis:
         self._register(touched)  # ship="auto" must cover the chains
         nm = name or "hbonds"
         self._decls.append({"kind": "hbonds", "name": nm})
-        self._hbond_specs.append((nm, analysis))
+
+        if method == "auto":
+            worst = max(
+                (acc.acceptors.shape[0] * don.donors.shape[0]
+                 for _, acc, don, _, _ in analysis._tables().legs),
+                default=0,
+            )
+            method = "dense" if worst <= 10**8 else "cells"
+        if method == "cells":
+            self._hbond_specs.append((nm, analysis))
+            return self
+        if method != "dense":
+            raise GroupError(f"unknown hbond method '{method}'",
+                             code="InvalidMethod")
+
+        def factory(sel):
+            from ..system.hbonds import make_dense_counter, remap_analysis
+
+            ana = analysis
+            if sel is not None:
+                lut = np.full(self.system.get_n_atoms(), -1, np.int64)
+                lut[sel] = np.arange(sel.shape[0])
+                ana = remap_analysis(analysis, lut)
+            count = make_dense_counter(ana)
+            return [
+                (f"{nm}_{c1}_{c2}",
+                 (lambda pos, boxes, _p=p: count(pos, boxes)[:, _p]))
+                for p, (c1, c2) in enumerate(analysis.pairs)
+            ]
+
+        self._spec_factories.append((nm, factory))
         return self
 
     # ------------------------------------------------------------- execution
@@ -402,6 +443,8 @@ class TrajectoryAnalysis:
         """
         self._resolve(sel)
         specs = list(self._specs)
+        for _, factory in self._spec_factories:
+            specs.extend(factory(sel))
 
         def step(positions, boxes, frame_mask):
             return {name: fn(positions, boxes) for name, fn in specs}

@@ -722,6 +722,125 @@ class HBondAnalysis:
         return maps
 
 
+def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64):
+    """Fully in-step hydrogen-bond COUNTER: a jittable
+    `fn(positions[B, N, 3] f32, boxes[B, 3]) -> int32 [B, n_pairs]`.
+
+    The TPU-first formulation of SURVEY §2.2's hbonds row: NO cell grid,
+    NO host candidate generation, NO extra wire — every (donor, acceptor)
+    pair is evaluated dense, tiled over the donor axis with `lax.scan` so
+    the [ND, NA] intermediates never exceed `tile x NA x H` (the blockwise
+    attention-style tiling of SURVEY §5).  Criteria are the same device
+    formulas as the rank kernel (distance, D-H-A angle, NaN
+    disambiguation); counts are exact except for candidates within float
+    ulps of a threshold (measure-zero for physical data; the cell path
+    `analyze_batch` carries the host re-score guard when exactness at the
+    boundary is required — `test_hbonds_device.py` shows both agree
+    exactly on the reference fixtures).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tables = analysis._tables()
+    maxd = np.float32(analysis.max_distance)
+    min_ang = np.float32(analysis.min_angle)
+    n_pairs = len(analysis.pairs)
+    hmax = tables.h_tab.shape[1]
+
+    # static per-leg tables (device constants via closure)
+    legs = []
+    for pair_id, acc_g, don_g, don_off, acc_off in tables.legs:
+        nd = don_g.donors.shape[0]
+        na = acc_g.acceptors.shape[0]
+        if nd == 0 or na == 0:
+            continue
+        nd_pad = -(-nd // tile) * tile
+        don = np.zeros(nd_pad, np.int32)
+        don[:nd] = don_g.donors
+        hcnt = np.zeros(nd_pad, np.int32)  # pad donors have 0 hydrogens
+        htab = np.zeros((nd_pad, hmax), np.int32)
+        hcnt[:nd] = tables.h_cnt[don_off : don_off + nd]
+        htab[:nd] = tables.h_tab[don_off : don_off + nd]
+        legs.append((pair_id, jnp.asarray(don), jnp.asarray(htab),
+                     jnp.asarray(hcnt),
+                     jnp.asarray(acc_g.acceptors.astype(np.int32)), nd_pad))
+
+    def _min_image_dev(d, box):
+        half = box * jnp.float32(0.5)
+        for _ in range(4):
+            d = jnp.where(d > half, d - box, d)
+        for _ in range(4):
+            d = jnp.where(d < -half, d + box, d)
+        return d
+
+    def _vector_to_dev(a, b, box):
+        half = box * jnp.float32(0.5)
+        x = b - a + half
+        return jnp.fmod(jnp.fmod(x, box) + box, box) - half
+
+    def count(pos, boxes):
+        b = pos.shape[0]
+        box = boxes[:, None, None, :]  # [B,1,1,3]
+        out = jnp.zeros((b, n_pairs), jnp.int32)
+        for pair_id, don, htab, hcnt, acc, nd_pad in legs:
+            ap = jnp.take(pos, acc, axis=1)  # [B,NA,3]
+
+            def leg_tile(t, _pos=pos, _ap=ap, _don=don, _htab=htab,
+                         _hcnt=hcnt):
+                dsl = jax.lax.dynamic_slice_in_dim(_don, t * tile, tile)
+                hsl = jax.lax.dynamic_slice_in_dim(_htab, t * tile, tile)
+                csl = jax.lax.dynamic_slice_in_dim(_hcnt, t * tile, tile)
+                dp = jnp.take(_pos, dsl, axis=1)  # [B,T,3]
+                hp = jnp.take(
+                    _pos, hsl.reshape(-1), axis=1
+                ).reshape(b, tile, hmax, 3)
+                d = _min_image_dev(dp[:, :, None, :] - _ap[:, None, :, :],
+                                   box)
+                dist = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2
+                                + d[..., 2] ** 2)  # [B,T,NA]
+                keep_d = ~(dist > maxd)
+                # exclude the donor atom itself (hbonds.rs:253)
+                keep_d &= dsl[None, :, None] != acc[None, None, :]
+
+                hd = _vector_to_dev(hp, dp[:, :, None, :], box)  # [B,T,H,3]
+                ha = _vector_to_dev(hp[:, :, :, None, :],
+                                    _ap[:, None, None, :, :],
+                                    box[:, :, :, None, :])  # [B,T,H,NA,3]
+                hdx = hd[:, :, :, None, :]
+                # explicit left-fold mul-adds: the reference's exact f32
+                # arithmetic (no dot_general, no MXU default precision)
+                dot = (hdx[..., 0] * ha[..., 0] + hdx[..., 1] * ha[..., 1]
+                       + hdx[..., 2] * ha[..., 2])
+                len_hd = jnp.sqrt(hd[..., 0] ** 2 + hd[..., 1] ** 2
+                                  + hd[..., 2] ** 2)  # [B,T,H]
+                len_ha = jnp.sqrt(ha[..., 0] ** 2 + ha[..., 1] ** 2
+                                  + ha[..., 2] ** 2)  # [B,T,H,NA]
+                cosang = dot / (len_hd[..., None] * len_ha)
+                angle = jnp.degrees(jnp.arccos(cosang))
+                nan = jnp.isnan(angle)
+                # vector_to IS a minimum-image displacement, so |vector_to|
+                # equals the min-image distance the reference's handle_nan
+                # compares (hbonds.rs:321-338)
+                ha_d = len_ha
+                da_d = dist  # [B,T,NA]
+                angle = jnp.where(
+                    nan,
+                    jnp.where(ha_d < da_d[:, :, None, :],
+                              jnp.float32(180.0), jnp.float32(0.0)),
+                    angle,
+                )
+                h_ok = (jnp.arange(hmax)[None, None, :, None]
+                        < csl[None, :, None, None])
+                keep = (keep_d[:, :, None, :] & h_ok & ~(angle < min_ang))
+                return jnp.sum(keep.astype(jnp.int32), axis=(1, 2, 3))
+
+            per_tile = jax.lax.map(leg_tile, jnp.arange(nd_pad // tile))
+            out = out.at[:, pair_id].add(jnp.sum(per_tile, axis=0))
+        return out
+
+    return count
+
+
 def remap_analysis(analysis: "HBondAnalysis", lut: np.ndarray) -> "HBondAnalysis":
     """Clone an HBondAnalysis with atom indices rewritten through `lut`
     (full-system index -> shipped-layout index), so candidate generation

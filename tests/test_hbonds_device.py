@@ -122,3 +122,43 @@ def test_batched_two_chain_pairs(membrane, test_files):
         for x, y in zip(hb, db):
             assert (x.donor, x.hydrogen, x.acceptor) == (y.donor, y.hydrogen,
                                                          y.acceptor)
+
+
+def test_pipeline_add_hbonds_dense(membrane, test_files):
+    """method='dense': hbond counts as a PURE in-step observable (no host
+    candidate work, no extra wire), exact reference counts through the
+    shipped-subset remap."""
+    from groan_rs_tpu.models.pipeline import TrajectoryAnalysis
+
+    s = membrane.copy()
+    s.group_create("Protein", "@protein")
+    xtc = os.path.join(test_files, "aa_membrane_peptide.xtc")
+
+    # frame 0 at full scale (10.8k x 10.8k pairs is slow on the CPU
+    # backend; the chip runs this in ~20 ms/frame)
+    pipe = TrajectoryAnalysis(s)
+    pipe.add_com("Protein")
+    pipe.add_hbonds(WATER, [(0, 0)], 0.3, 150.0, name="ww", method="dense")
+    out = pipe.run(xtc, batch_size=1, end_time=70000.0)
+    assert list(np.asarray(out["ww_0_0"])) == [4675]
+    # dense is a pure spec: no host-assisted pass registered
+    assert pipe._hbond_specs == []
+    # auto picks dense at this scale
+    pipe2 = TrajectoryAnalysis(s)
+    pipe2.add_hbonds(WATER, [(0, 0)], 0.3, 150.0, name="ww")
+    assert pipe2._hbond_specs == [] and pipe2._spec_factories
+
+    # a smaller chain over 3 frames: dense == cells, bond for bond count
+    small = [HBondChain(
+        "resname SOL and name OW and serial <= 22000",
+        "resname SOL and name OW and serial <= 22000",
+        "resname SOL and name HW1 HW2 and serial <= 22000",
+    )]
+    dense = TrajectoryAnalysis(s).add_hbonds(small, [(0, 0)], 0.3, 150.0,
+                                             name="w", method="dense")
+    cells = TrajectoryAnalysis(s).add_hbonds(small, [(0, 0)], 0.3, 150.0,
+                                             name="w", method="cells")
+    od = dense.run(xtc, batch_size=4, end_time=70100.0)
+    oc = cells.run(xtc, batch_size=4, end_time=70100.0)
+    assert list(np.asarray(od["w_0_0"])) == list(np.asarray(oc["w_0_0"]))
+    assert np.asarray(od["w_0_0"]).sum() > 0
