@@ -29,8 +29,15 @@ class StrColumn:
 
     def __init__(self, values=None, categories=None, codes=None):
         if values is not None:
-            cats, codes = np.unique(np.asarray(values, dtype=object), return_inverse=True)
-            self.categories = [str(c) for c in cats]
+            values = np.asarray(values)
+            if values.dtype.kind not in ("S", "U"):
+                values = values.astype(object)
+            # unique on the native S/U dtype: byte-level comparison is
+            # several times faster than object-array sorting at 1M atoms
+            cats, codes = np.unique(values, return_inverse=True)
+            self.categories = [
+                c.decode() if isinstance(c, bytes) else str(c) for c in cats
+            ]
             self.codes = codes.astype(np.int32)
         else:
             self.categories = list(categories or [])
@@ -110,8 +117,9 @@ class Topology:
         # '' encodes "no element"
         self.element_name = StrColumn(categories=[""], codes=np.zeros(n, dtype=np.int32))
         self.element_symbol = StrColumn(categories=[""], codes=np.zeros(n, dtype=np.int32))
-        # mutable adjacency: list of sorted lists
-        self.bonded: list = [[] for _ in range(n)]
+        # mutable adjacency: list of sorted lists, built lazily (1M empty
+        # lists cost ~1 s; bond-less structure reads never need them)
+        self._bonded_list: list | None = None
         self._invalidate_bonds()
 
     # ------------------------------------------------------------ construction
@@ -142,8 +150,20 @@ class Topology:
         self._mol_references = None
         self._n_molecules = None
 
+    @property
+    def bonded(self) -> list:
+        if self._bonded_list is None:
+            self._bonded_list = [[] for _ in range(self.n_atoms)]
+        return self._bonded_list
+
+    @bonded.setter
+    def bonded(self, value):
+        self._bonded_list = value
+
     def has_bonds(self) -> bool:
-        return any(len(b) for b in self.bonded)
+        if self._bonded_list is None:
+            return False
+        return any(len(b) for b in self._bonded_list)
 
     def add_bond(self, i: int, j: int):
         """reference: System::add_bond (modifying.rs:235)."""
@@ -163,7 +183,7 @@ class Topology:
         self._invalidate_bonds()
 
     def clear_bonds(self):
-        self.bonded = [[] for _ in range(self.n_atoms)]
+        self._bonded_list = None
         self._invalidate_bonds()
 
     def set_bonds_from_pairs(self, pairs):
@@ -179,6 +199,10 @@ class Topology:
     def bonds_csr(self):
         """CSR adjacency (offsets int64[N+1], neighbours int64[nnz])."""
         if self._csr is None:
+            if self._bonded_list is None:  # bond-less: empty CSR, no lists
+                offsets = np.zeros(self.n_atoms + 1, dtype=np.int64)
+                self._csr = (offsets, np.empty(0, dtype=np.int64))
+                return self._csr
             counts = np.fromiter((len(b) for b in self.bonded), dtype=np.int64,
                                  count=self.n_atoms)
             offsets = np.zeros(self.n_atoms + 1, dtype=np.int64)
@@ -255,7 +279,8 @@ class Topology:
             setattr(t, "has_" + f, getattr(self, "has_" + f).copy())
         t.element_name = self.element_name.copy()
         t.element_symbol = self.element_symbol.copy()
-        t.bonded = [list(b) for b in self.bonded]
+        t._bonded_list = (None if self._bonded_list is None
+                          else [list(b) for b in self._bonded_list])
         t._invalidate_bonds()
         return t
 

@@ -42,21 +42,26 @@ def parse_box_line(line: str) -> SimBox:
     return SimBox.from_gro_line(vals)
 
 
-def parse_atom_block(lines: list[str]):
+def parse_atom_block(lines, fw: FixedWidthLines | None = None):
     """Parse GRO atom lines -> (topology columns + positions/velocities).
 
     Vectorized over all lines at once (the reference's per-line
     `line_as_atom`, gro_io/structure.rs:165, run as numpy column ops).
+    `lines` may be a list of strings, or pass a prebuilt byte-matrix `fw`
+    (the zero-Python-strings fast path of `read_gro`).
     """
-    fw = FixedWidthLines(lines)
+    if fw is None:
+        fw = FixedWidthLines(lines)
     lengths = fw.line_lengths()
-    if int(lengths.min(initial=10**9 if not len(lines) else None) if len(lines) else 0) < 44:
-        bad = lines[int(np.argmin(lengths))]
+    if fw.n and int(lengths.min()) < 44:
+        i = int(np.argmin(lengths))
+        bad = (lines[i] if lines is not None
+               else fw.mat[i].tobytes().decode(errors="replace"))
         raise ParseGroError(f"could not parse line '{bad.rstrip()}' as atom")
 
     resnum = fw.col_int(0, 5, "residue number", ParseGroError)
-    resname = fw.col_str(5, 10)
-    atomname = fw.col_str(10, 15)
+    resname = fw.col_str_bytes(5, 10)   # S-dtype: interning stays byte-level
+    atomname = fw.col_str_bytes(10, 15)
     atomnum = fw.col_int(15, 20, "atom number", ParseGroError)
 
     if (np.char.str_len(resname) == 0).any() or (np.char.str_len(atomname) == 0).any():
@@ -85,12 +90,14 @@ def parse_atom_block(lines: list[str]):
         # mixed: parse per-line (rare)
         vel = np.zeros((fw.n, 3), dtype=np.float32)
         for i in np.nonzero(has_velocity)[0]:
+            line = (lines[i] if lines is not None
+                    else fw.mat[i].tobytes().decode(errors="replace"))
             for k in range(3):
                 try:
-                    vel[i, k] = float(lines[i][44 + 8 * k : 52 + 8 * k])
+                    vel[i, k] = float(line[44 + 8 * k : 52 + 8 * k])
                 except ValueError:
                     raise ParseGroError(
-                        f"could not parse line '{lines[i].rstrip()}' as atom"
+                        f"could not parse line '{line.rstrip()}' as atom"
                     ) from None
         velocities = vel
 
@@ -102,34 +109,52 @@ def read_gro(filename):
     from ..system import System
 
     try:
-        with open(filename) as fh:
-            raw = fh.read().splitlines()
+        with open(filename, "rb") as fh:
+            data = fh.read()
     except OSError:
         raise ParseGroError(f"file '{filename}' was not found", code="FileNotFound") from None
 
-    if len(raw) < 2:
+    # header: title + atom count (only these become Python strings; the
+    # atom block parses as one byte matrix)
+    p1 = data.find(b"\n")
+    p2 = data.find(b"\n", p1 + 1) if p1 >= 0 else -1
+    if p1 < 0 or p2 < 0:
         raise ParseGroError(f"missing lines in '{filename}'", code="LineNotFound")
-
-    title = raw[0].strip()
+    title = data[:p1].decode(errors="replace").strip()
     try:
-        n_atoms = int(raw[1].strip())
+        n_atoms = int(data[p1 + 1 : p2].strip())
     except ValueError:
-        raise ParseGroError(f"could not parse '{raw[1].strip()}' as number of atoms") from None
+        raise ParseGroError(
+            f"could not parse '{data[p1 + 1 : p2].decode(errors='replace').strip()}' "
+            "as number of atoms") from None
 
-    if len(raw) < 2 + n_atoms + 1:
+    # slice the atom block exactly (its lines are uniform-width, so the
+    # byte matrix is a zero-copy reshape); the box line follows it
+    arr = np.frombuffer(data, np.uint8)
+    nl = np.flatnonzero(arr[p2 + 1 :] == 0x0A) + p2 + 1
+    if len(nl) < n_atoms:
         raise ParseGroError(f"missing line(s) in '{filename}'", code="LineNotFound")
 
-    atom_lines = raw[2 : 2 + n_atoms]
     if n_atoms:
-        resnum, resname, atomname, atomnum, pos, vel, has_vel = parse_atom_block(atom_lines)
+        atom_end = int(nl[n_atoms - 1])
+        fw_atoms = FixedWidthLines.from_bytes(data[p2 + 1 : atom_end + 1])
+        resnum, resname, atomname, atomnum, pos, vel, has_vel = parse_atom_block(
+            None, fw=fw_atoms)
+        box_start = atom_end + 1
     else:
+        box_start = p2 + 1
+    box_end = int(nl[n_atoms]) if len(nl) > n_atoms else len(data)
+    if box_start >= len(data):
+        raise ParseGroError(f"missing line(s) in '{filename}'", code="LineNotFound")
+    if not n_atoms:
         resnum = np.empty(0, np.int64)
         resname = atomname = np.empty(0, object)
         atomnum = np.empty(0, np.int64)
         pos = np.empty((0, 3), np.float32)
         vel, has_vel = None, np.empty(0, bool)
 
-    simbox = parse_box_line(raw[2 + n_atoms])
+    simbox = parse_box_line(
+        data[box_start:box_end].decode(errors="replace").rstrip("\r"))
 
     topo = Topology.from_columns(resnum, resname, atomname, atomnum)
     return System(

@@ -9,7 +9,6 @@ writer `write_pdb:236` / atom.rs:633.
 
 from __future__ import annotations
 
-import math
 import warnings
 
 import numpy as np
@@ -38,33 +37,68 @@ def parse_cryst1(line: str) -> SimBox:
     return SimBox.from_lengths_angles(*lengths, *angles)
 
 
-def _parse_atom_line(line: str):
-    if len(line) < 54:
-        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom")
-    try:
-        atomnum = int(line[6:11])
-    except ValueError:
-        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom") from None
-    atomname = line[12:16].strip()
-    resname = line[17:21].strip()
-    if not atomname or not resname:
-        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom")
-    chain = line[21] if len(line) > 21 and not line[21].isspace() else ""
-    try:
-        resnum = int(line[22:26])
-    except ValueError:
-        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom") from None
-    pos = []
-    for i in range(3):
+def _parse_atom_lines_vec(lines: list[str]):
+    """Vectorized ATOM/HETATM column parse (reference pdb_io.rs
+    line_as_atom:348 semantics: atomnum [6:11], atomname [12:16], resname
+    [17:21], chain col 21, resnum [22:26], coords 3 x 8 from col 30 in
+    Angstrom -> nm); per-line errors name the offending line."""
+    from ..utils.textcols import FixedWidthLines
+
+    fw = FixedWidthLines(lines)
+    lengths = fw.line_lengths()
+
+    def bad(i, code=None):
+        raise ParsePdbError(
+            f"could not parse line '{lines[int(i)].rstrip()}' as atom",
+            **({"code": code} if code else {}),
+        )
+
+    if (lengths < 54).any():
+        bad(np.argmax(lengths < 54))
+
+    def col_int(a, b):
+        raw = fw.col_bytes(a, b)
         try:
-            v = float(line[30 + 8 * i : 38 + 8 * i]) / 10.0
+            return raw.astype(np.int64)
         except ValueError:
-            raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom") from None
-        if not math.isfinite(v):
-            raise ParsePdbError(f"position is not finite: '{line.rstrip()}'", code="InvalidFloat")
-        pos.append(v)
-    if atomnum < 0 or resnum < 0:
-        raise ParsePdbError(f"could not parse line '{line.rstrip()}' as atom")
+            strs = np.char.strip(raw.astype(str))
+            for i, v in enumerate(strs):
+                try:
+                    int(v)
+                except ValueError:
+                    bad(i)
+            raise  # pragma: no cover
+
+    atomnum = col_int(6, 11)
+    atomname = np.char.strip(fw.col_bytes(12, 16))
+    resname = np.char.strip(fw.col_bytes(17, 21))
+    empty = (np.char.str_len(atomname) == 0) | (np.char.str_len(resname) == 0)
+    if empty.any():
+        bad(np.argmax(empty))
+    col21 = fw.mat[:, 21].view(np.uint8)
+    has_chain = (col21 != 0x20) & (col21 != 0)
+    chain = np.where(has_chain, fw.col_bytes(21, 22), b"")
+    resnum = col_int(22, 26)
+
+    cols = []
+    for k in range(3):
+        raw = fw.col_bytes(30 + 8 * k, 38 + 8 * k)
+        try:
+            v = raw.astype(np.float64)
+        except ValueError:
+            strs = np.char.strip(raw.astype(str))
+            for i, s in enumerate(strs):
+                try:
+                    float(s)
+                except ValueError:
+                    bad(i)
+            raise  # pragma: no cover
+        cols.append(v / 10.0)
+    pos = np.stack(cols, axis=1).astype(np.float32)
+    if not np.isfinite(pos).all():
+        bad(np.argmax(~np.isfinite(pos).all(axis=1)), code="InvalidFloat")
+    if (atomnum < 0).any() or (resnum < 0).any():
+        bad(np.argmax((atomnum < 0) | (resnum < 0)))
     return resnum, resname, atomname, atomnum, chain, pos
 
 
@@ -78,12 +112,12 @@ def read_pdb(filename):
     except OSError:
         raise ParsePdbError(f"file '{filename}' was not found", code="FileNotFound") from None
 
-    rows = []
+    atom_lines = []
     title = "Unknown"
     simbox = None
     for line in raw:
         if line.startswith("ATOM") or line.startswith("HETATM"):
-            rows.append(_parse_atom_line(line))
+            atom_lines.append(line)
         elif line.startswith("TITLE"):
             t = line[5:].strip()
             title = t if t else "Unknown"
@@ -92,13 +126,14 @@ def read_pdb(filename):
         elif line.startswith("END"):  # END or ENDMDL
             break
 
-    n = len(rows)
-    resnum = np.array([r[0] for r in rows], dtype=np.int64)
-    resname = np.array([r[1] for r in rows], dtype=object)
-    atomname = np.array([r[2] for r in rows], dtype=object)
-    atomnum = np.array([r[3] for r in rows], dtype=np.int64)
-    chain = np.array([r[4] for r in rows], dtype=object)
-    pos = np.array([r[5] for r in rows], dtype=np.float32).reshape(n, 3)
+    n = len(atom_lines)
+    if n:
+        resnum, resname, atomname, atomnum, chain, pos = _parse_atom_lines_vec(
+            atom_lines)
+    else:
+        resnum = atomnum = np.empty(0, np.int64)
+        resname = atomname = chain = np.empty(0, object)
+        pos = np.empty((0, 3), np.float32)
 
     topo = Topology.from_columns(resnum, resname, atomname, atomnum, chain=chain)
     return System(name=title, topology=topo, simbox=simbox, positions=pos)
