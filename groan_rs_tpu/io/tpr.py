@@ -605,10 +605,43 @@ def parse_tpr(path) -> TprTopology:
         max_scan = min(len(data) - r.off, 1 << 20)
         rs = 8 if r.double else 4
         dt = ">f8" if r.double else ">f4"
-        for delta in range(0, max_scan):
+        # vectorized prefilter: a true block's first K floats are each
+        # finite and either 0 or in [1e-30, 1e4) — check that for EVERY
+        # candidate byte offset at once (per word alignment), then run
+        # the full structural check only on the survivors.  (The naive
+        # per-offset scan validated up to natoms*3 floats at ~1M offsets:
+        # 17 s on a 33k-atom file.)
+        k_pre = min(32, n3)
+        strict, loose = [], []
+        for align in range(rs):
+            base = r.off + align
+            m = (len(data) - base) // rs
+            if m < k_pre:
+                continue
+            vals = np.frombuffer(data, dt, m, base)
+            absv = np.abs(vals)
+            with np.errstate(invalid="ignore"):
+                valid = np.isfinite(vals) & (
+                    (vals == 0) | ((absv >= 1e-30) & (absv < 1e4))
+                )
+                nonzero_valid = valid & (vals != 0)
+            ok = valid[: m - k_pre + 1].copy()
+            ok_nz = nonzero_valid[: m - k_pre + 1].copy()
+            for k in range(1, k_pre):
+                ok &= valid[k : m - k_pre + 1 + k]
+                ok_nz &= nonzero_valid[k : m - k_pre + 1 + k]
+            for i in np.nonzero(ok)[0]:
+                delta = align + int(i) * rs
+                if delta < max_scan:
+                    (strict if ok_nz[i] else loose).append(delta)
+        strict.sort()
+        loose.sort()
+        # strict candidates (all-nonzero head, the accept condition below)
+        # first; zero-run candidates only as the structural fallback
+        for delta in strict + loose:
             off = r.off + delta
             if off + n3 * rs > len(data):
-                break
+                continue
             block = np.frombuffer(data, dt, n3, off)
             if not np.isfinite(block).all():
                 continue
