@@ -424,7 +424,7 @@ def build_sharded_step(mesh, specs, n_atoms: int):
         return out
 
     out_specs = {
-        s.name: (P("frames",) + (None,) * (_OUT_RANK[s.kind] - 1))
+        s.name: P("frames", *([None] * (_OUT_RANK[s.kind] - 1)))
         for s in spec_list
     }
     smapped = shard_map(
