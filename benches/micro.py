@@ -84,6 +84,18 @@ def main():
     bench("pipeline: xtc pass + device center (Protein)",
           lambda: eng.run(traj_iter(system, xtc, batch_size=16).batches()))
 
+    # structure parsing (round-3 vectorized parsers)
+    bench("read_gro(example.gro)",
+          lambda: System.from_file(os.path.join(FIXTURES, "example.gro")),
+          reps=5)
+    bench("read_pdb(example.pdb)",
+          lambda: System.from_file(os.path.join(FIXTURES, "example.pdb")),
+          reps=5)
+    tpr = os.path.join(FIXTURES, "aa_membrane_peptide.tpr")
+    if os.path.exists(tpr):
+        bench("read_tpr(aa_membrane_peptide.tpr, 33k atoms)",
+              lambda: System.from_file(tpr), reps=3)
+
 
 if __name__ == "__main__":
     main()
