@@ -1002,7 +1002,8 @@ def cat_iter(system, filenames, fmt: str | None = None, group: str | None = None
         raise ReadTrajError("no trajectory files provided", code="NoTrajectories")
     sources = [open_source(f, fmt) for f in filenames]
     reader = TrajReader(system, sources, group=group,
-                        batch_size=kw.pop("batch_size", 64))
+                        batch_size=kw.pop("batch_size", 64),
+                        indices=kw.pop("indices", None))
     start_time, end_time, step = kw.pop("start_time", None), kw.pop("end_time", None), kw.pop("step", None)
     if start_time is not None or end_time is not None:
         reader = reader.with_range(

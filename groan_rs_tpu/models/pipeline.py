@@ -558,11 +558,18 @@ class PipelineRunner:
 
     def run(self, filename, *, batch_size: int = 32, start_time=None,
             end_time=None, step=None, progress=None, profiler=None):
-        from ..io.traj import traj_iter
+        """Run over one trajectory file, or a list/tuple of files
+        concatenated with boundary time dedup (reference: traj_cat.rs)."""
+        from ..io.traj import cat_iter, traj_iter
 
-        reader = traj_iter(self.system, filename, indices=self.sel,
-                           batch_size=batch_size, start_time=start_time,
-                           end_time=end_time, step=step)
+        if isinstance(filename, (list, tuple)):
+            reader = cat_iter(self.system, filename, indices=self.sel,
+                              batch_size=batch_size, start_time=start_time,
+                              end_time=end_time, step=step)
+        else:
+            reader = traj_iter(self.system, filename, indices=self.sel,
+                               batch_size=batch_size, start_time=start_time,
+                               end_time=end_time, step=step)
         if progress is not None:
             reader.print_progress(progress)
 

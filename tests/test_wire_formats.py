@@ -315,3 +315,20 @@ def test_delta6_dense_motion_falls_back_to_delta(drifting_xtc):
     wires = [fb.wire
              for fb in TrajReader(sysb, [src], batch_size=4).batches(wire="delta6")]
     assert wires == ["delta", "delta", "delta"]
+
+
+def test_pipeline_runs_concatenated_file_list(test_files):
+    """PipelineRunner accepts a list of files (traj_cat semantics:
+    boundary time dedup) and equals the single-file pass."""
+    from groan_rs_tpu.models import TrajectoryAnalysis
+
+    s = System.from_file(FIX_GRO)
+    s.group_create("P", "@protein")
+    parts = [os.path.join(test_files, "split", f"traj{i}.xtc")
+             for i in range(1, 7)]
+    out_cat = TrajectoryAnalysis(s).add_center("P").run(parts, batch_size=8)
+    out_one = TrajectoryAnalysis(s).add_center("P").run(FIX_XTC, batch_size=8)
+    assert out_cat["times"].shape == out_one["times"].shape
+    np.testing.assert_allclose(out_cat["center_P"], out_one["center_P"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(out_cat["times"], out_one["times"])
