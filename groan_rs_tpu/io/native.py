@@ -108,6 +108,10 @@ def get_lib():
         ]
         lib.gx_xtc_probe.restype = i64
         lib.gx_xtc_probe.argtypes = [ctypes.c_char_p, P(i32), P(i32)]
+        lib.gx_hbond_candidates.restype = i64
+        lib.gx_hbond_candidates.argtypes = [
+            P(f32), P(f32), P(i32), i32, P(i32), i32, f32, P(i32), P(i32), i64,
+        ]
         lib.gx_xtc_write_frame.restype = i64
         lib.gx_xtc_write_frame.argtypes = [ctypes.c_char_p, i32, i32, f32, P(f32), P(f32), f32]
         lib.gx_trr_scan.restype = i64
@@ -418,6 +422,35 @@ def xtc_read_frames_delta6(path, offsets, natoms: int, base=None,
     return (packed, shifts, esc_idx[:, :e], esc_val,
             key, last,
             boxes, _steps_u32(steps), times, precisions)
+
+
+def hbond_candidates(positions, box3, acceptors, donors, max_distance,
+                     cap: int | None = None):
+    """Cell-pruned (donor, acceptor) candidate pair RANKS for one frame,
+    in exact reference order (the C++ port of the hbonds cell walk; see
+    `gx_hbond_candidates` in xdrcodec.cpp).  -> (d_rank, a_rank) int64."""
+    lib = get_lib()
+    pos = np.ascontiguousarray(positions, np.float32)
+    box = np.ascontiguousarray(box3, np.float32).reshape(3)
+    acc = np.ascontiguousarray(acceptors, np.int32)
+    don = np.ascontiguousarray(donors, np.int32)
+    n_guess = int(cap) if cap else max(1024, 64 * don.shape[0])
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    while True:
+        d_out = np.empty(n_guess, np.int32)
+        a_out = np.empty(n_guess, np.int32)
+        rc = lib.gx_hbond_candidates(
+            _fptr(pos), _fptr(box),
+            acc.ctypes.data_as(P32), acc.shape[0],
+            don.ctypes.data_as(P32), don.shape[0],
+            float(max_distance),
+            d_out.ctypes.data_as(P32), a_out.ctypes.data_as(P32), n_guess,
+        )
+        if rc == -10:  # capacity exceeded: double and retry
+            n_guess *= 2
+            continue
+        n = _check(rc, "<hbond candidates>")
+        return (d_out[:n].astype(np.int64), a_out[:n].astype(np.int64))
 
 
 def xtc_write_frame(path, natoms: int, step: int, time: float, box9, coords, precision: float):

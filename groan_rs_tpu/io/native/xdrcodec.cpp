@@ -37,6 +37,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cmath>
 #include <cstring>
 #include <functional>
 #include <memory>
@@ -61,6 +62,7 @@ enum GxError : int64_t {
   GX_ERR_PRECISION = -7,
   GX_ERR_Q16 = -8,  // quantized ints do not fit int16 (q16 decode only)
   GX_ERR_DELTA = -9,  // inter-frame deltas do not fit int8 (delta wire only)
+  GX_ERR_CAP = -10,  // caller-provided output capacity exceeded
 };
 
 // ------------------------------------------------------------------ XDR helpers
@@ -1163,6 +1165,109 @@ int64_t gx_xtc_read_delta6(const char* path, const int64_t* offsets, int64_t nfr
                          esc_idx, esc_val, esc_count, esc_cap, base_out,
                          last_out, base_used, boxes, steps, times, precisions,
                          n_threads);
+}
+
+// Hydrogen-bond candidate generation (one frame): the cell-pruned
+// (donor, acceptor) pair walk of the reference (hbonds.rs:229-298 /
+// cellgrid.rs:444-472), emitted in EXACT reference order — donors in
+// chain order; per donor the <=27 neighbour cells in (x,y,z) relative
+// offset order with offsets (-1,0,1) deduped modulo the cell count; and
+// within a cell ascending atom index (counting sort).  Binning replays
+// the reference f32 arithmetic (wrap loops, floor division).  This is
+// the host-side bottleneck of the batched device hbond path at scale
+// (~24 ms/frame in numpy at 33k atoms); here it is a single fused pass.
+//
+// Returns the pair count, or GX_ERR_CAP if `cap` is too small (caller
+// doubles and retries).
+int64_t gx_hbond_candidates(const float* pos, const float* box3,
+                            const int32_t* acceptors, int32_t na,
+                            const int32_t* donors, int32_t nd,
+                            float max_distance,
+                            int32_t* d_rank_out, int32_t* a_rank_out,
+                            int64_t cap) {
+  if (na <= 0 || nd <= 0) return 0;
+  auto wrap1 = [](float x, float L) -> float {
+    if (!(L > 0.f) || !std::isfinite(x)) return -1.f;  // signal corrupt
+    while (x > L) x -= L;
+    while (x < 0.f) x += L;
+    return x;
+  };
+  int64_t ncells[3];
+  float cell_w[3];
+  for (int c = 0; c < 3; c++) {
+    ncells[c] = std::max<int64_t>(int64_t(std::floor(box3[c] / max_distance)), 1);
+    cell_w[c] = box3[c] / float(ncells[c]);
+  }
+  const int64_t total = ncells[0] * ncells[1] * ncells[2];
+  if (total <= 0 || total > (int64_t(1) << 31)) return GX_ERR_CORRUPT;
+
+  // --- acceptor cells + counting sort (ascending atom index per cell)
+  std::vector<int32_t> acell(static_cast<size_t>(na), 0);
+  std::vector<int32_t> cell_cnt(size_t(total) + 1, 0);
+  for (int32_t k = 0; k < na; k++) {
+    int64_t cid = 0;
+    for (int c = 0; c < 3; c++) {
+      float w = wrap1(pos[3 * int64_t(acceptors[k]) + c], box3[c]);
+      if (w < 0.f) return GX_ERR_CORRUPT;
+      int64_t cc = (int64_t(std::floor(w / cell_w[c])) % ncells[c] + ncells[c]) % ncells[c];
+      cid = cid * ncells[c] + cc;
+    }
+    acell[size_t(k)] = int32_t(cid);
+    cell_cnt[size_t(cid) + 1]++;
+  }
+  for (int64_t i = 0; i < total; i++) cell_cnt[size_t(i) + 1] += cell_cnt[size_t(i)];
+  std::vector<int32_t> cell_atoms(static_cast<size_t>(na), 0);  // acceptor RANKS, sorted by cell
+  {
+    std::vector<int32_t> cursor(cell_cnt.begin(), cell_cnt.end() - 1);
+    for (int32_t k = 0; k < na; k++)
+      cell_atoms[size_t(cursor[size_t(acell[size_t(k)])]++)] = k;
+  }
+
+  // --- per-axis relative offsets (-1, 0, 1) deduped modulo ncells
+  int offs[3][3];
+  int noffs[3];
+  for (int c = 0; c < 3; c++) {
+    noffs[c] = 0;
+    bool seen[3] = {false, false, false};
+    for (int d = -1; d <= 1; d++) {
+      int m = int(((d % ncells[c]) + ncells[c]) % ncells[c]);
+      bool dup = false;
+      for (int e = 0; e < noffs[c]; e++) {
+        int me = int(((offs[c][e] % ncells[c]) + ncells[c]) % ncells[c]);
+        if (me == m) dup = true;
+      }
+      (void)seen;
+      if (!dup) offs[c][noffs[c]++] = d;
+    }
+  }
+
+  int64_t n_out = 0;
+  for (int32_t dk = 0; dk < nd; dk++) {
+    const int32_t datom = donors[dk];
+    int64_t dcc[3];
+    for (int c = 0; c < 3; c++) {
+      float w = wrap1(pos[3 * int64_t(datom) + c], box3[c]);
+      if (w < 0.f) return GX_ERR_CORRUPT;
+      dcc[c] = (int64_t(std::floor(w / cell_w[c])) % ncells[c] + ncells[c]) % ncells[c];
+    }
+    for (int ox = 0; ox < noffs[0]; ox++)
+      for (int oy = 0; oy < noffs[1]; oy++)
+        for (int oz = 0; oz < noffs[2]; oz++) {
+          int64_t c0 = (dcc[0] + offs[0][ox] + ncells[0]) % ncells[0];
+          int64_t c1 = (dcc[1] + offs[1][oy] + ncells[1]) % ncells[1];
+          int64_t c2 = (dcc[2] + offs[2][oz] + ncells[2]) % ncells[2];
+          int64_t cid = (c0 * ncells[1] + c1) * ncells[2] + c2;
+          for (int32_t p = cell_cnt[size_t(cid)]; p < cell_cnt[size_t(cid) + 1]; p++) {
+            int32_t ak = cell_atoms[size_t(p)];
+            if (acceptors[ak] == datom) continue;  // self (hbonds.rs:253)
+            if (n_out >= cap) return GX_ERR_CAP;
+            d_rank_out[n_out] = dk;
+            a_rank_out[n_out] = ak;
+            n_out++;
+          }
+        }
+  }
+  return n_out;
 }
 
 // Probe natoms/magic from the first frame header.

@@ -173,13 +173,28 @@ def _axis_offsets(n):
 def _candidate_pairs(positions, box, chain_acc: _ChainGroups,
                      chain_don: _ChainGroups, max_distance):
     """Cell-pruned candidate (donor, acceptor) pairs in reference order
-    (integer-only host work besides the cell binning; the float
-    distance/angle criteria are evaluated later — on host by `_detect`,
-    or batched on device by `HBondAnalysis.analyze_batch`).
+    (the C++ cell walk `gx_hbond_candidates`; the float distance/angle
+    criteria are evaluated later — on host by `_detect`, or batched on
+    device by `HBondAnalysis.analyze_batch`).
 
     Returns (d_rank, a_rank) int64 RANKS into `chain_don.donors` /
     `chain_acc.acceptors`, with donor==acceptor self-pairs removed.
     """
+    from ..io import native
+
+    if chain_acc.acceptors.shape[0] == 0 or chain_don.donors.shape[0] == 0:
+        return (np.zeros(0, np.int64),) * 2
+    return native.hbond_candidates(
+        np.ascontiguousarray(positions, np.float32),
+        np.asarray(box, np.float32),
+        chain_acc.acceptors, chain_don.donors, float(max_distance),
+    )
+
+
+def _candidate_pairs_np(positions, box, chain_acc: _ChainGroups,
+                        chain_don: _ChainGroups, max_distance):
+    """Pure-numpy reference implementation of `_candidate_pairs` (kept
+    for order/content parity testing of the C++ walk)."""
     acceptors = chain_acc.acceptors
     donors = chain_don.donors
     empty = (np.zeros(0, np.int64),) * 2

@@ -162,3 +162,19 @@ def test_pipeline_add_hbonds_dense(membrane, test_files):
     oc = cells.run(xtc, batch_size=4, end_time=70100.0)
     assert list(np.asarray(od["w_0_0"])) == list(np.asarray(oc["w_0_0"]))
     assert np.asarray(od["w_0_0"]).sum() > 0
+
+
+def test_native_candidate_walk_matches_numpy(membrane):
+    """The C++ cell walk (gx_hbond_candidates) must reproduce the numpy
+    reference implementation pair for pair, in order."""
+    from groan_rs_tpu.system.hbonds import (_candidate_pairs,
+                                            _candidate_pairs_np)
+
+    s = membrane
+    ana = HBondAnalysis(s, WATER, [(0, 0)], 0.3, 150.0)
+    pos = s.positions.astype(np.float32)
+    box = np.asarray(s.get_box().to_lengths_vec(), np.float32)
+    d1, a1 = _candidate_pairs(pos, box, ana.chains[0], ana.chains[0], 0.3)
+    d2, a2 = _candidate_pairs_np(pos, box, ana.chains[0], ana.chains[0], 0.3)
+    assert np.array_equal(d1, d2) and np.array_equal(a1, a2)
+    assert d1.shape[0] > 100000
