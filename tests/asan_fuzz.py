@@ -105,6 +105,9 @@ def main() -> None:
             lambda o, n: native.xtc_read_frames(p, o, n, n_threads=4),
             lambda o, n: native.xtc_read_frames_q16(p, o, n, n_threads=4),
             lambda o, n: native.xtc_read_frames_delta(p, o, n),
+            lambda o, n: native.xtc_read_frames_delta6(p, o, n),
+            lambda o, n: native.xtc_read_frames_delta6(
+                p, o, n, sel=np.arange(0, n, 7)),
         ):
             try:
                 o, _, _, n = native.xtc_scan(p)
@@ -113,6 +116,14 @@ def main() -> None:
                 n_ok += 1
             except GroanError:
                 n_typed += 1
+    # the hbond candidate walk on valid + degenerate inputs
+    pos, box9, *_ = (native.xtc_read_frames(FIXTURE, offs[:1], na))
+    box = box9[0][[0, 4, 8]]
+    acc = rng.choice(na, size=4000, replace=False).astype(np.int32)
+    don = rng.choice(na, size=3000, replace=False).astype(np.int32)
+    native.hbond_candidates(pos[0], box, np.sort(acc), np.sort(don), 0.3)
+    native.hbond_candidates(pos[0], box, np.sort(acc)[:1], np.sort(don)[:1],
+                            5.0)  # one cell per axis
     print(f"ASAN FUZZ OK: {n_ok} clean decodes, {n_typed} typed errors, "
           "no sanitizer reports")
 
