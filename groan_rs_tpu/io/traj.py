@@ -309,20 +309,24 @@ class GroSource(FrameSource):
         return self._offsets.shape[0]
 
     def _parse_frame(self, fh, stop):
+        from ..utils.textcols import FixedWidthLines
         from .gro import parse_atom_block, parse_box_line
 
         fh.readline()  # title
         n = int(fh.readline().strip())
-        atom_lines = [fh.readline().rstrip("\n") for _ in range(n)]
-        box_line = fh.readline()
+        # one bulk read of the frame's atom block + box line, parsed as a
+        # byte matrix (no per-line Python strings; see io/gro.py)
+        blob = b"".join(fh.readline() for _ in range(n + 1))
+        box_start = blob.rfind(b"\n", 0, len(blob) - 1) + 1
         try:
-            _, _, _, _, pos, vel, has_vel = parse_atom_block(atom_lines)
+            fw = FixedWidthLines.from_bytes(blob[:box_start], n_lines=n)
+            _, _, _, _, pos, vel, has_vel = parse_atom_block(None, fw=fw)
         except Exception as e:
             raise ReadTrajError(
                 f"could not parse frame in '{self.path}': {e}", code="FrameNotFound"
             ) from None
         try:
-            box = parse_box_line(box_line)
+            box = parse_box_line(blob[box_start:].decode(errors="replace"))
         except Exception as e:
             raise ReadTrajError(f"invalid box in '{self.path}': {e}", code="InvalidBox") from None
         box9 = np.array(list(iter(box)), np.float32)
@@ -338,7 +342,7 @@ class GroSource(FrameSource):
         has_v = np.zeros(b, bool)
         vel_mask = np.zeros((b, stop), bool)
         boxes = np.zeros((b, 9), np.float32)
-        with open(self.path) as fh:
+        with open(self.path, "rb") as fh:
             for k, fid in enumerate(ids):
                 fh.seek(self._offsets[fid])
                 p, v, hv, box9 = self._parse_frame(fh, stop)
