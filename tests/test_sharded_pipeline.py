@@ -129,8 +129,6 @@ def test_sharded_q16_wire_uses_reported_precision():
 
 
 def test_sharded_rejects_unsupported_observable():
-    from groan_rs_tpu.system.hbonds import HBondChain
-
     system, positions, boxes = _make_system()
     pipe = TrajectoryAnalysis(system)
     pipe._decls.append({"kind": "hbonds", "name": "hb"})  # host-assisted
