@@ -53,10 +53,14 @@ class FrameBatch:
                  pos = f32(q) * (1/precision)
       - "delta": positions are int8 inter-frame deltas (~3 B/atom) with
                  per-frame drift `shifts` [B, 3] i32 and sparse escapes
-                 (`esc_idx` [B, E] i32, `esc_val` [B, E, 3] i32; index K
-                 marks padding).  `base_q` i32 [K, 3], present on chain
-                 resets, (re)seeds the device-side carry:
+                 (`esc_idx` [B, E] i32, `esc_val` [B, E, 3] i32/i16; index
+                 K marks padding).  `base_q` [K, 3] i32/i16, present on
+                 chain resets, (re)seeds the device-side carry:
                    carry += shifts[f] + deltas[f]; carry[esc_idx[f]] = esc_val[f]
+      - "delta6": positions are 6-bit PACKED biased deltas (2.25 B/atom;
+                 u = d + 32, four values per 3 bytes, escapes at
+                 |d| > 31); `wire_natoms` carries the atom count and the
+                 same shifts/escape/key-frame machinery applies
     """
 
     positions: np.ndarray  # [B, K, 3] (dtype per `wire`)
@@ -544,8 +548,9 @@ class TrajReader:
         """Iterate FrameBatches (bulk native decode, background prefetch).
 
         `wire` requests a host->device coordinate format ("f32", "q16",
-        "delta", or "auto" = smallest the file supports, with per-chunk
-        fallback delta -> q16 -> f32); see `FrameBatch`.  Non-XTC sources
+        "delta", "delta6", or "auto" = smallest the file supports, with
+        per-chunk fallback delta6 -> delta -> q16 -> f32); see
+        `FrameBatch`.  Non-XTC sources
         always produce f32.  With `deferred=True` the returned loader does
         NOT start decoding the next chunk until `.release()` is called —
         on a host where the device transfer itself needs CPU (tunnel
