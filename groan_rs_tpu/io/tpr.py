@@ -417,19 +417,22 @@ def parse_tpr(path) -> TprTopology:
         nres = r.i32()
         if nr < 0 or nres < 0 or nr > 100_000_000:
             raise ParseTprError(f"invalid moltype atom count {nr}", code="Corrupt")
-        m = np.empty(nr, np.float64)
-        q = np.empty(nr, np.float64)
-        resind = np.empty(nr, np.int64)
-        atomic = np.empty(nr, np.int64)
-        for i in range(nr):
-            m[i] = r.real()
-            q[i] = r.real()
-            r.real()  # mB
-            r.real()  # qB
-            r.u32()  # type + typeB (two u16 packed into one 4-byte word)
-            r.i32()  # ptype
-            resind[i] = r.i32()
-            atomic[i] = r.i32()
+        # each atom record is a fixed stride: 4 reals (m, q, mB, qB) +
+        # 4 x 4-byte words (type/typeB, ptype, resind, atomicnumber) —
+        # one strided frombuffer view instead of a per-atom Python loop
+        rs = 8 if r.double else 4
+        stride = 4 * rs + 16
+        r._need(stride * nr)
+        rows = np.frombuffer(r.data, np.uint8, stride * nr, r.off
+                             ).reshape(nr, stride)
+        fdt = ">f8" if r.double else ">f4"
+        reals4 = np.ascontiguousarray(rows[:, : 4 * rs]).view(fdt)
+        m = reals4[:, 0].astype(np.float64)
+        q = reals4[:, 1].astype(np.float64)
+        tail = np.ascontiguousarray(rows[:, 4 * rs :]).view(">i4")
+        resind = tail[:, 2].astype(np.int64)
+        atomic = tail[:, 3].astype(np.int64)
+        r.off += stride * nr
         names = [symstr() for _ in range(nr)]
         for _ in range(nr):
             symstr()  # atom type names
@@ -538,31 +541,60 @@ def parse_tpr(path) -> TprTopology:
             f"(tpx layout drift)", code="Corrupt",
         )
 
-    # ---------------------------------------------------------------- flatten atoms
-    global_bonds: list[tuple[int, int]] = []
+    # ------------------------------------------------- flatten atoms (vectorized)
+    # per moltype: tile the per-molecule columns nmol times with offset
+    # arithmetic instead of per-atom Python appends (392k appends = the
+    # former hot loop at 33k atoms)
+    zmax = max(_ELEMENTS) if _ELEMENTS else 0
+    el_name_lut = np.array([""] * (zmax + 2), object)
+    el_sym_lut = np.array([""] * (zmax + 2), object)
+    for z, (nm, sym) in _ELEMENTS.items():
+        el_name_lut[z] = nm
+        el_sym_lut[z] = sym
+    parts = {k: [] for k in ("atomname", "resname", "resnum", "mass",
+                             "charge", "el_name", "el_sym")}
+    bond_parts = []
     offset = 0
     res_counter = 0
     for mtype, nmol in blocks:
         mt = moltypes[mtype]
-        for _ in range(nmol):
-            out.atomname.extend(mt["names"])
-            out.mass.extend(mt["m"].tolist())
-            out.charge.extend(mt["q"].tolist())
-            for ri_ in mt["resind"]:
-                out.resname.append(mt["resnames"][ri_])
-                out.resnum.append(res_counter + int(ri_) + 1)
-            for z in mt["atomic"]:
-                name_sym = _ELEMENTS.get(int(z))
-                if name_sym is None:
-                    out.element_name.append("")
-                    out.element_symbol.append("")
-                else:
-                    out.element_name.append(name_sym[0])
-                    out.element_symbol.append(name_sym[1])
-            for a, b in mt["bonds"]:
-                global_bonds.append((a + offset, b + offset))
-            offset += mt["nr"]
-            res_counter += len(mt["resnames"])
+        nr = mt["nr"]
+        nres_m = len(mt["resnames"])
+        names_a = np.asarray(mt["names"], object)
+        resnames_a = np.asarray(mt["resnames"], object)
+        resind = np.asarray(mt["resind"], np.int64)
+        z = np.clip(np.asarray(mt["atomic"], np.int64), 0, zmax + 1)
+        parts["atomname"].append(np.tile(names_a, nmol))
+        parts["mass"].append(np.tile(mt["m"], nmol))
+        parts["charge"].append(np.tile(mt["q"], nmol))
+        parts["resname"].append(np.tile(resnames_a[resind], nmol))
+        parts["resnum"].append(
+            np.tile(resind + 1, nmol)
+            + np.repeat(res_counter + np.arange(nmol, dtype=np.int64) * nres_m, nr)
+        )
+        parts["el_name"].append(np.tile(el_name_lut[z], nmol))
+        parts["el_sym"].append(np.tile(el_sym_lut[z], nmol))
+        if mt["bonds"]:
+            ba = np.asarray(mt["bonds"], np.int64)  # [nb, 2]
+            reps = np.repeat(offset + np.arange(nmol, dtype=np.int64) * nr,
+                             ba.shape[0])
+            bond_parts.append(np.tile(ba, (nmol, 1)) + reps[:, None])
+        offset += nr * nmol
+        res_counter += nres_m * nmol
+    def _cat(key, dtype=None):
+        if not parts[key]:
+            return np.empty(0, dtype or object)
+        out_a = np.concatenate(parts[key])
+        return out_a.astype(dtype) if dtype is not None else out_a
+    out.atomname = _cat("atomname")
+    out.resname = _cat("resname")
+    out.resnum = _cat("resnum", np.int64)
+    out.mass = _cat("mass", np.float64)
+    out.charge = _cat("charge", np.float64)
+    out.element_name = _cat("el_name")
+    out.element_symbol = _cat("el_sym")
+    global_bonds = (np.concatenate(bond_parts) if bond_parts
+                    else np.empty((0, 2), np.int64))
     if offset != natoms:
         raise ParseTprError(
             f"flattened atom count {offset} != natoms {natoms}", code="Corrupt"
@@ -573,16 +605,18 @@ def parse_tpr(path) -> TprTopology:
         b_inter = r.i32()
         if b_inter == 1:
             inter = do_ilists()
+            extra = []
             for fname, (iatoms, nat) in inter.items():
                 width = nat + 1
                 entries = iatoms.reshape(-1, width)
                 if fname == "SETTLE":
-                    for _, ow, h1, h2 in entries:
-                        global_bonds.append((int(ow), int(h1)))
-                        global_bonds.append((int(ow), int(h2)))
+                    extra.append(entries[:, [1, 2]])
+                    extra.append(entries[:, [1, 3]])
                 elif fname in _BOND_FTYPES:
-                    for _, a, b in entries:
-                        global_bonds.append((int(a), int(b)))
+                    extra.append(entries[:, [1, 2]])
+            if extra:
+                global_bonds = np.concatenate(
+                    [global_bonds] + [e.astype(np.int64) for e in extra])
         elif b_inter != 0:
             raise ParseTprError(
                 f"unexpected intermolecular flag {b_inter}", code="Corrupt"
