@@ -169,10 +169,80 @@ def read_gro(filename):
 
 # ---------------------------------------------------------------- writing
 
-def format_atom_lines(system, indices, write_velocities: bool) -> list[str]:
-    """Vectorized GRO atom-line formatting (reference: atom.rs:556)."""
+def _fmt_fixed(vals: np.ndarray, width: int, decimals: int) -> np.ndarray:
+    """printf("%{width}.{decimals}f") of float32 values, vectorized as
+    integer digit extraction -> uint8 matrix [n, width].
+
+    Bit-exact vs printf: a float32 times 10^decimals (<= 4) fits float64
+    exactly (24+14 < 53 bits), so half-even rint decides the same digit
+    printf's exact-decimal rounding does; the sign of a value rounding to
+    zero follows the sign bit ("-0.000"), like printf.
+    """
+    v64 = vals.astype(np.float64).reshape(-1)
+    scale = 10 ** decimals
+    i = np.rint(v64 * scale).astype(np.int64)
+    neg = np.signbit(v64)
+    a = np.abs(i)
+    n = a.shape[0]
+    out = np.full((n, width), 0x20, np.uint8)
+    col = width - 1
+    for k in range(decimals):  # fraction digits, right to left
+        out[:, col] = 0x30 + (a % 10).astype(np.uint8)
+        a //= 10
+        col -= 1
+    out[:, col] = 0x2E  # '.'
+    col -= 1
+    out[:, col] = 0x30 + (a % 10).astype(np.uint8)  # at least one int digit
+    a //= 10
+    col -= 1
+    first_digit = np.full(n, col + 1, np.int64)
+    while col >= 0:
+        more = a > 0
+        if not more.any():
+            break
+        d = (a % 10).astype(np.uint8)
+        out[more, col] = 0x30 + d[more]
+        first_digit[more] = col
+        a //= 10
+        col -= 1
+    if (a > 0).any():
+        raise WriteGroError("coordinate too large for GRO format",
+                            code="CoordinateTooLarge")
+    sign_col = first_digit - 1
+    if (neg & (sign_col < 0)).any():
+        raise WriteGroError("coordinate too large for GRO format",
+                            code="CoordinateTooLarge")
+    rows = np.nonzero(neg)[0]
+    out[rows, sign_col[rows]] = 0x2D  # '-'
+    return out
+
+
+def _fmt_int(vals: np.ndarray, width: int) -> np.ndarray:
+    """printf("%{width}d") of non-negative ints -> uint8 matrix."""
+    a = np.asarray(vals, np.int64).copy()
+    n = a.shape[0]
+    out = np.full((n, width), 0x20, np.uint8)
+    col = width - 1
+    out[:, col] = 0x30 + (a % 10).astype(np.uint8)
+    a //= 10
+    col -= 1
+    while col >= 0 and (a > 0).any():
+        more = a > 0
+        d = (a % 10).astype(np.uint8)
+        out[more, col] = 0x30 + d[more]
+        a //= 10
+        col -= 1
+    return out
+
+
+def format_atom_blob(system, indices, write_velocities: bool) -> bytes:
+    """Vectorized GRO atom-line formatting -> one newline-joined byte blob
+    (reference: atom.rs:556).  All fields render through printf formats
+    (np.char.mod) and compose as a fixed-width byte matrix — no per-line
+    Python strings."""
     topo = system.topology
     idx = np.asarray(indices)
+    n = idx.shape[0]
     pos = np.where(
         system.has_position[idx, None], system.positions[idx], np.float32(0.0)
     )
@@ -181,24 +251,40 @@ def format_atom_lines(system, indices, write_velocities: bool) -> list[str]:
 
     resnum = topo.resnum[idx] % 100_000
     atomnum = topo.atomnum[idx] % 100_000
-    resname = np.char.ljust(_truncate(topo.resname.values()[idx], 5), 5)
-    atomname = np.char.rjust(_truncate(topo.atomname.values()[idx], 5), 5)
 
-    head = [
-        f"{rn:>5}{rna}{ana}{an:>5}"
-        for rn, rna, ana, an in zip(resnum, resname, atomname, atomnum)
+    def name_bytes(values, just):
+        b = values.astype("S5")  # truncate to 5 (reference truncation)
+        b = np.char.ljust(b, 5) if just == "l" else np.char.rjust(b, 5)
+        view = b.view(np.uint8).reshape(n, 5)
+        return np.where(view == 0, np.uint8(0x20), view)
+
+    mats = [
+        _fmt_int(resnum, 5),
+        name_bytes(topo.resname.values()[idx], "l"),
+        name_bytes(topo.atomname.values()[idx], "r"),
+        _fmt_int(atomnum, 5),
     ]
-    pos_str = np.char.mod("%8.3f", pos)
+    mats.extend(_fmt_fixed(pos[:, k], 8, 3) for k in range(3))
     if write_velocities:
         vel = np.where(
             system.has_velocity[idx, None], system.velocities[idx], np.float32(0.0)
         )
-        vel_str = np.char.mod("%8.4f", vel)
-        return [
-            h + p[0] + p[1] + p[2] + v[0] + v[1] + v[2]
-            for h, p, v in zip(head, pos_str, vel_str)
-        ]
-    return [h + p[0] + p[1] + p[2] for h, p in zip(head, pos_str)]
+        mats.extend(_fmt_fixed(vel[:, k], 8, 4) for k in range(3))
+
+    total = sum(m.shape[1] for m in mats) + 1  # + newline
+    mat = np.empty((n, total), np.uint8)
+    off = 0
+    for m in mats:
+        mat[:, off : off + m.shape[1]] = m
+        off += m.shape[1]
+    mat[:, -1] = 0x0A
+    return mat.tobytes()
+
+
+def format_atom_lines(system, indices, write_velocities: bool) -> list[str]:
+    """Per-line view of `format_atom_blob` (compat helper)."""
+    blob = format_atom_blob(system, indices, write_velocities)
+    return blob.decode().split("\n")[:-1]
 
 
 def _truncate(values: np.ndarray, n: int) -> np.ndarray:
@@ -235,8 +321,7 @@ def write_gro_frame(system, fh, group: str, write_velocities: bool, is_trajector
     indices = system.group_indices(group)
     fh.write(frame_title(system, group, is_trajectory) + "\n")
     fh.write(f"{len(indices):>5}\n")
-    for line in format_atom_lines(system, indices, write_velocities):
-        fh.write(line + "\n")
+    fh.write(format_atom_blob(system, indices, write_velocities).decode())
     fh.write(format_box_line(system.get_box()) + "\n")
 
 
