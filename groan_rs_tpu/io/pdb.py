@@ -230,6 +230,62 @@ def format_pdb_atom_line(system, i: int) -> str:
     )
 
 
+def format_pdb_atom_blob(system, indices) -> bytes:
+    """Vectorized ATOM lines -> one newline-joined byte blob (same
+    characters as `format_pdb_atom_line`, composed as a byte matrix;
+    coordinate fields go through the printf-exact integer formatter)."""
+    from .gro import _fmt_fixed, _fmt_int
+
+    topo = system.topology
+    idx = np.asarray(indices)
+    n = idx.shape[0]
+    pos = np.where(system.has_position[idx, None], system.positions[idx],
+                   np.float32(0.0))
+    if ((pos < PDB_MIN_COORDINATE) | (pos > PDB_MAX_COORDINATE)).any():
+        raise WritePdbError("coordinate too large for PDB format",
+                            code="CoordinateTooLarge")
+
+    def fixed(values, width):
+        view = values.view(np.uint8).reshape(n, width)
+        return np.where(view == 0, np.uint8(0x20), view)
+
+    # resname: ">3 " when <= 3 chars else ">4"; atomname: " <3" or "<4"
+    resname = topo.resname.values()[idx].astype("S4")
+    rn_len = np.char.str_len(resname)
+    rn_short = np.char.add(np.char.rjust(resname, 3), b" ").astype("S4")
+    rn = np.where(rn_len <= 3, rn_short, np.char.rjust(resname, 4))
+    atomname = topo.atomname.values()[idx].astype("S4")
+    an_len = np.char.str_len(atomname)
+    an_short = np.char.add(b" ", np.char.ljust(atomname, 3)).astype("S4")
+    an = np.where(an_len <= 3, an_short, np.char.ljust(atomname, 4))
+    chain = topo.chain.values()[idx].astype("S1")
+    chain = np.where(np.char.str_len(chain) == 0, b" ", chain)
+
+    mats = [
+        np.broadcast_to(np.frombuffer(b"ATOM  ", np.uint8), (n, 6)),
+        _fmt_int(topo.atomnum[idx] % 100000, 5),
+        np.full((n, 1), 0x20, np.uint8),
+        fixed(an, 4),
+        np.full((n, 1), 0x20, np.uint8),
+        fixed(rn, 4),
+        fixed(chain, 1),
+        _fmt_int(topo.resnum[idx] % 10000, 4),
+        np.broadcast_to(np.frombuffer(b"    ", np.uint8), (n, 4)),
+        _fmt_fixed(pos[:, 0].astype(np.float64) * 10.0, 8, 3),
+        _fmt_fixed(pos[:, 1].astype(np.float64) * 10.0, 8, 3),
+        _fmt_fixed(pos[:, 2].astype(np.float64) * 10.0, 8, 3),
+        np.broadcast_to(
+            np.frombuffer(b"  1.00  0.00            \n", np.uint8), (n, 25)),
+    ]
+    total = sum(m.shape[1] for m in mats)
+    mat = np.empty((n, total), np.uint8)
+    off = 0
+    for m in mats:
+        mat[:, off : off + m.shape[1]] = m
+        off += m.shape[1]
+    return mat.tobytes()
+
+
 def write_pdb(system, filename, group: str = "all", write_conect: bool = False):
     """reference: pdb_io.rs write_pdb:236 / group_write_pdb."""
     if not system.group_exists(group):
@@ -256,8 +312,7 @@ def write_pdb(system, filename, group: str = "all", write_conect: bool = False):
                 f"{angles[0]:>7.2f}{angles[1]:>7.2f}{angles[2]:>7.2f} P 1           1\n"
             )
         fh.write("MODEL        1\n")
-        for i in indices:
-            fh.write(format_pdb_atom_line(system, int(i)) + "\n")
+        fh.write(format_pdb_atom_blob(system, indices).decode())
         fh.write("TER\nENDMDL\n")
         if write_conect:
             _write_conect(system, fh, indices)
