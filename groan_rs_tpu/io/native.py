@@ -34,6 +34,7 @@ _ERRORS = {
     -7: ("PrecisionTooHigh", "coordinate does not fit the requested precision"),
     -8: ("Q16Range", "quantized coordinates do not fit int16"),
     -9: ("DeltaRange", "inter-frame deltas do not fit int8 (or precision varies)"),
+    -10: ("CapacityExceeded", "output capacity exceeded"),
 }
 
 

@@ -45,7 +45,7 @@ class FrameEngine:
     persistent int32 quantized frame across batches on device.
     """
 
-    def __init__(self, step_fn, mesh=None, donate: bool = False,
+    def __init__(self, step_fn, mesh=None,
                  box: str = "lengths", spec=None):
         """`spec=(fn, params_device, n_atoms_pad)` switches the engine to
         ATOMS-SHARDED mode: `fn` is a compiled shard_map step from
