@@ -332,3 +332,29 @@ def test_pipeline_runs_concatenated_file_list(test_files):
     np.testing.assert_allclose(out_cat["center_P"], out_one["center_P"],
                                atol=1e-6)
     np.testing.assert_array_equal(out_cat["times"], out_one["times"])
+
+
+def test_reader_selection_native_delta6(smooth_xtc):
+    """Selection + delta6: the native decoder emits deltas/escapes/keys in
+    selection space; engine reconstruction equals the gathered f32 path."""
+    src = XtcSource(smooth_xtc, use_index_cache=False)
+    sysb = _BareSystem(src.natoms)
+    rng = np.random.default_rng(5)
+    sel = np.unique(rng.choice(src.natoms, size=900, replace=False))
+
+    wires = [fb.wire for fb in
+             TrajReader(sysb, [src], batch_size=4,
+                        indices=sel).batches(wire="delta6")]
+    assert wires == ["delta6", "delta6", "delta6"]
+
+    mesh = make_mesh(1, 1)
+
+    def step(p, b, m):
+        return {"p": p}
+
+    out_full = FrameEngine(step, mesh=mesh).run(
+        TrajReader(sysb, [src], batch_size=4).batches(wire="f32"))
+    out_sel = FrameEngine(step, mesh=mesh).run(
+        TrajReader(sysb, [src], batch_size=4,
+                   indices=sel).batches(wire="delta6"))
+    assert np.array_equal(out_sel["p"], out_full["p"][:, sel])
