@@ -29,7 +29,7 @@ import numpy as np
 
 N_ATOMS = int(os.environ.get("BENCH_ATOMS", 1_000_000))
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", 24))
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
+BATCH = int(os.environ.get("BENCH_BATCH", 12))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 BASELINE_FRAMES_PER_SEC = 47.0e6 / N_ATOMS  # reference atom-frames/s anchor
 
