@@ -173,3 +173,22 @@ def test_atoms_sharded_runner_end_to_end(tmp_path):
         np.testing.assert_allclose(np.asarray(ref[key]), np.asarray(out[key]),
                                    rtol=5e-5, atol=5e-5, err_msg=key)
     np.testing.assert_array_equal(ref["times"], out["times"])
+
+
+def test_atoms_sharded_runner_rejects_delta_wire(tmp_path):
+    """The atoms-sharded engine cannot consume frame-sequential delta
+    wires; the runner coerces auto->q16, and an explicit delta raises."""
+    from groan_rs_tpu.io import native
+
+    system, positions, boxes = _make_system(natoms=192, batch=4)
+    xtc = str(tmp_path / "t.xtc")
+    box9 = np.diag(boxes[0]).astype(np.float32).reshape(9)
+    for f in range(4):
+        native.xtc_write_frame(xtc, positions.shape[1], f, float(f), box9,
+                               positions[f], 1000.0)
+    pipe = TrajectoryAnalysis(system).add_com("A")
+    pipe.mesh = make_mesh(2, 4)
+    runner = pipe.runner(ship="all", wire="delta")
+    assert runner.wire == "q16"  # coerced
+    out = runner.run(xtc, batch_size=2)
+    assert out["com_A"].shape == (4, 3)
