@@ -108,11 +108,19 @@ class FrameBatch:
 
 
 def _pad_escapes(ei: np.ndarray, ev: np.ndarray, stop: int):
-    """Pad the escape width up to a power-of-two bucket so jitted
-    consumers see a bounded set of shapes (pad index = `stop`, the
-    scatter-drop sentinel)."""
+    """Pad the escape width up to a bounded set of buckets so jitted
+    consumers see few distinct shapes (pad index = `stop`, the
+    scatter-drop sentinel).  Power-of-two buckets below 1024, then
+    multiples of 1024: at ~10 B per slot the pow2 rounding was costing
+    up to half the escape wire on large systems (a 4.1k-escape frame
+    padded to 8192), while >=1024-escape frames waste <=1023 slots."""
     e = ei.shape[1]
-    tgt = 0 if e == 0 else max(16, 1 << (e - 1).bit_length())
+    if e == 0:
+        tgt = 0
+    elif e <= 1024:
+        tgt = max(16, 1 << (e - 1).bit_length())
+    else:
+        tgt = -(-e // 1024) * 1024
     if tgt > e:
         ei = np.concatenate(
             [ei, np.full((ei.shape[0], tgt - e), stop, np.int32)], axis=1)

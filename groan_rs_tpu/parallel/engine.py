@@ -73,6 +73,10 @@ class FrameEngine:
         self._carry_q = None  # delta-wire device carry (int32 [K, 3])
         self.h2d_bytes = 0  # coordinate bytes shipped (wire accounting)
         self.frames_shipped = 0
+        # one-deep software pipelining of the run loop (transfer N+1
+        # overlaps compute N); set False to retire each batch in order
+        self.pipelined = True
+        self._unpackers = {}
 
     def _step_for(self, kind: str):
         if kind == "spec":
@@ -155,6 +159,54 @@ class FrameEngine:
             return np.pad(arr, pad, mode="edge")
         return np.pad(arr, pad, mode="constant", constant_values=value)
 
+    def _put_small(self, arrs):
+        """Ship several small host arrays as ONE device_put.
+
+        Each device_put through a tunnel transport pays a fixed round-trip
+        cost; a batch's sidecar arrays (boxes, mask, inv_prec, drift
+        shifts, escapes) are a few KB each, so shipping them individually
+        is pure latency.  Pack them into one uint8 buffer (4-byte aligned
+        segments) and split them back with one tiny jitted kernel on
+        device.  Only used single-shard: a flat byte buffer cannot carry
+        per-array frame sharding.
+        """
+        import jax
+
+        metas = []
+        parts = []
+        off = 0
+        for a in arrs:
+            a = np.ascontiguousarray(a)
+            raw = a.reshape(-1).view(np.uint8)
+            pad = (-raw.size) % 4
+            metas.append((str(a.dtype), a.shape, off, raw.size))
+            parts.append(raw)
+            if pad:
+                parts.append(np.zeros(pad, np.uint8))
+            off += raw.size + pad
+        key = tuple(metas)
+        unpack = self._unpackers.get(key)
+        if unpack is None:
+            import jax.numpy as jnp
+
+            def unpack_fn(buf):
+                out = []
+                for dt, shape, o, nb in key:
+                    seg = jax.lax.slice(buf, (o,), (o + nb,))
+                    if dt == "bool":
+                        out.append((seg != 0).reshape(shape))
+                    else:
+                        it = np.dtype(dt).itemsize
+                        arr = jax.lax.bitcast_convert_type(
+                            seg.reshape(-1, it), np.dtype(dt))
+                        out.append(arr.reshape(shape))
+                return tuple(out)
+
+            unpack = jax.jit(unpack_fn)
+            self._unpackers[key] = unpack
+        buf = jax.device_put(np.concatenate(parts), self._replicated)
+        return unpack(buf)
+
     def _put_inputs(self, fb, b_pad):
         """Device-put one batch in its wire format -> (kind, args tuple)."""
         import jax
@@ -167,10 +219,12 @@ class FrameEngine:
         self.frames_shipped += fb.positions.shape[0]
         box_host = (fb.box_matrices() if self._box_mode == "matrix"
                     else fb.box_lengths())
-        boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
         mask = np.zeros(b_pad, dtype=bool)
         mask[:fb.positions.shape[0]] = True
-        mask_d = jax.device_put(mask, self._in_shard)
+        pack = self.n_shards == 1 and self._spec is None
+        if not pack:
+            boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
+            mask_d = jax.device_put(mask, self._in_shard)
 
         if self._spec is not None:
             if kind not in ("f32", "q16"):
@@ -195,12 +249,19 @@ class FrameEngine:
 
         if kind == "f32":
             pos = jax.device_put(self._pad(fb.positions, b_pad), self._in_shard)
+            if pack:
+                boxes, mask_d = self._put_small(
+                    [self._pad(box_host, b_pad), mask])
             return kind, (pos, boxes, mask_d)
 
         inv = np.float32(1.0) / np.asarray(fb.precisions, np.float32)
-        inv_d = jax.device_put(self._pad(inv, b_pad), self._in_shard)
+        if not pack:
+            inv_d = jax.device_put(self._pad(inv, b_pad), self._in_shard)
         if kind == "q16":
             pos = jax.device_put(self._pad(fb.positions, b_pad), self._in_shard)
+            if pack:
+                boxes, mask_d, inv_d = self._put_small(
+                    [self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
             return kind, (pos, boxes, mask_d, inv_d)
 
         if kind in ("delta", "delta6"):
@@ -238,22 +299,21 @@ class FrameEngine:
                 else:
                     pos_host = self._pad(pos_host, b_pad, "zero")
             d = jax.device_put(pos_host, self._in_shard)
-            sh = jax.device_put(
-                self._pad(np.asarray(fb.shifts, np.int32), b_pad, "zero"),
-                self._in_shard,
-            )
             sentinel = (fb.wire_natoms if kind == "delta6"
                         else fb.positions.shape[1])
-            ei = jax.device_put(
-                # sentinel index = K (out of range -> scatter drops)
-                self._pad(np.asarray(fb.esc_idx, np.int32), b_pad, "zero",
-                          value=sentinel),
-                self._in_shard,
-            )
-            ev = jax.device_put(
-                self._pad(np.asarray(fb.esc_val), b_pad, "zero"),
-                self._in_shard,
-            )
+            sh_host = self._pad(np.asarray(fb.shifts, np.int32), b_pad, "zero")
+            # sentinel index = K (out of range -> scatter drops)
+            ei_host = self._pad(np.asarray(fb.esc_idx, np.int32), b_pad,
+                                "zero", value=sentinel)
+            ev_host = self._pad(np.asarray(fb.esc_val), b_pad, "zero")
+            if pack:
+                sh, ei, ev, boxes, mask_d, inv_d = self._put_small(
+                    [sh_host, ei_host, ev_host,
+                     self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
+            else:
+                sh = jax.device_put(sh_host, self._in_shard)
+                ei = jax.device_put(ei_host, self._in_shard)
+                ev = jax.device_put(ev_host, self._in_shard)
             return kind, (self._carry_q, d, sh, ei, ev, boxes, mask_d, inv_d)
         raise ParallelError(f"unknown wire format '{kind}'")
 
@@ -289,6 +349,21 @@ class FrameEngine:
 
         def _stage(name):
             return profiler.stage(name) if profiler is not None else contextlib.nullcontext()
+
+        # One-deep software pipeline: the host fetch (and callbacks) for
+        # batch N are deferred until batch N+1's transfer has been pushed
+        # and its step dispatched, so the wire push for N+1 overlaps the
+        # device compute of N instead of serializing behind its result.
+        pending = None  # (fb, b, res, carry-at-res)
+
+        def _retire(p):
+            pfb, pb, pres, pcarry = p
+            if collect:
+                outs.append(jax.tree.map(lambda x: np.asarray(x)[:pb], pres))
+            if on_batch is not None:
+                on_batch(pfb)
+            if on_carry is not None and fold_j is not None:
+                on_carry(pfb, pcarry)
 
         it = iter(batches)
         while True:
@@ -331,15 +406,16 @@ class FrameEngine:
                     f"analysis step failed on frames "
                     f"{int(fb.frame_numbers[0])}..{int(fb.frame_numbers[-1])}: {e}"
                 ) from e
-            if collect:
-                host = jax.tree.map(lambda x: np.asarray(x)[:b], res)
-                outs.append(host)
-            if on_batch is not None:
-                on_batch(fb)
-            if on_carry is not None and fold_j is not None:
-                on_carry(fb, carry)
+            if pending is not None:
+                _retire(pending)
+            pending = (fb, b, res, carry)
+            if not self.pipelined:
+                _retire(pending)
+                pending = None
             if profiler is not None:
                 profiler.end_batch()
+        if pending is not None:
+            _retire(pending)
         if fold is not None:
             collected = (
                 jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
