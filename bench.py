@@ -295,6 +295,27 @@ def main():
         log(f"  pass {dt:.3f}s")
     timings["pass_s"] = round(best, 4)
 
+    # ---- device-resident re-analysis (DeviceTrajectory) ------------------
+    # decode + ship ONCE, then every further pass is pure device compute:
+    # the parameter-sweep workflow.  Secondary metric; the headline above
+    # stays the cold end-to-end pass.
+    t0 = time.perf_counter()
+    dtraj = runner.load_device(xtc, batch_size=BATCH)
+    load_s = time.perf_counter() - t0
+    res_out = runner.run(dtraj, batch_size=BATCH)  # compile + parity
+    resident_ok = bool(
+        np.abs(np.asarray(res_out["com"], np.float64)[0] - ref_com0).max() < 2e-3
+    )
+    best_res = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        runner.run(dtraj, batch_size=BATCH)
+        best_res = min(best_res, time.perf_counter() - t0)
+    resident_fps = N_FRAMES / best_res
+    log(f"device-resident: load {load_s:.2f}s ({dtraj.nbytes/1e6:.0f} MB HBM), "
+        f"re-analysis {best_res:.3f}s/pass")
+    del dtraj
+
     # ---- small-group pass (BASELINE.md row 6: ~400-atom peptide) --------
     # decode early-stops at atom 400 and ships ~400 atoms: the partial-read
     # wire saving the feature exists for (reference: GroupXtcReader)
@@ -341,6 +362,9 @@ def main():
         "small_group_fps": round(small_fps, 2),
         "small_group_parity_ok": small_ok,
         "wire_bytes_per_atom_frame": round(float(wire_bytes_per_atom_frame), 3),
+        "device_resident_fps": round(resident_fps, 2),
+        "device_resident_parity_ok": resident_ok,
+        "device_load_seconds": round(load_s, 3),
         "cpu_canary_ms": cpu_canary_ms,
         "breakdown": timings,
     }

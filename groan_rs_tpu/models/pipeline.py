@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.dimension import Dimension
-from ..errors import GroupError, RMSDError
+from ..errors import GroupError, ParallelError, RMSDError
 from ..ops import center as center_ops
 from ..ops import distances as distance_ops
 from ..ops import pbc
@@ -556,11 +556,71 @@ class PipelineRunner:
         self.wire = wire
         self.hbond_specs = list(hbond_specs)
 
+    def _engine_1dev(self):
+        """The engine for device-resident passes: residency targets ONE
+        device's HBM, so a frames-sharded runner gets a single-device
+        sibling engine (same step fn, mesh of device 0)."""
+        if self.engine.n_shards == 1 and self.engine._spec is None:
+            return self.engine
+        if self.engine._user_step is None:
+            raise ParallelError(
+                "device-resident passes need the per-batch step; the "
+                "atoms-sharded spec runner streams instead")
+        if getattr(self, "_resident_engine", None) is None:
+            import jax
+
+            from ..parallel.engine import FrameEngine, make_mesh
+
+            self._resident_engine = FrameEngine(
+                self.engine._user_step,
+                mesh=make_mesh(1, 1, devices=jax.devices()[:1]),
+                box=self.engine._box_mode,
+            )
+        return self._resident_engine
+
+    def load_device(self, filename, *, batch_size: int = 32, start_time=None,
+                    end_time=None, step=None):
+        """Decode + ship a trajectory ONCE into device HBM.
+
+        Returns a `DeviceTrajectory`; pass it to `run` (in place of a
+        filename) to analyze it repeatedly at pure compute speed —
+        the parameter-sweep / re-analysis workflow.  See
+        `parallel.engine.DeviceTrajectory`.
+        """
+        from ..io.traj import cat_iter, traj_iter
+
+        if isinstance(filename, (list, tuple)):
+            reader = cat_iter(self.system, filename, indices=self.sel,
+                              batch_size=batch_size, start_time=start_time,
+                              end_time=end_time, step=step)
+        else:
+            reader = traj_iter(self.system, filename, indices=self.sel,
+                               batch_size=batch_size, start_time=start_time,
+                               end_time=end_time, step=step)
+        return self._engine_1dev().materialize(
+            reader.batches(wire=self.wire, deferred=True))
+
     def run(self, filename, *, batch_size: int = 32, start_time=None,
             end_time=None, step=None, progress=None, profiler=None):
-        """Run over one trajectory file, or a list/tuple of files
-        concatenated with boundary time dedup (reference: traj_cat.rs)."""
+        """Run over one trajectory file, a list/tuple of files
+        concatenated with boundary time dedup (reference: traj_cat.rs),
+        or a `DeviceTrajectory` from `load_device` (device-resident
+        re-analysis; no IO, no wire)."""
+        from ..parallel.engine import DeviceTrajectory
         from ..io.traj import cat_iter, traj_iter
+
+        if isinstance(filename, DeviceTrajectory):
+            if self.hbond_specs:
+                raise ParallelError(
+                    "hbond analyses score candidates host-side and need "
+                    "the streamed pass; run them with a filename")
+            out = self._engine_1dev().run_resident(filename,
+                                                   batch_size=batch_size)
+            if out is None:
+                out = {}
+            out["times"] = filename.times
+            out["steps"] = filename.steps
+            return out
 
         if isinstance(filename, (list, tuple)):
             reader = cat_iter(self.system, filename, indices=self.sel,

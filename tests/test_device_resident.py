@@ -1,0 +1,135 @@
+"""Device-resident trajectories (`DeviceTrajectory`): decode + ship once,
+re-analyze at pure compute speed.  Surpass feature — the reference's
+closest analogue is the OS page cache over the XTC file
+(comparison/xdrfile_vs_molly/info.md), which still pays decode per pass.
+Resident passes must be BIT-IDENTICAL to the streamed wire."""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import ParallelError
+from groan_rs_tpu.models import TrajectoryAnalysis
+from groan_rs_tpu.system import System
+
+pytestmark = pytest.mark.device_parity
+
+TF = "/root/reference/test_files"
+
+
+@pytest.fixture(scope="module")
+def tpr_sys():
+    s = System.from_file(os.path.join(TF, "example.tpr"))
+    s.group_create("Protein", "@protein")
+    return s
+
+
+def _mesh1():
+    import jax
+
+    from groan_rs_tpu.parallel.engine import make_mesh
+
+    return make_mesh(1, 1, devices=jax.devices()[:1])
+
+
+def _pipe(s, mesh="1dev"):
+    mesh = _mesh1() if mesh == "1dev" else mesh
+    return (TrajectoryAnalysis(s, mesh=mesh)
+            .add_com("Protein", name="com")
+            .add_distance("Protein", "all", com=(True, False), name="dist")
+            .add_rmsd("Protein", reference=s, name="rmsd"))
+
+
+def test_resident_equals_streamed(tpr_sys):
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    runner = _pipe(tpr_sys.copy()).runner()
+    streamed = runner.run(xtc, batch_size=4)
+    dt = runner.load_device(xtc, batch_size=4)
+    assert dt.kind == "q16"
+    assert dt.n_frames == 11
+    resident = runner.run(dt, batch_size=4)
+    for k in ("com", "dist", "rmsd"):
+        np.testing.assert_array_equal(np.asarray(streamed[k]),
+                                      np.asarray(resident[k]))
+    np.testing.assert_array_equal(streamed["times"], resident["times"])
+    np.testing.assert_array_equal(streamed["steps"], resident["steps"])
+
+
+def test_resident_batch_boundaries(tpr_sys):
+    """Load/run batch tiling never changes results beyond f32 ulps (a
+    different [B, K, 3] shape is a different XLA compilation, so exact
+    bit-equality only holds for identical tiling — covered above)."""
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    runner = _pipe(tpr_sys.copy()).runner()
+    base = runner.run(xtc, batch_size=11)
+    dt = runner.load_device(xtc, batch_size=3)
+    for bs in (1, 5, 32):
+        out = runner.run(dt, batch_size=bs)
+        for k in ("com", "dist", "rmsd"):
+            np.testing.assert_allclose(np.asarray(base[k]),
+                                       np.asarray(out[k]),
+                                       rtol=0, atol=2e-5)
+
+
+def test_resident_f32_wire(tpr_sys):
+    """The f32 wire materializes too (kind='f32'), still exact."""
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    runner = _pipe(tpr_sys.copy()).runner(wire="f32")
+    streamed = runner.run(xtc, batch_size=4)
+    dt = runner.load_device(xtc, batch_size=4)
+    assert dt.kind == "f32"
+    resident = runner.run(dt, batch_size=4)
+    for k in ("com", "dist", "rmsd"):
+        np.testing.assert_array_equal(np.asarray(streamed[k]),
+                                      np.asarray(resident[k]))
+
+
+def test_resident_from_sharded_runner(tpr_sys):
+    """A frames-sharded runner materializes via a single-device sibling
+    engine; per-frame results agree with the sharded stream to f32 ulps
+    (different XLA compilations -> reduction-order differences only)."""
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    runner = _pipe(tpr_sys.copy(), mesh=None).runner()
+    streamed = runner.run(xtc, batch_size=8)
+    dt = runner.load_device(xtc, batch_size=8)
+    resident = runner.run(dt, batch_size=8)
+    for k in ("com", "dist", "rmsd"):
+        np.testing.assert_allclose(np.asarray(streamed[k]),
+                                   np.asarray(resident[k]),
+                                   rtol=0, atol=2e-5)
+
+
+def test_resident_dense_hbonds(tpr_sys):
+    """The in-step dense hbond counter runs device-resident too: exact
+    reference counts [4675, 4644, 4629] with zero host assistance."""
+    from groan_rs_tpu.system.hbonds import HBondChain
+
+    s = System.from_file(os.path.join(TF, "aa_membrane_peptide.tpr"))
+    xtc = os.path.join(TF, "aa_membrane_peptide.xtc")
+    chain = HBondChain("resname SOL and name OW", "resname SOL and name OW",
+                       "resname SOL and name HW1 HW2")
+    pipe = TrajectoryAnalysis(s, mesh=_mesh1()).add_hbonds(
+        [chain], [(0, 0)], 0.3, 150.0, name="hb", method="dense")
+    runner = pipe.runner()
+    dt = runner.load_device(xtc)
+    out = runner.run(dt)
+    key = [k for k in out if k.startswith("hb")][0]
+    assert np.asarray(out[key])[:3].tolist() == [4675, 4644, 4629]
+
+
+def test_resident_rejects_host_assisted_hbonds(tpr_sys):
+    """method='cells' scores candidates host-side per frame; a resident
+    pass has no host coordinates, so it must refuse."""
+    from groan_rs_tpu.system.hbonds import HBondChain
+
+    s = System.from_file(os.path.join(TF, "aa_membrane_peptide.tpr"))
+    chain = HBondChain("resname SOL and name OW", "resname SOL and name OW",
+                       "resname SOL and name HW1 HW2")
+    pipe = TrajectoryAnalysis(s, mesh=_mesh1()).add_com("all").add_hbonds(
+        [chain], [(0, 0)], 0.3, 150.0, name="hb", method="cells")
+    runner = pipe.runner()
+    dt = _pipe(tpr_sys.copy()).runner().load_device(
+        os.path.join(TF, "short_trajectory.xtc"))
+    with pytest.raises(ParallelError):
+        runner.run(dt)
