@@ -64,6 +64,22 @@ def main():
           f"{(np.argmax(gr) + 0.5) * 1.2 / 60:.3f} nm")
     print("  density map shape    :", out["density_Membrane_xy"].shape)
 
+    # device-resident re-analysis: decode + ship ONCE into HBM, then
+    # every further pass is pure device compute (the sweep workflow).
+    # (host-assisted 'cells' hbonds need the streamed pass, so this demo
+    # uses a pipe without them)
+    pipe_r = (TrajectoryAnalysis(system)
+              .add_com("Protein")
+              .add_rmsd("Protein", reference=system))
+    runner_r = pipe_r.runner()
+    streamed = runner_r.run(xtc, batch_size=8, end_time=70200.0)
+    dt = runner_r.load_device(xtc, batch_size=8, end_time=70200.0)
+    out_res = runner_r.run(dt, batch_size=8)
+    same = np.array_equal(np.asarray(streamed["rmsd_Protein"]),
+                          np.asarray(out_res["rmsd_Protein"]))
+    print(f"device-resident ({dt.n_frames} frames, {dt.nbytes/1e3:.0f} KB "
+          f"HBM, kind={dt.kind}) bit-equal to streamed:", same)
+
     # multi-chip: the SAME suite as one shard_map step over a mesh
     # (on CPU this needs the virtual 8-device mesh: run tests/conftest-style
     # with XLA_FLAGS=--xla_force_host_platform_device_count=8)
