@@ -40,7 +40,7 @@ from .models import (
     convert_iter,
 )
 from .parallel import traj_iter_map_reduce
-from .parallel.engine import FrameEngine, make_mesh
+from .parallel.engine import DeviceTrajectory, FrameEngine, make_mesh
 from .progress import ProgressPrinter, ProgressStatus
 from .system import Group, System
 from .system.hbonds import HBond, HBondAnalysis, HBondChain
@@ -81,6 +81,7 @@ __all__ = [
     "convert_iter",
     "analyze_iter",
     "traj_iter_map_reduce",
+    "DeviceTrajectory",
     "FrameEngine",
     "make_mesh",
     "errors",

@@ -16,6 +16,8 @@ larger than one chip's HBM still fit: reductions over atoms become
 `psum(axis='atoms')` inside `shard_map`.
 """
 
-from .engine import FrameEngine, make_mesh, traj_iter_map_reduce
+from .engine import (DeviceTrajectory, FrameEngine, make_mesh,
+                     traj_iter_map_reduce)
 
-__all__ = ["FrameEngine", "make_mesh", "traj_iter_map_reduce"]
+__all__ = ["DeviceTrajectory", "FrameEngine", "make_mesh",
+           "traj_iter_map_reduce"]
