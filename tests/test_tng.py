@@ -59,6 +59,28 @@ def test_octahedron_container(test_files):
     assert info["n_frames"] == 11
 
 
+def test_tng_compress_triplet_intra_positions(test_files):
+    """Native decode of the tng_compress triplet-intra coding
+    (initial_coding=3): every frame of octahedron_trajectory.tng must
+    reproduce the exact quantized coordinates.  The same trajectory
+    exists as XTC at precision 100 (TNG is 1000, written by gmx trjconv
+    from it), so the integers must match exactly 10:1."""
+    from groan_rs_tpu.io import native
+
+    src = TngSource(os.path.join(test_files, "octahedron_trajectory.tng"))
+    assert src.n_frames() == 11 and src.natoms == 50
+    fb = src.read_batch(np.arange(11))
+    off, _, _, n = native.xtc_scan(
+        os.path.join(test_files, "octahedron_trajectory.xtc"))
+    cx, *_ = native.xtc_read_frames(
+        os.path.join(test_files, "octahedron_trajectory.xtc"), off, n)
+    q_tng = np.round(fb.positions.astype(np.float64) * 1000).astype(np.int64)
+    q_xtc = np.round(np.asarray(cx, np.float64) * 100).astype(np.int64)
+    assert (q_tng == 10 * q_xtc).all()
+    # float values agree to XTC's own quantization
+    assert float(np.abs(fb.positions - cx).max()) < 5e-3
+
+
 def test_fake_tng_rejected(test_files):
     with pytest.raises(ReadTrajError):
         tng_info(os.path.join(test_files, "fake_tng.tng"))
