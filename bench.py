@@ -167,6 +167,16 @@ def build_system(n_prot, n_mem, frame0, box):
     return s, masses
 
 
+def runner_reader_batches(runner, xtc, batch):
+    """Host-only batch stream with the runner's exact reader config
+    (selection, wire) — times decode+wire-prep without device/transfer."""
+    from groan_rs_tpu.io.traj import traj_iter
+
+    reader = traj_iter(runner.system, xtc, indices=runner.sel,
+                       batch_size=batch)
+    return reader.batches(wire=runner.wire, prefetch=False)
+
+
 def main():
     t_setup = time.perf_counter()
     os.makedirs(CACHE, exist_ok=True)
@@ -274,18 +284,35 @@ def main():
         fixture_ok = bool((np.abs(dev_com - host_com) < 2e-4).all())
         parity_ok &= fixture_ok
 
+    # CPU-health canary, stamped per phase: this host is a shared 1-vCPU
+    # box with up to 10x steal swings WITHIN a run — a single canary at the
+    # end cannot certify the timed windows (healthy value ~20 ms here)
+    def canary_ms():
+        c = np.random.default_rng(0).random((800, 800))
+        t0 = time.perf_counter()
+        c = c @ c
+        return round((time.perf_counter() - t0) * 1e3 + float(c[0, 0]) * 0, 1)
+
     # ---- instrumented pass (stage breakdown; slower than production) ----
     from groan_rs_tpu.utils.profiling import PipelineProfiler
 
+    can_instr = canary_ms()
     prof = PipelineProfiler()
+    t0 = time.perf_counter()
     runner.run(xtc, batch_size=BATCH, profiler=prof)
-    totals = prof.totals()
-    timings = {k: round(v, 4) for k, v in totals.items()
-               if isinstance(v, float) and v > 0}
-    log(f"breakdown (diagnostic, stage-blocked): {timings}")
+    instr_wall = time.perf_counter() - t0
+    med = prof.medians()
+    n_batches = med.pop("n_batches")
+    # report per-batch MEDIANS: a stolen-CPU window inflates one batch by
+    # seconds; medians keep the breakdown structural, and the consistency
+    # check below flags runs where even medians can't be trusted
+    timings = {f"{k}_med_ms": round(v * 1e3, 1) for k, v in med.items()}
+    timings["n_batches"] = n_batches
+    log(f"breakdown (per-batch medians, stage-blocked): {timings}")
 
     # ---- timed passes ----------------------------------------------------
     log("timed passes...")
+    can_timed = canary_ms()
     best = float("inf")
     for _ in range(int(os.environ.get("BENCH_REPS", 5))):
         t0 = time.perf_counter()
@@ -294,6 +321,38 @@ def main():
         best = min(best, dt)
         log(f"  pass {dt:.3f}s")
     timings["pass_s"] = round(best, 4)
+    # consistency: the instrumented pass forces per-batch syncs, so it runs
+    # somewhat slower — but if it disagrees with the production pass by
+    # >2x, the breakdown was captured in a different weather window and
+    # must not be read as a structural diagnostic
+    timings["instrumented_wall_s"] = round(instr_wall, 3)
+    breakdown_unreliable = bool(instr_wall > 2.0 * best)
+    timings["breakdown_unreliable"] = breakdown_unreliable
+
+    # ---- environment floors (measured IN-RUN, same weather) -------------
+    # wire floor: ship one representative wire-sized buffer with forced
+    # materialization (async puts under-attribute; reduce + fetch forces)
+    bytes_per_pass = max(1, runner.engine.h2d_bytes // max(
+        1, runner.engine.frames_shipped // N_FRAMES))
+    import jax.numpy as jnp
+    probe = np.frombuffer(
+        np.random.default_rng(1).bytes(min(bytes_per_pass, 32_000_000)),
+        np.uint8)
+    dprobe = jnp.asarray(probe)  # warm path
+    float(jnp.sum(dprobe.astype(jnp.int32)))
+    t0 = time.perf_counter()
+    dprobe = jnp.asarray(probe)
+    float(jnp.sum(dprobe.astype(jnp.int32)))
+    wire_rate = probe.nbytes / (time.perf_counter() - t0)
+    wire_floor_fps = wire_rate / (bytes_per_pass / N_FRAMES)
+    # decode floor: host-only consumption of the same batches (native
+    # decode + wire prep, no device, no transfer)
+    t0 = time.perf_counter()
+    for _fb in runner_reader_batches(runner, xtc, BATCH):
+        pass
+    decode_floor_fps = N_FRAMES / (time.perf_counter() - t0)
+    log(f"floors: wire {wire_floor_fps:.1f} f/s ({wire_rate/1e6:.0f} MB/s), "
+        f"decode {decode_floor_fps:.1f} f/s")
 
     # ---- device-resident re-analysis (DeviceTrajectory) ------------------
     # decode + ship ONCE, then every further pass is pure device compute:
@@ -337,16 +396,8 @@ def main():
         (np.abs(np.asarray(small_out["com"], np.float64)[0] - small_com0) < 2e-3).all()
     )
 
-    # CPU-health canary: a fixed numpy workload; this host is a shared
-    # 1-vCPU box with up to 10x steal swings between runs — the canary lets
-    # readers normalize the headline number (typical healthy value ~60 ms)
-    canary = np.random.default_rng(0).random((1200, 1200))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        canary = canary @ canary * 1e-3
-    cpu_canary_ms = round((time.perf_counter() - t0) * 1e3, 1)
-
     fps = N_FRAMES / best
+    floor_fps = min(wire_floor_fps, decode_floor_fps)
     result = {
         "metric": "frames/sec/chip, 1M-atom XTC dist+COM+RMSD pass; float32 parity vs groan_rs",
         "value": round(fps, 2),
@@ -365,7 +416,14 @@ def main():
         "device_resident_fps": round(resident_fps, 2),
         "device_resident_parity_ok": resident_ok,
         "device_load_seconds": round(load_s, 3),
-        "cpu_canary_ms": cpu_canary_ms,
+        # environment floors measured in the SAME run/weather: the
+        # headline can be judged against them inside the artifact itself
+        "wire_floor_fps": round(wire_floor_fps, 1),
+        "decode_floor_fps": round(decode_floor_fps, 1),
+        "value_vs_env_floor": round(fps / floor_fps, 3) if floor_fps else None,
+        "cpu_canary_ms": canary_ms(),
+        "canary_instrumented_ms": can_instr,
+        "canary_timed_ms": can_timed,
         "breakdown": timings,
     }
     print(json.dumps(result), flush=True)

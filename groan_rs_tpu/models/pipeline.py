@@ -16,6 +16,8 @@ device-compute with no per-frame host round-trips (SURVEY §3.2 TPU design).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.dimension import Dimension
@@ -49,6 +51,7 @@ class TrajectoryAnalysis:
         self.mesh = mesh
         self.triclinic = bool(triclinic)
         self._specs = []  # (name, fn(positions, boxes) -> array)
+        self._vel_specs = []  # (name, fn(pos, vel, boxes, mask) -> array)
         self._handles: list[_Idx] = []
         self._decls = []  # declarative observable records (sharded compile)
         self._hbond_specs = []  # (name, HBondAnalysis) host-assisted specs
@@ -408,6 +411,70 @@ class TrajectoryAnalysis:
         self._spec_factories.append((nm, factory))
         return self
 
+    def add_kinetic_energy(self, group: str, name: str | None = None):
+        """Per-frame kinetic energy of a group -> [F] kJ/mol, computed
+        from TRR velocities on the batched fast path (reference decodes
+        x/v/f per frame, trr_io.rs:30, but has no batched consumer).
+        KE = 1/2 sum_i m_i |v_i|^2; requires a velocity-carrying
+        trajectory (TRR) and atoms with masses."""
+        import jax.numpy as jnp
+
+        idx = self._register(self._indices(group))
+        w = jnp.asarray(self._masses(group))
+
+        def fn(pos, vel, boxes, mask):
+            v = jnp.take(vel, idx.j, axis=1)                 # [B, n, 3]
+            return 0.5 * jnp.sum(w[None, :] * jnp.sum(v * v, axis=-1),
+                                 axis=-1)
+
+        nm = name or f"kinetic_{group}"
+        self._decls.append({"kind": "kinetic", "name": nm, "group": group})
+        self._vel_specs.append((nm, fn))
+        return self
+
+    def add_temperature(self, group: str, name: str | None = None,
+                        ndf: float | None = None):
+        """Per-frame kinetic temperature of a group -> [F] Kelvin:
+        T = 2 KE / (ndf kB), kB = 0.008314462618 kJ/(mol K).  `ndf`
+        defaults to 3N (no constraint correction — pass the system's
+        true degree-of-freedom count for thermostat-grade numbers)."""
+        import jax.numpy as jnp
+
+        idx = self._register(self._indices(group))
+        w = jnp.asarray(self._masses(group))
+        n = int(idx.raw.shape[0])
+        dof = float(ndf) if ndf is not None else 3.0 * n
+        kb = 0.008314462618
+
+        def fn(pos, vel, boxes, mask):
+            v = jnp.take(vel, idx.j, axis=1)
+            ke = 0.5 * jnp.sum(w[None, :] * jnp.sum(v * v, axis=-1), axis=-1)
+            return 2.0 * ke / (dof * kb)
+
+        nm = name or f"temperature_{group}"
+        self._decls.append({"kind": "temperature", "name": nm,
+                            "group": group, "ndf": dof})
+        self._vel_specs.append((nm, fn))
+        return self
+
+    def add_velocity_step(self, name: str, fn, touches: str | None = None):
+        """Custom jittable velocity observable:
+        `fn(positions[B,K,3], velocities[B,K,3], boxes, frame_mask) ->
+        [B, ...]` runs inside the batched step alongside the built-ins.
+        `touches` (a group name) declares which atoms the fn reads so
+        `ship='auto'` keeps them in the shipped subset; None ships all."""
+        if touches is not None:
+            self._register(self._indices(touches))
+        else:
+            self._register(np.arange(self.system.get_n_atoms()))
+        self._decls.append({"kind": "velocity_step", "name": name})
+        self._vel_specs.append((name, fn))
+        return self
+
+    @property
+    def needs_velocities(self) -> bool:
+        return bool(self._vel_specs)
+
     # ------------------------------------------------------------- execution
     def sharded(self, mesh):
         """Compile the configured observables into ONE jitted shard_map step
@@ -445,9 +512,17 @@ class TrajectoryAnalysis:
         specs = list(self._specs)
         for _, factory in self._spec_factories:
             specs.extend(factory(sel))
+        vel_specs = list(self._vel_specs)
 
-        def step(positions, boxes, frame_mask):
-            return {name: fn(positions, boxes) for name, fn in specs}
+        if vel_specs:
+            def step(positions, boxes, frame_mask, velocities):
+                out = {name: fn(positions, boxes) for name, fn in specs}
+                for name, fn in vel_specs:
+                    out[name] = fn(positions, velocities, boxes, frame_mask)
+                return out
+        else:
+            def step(positions, boxes, frame_mask):
+                return {name: fn(positions, boxes) for name, fn in specs}
 
         return step
 
@@ -488,6 +563,10 @@ class TrajectoryAnalysis:
                     "hbond observables have no atoms-sharded formulation",
                     code="InvalidSelection",
                 )
+            if self._vel_specs:
+                raise ParallelError(
+                    "velocity observables have no atoms-sharded "
+                    "formulation yet; use a frames-only mesh")
             step, params, n_pad = self.sharded(mesh)
             engine = FrameEngine(None, mesh=mesh, spec=(step, params, n_pad))
             if wire in ("auto", "delta", "delta6"):
@@ -496,6 +575,9 @@ class TrajectoryAnalysis:
 
         # the delta wire is single-shard (sequential frame reconstruction)
         if wire == "auto" and mesh.shape["frames"] > 1:
+            wire = "q16"
+        # velocity channels ride the q16/f32 wires (TRR batches are f32)
+        if self._vel_specs and wire == "auto":
             wire = "q16"
         # hbond candidate binning needs absolute host coords per frame
         if self._hbond_specs:
@@ -521,6 +603,7 @@ class TrajectoryAnalysis:
         engine = FrameEngine(
             self.step_fn(sel), mesh=mesh,
             box="matrix" if self.triclinic else "lengths",
+            aux=("vel",) if self._vel_specs else (),
         )
 
         # host-assisted hbond specs, remapped into the shipped layout
@@ -575,6 +658,7 @@ class PipelineRunner:
                 self.engine._user_step,
                 mesh=make_mesh(1, 1, devices=jax.devices()[:1]),
                 box=self.engine._box_mode,
+                aux=self.engine.aux,
             )
         return self._resident_engine
 
@@ -614,6 +698,10 @@ class PipelineRunner:
                 raise ParallelError(
                     "hbond analyses score candidates host-side and need "
                     "the streamed pass; run them with a filename")
+            if self.engine.aux:
+                raise ParallelError(
+                    "device-resident trajectories hold positions only; "
+                    "velocity observables run on the streamed pass")
             out = self._engine_1dev().run_resident(filename,
                                                    batch_size=batch_size)
             if out is None:
@@ -654,8 +742,31 @@ class PipelineRunner:
                                                inv_prec=inv)
                     )
 
-        out = self.engine.run(reader.batches(wire=self.wire, deferred=True),
-                              profiler=profiler, on_batch=on_batch)
+        out = None
+        # latency path: when the whole pass fits one transfer budget, ship
+        # it as ONE device_put and evaluate in ONE dispatch (the streamed
+        # path pays several tunnel round trips per batch — pure waste at
+        # small sizes; BASELINE.md rows 5-7, reference partial reads)
+        budget = int(os.environ.get("GROAN_ONESHOT_BYTES", 6_000_000))
+        if (profiler is None and self.engine._spec is None
+                and self.engine.n_shards == 1):
+            n_f = reader.n_selected()
+            n_ship = (len(self.sel) if self.sel is not None
+                      else self.system.get_n_atoms())
+            est = n_f * n_ship * 3 * (4 if self.wire == "f32" else 2)
+            if 0 < est <= budget:
+                wire1 = "f32" if self.wire == "f32" else "q16"
+                fbs = list(reader.batches(batch_size=n_f, wire=wire1,
+                                          prefetch=False))
+                if len(fbs) == 1:
+                    out = self.engine.run_oneshot(fbs[0])
+                    if on_batch is not None:
+                        on_batch(fbs[0])
+
+        if out is None:
+            out = self.engine.run(
+                reader.batches(wire=self.wire, deferred=True),
+                profiler=profiler, on_batch=on_batch)
         if out is None:
             out = {}
         for nm, analysis in self.hbond_specs:

@@ -96,7 +96,7 @@ class FrameEngine:
     """
 
     def __init__(self, step_fn, mesh=None,
-                 box: str = "lengths", spec=None):
+                 box: str = "lengths", spec=None, aux=()):
         """`spec=(fn, params_device, n_atoms_pad)` switches the engine to
         ATOMS-SHARDED mode: `fn` is a compiled shard_map step from
         `TrajectoryAnalysis.sharded(mesh)` (signature
@@ -120,6 +120,16 @@ class FrameEngine:
         if spec is not None:
             self._pos_shard = NamedSharding(self.mesh,
                                             P("frames", "atoms", None))
+        # aux channels riding the batch alongside positions: any of
+        # ("vel", "frc") — shipped as f32 [B, K, 3] (the TRR decoder's
+        # native precision, reference trr_io.rs:30 x/v/f per frame) and
+        # appended to the user step's arguments after the mask
+        self.aux = tuple(aux)
+        if any(a not in ("vel", "frc") for a in self.aux):
+            raise ParallelError(f"unknown aux channels {aux}")
+        if self.aux and spec is not None:
+            raise ParallelError(
+                "aux channels are not supported by the atoms-sharded spec")
         self._carry_q = None  # delta-wire device carry (int32 [K, 3])
         self.h2d_bytes = 0  # coordinate bytes shipped (wire accounting)
         self.frames_shipped = 0
@@ -140,9 +150,9 @@ class FrameEngine:
         if kind == "f32":
             fn = jax.jit(user)
         elif kind == "q16":
-            def q16_step(q, boxes, mask, inv_prec):
+            def q16_step(q, boxes, mask, inv_prec, *ax):
                 pos = q.astype(jnp.float32) * inv_prec[:, None, None]
-                return user(pos, boxes, mask)
+                return user(pos, boxes, mask, *ax)
 
             fn = jax.jit(q16_step)
         elif kind == "delta":
@@ -197,19 +207,9 @@ class FrameEngine:
             return np.pad(arr, pad, mode="edge")
         return np.pad(arr, pad, mode="constant", constant_values=value)
 
-    def _put_small(self, arrs):
-        """Ship several small host arrays as ONE device_put.
-
-        Each device_put through a tunnel transport pays a fixed round-trip
-        cost; a batch's sidecar arrays (boxes, mask, inv_prec, drift
-        shifts, escapes) are a few KB each, so shipping them individually
-        is pure latency.  Pack them into one uint8 buffer (4-byte aligned
-        segments) and split them back with one tiny jitted kernel on
-        device.  Only used single-shard: a flat byte buffer cannot carry
-        per-array frame sharding.
-        """
-        import jax
-
+    @staticmethod
+    def _pack_host(arrs):
+        """Concatenate host arrays into one uint8 buffer + segment metas."""
         metas = []
         parts = []
         off = 0
@@ -222,28 +222,73 @@ class FrameEngine:
             if pad:
                 parts.append(np.zeros(pad, np.uint8))
             off += raw.size + pad
-        key = tuple(metas)
+        return np.concatenate(parts), tuple(metas)
+
+    @staticmethod
+    def _unpack_exprs(buf, key):
+        """Slice + bitcast the packed segments back out (traceable)."""
+        import jax
+
+        out = []
+        for dt, shape, o, nb in key:
+            seg = jax.lax.slice(buf, (o,), (o + nb,))
+            if dt == "bool":
+                out.append((seg != 0).reshape(shape))
+            else:
+                it = np.dtype(dt).itemsize
+                arr = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, it), np.dtype(dt))
+                out.append(arr.reshape(shape))
+        return tuple(out)
+
+    def _put_small(self, arrs):
+        """Ship several small host arrays as ONE device_put.
+
+        Each device_put through a tunnel transport pays a fixed round-trip
+        cost; a batch's sidecar arrays (boxes, mask, inv_prec, drift
+        shifts, escapes) are a few KB each, so shipping them individually
+        is pure latency.  Pack them into one uint8 buffer (4-byte aligned
+        segments), replicate it (tiny), and split it back with one jitted
+        kernel whose outputs are sharded over the frames axis — so this
+        works on any mesh (the slice from a replicated buffer needs no
+        cross-device traffic).
+        """
+        import jax
+
+        buf_host, key = self._pack_host(arrs)
         unpack = self._unpackers.get(key)
         if unpack is None:
-            import jax.numpy as jnp
-
-            def unpack_fn(buf):
-                out = []
-                for dt, shape, o, nb in key:
-                    seg = jax.lax.slice(buf, (o,), (o + nb,))
-                    if dt == "bool":
-                        out.append((seg != 0).reshape(shape))
-                    else:
-                        it = np.dtype(dt).itemsize
-                        arr = jax.lax.bitcast_convert_type(
-                            seg.reshape(-1, it), np.dtype(dt))
-                        out.append(arr.reshape(shape))
-                return tuple(out)
-
-            unpack = jax.jit(unpack_fn)
+            fn = lambda buf: self._unpack_exprs(buf, key)  # noqa: E731
+            if self.mesh.size > 1:
+                unpack = jax.jit(
+                    fn, out_shardings=tuple(self._in_shard for _ in key))
+            else:
+                # single-device: plain jit (out_shardings triggers a
+                # pathological remote-compile path on the axon tunnel)
+                unpack = jax.jit(fn)
             self._unpackers[key] = unpack
-        buf = jax.device_put(np.concatenate(parts), self._replicated)
+        buf = jax.device_put(buf_host, self._replicated)
         return unpack(buf)
+
+    def _put_aux(self, fb, b_pad):
+        """Ship the requested aux channels (velocities/forces) as f32
+        [B, K, 3] device arrays, frame-sharded like positions."""
+        import jax
+
+        if not self.aux:
+            return ()
+        out = []
+        for ch in self.aux:
+            arr = fb.velocities if ch == "vel" else fb.forces
+            if arr is None:
+                raise ParallelError(
+                    f"the analysis needs '{ch}' but the trajectory batch "
+                    "carries none (XTC stores positions only; use TRR)"
+                )
+            out.append(jax.device_put(
+                self._pad(np.asarray(arr, np.float32), b_pad),
+                self._in_shard))
+        return tuple(out)
 
     def _put_inputs(self, fb, b_pad):
         """Device-put one batch in its wire format -> (kind, args tuple)."""
@@ -259,10 +304,6 @@ class FrameEngine:
                     else fb.box_lengths())
         mask = np.zeros(b_pad, dtype=bool)
         mask[:fb.positions.shape[0]] = True
-        pack = self.n_shards == 1 and self._spec is None
-        if not pack:
-            boxes = jax.device_put(self._pad(box_host, b_pad), self._in_shard)
-            mask_d = jax.device_put(mask, self._in_shard)
 
         if self._spec is not None:
             if kind not in ("f32", "q16"):
@@ -282,27 +323,29 @@ class FrameEngine:
                 inv = np.float32(1.0) / np.asarray(fb.precisions, np.float32)
             else:
                 inv = np.ones(len(fb), np.float32)
-            inv_d = jax.device_put(self._pad(inv, b_pad), self._in_shard)
+            boxes, mask_d, inv_d = self._put_small(
+                [self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
             return "spec", (pos, boxes, mask_d, inv_d) + tuple(params)
 
         if kind == "f32":
             pos = jax.device_put(self._pad(fb.positions, b_pad), self._in_shard)
-            if pack:
-                boxes, mask_d = self._put_small(
-                    [self._pad(box_host, b_pad), mask])
-            return kind, (pos, boxes, mask_d)
+            boxes, mask_d = self._put_small(
+                [self._pad(box_host, b_pad), mask])
+            return kind, (pos, boxes, mask_d) + self._put_aux(fb, b_pad)
 
         inv = np.float32(1.0) / np.asarray(fb.precisions, np.float32)
-        if not pack:
-            inv_d = jax.device_put(self._pad(inv, b_pad), self._in_shard)
         if kind == "q16":
             pos = jax.device_put(self._pad(fb.positions, b_pad), self._in_shard)
-            if pack:
-                boxes, mask_d, inv_d = self._put_small(
-                    [self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
-            return kind, (pos, boxes, mask_d, inv_d)
+            boxes, mask_d, inv_d = self._put_small(
+                [self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
+            return kind, (pos, boxes, mask_d, inv_d) + self._put_aux(fb, b_pad)
 
         if kind in ("delta", "delta6"):
+            if self.aux:
+                raise ParallelError(
+                    "velocity/force channels ride the q16/f32 wires only; "
+                    "request wire='q16' (TRR sources produce f32 batches)"
+                )
             if self.n_shards > 1:
                 raise ParallelError(
                     "the delta wire reconstructs sequentially over the frame "
@@ -344,14 +387,9 @@ class FrameEngine:
             ei_host = self._pad(np.asarray(fb.esc_idx, np.int32), b_pad,
                                 "zero", value=sentinel)
             ev_host = self._pad(np.asarray(fb.esc_val), b_pad, "zero")
-            if pack:
-                sh, ei, ev, boxes, mask_d, inv_d = self._put_small(
-                    [sh_host, ei_host, ev_host,
-                     self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
-            else:
-                sh = jax.device_put(sh_host, self._in_shard)
-                ei = jax.device_put(ei_host, self._in_shard)
-                ev = jax.device_put(ev_host, self._in_shard)
+            sh, ei, ev, boxes, mask_d, inv_d = self._put_small(
+                [sh_host, ei_host, ev_host,
+                 self._pad(box_host, b_pad), mask, self._pad(inv, b_pad)])
             return kind, (self._carry_q, d, sh, ei, ev, boxes, mask_d, inv_d)
         raise ParallelError(f"unknown wire format '{kind}'")
 
@@ -466,6 +504,66 @@ class FrameEngine:
             return {}
         return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
+    def run_oneshot(self, fb):
+        """Whole-pass-in-one-put latency path for small passes.
+
+        Ships positions AND sidecars as ONE packed device_put, evaluates
+        every frame in ONE fused jitted dispatch, and fetches the (tiny)
+        per-frame results — ~3 tunnel round trips total instead of
+        several per batch.  The streamed path's per-batch round trips are
+        pure latency waste when the whole pass is a few hundred KB
+        (BASELINE.md rows 5-7: the reference's ~400-atom partial reads do
+        5,000 frames in 0.3 s); `PipelineRunner.run` routes here when the
+        estimated wire size fits `GROAN_ONESHOT_BYTES`.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        kind = getattr(fb, "wire", "f32")
+        if kind not in ("q16", "f32"):
+            raise ParallelError(
+                f"run_oneshot supports the q16/f32 wires only (got '{kind}')")
+        if self._user_step is None:
+            raise ParallelError("run_oneshot needs a per-batch step")
+        b = fb.positions.shape[0]
+        box_host = (fb.box_matrices() if self._box_mode == "matrix"
+                    else fb.box_lengths())
+        mask = np.ones(b, dtype=bool)
+        aux_host = []
+        for ch in self.aux:
+            arr = fb.velocities if ch == "vel" else fb.forces
+            if arr is None:
+                raise ParallelError(
+                    f"the analysis needs '{ch}' but the trajectory batch "
+                    "carries none (XTC stores positions only; use TRR)")
+            aux_host.append(np.asarray(arr, np.float32))
+        if kind == "q16":
+            inv = np.float32(1.0) / np.asarray(fb.precisions, np.float32)
+            arrs = [fb.positions, box_host, mask, inv] + aux_host
+        else:
+            arrs = [fb.positions, box_host, mask] + aux_host
+        buf_host, metas = self._pack_host(arrs)
+        self.h2d_bytes += fb.positions.nbytes
+        self.frames_shipped += b
+        key = ("oneshot", kind, metas)
+        fn = self._steps.get(key)
+        if fn is None:
+            user = self._user_step
+
+            def fused(buf):
+                parts = self._unpack_exprs(buf, metas)
+                if kind == "q16":
+                    q, boxes, m, iv, *ax = parts
+                    pos = q.astype(jnp.float32) * iv[:, None, None]
+                else:
+                    pos, boxes, m, *ax = parts
+                return user(pos, boxes, m, *ax)
+
+            fn = jax.jit(fused)
+            self._steps[key] = fn
+        buf = jax.device_put(buf_host, self._replicated)
+        return jax.device_get(fn(buf))
+
     # ------------------------------------------------------------------
     # device-resident trajectories
     # ------------------------------------------------------------------
@@ -523,28 +621,38 @@ class FrameEngine:
             raise ParallelError(
                 "materialize targets a single device's HBM; use a "
                 "single-shard engine (frames axis = 1)")
+        if self.aux:
+            raise ParallelError(
+                "device-resident trajectories hold positions only; "
+                "velocity/force analyses run on the streamed pass")
         release = getattr(batches, "release", None)
-        qs_parts, box_parts, inv_parts = [], [], []
+        qs_parts, box_parts, inv_parts, maxs = [], [], [], []
         times, steps = [], []
         kinds = set()
         for fb in batches:
-            kind = getattr(fb, "wire", "f32")
             b = fb.positions.shape[0]
             kind2, args = self._put_inputs(fb, b)
-            jax.block_until_ready(args)
+            # Block only on the freshly transferred arrays — NOT the delta
+            # carry (args[0]), which is the previous batch's scan output:
+            # blocking on it would serialize every transfer behind the
+            # previous compute.  The transfer itself needs host CPU on
+            # tunnel clients, so finish it before waking the decoder.
+            fresh = args[1:] if kind2 in ("delta", "delta6") else args
+            jax.block_until_ready(fresh)
             if kind2 in ("delta", "delta6"):
                 qs, self._carry_q = self._mat_for(kind2)(*args[:5])
-                qs_parts.append(qs)
                 inv_parts.append(args[7])
                 box_parts.append(args[5])
                 kinds.add("q16")
+                # lazy device scalar; the single sync happens at the end
+                maxs.append(jnp.max(jnp.abs(qs)))
             elif kind2 == "q16":
-                qs_parts.append(args[0])
+                qs = args[0]
                 box_parts.append(args[1])
                 inv_parts.append(args[3])
                 kinds.add("q16")
             elif kind2 == "f32":
-                qs_parts.append(args[0])
+                qs = args[0]
                 box_parts.append(args[1])
                 inv_parts.append(jax.device_put(np.ones(b, np.float32),
                                                 self._replicated))
@@ -553,6 +661,7 @@ class FrameEngine:
                 raise ParallelError(
                     "materialize supports the f32/q16/delta wires only "
                     f"(got '{kind2}')")
+            qs_parts.append(qs)
             if release is not None:
                 release()
             times.append(np.asarray(fb.times))
@@ -561,26 +670,56 @@ class FrameEngine:
             raise ParallelError("empty trajectory")
         if kinds == {"q16"}:
             out_kind = "q16"
-            # narrow to int16 when every coordinate fits (6 B/atom HBM)
-            hi = max(int(jnp.max(jnp.abs(q)).block_until_ready())
-                     for q in qs_parts)
+            # narrow to int16 when every coordinate fits (6 B/atom HBM).
+            # q16-wire parts arrive int16 already; only the int32 scan
+            # outputs of the delta wires need the range check — ONE fused
+            # device reduction, one sync (was: one blocking round trip per
+            # part plus per-part astype allocations).
+            if maxs:
+                hi = int(jnp.max(jnp.stack(maxs)))
+            else:
+                hi = 0
             dt = jnp.int16 if hi <= 32767 else jnp.int32
-            qs_parts = [q.astype(dt) for q in qs_parts]
+            fin = self._finisher(dt)
         else:
             out_kind = "f32"
-            qs_parts = [
-                (q.astype(jnp.float32) * iv[:, None, None]
-                 if q.dtype != jnp.float32 else q)
-                for q, iv in zip(qs_parts, inv_parts)
-            ]
-            inv_parts = [jnp.ones_like(iv) for iv in inv_parts]
+            fin = self._finisher(jnp.float32)
+        pos, boxes, inv = fin(qs_parts, box_parts, inv_parts)
         return DeviceTrajectory(
-            pos=jnp.concatenate(qs_parts, axis=0),
-            boxes=jnp.concatenate(box_parts, axis=0),
-            inv_prec=jnp.concatenate(inv_parts, axis=0),
+            pos=pos, boxes=boxes, inv_prec=inv,
             times=np.concatenate(times), steps=np.concatenate(steps),
             kind=out_kind,
         )
+
+    def _finisher(self, dt):
+        """One jitted dispatch assembling the resident trajectory: concat
+        over frames + dtype narrowing (+ dequantization for f32) fused —
+        no per-part syncs, one device reallocation."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("finish", np.dtype(dt).name)
+        if key in self._steps:
+            return self._steps[key]
+
+        if np.dtype(dt) == np.float32:
+            def fin(qs, boxes, invs):
+                parts = [
+                    (q.astype(jnp.float32) * iv[:, None, None]
+                     if q.dtype != jnp.float32 else q)
+                    for q, iv in zip(qs, invs)
+                ]
+                return (jnp.concatenate(parts, axis=0),
+                        jnp.concatenate(boxes, axis=0),
+                        jnp.ones(sum(i.shape[0] for i in invs), jnp.float32))
+        else:
+            def fin(qs, boxes, invs):
+                return (jnp.concatenate([q.astype(dt) for q in qs], axis=0),
+                        jnp.concatenate(boxes, axis=0),
+                        jnp.concatenate(invs, axis=0))
+        fn = jax.jit(fin)
+        self._steps[key] = fn
+        return fn
 
     def run_resident(self, dt: DeviceTrajectory, batch_size: int = 32,
                      collect: bool = True, fold=None, init=None):

@@ -55,6 +55,23 @@ class PipelineProfiler:
                 out[s] += b.get(s, 0.0)
         return out
 
+    def medians(self) -> dict:
+        """Per-stage per-batch medians (seconds).
+
+        Medians are the trustworthy per-batch diagnostic on hosts with CPU
+        steal: a single stolen window inflates one batch's stage by
+        seconds and makes totals unrepresentative of the pipeline's
+        structure (the r03 artifact recorded a 42 s 'compute' total inside
+        a 1.1 s/pass run this way)."""
+        import statistics
+
+        out = {}
+        for s in self.STAGES:
+            vals = [b[s] for b in self.batches if s in b]
+            out[s] = statistics.median(vals) if vals else 0.0
+        out["n_batches"] = len(self.batches)
+        return out
+
     def summary(self) -> str:
         t = self.totals()
         n = max(t["n_frames"], 1)
