@@ -175,3 +175,10 @@ class FileTypeError(GroanError):
 
 class ParallelError(GroanError):
     """Errors surfaced from the parallel pass engine."""
+
+
+class PerformanceWarning(UserWarning):
+    """Emitted when an API usage pattern pays per-call device dispatch
+    costs the batched pipeline avoids (e.g. looping System analysis
+    methods over trajectory frames instead of using
+    `models.TrajectoryAnalysis`)."""

@@ -550,6 +550,38 @@ class TrajReader:
     def steps(self) -> np.ndarray:
         return self._steps[self._mask]
 
+    def read_frames(self, frame_ids) -> "FrameBatch":
+        """Read an arbitrary set of frames (absolute frame numbers in the
+        concatenated stream) as ONE absolute-coordinate (f32) FrameBatch —
+        the random-access companion to `batches()` (used e.g. by the
+        strict dense-hbond re-score to revisit flagged frames)."""
+        ids = np.asarray(frame_ids, np.int64)
+        srcs = self._src[ids]
+        parts = []
+        for si in np.unique(srcs):
+            parts.append(self.sources[int(si)].read_batch(
+                self._local[ids[srcs == si]], stop_after=self._stop_after))
+        if len(parts) == 1:
+            out = parts[0]
+        else:
+            out = FrameBatch(
+                positions=np.concatenate([p.positions for p in parts]),
+                boxes9=np.concatenate([p.boxes9 for p in parts]),
+                steps=np.concatenate([p.steps for p in parts]),
+                times=np.concatenate([p.times for p in parts]),
+                frame_numbers=np.concatenate(
+                    [p.frame_numbers for p in parts]),
+                velocities=_cat_opt([p.velocities for p in parts]),
+                forces=_cat_opt([p.forces for p in parts]),
+                precisions=_cat_opt([p.precisions for p in parts]),
+                has_x=_cat_opt([p.has_x for p in parts]),
+                has_v=_cat_opt([p.has_v for p in parts]),
+                has_f=_cat_opt([p.has_f for p in parts]),
+            )
+        if self._sel is not None and out.atom_indices is None:
+            self._gather_selection(out)
+        return out
+
     # ------------------------------------------------------------- batch pipeline
     def batches(self, batch_size: int | None = None, prefetch: bool = True,
                 wire: str = "f32", deferred: bool = False):

@@ -56,6 +56,7 @@ class TrajectoryAnalysis:
         self._decls = []  # declarative observable records (sharded compile)
         self._hbond_specs = []  # (name, HBondAnalysis) host-assisted specs
         self._spec_factories = []  # (name, factory(sel) -> [(key, fn)])
+        self._dense_strict = []  # (name, full-layout HBondAnalysis)
 
     # ------------------------------------------------------------- helpers
     def _indices(self, group: str) -> np.ndarray:
@@ -345,7 +346,7 @@ class TrajectoryAnalysis:
 
     def add_hbonds(self, chains, pairs, max_distance: float = 0.35,
                    min_angle: float = 120.0, name: str | None = None,
-                   method: str = "auto"):
+                   method: str = "auto", strict: bool = True):
         """Per-frame hydrogen-bond counts per chain pair, riding the
         batched pipeline (reference: HBondTrajRead::hbonds_analyze,
         hbonds.rs:457, as a trajectory statistic).
@@ -361,9 +362,14 @@ class TrajectoryAnalysis:
           system size (candidates are O(N)).
         - "dense": a pure in-step observable (no host work, no extra
           wire): every donor x acceptor pair evaluates on device, tiled
-          over donors (`system.hbonds.make_dense_counter`).  Fastest below
-          ~10^9 pairs/frame; boundary float-ulp cases are theoretically
-          unguarded (exact on the reference fixtures).
+          over donors (`system.hbonds.make_dense_counter`).  Fastest
+          below ~10^9 pairs/frame.  With `strict=True` (default) the
+          kernel also counts decision-boundary triples per frame (the
+          cells kernel's conditioning-aware guard band) and any guarded
+          frame is re-read and re-scored host-side with the exact
+          reference-f32 semantics — counts are exact by construction on
+          any backend (hbonds.rs:302-340).  `strict=False` skips the
+          guard (boundary float-ulp cases then depend on backend libm).
         - "auto": "dense" when every leg is under 10^8 donor*acceptor
           pairs, else "cells".
         """
@@ -401,7 +407,17 @@ class TrajectoryAnalysis:
                 lut = np.full(self.system.get_n_atoms(), -1, np.int64)
                 lut[sel] = np.arange(sel.shape[0])
                 ana = remap_analysis(analysis, lut)
-            count = make_dense_counter(ana)
+            count = make_dense_counter(ana, with_guard=strict)
+            if strict:
+                # XLA CSE folds the repeated count() calls into one
+                specs = [
+                    (f"{nm}_{c1}_{c2}",
+                     (lambda pos, boxes, _p=p: count(pos, boxes)[0][:, _p]))
+                    for p, (c1, c2) in enumerate(analysis.pairs)
+                ]
+                specs.append((f"__guard__{nm}",
+                              lambda pos, boxes: count(pos, boxes)[1]))
+                return specs
             return [
                 (f"{nm}_{c1}_{c2}",
                  (lambda pos, boxes, _p=p: count(pos, boxes)[:, _p]))
@@ -409,6 +425,8 @@ class TrajectoryAnalysis:
             ]
 
         self._spec_factories.append((nm, factory))
+        if strict:
+            self._dense_strict.append((nm, analysis))
         return self
 
     def add_kinetic_energy(self, group: str, name: str | None = None):
@@ -615,7 +633,8 @@ class TrajectoryAnalysis:
             lut[sel] = np.arange(sel.shape[0])
             hbond_specs = [(nm, remap_analysis(a, lut))
                            for nm, a in hbond_specs]
-        return PipelineRunner(self.system, engine, sel, wire, hbond_specs)
+        return PipelineRunner(self.system, engine, sel, wire, hbond_specs,
+                              dense_strict=self._dense_strict)
 
     def run(self, filename, *, group: str | None = None, batch_size: int = 32,
             start_time=None, end_time=None, step=None, progress=None,
@@ -632,12 +651,14 @@ class TrajectoryAnalysis:
 class PipelineRunner:
     """A compiled TrajectoryAnalysis pass, reusable across files/calls."""
 
-    def __init__(self, system, engine, sel, wire, hbond_specs=()):
+    def __init__(self, system, engine, sel, wire, hbond_specs=(),
+                 dense_strict=()):
         self.system = system
         self.engine = engine
         self.sel = sel
         self.wire = wire
         self.hbond_specs = list(hbond_specs)
+        self.dense_strict = list(dense_strict)
 
     def _engine_1dev(self):
         """The engine for device-resident passes: residency targets ONE
@@ -775,6 +796,36 @@ class PipelineRunner:
                 out[key] = np.concatenate(
                     [c[tuple(pair)] for c in hb_counts[nm]]
                 ) if hb_counts[nm] else np.zeros(0, np.int64)
+
+        # strict dense hbonds: any frame whose in-step guard counter is
+        # nonzero had a threshold decision within backend-float reach —
+        # re-read those frames and re-score with the exact reference-f32
+        # host semantics (hbonds.rs:302-340), making 'dense' exact by
+        # construction on any backend
+        for nm, analysis in self.dense_strict:
+            gkey = f"__guard__{nm}"
+            if gkey not in out:
+                continue
+            g = np.asarray(out.pop(gkey))
+            bad = np.nonzero(g > 0)[0]
+            if bad.size == 0:
+                continue
+            if not isinstance(filename, str):
+                raise ParallelError(
+                    f"{bad.size} frames hit the hbond decision boundary "
+                    "and exact re-scoring needs a single trajectory file; "
+                    "use method='cells' for concatenated runs")
+            ids = reader.selected_frames()[bad]
+            full = traj_iter(self.system, filename)
+            fbx = full.read_frames(ids)
+            res = analysis.analyze_batch(
+                np.asarray(fbx.positions, np.float32), fbx.box_lengths(),
+                counts_only=True)
+            for pair in analysis.pairs:
+                key = f"{nm}_{pair[0]}_{pair[1]}"
+                fixed = np.asarray(out[key]).copy()
+                fixed[bad] = res[tuple(pair)]
+                out[key] = fixed
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out

@@ -18,6 +18,7 @@ larger than one chip's HBM still fit: reductions over atoms become
 
 from .engine import (DeviceTrajectory, FrameEngine, make_mesh,
                      traj_iter_map_reduce)
+from .multihost import merge_striped, striped_batches
 
 __all__ = ["DeviceTrajectory", "FrameEngine", "make_mesh",
-           "traj_iter_map_reduce"]
+           "merge_striped", "striped_batches", "traj_iter_map_reduce"]

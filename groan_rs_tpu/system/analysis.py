@@ -8,14 +8,51 @@ uses the batched ops directly (see `parallel/` and `models/`).
 
 from __future__ import annotations
 
+import os
+import warnings
+
 import numpy as np
 
 from ..core.dimension import Dimension
 from ..core.simbox import simbox_check
-from ..errors import GroupError, MassError, PositionError, SimBoxError
+from ..errors import (GroupError, MassError, PerformanceWarning,
+                      PositionError, SimBoxError)
 from ..ops import center as center_ops
 from ..ops import distances as distance_ops
 from ..ops import pbc
+
+# Per-call analysis methods each pay one device dispatch (+ tunnel round
+# trip on remote-TPU clients) — microseconds of math behind milliseconds
+# of latency.  The reference's per-call ergonomics (analysis.rs:105) are
+# cheap on CPU, so users porting per-frame loops fall into a 100-1000x
+# trap here; after this many calls we point them at the batched pipeline
+# once.  Tune/disable with GROAN_DISPATCH_WARN_AT (0 = off).
+_DISPATCH_WARN_AT = int(os.environ.get("GROAN_DISPATCH_WARN_AT", "256"))
+_dispatch_state = {"count": 0, "warned": False}
+
+
+def _tick_dispatch():
+    st = _dispatch_state
+    st["count"] += 1
+    if (not st["warned"] and _DISPATCH_WARN_AT > 0
+            and st["count"] >= _DISPATCH_WARN_AT):
+        st["warned"] = True
+        warnings.warn(
+            f"{st['count']} per-call System analysis dispatches so far — "
+            "each pays a device round trip. For per-frame trajectory "
+            "analysis use models.TrajectoryAnalysis (one jitted batched "
+            "pass; ~1000x less dispatch latency), or ops.* batched "
+            "kernels directly.",
+            PerformanceWarning, stacklevel=3)
+
+
+def _reset_dispatch_guard(warn_at: int | None = None):
+    """Testing hook: reset the counter (and optionally the threshold)."""
+    global _DISPATCH_WARN_AT
+    _dispatch_state["count"] = 0
+    _dispatch_state["warned"] = False
+    if warn_at is not None:
+        _DISPATCH_WARN_AT = warn_at
 
 
 class AnalysisMixin:
@@ -45,12 +82,14 @@ class AnalysisMixin:
     # ------------------------------------------------------------- centers
     def group_estimate_center(self, name: str) -> np.ndarray:
         """Bai-Breen estimate (reference: analysis.rs:52)."""
+        _tick_dispatch()
         box = self._check_box()
         pos = self._group_positions(name)
         return np.asarray(center_ops.estimate_center(pos, box))
 
     def group_get_center(self, name: str) -> np.ndarray:
         """Refined center of geometry (reference: analysis.rs:105)."""
+        _tick_dispatch()
         box = self._check_box()
         pos = self._group_positions(name)
         return np.asarray(center_ops.center(pos, box))
@@ -62,6 +101,7 @@ class AnalysisMixin:
 
     def group_estimate_com(self, name: str) -> np.ndarray:
         """reference: analysis.rs:203."""
+        _tick_dispatch()
         box = self._check_box()
         pos = self._group_positions(name)
         m = self._group_masses(name)
@@ -69,6 +109,7 @@ class AnalysisMixin:
 
     def group_get_com(self, name: str) -> np.ndarray:
         """Refined center of mass (reference: analysis.rs:258)."""
+        _tick_dispatch()
         box = self._check_box()
         pos = self._group_positions(name)
         m = self._group_masses(name)
@@ -83,6 +124,7 @@ class AnalysisMixin:
     # ------------------------------------------------------------- distances
     def group_distance(self, group1: str, group2: str, dim: Dimension) -> float:
         """Distance between group centers (reference: analysis.rs:348)."""
+        _tick_dispatch()
         box = self._check_box()
         c1 = self.group_get_center(group1)
         c2 = self.group_get_center(group2)
@@ -90,6 +132,7 @@ class AnalysisMixin:
 
     def group_all_distances(self, group1: str, group2: str, dim: Dimension) -> np.ndarray:
         """N x M pair distance matrix (reference: analysis.rs:401)."""
+        _tick_dispatch()
         box = self._check_box()
         a = self._group_positions(group1)
         b = self._group_positions(group2)
@@ -97,6 +140,7 @@ class AnalysisMixin:
 
     def atoms_distance(self, index1: int, index2: int, dim: Dimension) -> float:
         """Distance between two atoms (reference: analysis.rs:459)."""
+        _tick_dispatch()
         from ..errors import AtomError
 
         n = self.get_n_atoms()
@@ -127,10 +171,12 @@ class TriclinicAnalysisMixin:
     def group_get_center_triclinic(self, name: str) -> np.ndarray:
         """Refined Bai-Breen center of geometry under the exact triclinic
         minimum image (fractional-space trig)."""
+        _tick_dispatch()
         pos = self._group_positions(name)
         return np.asarray(center_ops.center_triclinic(pos, self._box_matrix()))
 
     def group_get_com_triclinic(self, name: str) -> np.ndarray:
+        _tick_dispatch()
         pos = self._group_positions(name)
         w = self._group_masses(name)
         return np.asarray(
@@ -139,12 +185,14 @@ class TriclinicAnalysisMixin:
 
     def group_distance_triclinic(self, name1: str, name2: str) -> float:
         """Exact triclinic minimum-image distance between group centers."""
+        _tick_dispatch()
         c1 = self.group_get_center_triclinic(name1)
         c2 = self.group_get_center_triclinic(name2)
         return float(pbc.distance_triclinic(c1, c2, self._box_matrix()))
 
     def atoms_distance_triclinic(self, i: int, j: int) -> float:
         """Exact triclinic minimum-image distance between two atoms."""
+        _tick_dispatch()
         from ..errors import AtomError
 
         n = self.get_n_atoms()

@@ -737,9 +737,11 @@ class HBondAnalysis:
         return maps
 
 
-def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64):
+def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64,
+                       with_guard: bool = False):
     """Fully in-step hydrogen-bond COUNTER: a jittable
-    `fn(positions[B, N, 3] f32, boxes[B, 3]) -> int32 [B, n_pairs]`.
+    `fn(positions[B, N, 3] f32, boxes[B, 3]) -> int32 [B, n_pairs]`
+    (or `(counts [B, n_pairs], guarded [B])` with `with_guard=True`).
 
     The TPU-first formulation of SURVEY §2.2's hbonds row: NO cell grid,
     NO host candidate generation, NO extra wire — every (donor, acceptor)
@@ -747,11 +749,15 @@ def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64):
     the [ND, NA] intermediates never exceed `tile x NA x H` (the blockwise
     attention-style tiling of SURVEY §5).  Criteria are the same device
     formulas as the rank kernel (distance, D-H-A angle, NaN
-    disambiguation); counts are exact except for candidates within float
-    ulps of a threshold (measure-zero for physical data; the cell path
-    `analyze_batch` carries the host re-score guard when exactness at the
-    boundary is required — `test_hbonds_device.py` shows both agree
-    exactly on the reference fixtures).
+    disambiguation).
+
+    `with_guard` additionally counts decision-boundary triples per frame
+    (same conditioning-aware band as the cells kernel: distance within
+    ulps of the cutoff, angle within the arccos-error bound of the
+    threshold, ambiguous NaN disambiguation).  A frame with `guarded == 0`
+    is EXACT by construction on any backend; frames with guards are
+    re-scored host-side by the pipeline (hbonds.rs:302-340 boundary
+    semantics).
     """
     import jax
     import jax.numpy as jnp
@@ -797,6 +803,7 @@ def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64):
         b = pos.shape[0]
         box = boxes[:, None, None, :]  # [B,1,1,3]
         out = jnp.zeros((b, n_pairs), jnp.int32)
+        gout = jnp.zeros((b,), jnp.int32)
         for pair_id, don, htab, hcnt, acc, nd_pad in legs:
             ap = jnp.take(pos, acc, axis=1)  # [B,NA,3]
 
@@ -815,7 +822,8 @@ def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64):
                                 + d[..., 2] ** 2)  # [B,T,NA]
                 keep_d = ~(dist > maxd)
                 # exclude the donor atom itself (hbonds.rs:253)
-                keep_d &= dsl[None, :, None] != acc[None, None, :]
+                pair_ok = dsl[None, :, None] != acc[None, None, :]
+                keep_d &= pair_ok
 
                 hd = _vector_to_dev(hp, dp[:, :, None, :], box)  # [B,T,H,3]
                 ha = _vector_to_dev(hp[:, :, :, None, :],
@@ -847,10 +855,31 @@ def make_dense_counter(analysis: "HBondAnalysis", tile: int = 64):
                 h_ok = (jnp.arange(hmax)[None, None, :, None]
                         < csl[None, :, None, None])
                 keep = (keep_d[:, :, None, :] & h_ok & ~(angle < min_ang))
-                return jnp.sum(keep.astype(jnp.int32), axis=(1, 2, 3))
+                cnt = jnp.sum(keep.astype(jnp.int32), axis=(1, 2, 3))
+                if not with_guard:
+                    return cnt
+                # decision-boundary band: same formulas as the cells
+                # kernel (_build_device_score) — a zero guard count means
+                # no threshold decision was within backend-float reach
+                cond = jnp.float32(57.29578) * _COS_EPS / jnp.sqrt(
+                    jnp.maximum(1.0 - cosang * cosang, jnp.float32(1e-12)))
+                guard = jnp.abs(angle - min_ang) < (_ANGLE_GUARD + cond)
+                guard |= (jnp.abs(dist - maxd)
+                          < maxd * _DIST_GUARD_REL)[:, :, None, :]
+                guard |= nan & (jnp.abs(ha_d - da_d[:, :, None, :])
+                                < (ha_d + da_d[:, :, None, :])
+                                * _DIST_GUARD_REL)
+                guard &= pair_ok[:, :, None, :] & h_ok
+                return cnt, jnp.sum(guard.astype(jnp.int32), axis=(1, 2, 3))
 
             per_tile = jax.lax.map(leg_tile, jnp.arange(nd_pad // tile))
-            out = out.at[:, pair_id].add(jnp.sum(per_tile, axis=0))
+            if with_guard:
+                out = out.at[:, pair_id].add(jnp.sum(per_tile[0], axis=0))
+                gout = gout + jnp.sum(per_tile[1], axis=0)
+            else:
+                out = out.at[:, pair_id].add(jnp.sum(per_tile, axis=0))
+        if with_guard:
+            return out, gout
         return out
 
     return count
