@@ -33,6 +33,7 @@ stores those blocks with the gzip codec.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -103,9 +104,19 @@ class _BitReader:
             raise ReadTrajError(
                 "tng_compress stream truncated", code="ParseTng")
         self.pos += n
+        return int.from_bytes(np.packbits(b).tobytes(), "big") >> ((-n) % 8)
+
+    def take_send(self, n: int) -> int:
+        """xdrfile `sendints` bit layout: least-significant BYTES first
+        (each byte MSB-first), then the remainder bits MSB-first."""
         v = 0
-        for x in b:
-            v = (v << 1) | int(x)
+        k = 0
+        while n >= 8:
+            v |= self.take(8) << (8 * k)
+            k += 1
+            n -= 8
+        if n:
+            v |= self.take(n) << (8 * k)
         return v
 
     def take_fields(self, n_fields: int, width: int) -> np.ndarray:
@@ -136,28 +147,200 @@ def _decode_triplet_intra(stream: bytes, natoms: int, param: int) -> np.ndarray:
     return q
 
 
+# ---------------------------------------------------------------------
+# initial_coding=5: the "XTC2" instruction-driven coder (fully
+# reverse-engineered from known plaintext; docs/tng_compress_notes.md
+# records the campaign).  GROMACS writes this for medium/large POSITIONS
+# blocks; the reference reads it via chemfiles (src/io/chemfiles.rs:25).
+#
+# Stream layout after the 40-byte TNGP header:
+#   bytes 0..11   minint[3] (i32 LE)
+#   bytes 12..14  per-axis LARGE size index into the tng magic table
+#   byte  15      initial smallidx (tng table index)
+#   bit 128..     instruction stream (prefix code):
+#     '1'         DEFAULT      one large + a small run at (smallidx, K)
+#     '00'+4b v   SMALL_RUNLENGTH  v=15: K=6; else K=v//3+1,
+#                              smallidx += v%3-1  (no emission)
+#     '0100'      ONLY_LARGE   one large
+#     '0101'      ONLY_SMALL   one small run at (smallidx, K)
+#     '0110'+2b   SMALLIDX_JUMP  [sign s][magnitude m]: += (1+m)*(s?-1:+1)
+#     '01110'     FLIP         toggle classic water-swap emission for
+#                              DEFAULT: large L becomes atom a+1; the
+#                              run's first small decodes against L and is
+#                              emitted FIRST (atom a); remaining smalls
+#                              chain off that first small (atoms a+2..)
+#     '01111'+4b  LARGE_RLE    n+3 consecutive larges
+# Larges: absolute mixed-radix triples v = ((x*B1)+y)*B2+z at the
+# per-axis large bases, sendints bit layout, width ceil(log2 B0*B1*B2),
+# plus minint.  Small runs: ONE sendints integer packing 3K digits
+# (atom-major, x,y,z most-significant first) at base magic[smallidx],
+# width ceil(3K*log2 B): zigzag intra deltas vs the previous atom.
+#
+# The tng magic table is xdrfile's magicints with the famous 5060 entry
+# CORRECTED to 5160 (= round(2^(12+1/3)); xdrfile's 5060 is a typo frozen
+# into the XTC format, and tng_compress fixed it) and without the nine
+# leading zeros (indices here keep xdrfile alignment: table[i] for
+# byte-index b is _TNG_MAGIC[b + 4]).
+_TNG_MAGIC = [0] * 9 + [
+    8, 10, 12, 16, 20, 25, 32, 40, 50, 64, 80, 101, 128, 161, 203,
+    256, 322, 406, 512, 645, 812, 1024, 1290, 1625, 2048, 2580, 3250,
+    4096, 5160, 6501, 8192, 10321, 13003, 16384, 20642, 26007, 32768,
+    41285, 52015, 65536, 82570, 104031, 131072, 165140, 208063, 262144,
+    330280, 416127, 524287, 660561, 832255, 1048576, 1321122, 1664510,
+    2097152, 2642245, 3329021, 4194304, 5284491, 6658042, 8388607,
+    10568983, 13316085, 16777216]
+
+_LOG2_MAGIC = {i: math.log2(v) for i, v in enumerate(_TNG_MAGIC) if v}
+
+
+def _unzig_int(u: int) -> int:
+    return (u + 1) // 2 if (u & 1) else -(u // 2)
+
+
+def _decode_xtc2(stream: bytes, natoms: int, name: str) -> np.ndarray:
+    """One frame of the initial_coding=5 coder -> int64 [natoms, 3]."""
+    if len(stream) < 16:
+        raise ReadTrajError(
+            f"TNG block '{name}': XTC2 stream too short", code="ParseTng")
+    minint = np.array(struct.unpack_from("<3i", stream, 0), np.int64)
+    bl = [_TNG_MAGIC[stream[12] + 4], _TNG_MAGIC[stream[13] + 4],
+          _TNG_MAGIC[stream[14] + 4]]
+    if 0 in bl:
+        raise ReadTrajError(
+            f"TNG block '{name}': bad XTC2 large size bytes",
+            code="ParseTng")
+    wl = math.ceil(math.log2(bl[0]) + math.log2(bl[1]) + math.log2(bl[2]))
+    idx = stream[15] + 4
+    r = _BitReader(stream)
+    r.pos = 128
+    out = np.empty((natoms, 3), np.int64)
+    a = 0
+    K = 1
+    flip = False
+
+    def read_large() -> np.ndarray:
+        v = r.take_send(wl)
+        z = v % bl[2]
+        v //= bl[2]
+        return np.array([v // bl[1] + minint[0], v % bl[1] + minint[1],
+                         z + minint[2]], np.int64)
+
+    def read_run_digits(kk: int):
+        b = _TNG_MAGIC[idx] if 0 <= idx < len(_TNG_MAGIC) else 0
+        if b == 0:
+            raise ReadTrajError(
+                f"TNG block '{name}': XTC2 smallidx {idx} out of range",
+                code="ParseTng")
+        w = math.ceil(3 * kk * _LOG2_MAGIC[idx])
+        v = r.take_send(w)
+        ds = [0] * (3 * kk)
+        for j in range(3 * kk - 1, -1, -1):
+            v, ds[j] = divmod(v, b)
+        if v:
+            raise ReadTrajError(
+                f"TNG block '{name}': XTC2 small run overflow (atom {a})",
+                code="ParseTng")
+        return ds
+
+    def emit_run(prev: np.ndarray, kk: int, start: int) -> np.ndarray:
+        ds = read_run_digits(kk)
+        p = prev
+        for k in range(kk):
+            p = p + np.array([_unzig_int(ds[3 * k]),
+                              _unzig_int(ds[3 * k + 1]),
+                              _unzig_int(ds[3 * k + 2])], np.int64)
+            out[start + k] = p
+        return p
+
+    while a < natoms:
+        b0 = r.take(1)
+        if b0 == 1:                                   # DEFAULT
+            if not flip:
+                out[a] = read_large()
+                a += 1
+                kk = min(K, natoms - a)
+                if kk:
+                    emit_run(out[a - 1], kk, a)
+                    a += kk
+            else:
+                large = read_large()
+                kk = min(K, natoms - a - 1)
+                if kk <= 0:
+                    out[a] = large
+                    a += 1
+                    continue
+                ds = read_run_digits(kk)
+                p = large + np.array([_unzig_int(ds[0]), _unzig_int(ds[1]),
+                                      _unzig_int(ds[2])], np.int64)
+                out[a] = p          # first small, emitted BEFORE the large
+                out[a + 1] = large
+                for k in range(1, kk):
+                    p = p + np.array([_unzig_int(ds[3 * k]),
+                                      _unzig_int(ds[3 * k + 1]),
+                                      _unzig_int(ds[3 * k + 2])], np.int64)
+                    out[a + 1 + k] = p
+                a += 1 + kk
+            continue
+        if r.take(1) == 0:                            # '00' SMALL_RUNLENGTH
+            v = r.take(4)
+            if v == 15:
+                K = 6
+            else:
+                K = v // 3 + 1
+                idx += v % 3 - 1
+            continue
+        if r.take(1) == 0:                            # '010x'
+            if r.take(1) == 0:                        # ONLY_LARGE
+                out[a] = read_large()
+                a += 1
+            else:                                     # ONLY_SMALL
+                kk = min(K, natoms - a)
+                emit_run(out[a - 1], kk, a)
+                a += kk
+            continue
+        if r.take(1) == 0:                            # '0110' SMALLIDX_JUMP
+            s = r.take(1)
+            m = r.take(1)
+            idx += (1 + m) * (-1 if s else 1)
+            continue
+        if r.take(1) == 0:                            # '01110' FLIP
+            flip = not flip
+            continue
+        n_rle = r.take(4) + 3                         # '01111' LARGE_RLE
+        for _ in range(n_rle):
+            if a >= natoms:
+                break
+            out[a] = read_large()
+            a += 1
+    return out
+
+
 def _decode_tng_compress(payload: bytes, name: str) -> np.ndarray:
     """Decode a codec-2 payload -> float32 [nframes, natoms, 3].
 
-    Supported: initial_coding=3 (triplet intra), one frame per block (the
-    layout GROMACS writes for POSITIONS with default settings at frame-set
-    granularity).  The XTC2/XTC3 codings (initial_coding=5) raise the
-    documented UnsupportedCodec error."""
+    Supported: initial_coding=3 (triplet intra) and initial_coding=5
+    (XTC2 — GROMACS' default for medium/large position blocks), one frame
+    per block (the layout GROMACS writes for POSITIONS at frame-set
+    granularity).  Other codings raise the documented UnsupportedCodec
+    error."""
     if len(payload) < 40 or payload[:4] != b"TNGP":
         raise ReadTrajError(
             f"TNG block '{name}': bad tng_compress payload header",
             code="ParseTng")
     (natoms, nframes, ic, icp, _c, _cp,
      prec_lo, prec_hi, slen) = struct.unpack_from("<9i", payload, 4)
-    if ic != 3 or nframes != 1:
+    if ic not in (3, 5) or nframes != 1:
         raise ReadTrajError(
             f"TNG block '{name}' uses tng_compress initial_coding={ic} "
-            f"({nframes} frames/block); only the triplet-intra coder "
-            "(initial_coding=3, 1 frame/block) is supported natively -- "
-            "convert the trajectory to XTC/TRR (e.g. `gmx trjconv`) or "
-            "rewrite it with the gzip codec",
+            f"({nframes} frames/block); the triplet-intra (3) and XTC2 "
+            "(5) coders decode natively, 1 frame/block -- convert the "
+            "trajectory to XTC/TRR (e.g. `gmx trjconv`) or rewrite it "
+            "with the gzip codec",
             code="UnsupportedCodec")
-    q = _decode_triplet_intra(payload[40:40 + slen], natoms, icp)
+    if ic == 5:
+        q = _decode_xtc2(payload[40:40 + slen], natoms, name)
+    else:
+        q = _decode_triplet_intra(payload[40:40 + slen], natoms, icp)
     prec = np.float64(prec_hi) + np.float64(prec_lo) * 2.0 ** -32
     return (q.astype(np.float64) * prec).astype(np.float32).reshape(
         1, natoms, 3)
