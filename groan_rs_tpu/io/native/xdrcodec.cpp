@@ -868,10 +868,232 @@ int64_t gx_xtc_read_impl(const char* path, const int64_t* offsets, int64_t nfram
   return err.load();
 }
 
+// ------------------------------------------------------------- TNG XTC2
+// Decoder for GROMACS tng_compress "XTC2" position streams
+// (initial_coding=5) — the default coder TNG files carry for non-tiny
+// systems.  The wire format was reverse-engineered from known plaintext
+// (no tng source in this environment); io/tng.py documents the grammar
+// and docs/tng_compress_notes.md the derivation.  Python keeps a
+// reference implementation; this native path decodes ~100x faster and is
+// what io/tng.py calls.
+//
+// Key difference from the classic 3dfcoord tables: tng's magic table
+// corrects xdrfile's famous frozen typo 5060 -> 5160 (= 2^(12+1/3)).
+static const int32_t kTngMagic[] = {
+    0,       0,       0,       0,        0,        0,        0,       0,
+    0,       8,       10,      12,       16,       20,       25,      32,
+    40,      50,      64,      80,       101,      128,      161,     203,
+    256,     322,     406,     512,      645,      812,      1024,    1290,
+    1625,    2048,    2580,    3250,     4096,     5160,     6501,    8192,
+    10321,   13003,   16384,   20642,    26007,    32768,    41285,   52015,
+    65536,   82570,   104031,  131072,   165140,   208063,   262144,  330280,
+    416127,  524287,  660561,  832255,   1048576,  1321122,  1664510, 2097152,
+    2642245, 3329021, 4194304, 5284491,  6658042,  8388607,  10568983,
+    13316085, 16777216};
+constexpr int kTngMagicN = int(sizeof(kTngMagic) / sizeof(kTngMagic[0]));
+
+namespace {
+
+// little-endian big-number divmod: bytes[0..n) is the sendints payload
+// (LS bytes first); repeatedly extracts `value % base` from the top.
+struct TngBignum {
+  uint8_t bytes[96];
+  int n = 0;
+
+  // read `w` bits from the MSB-first stream in sendints layout:
+  // whole bytes first (each MSB-first within itself), remainder last
+  bool load(BitReader& br, int w) {
+    n = 0;
+    while (w >= 8 && n < int(sizeof(bytes))) {
+      bytes[n++] = uint8_t(br.get(8));
+      w -= 8;
+    }
+    if (w > 0) {
+      if (n >= int(sizeof(bytes))) return false;
+      bytes[n++] = uint8_t(br.get(w));
+    }
+    return !br.overrun;
+  }
+
+  uint32_t divmod(uint32_t base) {
+    uint64_t rem = 0;
+    for (int i = n - 1; i >= 0; --i) {
+      uint64_t cur = (rem << 8) | bytes[i];
+      bytes[i] = uint8_t(cur / base);
+      rem = cur % base;
+    }
+    return uint32_t(rem);
+  }
+
+  bool nonzero() const {
+    for (int i = 0; i < n; ++i)
+      if (bytes[i]) return true;
+    return false;
+  }
+};
+
+inline int64_t tng_unzig(uint32_t u) {
+  return (u & 1) ? int64_t(u + 1) / 2 : -int64_t(u / 2);
+}
+
+// width of a 3K-digit base-b pack: ceil(3K * log2 b)
+inline int tng_small_width(int k3, double log2b) {
+  return int(std::ceil(double(k3) * log2b));
+}
+
+}  // namespace
+
+// Decode one XTC2 stream (payload AFTER the 40-byte TNGP header) into
+// int32 quantized coordinates [natoms, 3].  Returns 0 or a GX_ERR_*.
+static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
+                                    int32_t natoms, int32_t* out) {
+  if (nbytes < 16) return GX_ERR_CORRUPT;
+  int32_t minint[3];
+  std::memcpy(minint, stream, 12);
+  int32_t bl[3];
+  double wl_bits = 0;
+  for (int c = 0; c < 3; ++c) {
+    int bidx = int(stream[12 + c]) + 4;
+    if (bidx < 0 || bidx >= kTngMagicN || kTngMagic[bidx] == 0)
+      return GX_ERR_CORRUPT;
+    bl[c] = kTngMagic[bidx];
+    wl_bits += std::log2(double(bl[c]));
+  }
+  const int wl = int(std::ceil(wl_bits));
+  int idx = int(stream[15]) + 4;
+  int K = 1;
+  bool flip = false;
+
+  BitReader br{stream, size_t(nbytes)};
+  // skip the 16 header bytes: instructions start at bit 128
+  for (int i = 0; i < 16; ++i) br.get(8);
+
+  TngBignum bn;
+  int64_t a = 0;
+
+  auto read_large = [&](int32_t* dst) -> bool {
+    if (!bn.load(br, wl)) return false;
+    uint32_t z = bn.divmod(uint32_t(bl[2]));
+    uint32_t y = bn.divmod(uint32_t(bl[1]));
+    uint32_t x = bn.divmod(uint32_t(bl[0]));
+    if (bn.nonzero()) return false;
+    dst[0] = int32_t(x) + minint[0];
+    dst[1] = int32_t(y) + minint[1];
+    dst[2] = int32_t(z) + minint[2];
+    return true;
+  };
+
+  // decode a K-run's 3K zigzag deltas into tmp[], least atom first
+  int64_t tmp[6 * 3];
+  auto read_run = [&](int kk) -> bool {
+    if (idx < 0 || idx >= kTngMagicN || kTngMagic[idx] == 0) return false;
+    uint32_t b = uint32_t(kTngMagic[idx]);
+    int w = tng_small_width(3 * kk, std::log2(double(b)));
+    if (!bn.load(br, w)) return false;
+    for (int j = 3 * kk - 1; j >= 0; --j) tmp[j] = tng_unzig(bn.divmod(b));
+    return !bn.nonzero();
+  };
+
+  while (a < natoms) {
+    if (br.overrun) return GX_ERR_CORRUPT;
+    if (br.get(1)) {  // DEFAULT: one large + a small run
+      if (!flip) {
+        if (!read_large(out + 3 * a)) return GX_ERR_CORRUPT;
+        ++a;
+        int kk = int(std::min<int64_t>(K, natoms - a));
+        if (kk > 0) {
+          if (!read_run(kk)) return GX_ERR_CORRUPT;
+          for (int k = 0; k < kk; ++k) {
+            for (int c = 0; c < 3; ++c)
+              out[3 * (a + k) + c] =
+                  int32_t(out[3 * (a + k) - 3 + c] + tmp[3 * k + c]);
+          }
+          a += kk;
+        }
+      } else {
+        // water-swap emission: large is atom a+1; the run's first small
+        // decodes against the large and is emitted FIRST (atom a); the
+        // remaining smalls chain off that first small (atoms a+2..)
+        int32_t large[3];
+        if (!read_large(large)) return GX_ERR_CORRUPT;
+        int kk = int(std::min<int64_t>(K, natoms - a - 1));
+        if (kk <= 0) {
+          std::memcpy(out + 3 * a, large, 12);
+          ++a;
+          continue;
+        }
+        if (!read_run(kk)) return GX_ERR_CORRUPT;
+        for (int c = 0; c < 3; ++c)
+          out[3 * a + c] = int32_t(large[c] + tmp[c]);
+        std::memcpy(out + 3 * (a + 1), large, 12);
+        for (int k = 1; k < kk; ++k) {
+          const int32_t* prev =
+              (k == 1) ? out + 3 * a : out + 3 * (a + k);
+          for (int c = 0; c < 3; ++c)
+            out[3 * (a + 1 + k) + c] = int32_t(prev[c] + tmp[3 * k + c]);
+        }
+        a += 1 + kk;
+      }
+      continue;
+    }
+    if (!br.get(1)) {  // '00' SMALL_RUNLENGTH
+      int v = br.get(4);
+      if (v == 15) {
+        K = 6;
+      } else {
+        K = v / 3 + 1;
+        idx += v % 3 - 1;
+      }
+      continue;
+    }
+    if (!br.get(1)) {  // '010x'
+      if (!br.get(1)) {  // ONLY_LARGE
+        if (!read_large(out + 3 * a)) return GX_ERR_CORRUPT;
+        ++a;
+      } else {  // ONLY_SMALL
+        if (a == 0) return GX_ERR_CORRUPT;
+        int kk = int(std::min<int64_t>(K, natoms - a));
+        if (!read_run(kk)) return GX_ERR_CORRUPT;
+        for (int k = 0; k < kk; ++k)
+          for (int c = 0; c < 3; ++c)
+            out[3 * (a + k) + c] =
+                int32_t(out[3 * (a + k) - 3 + c] + tmp[3 * k + c]);
+        a += kk;
+      }
+      continue;
+    }
+    if (!br.get(1)) {  // '0110' SMALLIDX_JUMP
+      int s = br.get(1);
+      int m = br.get(1);
+      idx += (1 + m) * (s ? -1 : 1);
+      continue;
+    }
+    if (!br.get(1)) {  // '01110' FLIP
+      flip = !flip;
+      continue;
+    }
+    int n_rle = br.get(4) + 3;  // '01111' LARGE_RLE
+    for (int i = 0; i < n_rle && a < natoms; ++i) {
+      if (!read_large(out + 3 * a)) return GX_ERR_CORRUPT;
+      ++a;
+    }
+  }
+  return br.overrun ? GX_ERR_CORRUPT : 0;
+}
+
 }  // namespace
 
 // ==================================================================== C ABI
 extern "C" {
+
+// ---- TNG tng_compress XTC2 ----------------------------------------------
+
+// Decode one XTC2 position stream (payload after the 40-byte TNGP
+// header) into int32 quantized coordinates [natoms, 3].
+int64_t gx_tng_xtc2_decode(const uint8_t* stream, int64_t nbytes,
+                           int32_t natoms, int32_t* out) {
+  return tng_xtc2_decode_impl(stream, nbytes, natoms, out);
+}
 
 // ---- XTC ----------------------------------------------------------------
 

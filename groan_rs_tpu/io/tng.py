@@ -338,7 +338,17 @@ def _decode_tng_compress(payload: bytes, name: str) -> np.ndarray:
             "with the gzip codec",
             code="UnsupportedCodec")
     if ic == 5:
-        q = _decode_xtc2(payload[40:40 + slen], natoms, name)
+        # native path (~60x); _decode_xtc2 stays as the readable
+        # reference implementation of the reverse-engineered format
+        try:
+            from . import native as _native
+            dec = _native.tng_xtc2_decode
+        except Exception:  # pragma: no cover - build env without g++
+            dec = None
+        if dec is not None:
+            q = dec(payload[40:40 + slen], natoms).astype(np.int64)
+        else:  # pragma: no cover
+            q = _decode_xtc2(payload[40:40 + slen], natoms, name)
     else:
         q = _decode_triplet_intra(payload[40:40 + slen], natoms, icp)
     prec = np.float64(prec_hi) + np.float64(prec_lo) * 2.0 ** -32

@@ -155,10 +155,13 @@ def test_fake_trajectories_rejected(test_files, name, fmt):
         list(s.traj_iter(_p(test_files, name), fmt=fmt))
 
 
-def test_tng_documented_unsupported(test_files):
+def test_tng_gmx_default_coding_reads(test_files):
+    """The GROMACS-default tng_compress XTC2 coding reads natively now
+    (round 4); frame iteration over the System API works end to end."""
     s = System.from_file(_p(test_files, "example.gro"))
-    with pytest.raises(ReadTrajError):
-        list(s.traj_iter(_p(test_files, "short_trajectory.tng"), fmt="tng"))
+    frames = list(s.traj_iter(_p(test_files, "short_trajectory.tng"),
+                              fmt="tng"))
+    assert len(frames) == 11
 
 
 def test_xtc_wrong_natoms(test_files):

@@ -248,3 +248,23 @@ def test_tng_compress_xtc2_positions(test_files):
     q_xtc = np.round(np.asarray(cx, np.float64) * 100).astype(np.int64)
     assert (q_tng == 10 * q_xtc).all()
     assert float(np.abs(fb.positions - cx).max()) < 5e-3
+
+
+def test_xtc2_native_equals_python_reference(test_files):
+    """The C++ fast path (native.tng_xtc2_decode) and the Python
+    reference decoder must agree digit-for-digit on every block."""
+    import struct
+
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.tng import (_decode_xtc2, _parse_data_block,
+                                     _scan_blocks)
+
+    data = open(os.path.join(test_files, "short_trajectory.tng"), "rb").read()
+    endian, blocks = _scan_blocks(data, "short")
+    pbs = [_parse_data_block(data, b, endian)
+           for b in blocks if b.name == "POSITIONS"]
+    for pb in pbs[:3]:
+        slen = struct.unpack_from("<i", pb.payload, 36)[0]
+        qn = native.tng_xtc2_decode(pb.payload[40:40 + slen], 16844)
+        qp = _decode_xtc2(pb.payload[40:40 + slen], 16844, "POSITIONS")
+        assert (qn == qp).all()
