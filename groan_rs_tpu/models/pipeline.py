@@ -719,10 +719,10 @@ class PipelineRunner:
                 raise ParallelError(
                     "hbond analyses score candidates host-side and need "
                     "the streamed pass; run them with a filename")
-            if self.engine.aux:
+            if len(filename.aux) < len(self.engine.aux):
                 raise ParallelError(
-                    "device-resident trajectories hold positions only; "
-                    "velocity observables run on the streamed pass")
+                    "this DeviceTrajectory carries no velocity/force "
+                    "channels; reload it with this runner's load_device")
             out = self._engine_1dev().run_resident(filename,
                                                    batch_size=batch_size)
             if out is None:

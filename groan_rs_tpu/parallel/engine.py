@@ -63,13 +63,14 @@ class DeviceTrajectory:
     Dequantization on use is bit-identical to the streamed q16 wire.
     """
 
-    def __init__(self, pos, boxes, inv_prec, times, steps, kind):
+    def __init__(self, pos, boxes, inv_prec, times, steps, kind, aux=()):
         self.pos = pos            # device [F, K, 3] int16/int32 q or f32
         self.boxes = boxes        # device [F, 3] f32 lengths
         self.inv_prec = inv_prec  # device [F] f32 (ones for f32 kind)
         self.times = times        # host [F]
         self.steps = steps        # host [F]
         self.kind = kind          # "q16" (int q) | "f32"
+        self.aux = tuple(aux)     # device [F, K, 3] f32 channels (vel/frc)
 
     @property
     def n_frames(self) -> int:
@@ -77,7 +78,8 @@ class DeviceTrajectory:
 
     @property
     def nbytes(self) -> int:
-        return int(self.pos.nbytes + self.boxes.nbytes + self.inv_prec.nbytes)
+        return int(self.pos.nbytes + self.boxes.nbytes + self.inv_prec.nbytes
+                   + sum(a.nbytes for a in self.aux))
 
 
 class FrameEngine:
@@ -621,12 +623,9 @@ class FrameEngine:
             raise ParallelError(
                 "materialize targets a single device's HBM; use a "
                 "single-shard engine (frames axis = 1)")
-        if self.aux:
-            raise ParallelError(
-                "device-resident trajectories hold positions only; "
-                "velocity/force analyses run on the streamed pass")
         release = getattr(batches, "release", None)
         qs_parts, box_parts, inv_parts, maxs = [], [], [], []
+        aux_parts = [[] for _ in self.aux]
         times, steps = [], []
         kinds = set()
         for fb in batches:
@@ -651,12 +650,16 @@ class FrameEngine:
                 box_parts.append(args[1])
                 inv_parts.append(args[3])
                 kinds.add("q16")
+                for ci, arr in enumerate(args[4:]):
+                    aux_parts[ci].append(arr)
             elif kind2 == "f32":
                 qs = args[0]
                 box_parts.append(args[1])
                 inv_parts.append(jax.device_put(np.ones(b, np.float32),
                                                 self._replicated))
                 kinds.add("f32")
+                for ci, arr in enumerate(args[3:]):
+                    aux_parts[ci].append(arr)
             else:
                 raise ParallelError(
                     "materialize supports the f32/q16/delta wires only "
@@ -685,10 +688,11 @@ class FrameEngine:
             out_kind = "f32"
             fin = self._finisher(jnp.float32)
         pos, boxes, inv = fin(qs_parts, box_parts, inv_parts)
+        aux = tuple(jnp.concatenate(parts, axis=0) for parts in aux_parts)
         return DeviceTrajectory(
             pos=pos, boxes=boxes, inv_prec=inv,
             times=np.concatenate(times), steps=np.concatenate(steps),
-            kind=out_kind,
+            kind=out_kind, aux=aux,
         )
 
     def _finisher(self, dt):
@@ -744,11 +748,18 @@ class FrameEngine:
                 masks[b] = jax.device_put(np.ones(b, bool), self._replicated)
             pos = jax.lax.dynamic_slice_in_dim(dt.pos, f0, b, 0)
             boxes = jax.lax.dynamic_slice_in_dim(dt.boxes, f0, b, 0)
+            if len(dt.aux) != len(self.aux):
+                raise ParallelError(
+                    "this DeviceTrajectory was loaded without the aux "
+                    "channels (velocities/forces) the step needs; reload "
+                    "it through the same runner's load_device")
+            ax = tuple(jax.lax.dynamic_slice_in_dim(A, f0, b, 0)
+                       for A in dt.aux)
             if dt.kind == "q16":
                 inv = jax.lax.dynamic_slice_in_dim(dt.inv_prec, f0, b, 0)
-                res = step(pos, boxes, masks[b], inv)
+                res = step(pos, boxes, masks[b], inv, *ax)
             else:
-                res = step(pos, boxes, masks[b])
+                res = step(pos, boxes, masks[b], *ax)
             if fold_j is not None:
                 carry = fold_j(carry, res, masks[b])
             if collect:

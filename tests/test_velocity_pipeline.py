@@ -112,3 +112,34 @@ def test_velocity_oneshot_matches_streamed(tpr_sys):
     a, b = run(0), run(640_000_000)
     np.testing.assert_allclose(np.asarray(a["ke"]), np.asarray(b["ke"]),
                                rtol=0, atol=1e-3)
+
+
+def test_velocity_device_resident(tpr_sys):
+    """Velocities ride DeviceTrajectory too: load once (positions + vel
+    channels in HBM), re-analyze at compute speed, equal to streamed."""
+    trr = os.path.join(TF, "short_trajectory.trr")
+    pipe = (TrajectoryAnalysis(tpr_sys.copy(), mesh=_mesh1())
+            .add_kinetic_energy("Protein", name="ke")
+            .add_com("Protein", name="com"))
+    runner = pipe.runner()
+    streamed = runner.run(trr, batch_size=4)
+    dt = runner.load_device(trr, batch_size=4)
+    assert len(dt.aux) == 1
+    resident = runner.run(dt, batch_size=4)
+    np.testing.assert_allclose(np.asarray(streamed["ke"]),
+                               np.asarray(resident["ke"]), rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(streamed["com"]),
+                               np.asarray(resident["com"]), rtol=0,
+                               atol=2e-6)
+
+
+def test_resident_without_vel_rejected(tpr_sys):
+    """A positions-only DeviceTrajectory can't serve a velocity pipe."""
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    plain = (TrajectoryAnalysis(tpr_sys.copy(), mesh=_mesh1())
+             .add_com("Protein", name="com"))
+    dt = plain.runner().load_device(xtc, batch_size=4)
+    vel_pipe = (TrajectoryAnalysis(tpr_sys.copy(), mesh=_mesh1())
+                .add_kinetic_energy("Protein", name="ke"))
+    with pytest.raises(ParallelError):
+        vel_pipe.runner().run(dt, batch_size=4)
