@@ -196,3 +196,46 @@ def test_threaded_q16_and_delta_wires_corrupt(test_files, tmp_path):
             native.xtc_read_frames_delta(str(p), o, n)
         except GroanError:
             pass
+
+
+def test_tng_xtc2_fuzz_never_crashes(test_files):
+    """The native XTC2 decoder must survive truncation and bit flips:
+    typed error or (for payload-region flips) silently different ints —
+    never a crash or out-of-bounds write."""
+    import struct
+
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.tng import _parse_data_block, _scan_blocks
+
+    data = open(os.path.join(test_files, "short_trajectory.tng"), "rb").read()
+    endian, blocks = _scan_blocks(data, "short")
+    pb = next(_parse_data_block(data, b, endian)
+              for b in blocks if b.name == "POSITIONS")
+    slen = struct.unpack_from("<i", pb.payload, 36)[0]
+    stream = pb.payload[40:40 + slen]
+
+    # truncations at many cut points
+    for cut in list(range(0, 200, 17)) + [len(stream) // 2, len(stream) - 3]:
+        try:
+            native.tng_xtc2_decode(stream[:cut], 16844)
+        except GroanError:
+            pass
+
+    # random bit flips (instructions and values both get hit)
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        buf = bytearray(stream)
+        for _ in range(6):
+            j = int(rng.integers(0, len(buf)))
+            buf[j] ^= int(rng.integers(1, 256))
+        try:
+            q = native.tng_xtc2_decode(bytes(buf), 16844)
+            assert q.shape == (16844, 3)
+        except GroanError:
+            pass
+
+    # wrong natoms (larger than the stream encodes) must not crash
+    try:
+        native.tng_xtc2_decode(stream, 20000)
+    except GroanError:
+        pass
