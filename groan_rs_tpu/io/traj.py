@@ -172,6 +172,16 @@ class XtcSource(FrameSource):
         from .index_cache import load_index, save_index
 
         self.path = str(path)
+        # Two independent XTC backends, like the reference's molly/xdrfile
+        # pair (src/io/xtc_io/): the C++ codec (default) or the pure-Python
+        # one (GROAN_XTC_BACKEND=py).  Both are bit-identical; the py
+        # backend forces the plain f32 wire (no compact-wire entry points).
+        self._codec = native
+        self.native_wire = True
+        if os.environ.get("GROAN_XTC_BACKEND", "native") == "py":
+            from . import xtc_py
+            self._codec = xtc_py
+            self.native_wire = False
         cached = load_index(self.path) if use_index_cache else None
         if cached is not None:
             offsets = cached["offsets"]
@@ -179,7 +189,7 @@ class XtcSource(FrameSource):
             times = cached["times"]
             natoms = int(cached["natoms"])
         else:
-            offsets, steps, times, natoms = native.xtc_scan(self.path)
+            offsets, steps, times, natoms = self._codec.xtc_scan(self.path)
             if use_index_cache:
                 save_index(self.path, dict(offsets=offsets, steps=steps,
                                            times=times, natoms=natoms))
@@ -196,7 +206,7 @@ class XtcSource(FrameSource):
         self.natoms = natoms
 
     def read_batch(self, frame_ids, stop_after=None):
-        coords, boxes, steps, times, precisions = native.xtc_read_frames(
+        coords, boxes, steps, times, precisions = self._codec.xtc_read_frames(
             self.path, self.offsets[frame_ids], self.natoms, stop_after=stop_after
         )
         return FrameBatch(
@@ -656,7 +666,8 @@ class TrajReader:
     def _read_part(self, si: int, ids: np.ndarray, state: dict) -> FrameBatch:
         """Read one source's frames in the smallest wire format allowed."""
         src = self.sources[si]
-        compact = (state["delta_ok"] or state["q16_ok"]) and src.kind == "xtc"
+        compact = ((state["delta_ok"] or state["q16_ok"]) and src.kind == "xtc"
+                   and getattr(src, "native_wire", False))
         if not compact:
             return src.read_batch(ids, stop_after=self._stop_after)
         if state["prev_src"] != si:

@@ -1,0 +1,95 @@
+"""Cross-backend XTC validation: the pure-Python reader vs the C++ codec.
+
+The reference ships two independent XTC read paths — the default molly
+reader and the vendored xdrfile library (`src/io/xtc_io/xdrfile_xtc.rs`,
+feature-gated) — precisely so each can validate the other.  These tests
+are our equivalent: `io/xtc_py.py` is a from-scratch pure-Python
+implementation of the container + 3dfcoord compression, and must agree
+bit-for-bit with `io/native` on the whole fixture corpus, at both the
+codec contract level and through the full `System.xtc_iter` product path
+(selected via GROAN_XTC_BACKEND=py, which also forces the plain f32
+wire since the compact-wire entry points are native-only).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu.errors import ReadTrajError
+from groan_rs_tpu.io import native, xtc_py
+from groan_rs_tpu.system import System
+
+ALL_XTC = sorted(
+    os.path.basename(p)
+    for p in glob.glob("/root/reference/test_files/*.xtc")
+    if "fake" not in p
+)
+
+
+@pytest.mark.parametrize("name", ALL_XTC)
+def test_scan_and_decode_bit_identical(test_files, name):
+    path = os.path.join(test_files, name)
+    offs_n, steps_n, times_n, na_n = native.xtc_scan(path)
+    offs_p, steps_p, times_p, na_p = xtc_py.xtc_scan(path)
+    assert na_n == na_p
+    assert np.array_equal(offs_n, offs_p)
+    assert np.array_equal(steps_n, steps_p)
+    assert np.array_equal(times_n, times_p)
+
+    out_n = native.xtc_read_frames(path, offs_n, na_n)
+    out_p = xtc_py.xtc_read_frames(path, offs_p, na_p)
+    for a, b in zip(out_n, out_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("name", ["short_trajectory.xtc",
+                                  "aa_membrane_peptide.xtc"])
+def test_partial_decode_bit_identical(test_files, name):
+    path = os.path.join(test_files, name)
+    offs, _, _, na = native.xtc_scan(path)
+    for stop in (1, 7, na // 3, na):
+        cn = native.xtc_read_frames(path, offs, na, stop_after=stop)[0]
+        cp = xtc_py.xtc_read_frames(path, offs, na, stop_after=stop)[0]
+        assert np.array_equal(np.asarray(cn), np.asarray(cp))
+
+
+def test_fake_xtc_same_error(test_files):
+    path = os.path.join(test_files, "fake_xtc.xtc")
+    with pytest.raises(ReadTrajError):
+        native.xtc_scan(path)
+    with pytest.raises(ReadTrajError):
+        xtc_py.xtc_scan(path)
+
+
+def test_truncated_frame_rejected(test_files, tmp_path):
+    src = os.path.join(test_files, "short_trajectory.xtc")
+    with open(src, "rb") as fh:
+        buf = fh.read()
+    trunc = tmp_path / "trunc.xtc"
+    trunc.write_bytes(buf[: len(buf) // 2])
+    with pytest.raises(ReadTrajError):
+        xtc_py.xtc_scan(str(trunc))
+
+
+def test_product_path_parity(test_files, monkeypatch, tmp_path):
+    """System.xtc_iter under GROAN_XTC_BACKEND=py matches the native run."""
+    gro = os.path.join(test_files, "example.gro")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+
+    def com_series(tmpdir):
+        monkeypatch.setenv("GROAN_INDEX_CACHE_DIR", str(tmpdir))
+        system = System.from_file(gro)
+        system.group_create("Prot", "@protein")
+        out = []
+        for _ in system.xtc_iter(xtc):
+            out.append(np.asarray(
+                system.group_get_center("Prot"), np.float32))
+        return np.stack(out)
+
+    monkeypatch.delenv("GROAN_XTC_BACKEND", raising=False)
+    ref = com_series(tmp_path / "native")
+    monkeypatch.setenv("GROAN_XTC_BACKEND", "py")
+    got = com_series(tmp_path / "py")
+    assert np.array_equal(ref, got)
