@@ -557,8 +557,18 @@ int64_t decode_xtc_frame_t(const FileReader& f, const XtcHeader& h,
     for (int i = 0; i < 3 * n; i++) coords[i] = load_f32(scratch.data() + 4 * i);
     return GX_OK;
   }
-  scratch.resize(size_t(h.nbytes));
-  if (!f.read_at(h.data_offset, scratch.data(), h.nbytes)) return GX_ERR_IO;
+  // Partial-frame reads only need the payload prefix the early stop can
+  // touch.  Worst case per emitted atom: a "large" triple (<=~98 bits for
+  // the joint pack or 3x32 split) + flag/runlength (6) or a run atom
+  // (3 x <=26 bits); 32 bytes/atom dominates both, and a water-run can
+  // overshoot the stop by one run (<=30 atoms).  Bounding the pread makes
+  // a 400-atom early stop read ~13 KB instead of a multi-MB payload.
+  int64_t need = h.nbytes;
+  if (stop_after < int(h.natoms)) {
+    need = std::min<int64_t>(h.nbytes, 64 + int64_t(stop_after + 33) * 32);
+  }
+  scratch.resize(size_t(need));
+  if (!f.read_at(h.data_offset, scratch.data(), need)) return GX_ERR_IO;
   return decode_3dfcoord_t(h, scratch.data(), scratch.size(), coords,
                            std::min(stop_after, int(h.natoms)));
 }

@@ -547,9 +547,9 @@ class FrameEngine:
         buf_host, metas = self._pack_host(arrs)
         self.h2d_bytes += fb.positions.nbytes
         self.frames_shipped += b
-        key = ("oneshot", kind, metas)
-        fn = self._steps.get(key)
-        if fn is None:
+        key = ("oneshot", kind, metas, buf_host.shape)
+        cached = self._steps.get(key)
+        if cached is None:
             user = self._user_step
 
             def fused(buf):
@@ -561,10 +561,40 @@ class FrameEngine:
                     pos, boxes, m, *ax = parts
                 return user(pos, boxes, m, *ax)
 
-            fn = jax.jit(fused)
-            self._steps[key] = fn
+            # Results come back as ONE packed f32 buffer: on a tunnel
+            # client every fetched array pays its own ~RTT (two
+            # observables = two serialized round trips), so the fused
+            # step concatenates all float32 leaves and the host unpacks.
+            out_shape = jax.eval_shape(
+                fused, jax.ShapeDtypeStruct(buf_host.shape, buf_host.dtype))
+            leaves, treedef = jax.tree.flatten(out_shape)
+            f32_idx = [i for i, l in enumerate(leaves)
+                       if l.dtype == jnp.float32]
+
+            def fused_packed(buf):
+                ls = jax.tree.leaves(fused(buf))
+                packed = (jnp.concatenate([ls[i].ravel() for i in f32_idx])
+                          if f32_idx else jnp.zeros((0,), jnp.float32))
+                rest = [ls[i] for i in range(len(ls)) if i not in f32_idx]
+                return packed, rest
+
+            cached = (jax.jit(fused_packed), treedef, leaves, f32_idx)
+            self._steps[key] = cached
+        jfn, treedef, leaves, f32_idx = cached
         buf = jax.device_put(buf_host, self._replicated)
-        return jax.device_get(fn(buf))
+        packed, rest = jax.device_get(jfn(buf))
+        outs = [None] * len(leaves)
+        off = 0
+        for i in f32_idx:
+            n = int(np.prod(leaves[i].shape))
+            outs[i] = np.asarray(packed[off:off + n]).reshape(leaves[i].shape)
+            off += n
+        rest_it = iter(rest)
+        for i in range(len(leaves)):
+            if outs[i] is None:
+                outs[i] = np.asarray(next(rest_it))
+        import jax.tree_util as jtu
+        return jtu.tree_unflatten(treedef, outs)
 
     # ------------------------------------------------------------------
     # device-resident trajectories
