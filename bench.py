@@ -402,6 +402,23 @@ def main():
         (np.abs(np.asarray(small_out["com"], np.float64)[0] - small_com0) < 2e-3).all()
     )
 
+    # dispatch round-trip floor, measured IN-RUN: a small pass is ~2 RTTs
+    # (flush the one put, then dispatch + fetch the packed result); on a
+    # tunnel client the RTT is ~30 ms, so small_group_fps is judged
+    # against what the link physically allows rather than an absolute
+    # target (a real TPU host's sub-ms dispatch makes the same code
+    # decode-bound — thousands of f/s)
+    import jax as _jax
+    _ping = _jax.jit(lambda x: x.sum())
+    _px = np.ones(16, np.float32)
+    float(_ping(_px))
+    rtt_s = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(_ping(_px))
+        rtt_s = min(rtt_s, time.perf_counter() - t0)
+    small_floor_fps = N_FRAMES / (2.0 * rtt_s) if rtt_s > 0 else None
+
     fps = N_FRAMES / best
     floor_fps = min(wire_floor_fps, decode_floor_fps)
     result = {
@@ -418,6 +435,11 @@ def main():
         "fixture_parity_ok": fixture_ok,
         "small_group_fps": round(small_fps, 2),
         "small_group_parity_ok": small_ok,
+        "dispatch_rtt_ms": round(rtt_s * 1e3, 1),
+        "small_group_floor_fps": (round(small_floor_fps, 1)
+                                  if small_floor_fps else None),
+        "small_group_vs_floor": (round(small_fps / small_floor_fps, 3)
+                                 if small_floor_fps else None),
         "wire_bytes_per_atom_frame": round(float(wire_bytes_per_atom_frame), 3),
         "device_resident_fps": round(resident_fps, 2),
         "device_resident_parity_ok": resident_ok,

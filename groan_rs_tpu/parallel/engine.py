@@ -765,12 +765,24 @@ class FrameEngine:
         import jax
         import jax.numpy as jnp
 
+        if len(dt.aux) != len(self.aux):
+            raise ParallelError(
+                "this DeviceTrajectory was loaded without the aux "
+                "channels (velocities/forces) the step needs; reload "
+                "it through the same runner's load_device")
         fold_j = jax.jit(fold) if fold is not None else None
         carry = init
         outs = []
         step = self._step_for(dt.kind)
         n = dt.n_frames
         masks = {}
+        # Per-batch dispatches stay ASYNC (the per-batch `np.asarray`
+        # of an earlier design serialized a ~30 ms tunnel round trip
+        # per batch per observable); results accumulate on device and
+        # come back in ONE packed fetch below.  The per-batch step is
+        # the SAME jitted function the streamed wire uses — compiling
+        # the whole pass as one program changes XLA fusion and breaks
+        # the bit-identical resident==streamed contract by ~1 ulp.
         for f0 in range(0, n, batch_size):
             f1 = min(f0 + batch_size, n)
             b = f1 - f0
@@ -778,11 +790,6 @@ class FrameEngine:
                 masks[b] = jax.device_put(np.ones(b, bool), self._replicated)
             pos = jax.lax.dynamic_slice_in_dim(dt.pos, f0, b, 0)
             boxes = jax.lax.dynamic_slice_in_dim(dt.boxes, f0, b, 0)
-            if len(dt.aux) != len(self.aux):
-                raise ParallelError(
-                    "this DeviceTrajectory was loaded without the aux "
-                    "channels (velocities/forces) the step needs; reload "
-                    "it through the same runner's load_device")
             ax = tuple(jax.lax.dynamic_slice_in_dim(A, f0, b, 0)
                        for A in dt.aux)
             if dt.kind == "q16":
@@ -795,14 +802,60 @@ class FrameEngine:
             if collect:
                 outs.append(res)
         if collect:
-            host = [jax.tree.map(lambda x: np.asarray(x), r) for r in outs]
-            collected = jax.tree.map(
-                lambda *xs: np.concatenate(xs, axis=0), *host)
+            collected = self._fetch_packed(tuple(outs))
         else:
             collected = None
         if fold is not None:
             return collected, carry
         return collected
+
+    def _fetch_packed(self, outs):
+        """Concatenate per-batch result pytrees over the frame axis and
+        fetch them in as few tunnel round trips as possible: one jitted
+        dispatch packs every float32 leaf into a single buffer (each
+        fetched array pays its own ~RTT on a tunnel client), non-f32
+        leaves are fetched individually (rare)."""
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        shapes = tuple(
+            (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(outs))
+        key = ("fetch-packed", jtu.tree_structure(outs), shapes)
+        cached = self._steps.get(key)
+        if cached is None:
+            out_shape = jax.eval_shape(
+                lambda os: jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *os), outs)
+            leaves, treedef = jax.tree.flatten(out_shape)
+            f32_idx = [i for i, l in enumerate(leaves)
+                       if l.dtype == jnp.float32]
+
+            def pack(os):
+                cat = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *os)
+                ls = jax.tree.leaves(cat)
+                packed = (jnp.concatenate([ls[i].ravel() for i in f32_idx])
+                          if f32_idx else jnp.zeros((0,), jnp.float32))
+                rest = [ls[i] for i in range(len(ls)) if i not in f32_idx]
+                return packed, rest
+
+            cached = (jax.jit(pack), treedef, leaves, f32_idx)
+            self._steps[key] = cached
+        jfn, treedef, leaves, f32_idx = cached
+        packed, rest = jax.device_get(jfn(outs))
+        flat = [None] * len(leaves)
+        off = 0
+        for i in f32_idx:
+            cnt = int(np.prod(leaves[i].shape))
+            flat[i] = np.asarray(packed[off:off + cnt]).reshape(
+                leaves[i].shape)
+            off += cnt
+        rest_it = iter(rest)
+        for i in range(len(leaves)):
+            if flat[i] is None:
+                flat[i] = np.asarray(next(rest_it))
+        return jtu.tree_unflatten(treedef, flat)
 
 
 def traj_iter_map_reduce(system, filenames, body, *, init=None, fold=None,
