@@ -5,6 +5,8 @@
 #   ./run_tests.sh            # CPU jax on the virtual 8-device mesh
 #   ./run_tests.sh device     # numeric-parity subset on the REAL chip
 #   ./run_tests.sh asan       # native-codec fuzz corpus under ASan
+#   ./run_tests.sh pyxtc      # trajectory suite on the pure-Python XTC
+#                             # backend (cross-backend validation axis)
 #   ./run_tests.sh all        # all of the above
 set -euo pipefail
 cd "$(dirname "$0")"
@@ -14,6 +16,12 @@ mode="${1:-cpu}"
 run_cpu() {
   echo "== CPU suite (virtual 8-device mesh) =="
   python -m pytest tests/ -q
+}
+
+run_pyxtc() {
+  echo "== trajectory suite under GROAN_XTC_BACKEND=py =="
+  GROAN_XTC_BACKEND=py python -m pytest \
+    tests/test_traj.py tests/test_xtc_backend_py.py tests/test_triclinic.py -q
 }
 
 run_device() {
@@ -31,6 +39,7 @@ case "$mode" in
   cpu) run_cpu ;;
   device) run_device ;;
   asan) run_asan ;;
-  all) run_cpu; run_device; run_asan ;;
-  *) echo "usage: $0 [cpu|device|asan|all]" >&2; exit 2 ;;
+  pyxtc) run_pyxtc ;;
+  all) run_cpu; run_device; run_asan; run_pyxtc ;;
+  *) echo "usage: $0 [cpu|device|asan|pyxtc|all]" >&2; exit 2 ;;
 esac
