@@ -434,10 +434,25 @@ class FrameEngine:
         # device compute of N instead of serializing behind its result.
         pending = None  # (fb, b, res, carry-at-res)
 
+        # Fetches defer further still: results stay on device for the
+        # whole pass and come back in ONE packed fetch (each per-batch
+        # per-leaf np.asarray pays a ~30 ms round trip on a tunnel
+        # client).  `on_batch` consumers (progress ticks, hbond host
+        # scoring) read only the host-side FrameBatch, never the device
+        # result, so they keep working; only `on_carry` (checkpointing
+        # must persist the carry as of that batch) and the profiler
+        # (stage attribution needs the sync) force per-batch fetches.
+        defer_fetch = (collect and on_carry is None and profiler is None)
+        dev_outs = []  # (res, n_real_frames) when defer_fetch
+
         def _retire(p):
             pfb, pb, pres, pcarry = p
             if collect:
-                outs.append(jax.tree.map(lambda x: np.asarray(x)[:pb], pres))
+                if defer_fetch:
+                    dev_outs.append((pres, pb))
+                else:
+                    outs.append(jax.tree.map(
+                        lambda x: np.asarray(x)[:pb], pres))
             if on_batch is not None:
                 on_batch(pfb)
             if on_carry is not None and fold_j is not None:
@@ -494,6 +509,11 @@ class FrameEngine:
                 profiler.end_batch()
         if pending is not None:
             _retire(pending)
+        if defer_fetch and dev_outs:
+            fetched = self._fetch_packed(
+                tuple(r for r, _ in dev_outs),
+                trims=tuple(b for _, b in dev_outs))
+            outs = [fetched]
         if fold is not None:
             collected = (
                 jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
@@ -809,32 +829,37 @@ class FrameEngine:
             return collected, carry
         return collected
 
-    def _fetch_packed(self, outs):
+    def _fetch_packed(self, outs, trims=None):
         """Concatenate per-batch result pytrees over the frame axis and
         fetch them in as few tunnel round trips as possible: one jitted
         dispatch packs every float32 leaf into a single buffer (each
         fetched array pays its own ~RTT on a tunnel client), non-f32
-        leaves are fetched individually (rare)."""
+        leaves are fetched individually (rare).  `trims[i]` keeps only
+        the first `trims[i]` frames of batch i (shard padding)."""
         import jax
         import jax.numpy as jnp
         import jax.tree_util as jtu
 
         shapes = tuple(
             (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(outs))
-        key = ("fetch-packed", jtu.tree_structure(outs), shapes)
+        key = ("fetch-packed", jtu.tree_structure(outs), shapes, trims)
         cached = self._steps.get(key)
         if cached is None:
-            out_shape = jax.eval_shape(
-                lambda os: jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs, axis=0), *os), outs)
+            def catted(os):
+                if trims is not None:
+                    os = tuple(jax.tree.map(lambda x: x[:t], o)
+                               for o, t in zip(os, trims))
+                return (jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *os)
+                    if len(os) > 1 else os[0])
+
+            out_shape = jax.eval_shape(catted, outs)
             leaves, treedef = jax.tree.flatten(out_shape)
             f32_idx = [i for i, l in enumerate(leaves)
                        if l.dtype == jnp.float32]
 
             def pack(os):
-                cat = jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs, axis=0), *os)
-                ls = jax.tree.leaves(cat)
+                ls = jax.tree.leaves(catted(os))
                 packed = (jnp.concatenate([ls[i].ravel() for i in f32_idx])
                           if f32_idx else jnp.zeros((0,), jnp.float32))
                 rest = [ls[i] for i in range(len(ls)) if i not in f32_idx]
