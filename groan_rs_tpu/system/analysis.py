@@ -1,9 +1,12 @@
 """Analysis methods: centers, COM, distances (reference: `src/system/analysis.rs`).
 
-Host-facing wrappers around the jitted device kernels in `ops/`: selections
-become gather indices once, data ships to the device as `[n, 3]` arrays, and
-results come back as numpy.  The heavy trajectory path bypasses these and
-uses the batched ops directly (see `parallel/` and `models/`).
+Host-facing wrappers around the jitted kernels in `ops/`: selections become
+gather indices once, then the math runs through `ops.interactive` — the same
+jnp kernels jit-compiled on the LOCAL CPU backend (pow2-padded shape cache),
+so each call costs ~0.1-1 ms like the reference's CPU methods instead of a
+device round trip (set ``GROAN_INTERACTIVE_DEVICE=default`` to dispatch to
+the accelerator instead).  The heavy trajectory path bypasses these and uses
+the batched ops directly (see `parallel/` and `models/`).
 """
 
 from __future__ import annotations
@@ -17,16 +20,14 @@ from ..core.dimension import Dimension
 from ..core.simbox import simbox_check
 from ..errors import (GroupError, MassError, PerformanceWarning,
                       PositionError, SimBoxError)
-from ..ops import center as center_ops
-from ..ops import distances as distance_ops
-from ..ops import pbc
+from ..ops import interactive
 
-# Per-call analysis methods each pay one device dispatch (+ tunnel round
-# trip on remote-TPU clients) — microseconds of math behind milliseconds
-# of latency.  The reference's per-call ergonomics (analysis.rs:105) are
-# cheap on CPU, so users porting per-frame loops fall into a 100-1000x
-# trap here; after this many calls we point them at the batched pipeline
-# once.  Tune/disable with GROAN_DISPATCH_WARN_AT (0 = off).
+# Per-call analysis methods run host-side (ops.interactive), but a per-frame
+# Python loop over them still forfeits batching: the batched pipeline fuses
+# the whole pass into one jitted device computation.  After this many calls
+# we point the user at it once.  When the host fast path is disabled (no CPU
+# backend, or GROAN_INTERACTIVE_DEVICE=default) every call additionally pays
+# a device round trip.  Tune/disable with GROAN_DISPATCH_WARN_AT (0 = off).
 _DISPATCH_WARN_AT = int(os.environ.get("GROAN_DISPATCH_WARN_AT", "256"))
 _dispatch_state = {"count": 0, "warned": False}
 
@@ -85,19 +86,19 @@ class AnalysisMixin:
         _tick_dispatch()
         box = self._check_box()
         pos = self._group_positions(name)
-        return np.asarray(center_ops.estimate_center(pos, box))
+        return interactive.estimate_center(pos, box)
 
     def group_get_center(self, name: str) -> np.ndarray:
         """Refined center of geometry (reference: analysis.rs:105)."""
         _tick_dispatch()
         box = self._check_box()
         pos = self._group_positions(name)
-        return np.asarray(center_ops.center(pos, box))
+        return interactive.center(pos, box)
 
     def group_get_center_naive(self, name: str) -> np.ndarray:
         """Plain mean, no PBC (reference: analysis.rs:150)."""
         pos = self._group_positions(name)
-        return np.asarray(center_ops.center_naive(pos))
+        return interactive.center_naive(pos)
 
     def group_estimate_com(self, name: str) -> np.ndarray:
         """reference: analysis.rs:203."""
@@ -105,7 +106,7 @@ class AnalysisMixin:
         box = self._check_box()
         pos = self._group_positions(name)
         m = self._group_masses(name)
-        return np.asarray(center_ops.estimate_center(pos, box, weights=m))
+        return interactive.estimate_center(pos, box, weights=m)
 
     def group_get_com(self, name: str) -> np.ndarray:
         """Refined center of mass (reference: analysis.rs:258)."""
@@ -113,13 +114,13 @@ class AnalysisMixin:
         box = self._check_box()
         pos = self._group_positions(name)
         m = self._group_masses(name)
-        return np.asarray(center_ops.center(pos, box, weights=m))
+        return interactive.center(pos, box, weights=m)
 
     def group_get_com_naive(self, name: str) -> np.ndarray:
         """reference: analysis.rs:305."""
         pos = self._group_positions(name)
         m = self._group_masses(name)
-        return np.asarray(center_ops.center_naive(pos, weights=m))
+        return interactive.center_naive(pos, weights=m)
 
     # ------------------------------------------------------------- distances
     def group_distance(self, group1: str, group2: str, dim: Dimension) -> float:
@@ -128,7 +129,7 @@ class AnalysisMixin:
         box = self._check_box()
         c1 = self.group_get_center(group1)
         c2 = self.group_get_center(group2)
-        return float(pbc.distance(c1, c2, box, dim.value))
+        return float(interactive.distance(c1, c2, box, dim.value))
 
     def group_all_distances(self, group1: str, group2: str, dim: Dimension) -> np.ndarray:
         """N x M pair distance matrix (reference: analysis.rs:401)."""
@@ -136,7 +137,7 @@ class AnalysisMixin:
         box = self._check_box()
         a = self._group_positions(group1)
         b = self._group_positions(group2)
-        return np.asarray(distance_ops.distance_matrix(a, b, box, dim.value))
+        return interactive.distance_matrix(a, b, box, dim.value)
 
     def atoms_distance(self, index1: int, index2: int, dim: Dimension) -> float:
         """Distance between two atoms (reference: analysis.rs:459)."""
@@ -153,7 +154,9 @@ class AnalysisMixin:
             if not self.has_position[i]:
                 raise PositionError(f"atom {i} has no position")
         return float(
-            pbc.distance(self.positions[index1], self.positions[index2], box, dim.value)
+            interactive.distance(
+                self.positions[index1], self.positions[index2], box, dim.value
+            )
         )
 
 
@@ -173,22 +176,20 @@ class TriclinicAnalysisMixin:
         minimum image (fractional-space trig)."""
         _tick_dispatch()
         pos = self._group_positions(name)
-        return np.asarray(center_ops.center_triclinic(pos, self._box_matrix()))
+        return interactive.center_triclinic(pos, self._box_matrix())
 
     def group_get_com_triclinic(self, name: str) -> np.ndarray:
         _tick_dispatch()
         pos = self._group_positions(name)
         w = self._group_masses(name)
-        return np.asarray(
-            center_ops.center_triclinic(pos, self._box_matrix(), weights=w)
-        )
+        return interactive.center_triclinic(pos, self._box_matrix(), weights=w)
 
     def group_distance_triclinic(self, name1: str, name2: str) -> float:
         """Exact triclinic minimum-image distance between group centers."""
         _tick_dispatch()
         c1 = self.group_get_center_triclinic(name1)
         c2 = self.group_get_center_triclinic(name2)
-        return float(pbc.distance_triclinic(c1, c2, self._box_matrix()))
+        return float(interactive.distance_triclinic(c1, c2, self._box_matrix()))
 
     def atoms_distance_triclinic(self, i: int, j: int) -> float:
         """Exact triclinic minimum-image distance between two atoms."""
@@ -200,7 +201,7 @@ class TriclinicAnalysisMixin:
             if not (0 <= k < n):
                 raise AtomError(f"atom {k} out of range", code="OutOfRange")
         return float(
-            pbc.distance_triclinic(
+            interactive.distance_triclinic(
                 self.positions[i], self.positions[j], self._box_matrix()
             )
         )

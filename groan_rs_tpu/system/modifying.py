@@ -15,7 +15,7 @@ import numpy as np
 from ..core.dimension import Dimension
 from ..core.simbox import simbox_check
 from ..errors import AtomError, GroupError, PositionError, SimBoxError
-from ..ops import pbc
+from ..ops import interactive, pbc
 
 
 class ModifyingMixin:
@@ -40,7 +40,8 @@ class ModifyingMixin:
             bad = int(np.asarray(idx)[~self.has_position[idx]][0])
             raise PositionError(f"atom {bad} has no position")
         moved = self.positions[idx] + np.asarray(vector, np.float32)
-        self.positions[idx] = np.asarray(pbc.wrap(moved, box))
+        with interactive.host():
+            self.positions[idx] = np.asarray(pbc.wrap(moved, box))
 
     def atoms_translate_nopbc(self, vector):
         self.positions[self.has_position] += np.asarray(vector, np.float32)
@@ -82,7 +83,8 @@ class ModifyingMixin:
         if not self.has_position[idx].all():
             bad = int(np.asarray(idx)[~self.has_position[idx]][0])
             raise PositionError(f"atom {bad} has no position")
-        self.positions[idx] = np.asarray(pbc.wrap(self.positions[idx], box))
+        with interactive.host():
+            self.positions[idx] = np.asarray(pbc.wrap(self.positions[idx], box))
 
     # ------------------------------------------------------------- bonds
     def add_bond(self, index1: int, index2: int):
@@ -114,11 +116,12 @@ class ModifyingMixin:
 
         mol_ids = self.topology.molecule_ids()
         refs = self.topology.mol_references()
-        ref_pos = np.asarray(pbc.wrap(self.positions[refs], box))  # [M, 3]
-        ref_per_atom = ref_pos[mol_ids]  # [N, 3]
-        self.positions = np.asarray(
-            ref_per_atom + pbc.vector_to(ref_per_atom, self.positions, box)
-        ).astype(np.float32)
+        with interactive.host():
+            ref_pos = np.asarray(pbc.wrap(self.positions[refs], box))  # [M, 3]
+            ref_per_atom = ref_pos[mol_ids]  # [N, 3]
+            self.positions = np.asarray(
+                ref_per_atom + pbc.vector_to(ref_per_atom, self.positions, box)
+            ).astype(np.float32)
 
     def make_group_whole(self, group: str):
         """Make a group compact around its estimated center
@@ -130,6 +133,7 @@ class ModifyingMixin:
             bad = int(np.asarray(idx)[~self.has_position[idx]][0])
             raise GroupError(f"atom {bad} has no position", code="InvalidPosition")
         pos = self.positions[idx]
-        self.positions[idx] = np.asarray(center + pbc.vector_to(center, pos, box)).astype(
-            np.float32
-        )
+        with interactive.host():
+            self.positions[idx] = np.asarray(
+                center + pbc.vector_to(center, pos, box)
+            ).astype(np.float32)

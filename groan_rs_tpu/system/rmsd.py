@@ -11,6 +11,7 @@ import numpy as np
 
 from ..core.simbox import simbox_check
 from ..errors import GroupError, RMSDError, SimBoxError
+from ..ops import interactive
 from ..ops import rmsd as rmsd_ops
 
 
@@ -32,7 +33,10 @@ def _extract(system, group: str):
     box_center = box * 0.5
     from ..ops import pbc
 
-    shifted = np.asarray(pbc.wrap(pos + (box_center - com), box), dtype=np.float32)
+    with interactive.host():
+        shifted = np.asarray(
+            pbc.wrap(pos + (box_center - com), box), dtype=np.float32
+        )
     return shifted, box_center.astype(np.float32), idx
 
 
@@ -56,7 +60,10 @@ class RMSDMixin:
                 code="InconsistentGroup",
             )
         w = _masses(reference, group, ref_idx)
-        rot, trans, rms = rmsd_ops.kabsch(ref_coords, tgt_coords, w, ref_center, tgt_center)
+        with interactive.host():
+            rot, trans, rms = rmsd_ops.kabsch(
+                ref_coords, tgt_coords, w, ref_center, tgt_center
+            )
         return np.asarray(rot), np.asarray(trans), float(rms)
 
     def calc_rmsd(self, reference, group: str) -> float:
@@ -74,7 +81,9 @@ class RMSDMixin:
         """reference: fit_structure (rmsd.rs:508)."""
         box = simbox_check(self.get_box()).to_lengths_vec()
         group_com = self.group_get_com(group)
-        new_pos = rmsd_ops.fit_transform(
-            self.positions, box, group_com, rotation, np.asarray(ref_group_com, np.float32)
-        )
+        with interactive.host():
+            new_pos = rmsd_ops.fit_transform(
+                self.positions, box, group_com, rotation,
+                np.asarray(ref_group_com, np.float32),
+            )
         self.positions = np.asarray(new_pos, dtype=np.float32)
