@@ -22,6 +22,7 @@ Prints exactly ONE JSON line to stdout.
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -293,41 +294,42 @@ def main():
         c = c @ c
         return round((time.perf_counter() - t0) * 1e3 + float(c[0, 0]) * 0, 1)
 
-    # ---- instrumented pass (stage breakdown; slower than production) ----
-    from groan_rs_tpu.utils.profiling import PipelineProfiler
-
-    can_instr = canary_ms()
-    prof = PipelineProfiler()
-    t0 = time.perf_counter()
-    runner.run(xtc, batch_size=BATCH, profiler=prof)
-    instr_wall = time.perf_counter() - t0
-    med = prof.medians()
-    n_batches = med.pop("n_batches")
-    # report per-batch MEDIANS: a stolen-CPU window inflates one batch by
-    # seconds; medians keep the breakdown structural, and the consistency
-    # check below flags runs where even medians can't be trusted
-    timings = {f"{k}_med_ms": round(v * 1e3, 1) for k, v in med.items()}
-    timings["n_batches"] = n_batches
-    log(f"breakdown (per-batch medians, stage-blocked): {timings}")
-
-    # ---- timed passes ----------------------------------------------------
+    # ---- timed passes (breakdown comes from the PRODUCTION pass) ---------
+    # The engine keeps always-on per-batch stage clocks (decode_wait, h2d,
+    # dispatch are host-synchronous in the pipelined configuration, so the
+    # clocks describe the real schedule); the residual pass-minus-stages is
+    # the overlapped device compute + packed result fetch.  This replaces
+    # the r03 profiler-instrumented pass, whose forced per-batch syncs made
+    # it run ~5x slower than the pass it claimed to describe.
     log("timed passes...")
     can_timed = canary_ms()
     best = float("inf")
+    timings = {}
     for _ in range(int(os.environ.get("BENCH_REPS", 5))):
         t0 = time.perf_counter()
         runner.run(xtc, batch_size=BATCH)
         dt = time.perf_counter() - t0
-        best = min(best, dt)
+        if dt < best:
+            best = dt
+            stages = {k: list(v) for k, v in
+                      runner.engine.last_stage_seconds.items()}
+            fetch_s = runner.engine.last_fetch_seconds
         log(f"  pass {dt:.3f}s")
+    n_batches = len(stages.get("h2d", []))
+    stage_sum = sum(sum(v) for v in stages.values()) + fetch_s
+    for k, v in stages.items():
+        timings[f"{k}_med_ms"] = round(
+            statistics.median(v) * 1e3, 1) if v else 0.0
+    timings["fetch_s"] = round(fetch_s, 4)
+    timings["n_batches"] = n_batches
     timings["pass_s"] = round(best, 4)
-    # consistency: the instrumented pass forces per-batch syncs, so it runs
-    # somewhat slower — but if it disagrees with the production pass by
-    # >2x, the breakdown was captured in a different weather window and
-    # must not be read as a structural diagnostic
-    timings["instrumented_wall_s"] = round(instr_wall, 3)
-    breakdown_unreliable = bool(instr_wall > 2.0 * best)
-    timings["breakdown_unreliable"] = breakdown_unreliable
+    timings["stage_sum_s"] = round(stage_sum, 4)
+    # the stages are clocked inside the timed pass, so they can never
+    # exceed it; overlap_residual is the device-side work hidden behind
+    # the host stages (negative only through clock jitter)
+    timings["overlap_residual_s"] = round(best - stage_sum, 4)
+    timings["breakdown_unreliable"] = bool(stage_sum > 1.05 * best)
+    log(f"breakdown (production-pass stage clocks): {timings}")
 
     # ---- environment floors (measured IN-RUN, same weather) -------------
     # wire floor: ship one representative wire-sized buffer with forced
@@ -450,7 +452,6 @@ def main():
         "decode_floor_fps": round(decode_floor_fps, 1),
         "value_vs_env_floor": round(fps / floor_fps, 3) if floor_fps else None,
         "cpu_canary_ms": canary_ms(),
-        "canary_instrumented_ms": can_instr,
         "canary_timed_ms": can_timed,
         "breakdown": timings,
     }

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from ..errors import ParallelError
@@ -134,6 +136,9 @@ class FrameEngine:
                 "aux channels are not supported by the atoms-sharded spec")
         self._carry_q = None  # delta-wire device carry (int32 [K, 3])
         self.h2d_bytes = 0  # coordinate bytes shipped (wire accounting)
+        # per-batch stage clocks of the most recent pass (see run())
+        self.last_stage_seconds = {"decode_wait": [], "h2d": [], "dispatch": []}
+        self.last_fetch_seconds = 0.0
         self.frames_shipped = 0
         # one-deep software pipelining of the run loop (transfer N+1
         # overlaps compute N); set False to retire each batch in order
@@ -425,6 +430,18 @@ class FrameEngine:
         outs = []
         release = getattr(batches, "release", None)
 
+        # Always-on per-batch stage clocks (microseconds of overhead, no
+        # forced syncs): decode_wait and h2d are host-synchronous in the
+        # production configuration (the transfer is blocked on before the
+        # decoder is released), so these numbers describe the REAL pass —
+        # unlike a profiler-instrumented pass, whose per-batch syncs
+        # change the schedule they claim to measure.  The residual
+        # `pass - sum(stages)` is the overlapped device compute + fetch.
+        stage_times = {"decode_wait": [], "h2d": [], "dispatch": []}
+        self.last_stage_seconds = stage_times
+        self.last_fetch_seconds = 0.0
+        _pc = time.perf_counter
+
         def _stage(name):
             return profiler.stage(name) if profiler is not None else contextlib.nullcontext()
 
@@ -462,8 +479,10 @@ class FrameEngine:
         while True:
             if profiler is not None:
                 profiler.start_batch(0)
+            _t0 = _pc()
             with _stage("decode_wait"):
                 fb = next(it, None)
+            stage_times["decode_wait"].append(_pc() - _t0)
             if fb is None:
                 if profiler is not None:
                     profiler._open = None
@@ -473,6 +492,7 @@ class FrameEngine:
             b = fb.positions.shape[0]
             b_pad = -(-b // self.n_shards) * self.n_shards
             try:
+                _t0 = _pc()
                 with _stage("h2d"):
                     kind, args = self._put_inputs(fb, b_pad)
                     step = self._step_for(kind)
@@ -480,6 +500,8 @@ class FrameEngine:
                         # the transfer itself needs host CPU on tunnel
                         # clients: finish it before waking the decoder
                         jax.block_until_ready(args)
+                stage_times["h2d"].append(_pc() - _t0)
+                _t0 = _pc()
                 with _stage("compute"):
                     res = step(*args)
                     if kind in ("delta", "delta6"):
@@ -492,6 +514,7 @@ class FrameEngine:
                         carry = fold_j(carry, res, mask_d)
                     if profiler is not None:
                         jax.block_until_ready(res)
+                stage_times["dispatch"].append(_pc() - _t0)
             except ParallelError:
                 raise
             except Exception as e:
@@ -510,10 +533,12 @@ class FrameEngine:
         if pending is not None:
             _retire(pending)
         if defer_fetch and dev_outs:
+            _t0 = _pc()
             fetched = self._fetch_packed(
                 tuple(r for r, _ in dev_outs),
                 trims=tuple(b for _, b in dev_outs))
             outs = [fetched]
+            self.last_fetch_seconds = _pc() - _t0
         if fold is not None:
             collected = (
                 jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
@@ -601,8 +626,18 @@ class FrameEngine:
             cached = (jax.jit(fused_packed), treedef, leaves, f32_idx)
             self._steps[key] = cached
         jfn, treedef, leaves, f32_idx = cached
+        _t0 = time.perf_counter()
         buf = jax.device_put(buf_host, self._replicated)
+        _t1 = time.perf_counter()
         packed, rest = jax.device_get(jfn(buf))
+        _t2 = time.perf_counter()
+        # same stage-clock surface the streamed run() exposes (bench reads
+        # these).  The put is NOT blocked on (that would add a round trip
+        # to a path tuned to one); h2d records only the async put call, the
+        # transfer itself rides inside the fused dispatch+fetch window.
+        self.last_stage_seconds = {"decode_wait": [], "h2d": [_t1 - _t0],
+                                   "dispatch": []}
+        self.last_fetch_seconds = _t2 - _t1
         outs = [None] * len(leaves)
         off = 0
         for i in f32_idx:
