@@ -20,14 +20,16 @@ losslessly — and TNG *writing* is a capability the reference does not
 have at all.  Codec 2 is GROMACS' bespoke ``tng_compress`` coder
 (Lundborg et al. 2014); no source for it exists in this environment, so
 its wire format was reverse-engineered from fixtures against exact known
-plaintext (docs/tng_compress_notes.md).  The triplet-intra coding
-(initial_coding=3) decodes natively and bit-exactly; the XTC2/XTC3
-entropy codings (initial_coding=5) raise
-``ReadTrajError(code="UnsupportedCodec")`` naming the block and coding
-(their large-atom layer is cracked and documented, the small/instruction
-layer is not yet).  Container-level metadata of GROMACS files (frame
-count, steps, times, boxes, lambdas) is always readable, because GROMACS
-stores those blocks with the gzip codec.
+plaintext (docs/tng_compress_notes.md).  Both position codings GROMACS
+emits decode natively and bit-exactly: triplet-intra
+(``initial_coding=3``, small systems) and the instruction-driven "XTC2"
+coder (``initial_coding=5``, the default — full prefix-code grammar plus
+the corrected tng magic table, with a ~60x C++ fast path in
+``io/native/xdrcodec.cpp``).  XTC2 can also be *written*
+(``TngFrameWriter(..., codec="tng")``), so files produced here use the
+same GROMACS-native compression as ``gmx mdrun``.  Never-seen
+sub-codings still raise ``ReadTrajError(code="UnsupportedCodec")``
+naming the block and coding.
 """
 
 from __future__ import annotations
@@ -356,6 +358,183 @@ def _decode_tng_compress(payload: bytes, name: str) -> np.ndarray:
         1, natoms, 3)
 
 
+# ---------------------------------------------------------------------
+# XTC2 *encoder* — the write-side of the reverse-engineered grammar
+# above.  Streams produced here are decoded bit-exactly by both
+# `_decode_xtc2` and the C++ fast path; instruction *choices* need not
+# match GROMACS' encoder (any grammar-valid program that reproduces the
+# quantized ints is a correct XTC2 stream), so this uses a simple greedy
+# strategy: chain intra-atom deltas in runs of up to 6 via ONLY_SMALL,
+# falling back to ONLY_LARGE/LARGE_RLE when a jump is too big for the
+# small table to pay off.
+
+class _BitWriter:
+    """MSB-first bit emitter; `put_send` mirrors `_BitReader.take_send`
+    (least-significant bytes first, remainder bits last)."""
+
+    def __init__(self):
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, v: int, n: int):
+        self._acc = (self._acc << n) | (v & ((1 << n) - 1))
+        self._n += n
+        while self._n >= 8:
+            self._n -= 8
+            self._out.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def put_send(self, v: int, n: int):
+        while n >= 8:
+            self.put(v & 0xFF, 8)
+            v >>= 8
+            n -= 8
+        if n:
+            self.put(v, n)
+
+    def getvalue(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self._out.append((self._acc << pad) & 0xFF)
+            self._acc = 0
+            self._n = 0
+        return bytes(self._out)
+
+
+def _size_byte(span: int) -> int:
+    """Smallest tng-magic byte index whose table value covers `span`."""
+    for i in range(9, len(_TNG_MAGIC)):
+        if _TNG_MAGIC[i] >= span:
+            return i - 4
+    raise WriteTrajError(
+        "XTC2 encode: coordinate span exceeds the tng magic table "
+        f"({span} > {_TNG_MAGIC[-1]}); use codec='gzip'",
+        code="TngCompressRange")
+
+
+def _encode_xtc2(q: np.ndarray) -> bytes:
+    """Encode one frame of quantized ints [natoms,3] as an XTC2 stream."""
+    natoms = q.shape[0]
+    minint = q.min(axis=0).astype(np.int64)
+    span = q.max(axis=0).astype(np.int64) - minint + 1
+    sb = [_size_byte(int(s)) for s in span]
+    bl = [_TNG_MAGIC[b + 4] for b in sb]
+    wl = math.ceil(math.log2(bl[0]) + math.log2(bl[1]) + math.log2(bl[2]))
+    off = (q - minint).astype(object)  # Python ints: mixed radix > 63 bits
+
+    # zigzag intra deltas (atom a vs a-1), per-run max decides the idx
+    dz = np.empty_like(q)
+    dz[0] = 0
+    d = q[1:] - q[:-1]
+    dz[1:] = np.where(d > 0, 2 * d - 1, -2 * d)
+
+    def needed_idx(dmax: int) -> int | None:
+        for i in range(9, len(_TNG_MAGIC)):
+            if _TNG_MAGIC[i] > dmax:      # digits must be < base
+                return i
+        return None
+
+    w = _BitWriter()
+    first_small = dz[1:min(7, natoms)].max() if natoms > 1 else 0
+    idx = needed_idx(int(first_small)) or 9
+    idx0 = min(idx, 4 + 255)             # byte15 = idx - 4 must fit u8
+    header = struct.pack("<3i", *(int(m) for m in minint)) \
+        + bytes(sb) + bytes([idx0 - 4])
+    idx = idx0
+    K = 1                                 # decoder's initial run length
+
+    def put_large(a: int):
+        v = (int(off[a, 0]) * bl[1] + int(off[a, 1])) * bl[2] + int(off[a, 2])
+        w.put_send(v, wl)
+
+    def set_idx_k(target_idx: int, target_k: int):
+        nonlocal idx, K
+        if target_k != K:
+            step = max(-1, min(1, target_idx - idx))
+            if target_k == 6:
+                w.put(0b00, 2)
+                w.put(15, 4)
+            else:
+                w.put(0b00, 2)
+                w.put((target_k - 1) * 3 + step + 1, 4)
+                idx += step
+            K = target_k
+        while idx != target_idx:
+            d_ = target_idx - idx
+            m = 1 if abs(d_) >= 2 else 0
+            w.put(0b0110, 4)
+            w.put(1 if d_ < 0 else 0, 1)
+            w.put(m, 1)
+            idx += (1 + m) * (1 if d_ > 0 else -1)
+
+    a = 0
+    w.put(0b0100, 4)                      # ONLY_LARGE: atom 0
+    put_large(a)
+    a += 1
+    while a < natoms:
+        kk = min(6, natoms - a)
+        # shrink the run while its worst delta forces a base so wide the
+        # large coder is cheaper for the whole run
+        while kk > 0:
+            dmax = int(dz[a:a + kk].max())
+            ni = needed_idx(dmax)
+            if ni is not None and 3 * _LOG2_MAGIC[ni] < wl:
+                break
+            kk -= 1
+        if kk == 0:                       # isolated big jump -> large(s)
+            n_big = 1
+            while (a + n_big < natoms and n_big < 18
+                   and (needed_idx(int(dz[a + n_big].max())) is None
+                        or 3 * _LOG2_MAGIC[needed_idx(int(dz[a + n_big].max()))] >= wl)):
+                n_big += 1
+            if n_big >= 3:
+                w.put(0b01111, 5)
+                w.put(n_big - 3, 4)
+                for _ in range(n_big):
+                    put_large(a)
+                    a += 1
+            else:
+                for _ in range(n_big):
+                    w.put(0b0100, 4)
+                    put_large(a)
+                    a += 1
+            continue
+        ni = needed_idx(int(dz[a:a + kk].max()))
+        set_idx_k(ni, kk)
+        w.put(0b0101, 4)                  # ONLY_SMALL
+        b = _TNG_MAGIC[idx]
+        v = 0
+        for j in range(a, a + kk):
+            for ax in range(3):
+                v = v * b + int(dz[j, ax])
+        w.put_send(v, math.ceil(3 * kk * _LOG2_MAGIC[idx]))
+        a += kk
+    return header + w.getvalue()
+
+
+def _encode_tng_compress(positions: np.ndarray, multiplier: float = 1000.0
+                         ) -> bytes:
+    """Build a full codec-2 POSITIONS payload (one frame, XTC2 coding).
+
+    `multiplier` is the ints-per-nm quantization (GROMACS default 1000);
+    the stored 32.32 precision is its reciprocal, exactly as observed in
+    GROMACS-written fixtures."""
+    pos = np.asarray(positions, np.float64).reshape(-1, 3)
+    prec_lo = int(round(2.0 ** 32 / multiplier))
+    prec = prec_lo * 2.0 ** -32
+    q = np.round(pos / prec).astype(np.int64)
+    if np.abs(q).max() >= 2 ** 31:
+        raise WriteTrajError(
+            "XTC2 encode: quantized coordinates overflow i32; lower the "
+            "multiplier or use codec='gzip'", code="TngCompressRange")
+    stream = _encode_xtc2(q)
+    return (b"TNGP"
+            + struct.pack("<9i", q.shape[0], 1, 5, 0, 0, 0, prec_lo, 0,
+                          len(stream))
+            + stream)
+
+
 # =====================================================================
 # Container parsing
 # =====================================================================
@@ -679,13 +858,14 @@ def _block_bytes(name: str, block_id: int, contents: bytes, version: int = 8) ->
 
 
 def _data_contents(datatype: int, dep: int, n_values: int, codec: int,
-                   payload: bytes, n_particles: int = 0) -> bytes:
+                   payload: bytes, n_particles: int = 0,
+                   multiplier: float = 1.0) -> bytes:
     out = [bytes([datatype, dep])]
     if dep & 1:
         out.append(b"\0")  # non-sparse: one data row per frame in the set
     out.append(struct.pack("<qq", n_values, codec))
     if codec != TNG_UNCOMPRESSED:
-        out.append(struct.pack("<d", 1.0))
+        out.append(struct.pack("<d", multiplier))
     if dep & 2:
         out.append(struct.pack("<qq", 0, n_particles))
     out.append(payload)
@@ -693,17 +873,30 @@ def _data_contents(datatype: int, dep: int, n_values: int, codec: int,
 
 
 class TngFrameWriter:
-    """Append-style TNG trajectory writer (gzip codec, float32).
+    """Append-style TNG trajectory writer.
 
     Surpass feature: the reference cannot write TNG at all (chemfiles is
     used read-only, src/io/chemfiles.rs).  Files written here are valid
     TNG block streams (correct md5s and frame-set linked list, patched at
     close) and round-trip bit-exactly through `TngSource`.
+
+    ``codec`` selects the POSITIONS payload coding: ``"gzip"`` (default;
+    lossless float32 round-trip) or ``"tng"`` (codec-2 ``tng_compress``
+    XTC2 at ``multiplier`` ints/nm — the same coder ``gmx mdrun``
+    writes, quantized like XTC).  Box/lambda/velocity/force blocks stay
+    gzip, matching GROMACS' own layout for non-position data.
     """
 
-    def __init__(self, path: str, n_atoms: int, program: str = "groan_rs_tpu"):
+    def __init__(self, path: str, n_atoms: int, program: str = "groan_rs_tpu",
+                 codec: str = "gzip", multiplier: float = 1000.0):
         import time as _time
 
+        if codec not in ("gzip", "tng"):
+            raise WriteTrajError(
+                f"unknown TNG codec '{codec}' (use 'gzip' or 'tng')",
+                code="TngCodec")
+        self.codec = codec
+        self.multiplier = float(multiplier)
         self.path = str(path)
         self.n_atoms = int(n_atoms)
         self._fs_offsets: list[int] = []
@@ -743,8 +936,18 @@ class TngFrameWriter:
         if lam is not None:
             fh.write(_block_bytes("LAMBDAS", TNG_GMX_LAMBDA, _data_contents(
                 2, 1, 1, TNG_GZIP_COMPRESSION, gz(np.float32([lam])))))
-        fh.write(_block_bytes("POSITIONS", TNG_TRAJ_POSITIONS, _data_contents(
-            2, 3, 3, TNG_GZIP_COMPRESSION, gz(positions), self.n_atoms)))
+        if self.codec == "tng":
+            fh.write(_block_bytes(
+                "POSITIONS", TNG_TRAJ_POSITIONS,
+                _data_contents(2, 3, 3, TNG_TNG_COMPRESSION,
+                               _encode_tng_compress(positions,
+                                                    self.multiplier),
+                               self.n_atoms, multiplier=self.multiplier)))
+        else:
+            fh.write(_block_bytes(
+                "POSITIONS", TNG_TRAJ_POSITIONS,
+                _data_contents(2, 3, 3, TNG_GZIP_COMPRESSION, gz(positions),
+                               self.n_atoms)))
         if velocities is not None:
             fh.write(_block_bytes("VELOCITIES", TNG_TRAJ_VELOCITIES, _data_contents(
                 2, 3, 3, TNG_GZIP_COMPRESSION, gz(velocities), self.n_atoms)))

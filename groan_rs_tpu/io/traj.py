@@ -1148,14 +1148,18 @@ class GroTrajWriter(TrajWriter):
 
 
 class TngTrajWriter(TrajWriter):
-    """TNG writer (gzip codec) — surpass feature, the reference cannot
-    write TNG (chemfiles is read-only there, src/io/chemfiles.rs)."""
+    """TNG writer — surpass feature, the reference cannot write TNG
+    (chemfiles is read-only there, src/io/chemfiles.rs).  ``codec`` picks
+    the POSITIONS payload: ``"gzip"`` (lossless) or ``"tng"`` (the
+    GROMACS-native codec-2 XTC2 coder at ``multiplier`` ints/nm)."""
 
-    def __init__(self, system, path, group: str = "all"):
+    def __init__(self, system, path, group: str = "all",
+                 codec: str = "gzip", multiplier: float = 1000.0):
         super().__init__(system, path, group)
         from .tng import TngFrameWriter
 
-        self._w = TngFrameWriter(self.path, len(self.indices))
+        self._w = TngFrameWriter(self.path, len(self.indices),
+                                 codec=codec, multiplier=multiplier)
 
     def write_frame(self):
         s = self.system
@@ -1181,5 +1185,5 @@ def make_writer(system, path, group: str = "all", fmt: str | None = None, **kw) 
     if fmt == "gro":
         return GroTrajWriter(system, path, group, **kw)
     if fmt == "tng":
-        return TngTrajWriter(system, path, group)
+        return TngTrajWriter(system, path, group, **kw)
     raise WriteTrajError(f"unsupported trajectory format '{fmt}'", code="UnknownFormat")

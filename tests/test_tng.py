@@ -2,9 +2,11 @@
 
 Reference: TNG reading via chemfiles (src/io/chemfiles.rs:25-41, tng tests
 around chemfiles.rs test_chemfiles_read_tng*). The native parser reads
-container metadata of GROMACS-written files (steps, times, boxes) and
-fully round-trips gzip-codec TNG written by this framework; the bespoke
-tng_compress position codec is rejected with a precise error.
+GROMACS-written files completely — container metadata (steps, times,
+boxes) AND tng_compress positions (both the triplet-intra and XTC2
+codings, reverse-engineered; docs/tng_compress_notes.md) — and writing
+round-trips through both the gzip codec (lossless) and the
+GROMACS-native XTC2 coder (quantized, codec="tng").
 """
 
 import os
@@ -268,3 +270,77 @@ def test_xtc2_native_equals_python_reference(test_files):
         qn = native.tng_xtc2_decode(pb.payload[40:40 + slen], 16844)
         qp = _decode_xtc2(pb.payload[40:40 + slen], 16844, "POSITIONS")
         assert (qn == qp).all()
+
+
+# ------------------------------------------------------- XTC2 *encoder*
+
+def test_xtc2_encoder_roundtrips_gmx_ints(test_files):
+    """Re-encoding the fixture's exact quantized ints must round-trip
+    digit-for-digit through BOTH decoders (Python reference and the C++
+    fast path) — grammar-valid XTC2 output, write-side symmetry for the
+    codec the reference can only read (src/io/chemfiles.rs:25-41)."""
+    import struct
+
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.tng import (_decode_xtc2, _encode_xtc2,
+                                     _parse_data_block, _scan_blocks)
+
+    data = open(os.path.join(test_files, "short_trajectory.tng"), "rb").read()
+    endian, blocks = _scan_blocks(data, "short")
+    pb = [_parse_data_block(data, b, endian)
+          for b in blocks if b.name == "POSITIONS"][0]
+    slen = struct.unpack_from("<i", pb.payload, 36)[0]
+    q = _decode_xtc2(pb.payload[40:40 + slen], 16844, "POSITIONS")
+    enc = _encode_xtc2(q)
+    assert (_decode_xtc2(enc, 16844, "re") == q).all()
+    assert (native.tng_xtc2_decode(enc, 16844).astype(np.int64) == q).all()
+    # competitive with GROMACS' own encoder on the same ints
+    assert len(enc) < 1.25 * slen
+
+
+def test_xtc2_encoder_property(test_files):
+    """Adversarial int patterns (random walks, huge isolated jumps, tiny
+    systems, constant coords) round-trip exactly."""
+    from groan_rs_tpu.io.tng import _decode_xtc2, _encode_xtc2
+
+    rng = np.random.default_rng(7)
+    cases = []
+    walk = np.cumsum(rng.integers(-40, 41, size=(3000, 3)), axis=0)
+    walk[::61] += rng.integers(-200000, 200000, size=(len(walk[::61]), 3))
+    cases.append(walk)
+    cases.append(np.zeros((100, 3), np.int64))
+    cases.append(rng.integers(-8, 8, size=(5, 3)))
+    cases.append(rng.integers(-(2 ** 22), 2 ** 22, size=(64, 3)))
+    for n in (1, 2, 4, 6, 7, 13):
+        cases.append(rng.integers(-5000, 5000, size=(n, 3)))
+    for q in cases:
+        q = q.astype(np.int64)
+        dec = _decode_xtc2(_encode_xtc2(q), q.shape[0], "prop")
+        np.testing.assert_array_equal(dec, q)
+
+
+def test_tng_writer_xtc2_codec(gro_system, test_files, tmp_path):
+    """TngFrameWriter(codec='tng') writes codec-2 XTC2 POSITIONS blocks
+    that read back quantized to multiplier ints/nm — the same coder and
+    block layout `gmx mdrun` itself writes."""
+    out = str(tmp_path / "xtc2.tng")
+    s = gro_system
+    s.traj_writer_init(out, fmt="tng", codec="tng", multiplier=1000.0)
+    ref = []
+    for fr in s.xtc_iter(os.path.join(test_files, "short_trajectory.xtc")):
+        fr.traj_write_frame()
+        ref.append(np.array(fr.positions))
+    s.traj_writers_close()
+
+    info = tng_info(out)
+    assert info["codecs"]["POSITIONS"] == 2  # tng_compress on disk
+    src = TngSource(out)
+    fb = src.read_batch(np.arange(len(ref)))
+    # quantization: |err| <= half a grid step at 1000 ints/nm
+    err = np.abs(fb.positions.astype(np.float64) - np.stack(ref))
+    assert float(err.max()) <= 0.5 / 1000 + 1e-6
+    # and a re-read is stable (decode->encode->decode is the identity
+    # on the quantized grid)
+    q = np.round(fb.positions.astype(np.float64) * 1000)
+    q2 = np.round(np.stack(ref) * 1000)
+    assert float(np.abs(q - q2).max()) <= 1.0
