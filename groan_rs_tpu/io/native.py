@@ -129,6 +129,8 @@ def get_lib():
         ]
         lib.gx_tng_xtc2_decode.restype = i64
         lib.gx_tng_xtc2_decode.argtypes = [P(u8), i64, i32, P(i32)]
+        lib.gx_tng_xtc2_encode.restype = i64
+        lib.gx_tng_xtc2_encode.argtypes = [P(i32), i32, P(u8), i64]
         _lib = lib
     return _lib
 
@@ -567,3 +569,21 @@ def tng_xtc2_decode(stream: bytes, natoms: int) -> np.ndarray:
     )
     _check(rc, "<tng xtc2 stream>")
     return out
+
+
+def tng_xtc2_encode(q: np.ndarray) -> bytes:
+    """Encode int32 quantized coordinates [natoms, 3] as one XTC2 stream
+    (bit-identical to io/tng.py's `_encode_xtc2` reference encoder)."""
+    lib = get_lib()
+    q = np.ascontiguousarray(q, np.int32).reshape(-1, 3)
+    natoms = q.shape[0]
+    # worst case: every atom a large (<= 77 bits incl. instruction) plus
+    # adversarial per-run smallidx travel (~23 bytes/run) and header
+    cap = 16 + natoms * 48 + 4096
+    out = np.empty(cap, np.uint8)
+    rc = lib.gx_tng_xtc2_encode(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), natoms,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    _check(rc, "<tng xtc2 encode>", write=True)
+    return out[:rc].tobytes()

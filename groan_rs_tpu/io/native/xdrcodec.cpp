@@ -1091,6 +1091,186 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
   return br.overrun ? GX_ERR_CORRUPT : 0;
 }
 
+// ------------------------------------------------------------------ encoder
+// Write-side of the XTC2 grammar.  Mirrors io/tng.py `_encode_xtc2`
+// decision-for-decision (same greedy run selection, same double-precision
+// width math), so the two encoders emit bit-identical streams; any
+// grammar-valid program that reproduces the quantized ints is a correct
+// XTC2 stream, so matching GROMACS' own instruction choices is not
+// required.
+
+// Emit `nd` digits (most-significant first) as ONE sendints-layout
+// integer of `nbits` bits; sizes[i] is the radix of digits[i] (value =
+// ((d0*s1)+d1)*s2+... like BitWriter::put_ints, but with a buffer wide
+// enough for 6-atom runs at 24-bit bases).
+static void tng_put_ints_wide(BitWriter& bw, const uint32_t* digits,
+                              const uint32_t* sizes, int nd, int nbits) {
+  uint8_t bytes[96];
+  int nbytes = 0;
+  for (int i = 0; i < nd; ++i) {
+    uint64_t tmp = digits[i];
+    int bc = 0;
+    for (; bc < nbytes; ++bc) {
+      tmp += uint64_t(bytes[bc]) * sizes[i];
+      bytes[bc] = uint8_t(tmp & 0xff);
+      tmp >>= 8;
+    }
+    while (tmp != 0) {
+      bytes[bc++] = uint8_t(tmp & 0xff);
+      tmp >>= 8;
+    }
+    nbytes = bc;
+  }
+  if (nbits >= nbytes * 8) {
+    for (int b = 0; b < nbytes; ++b) bw.put(8, bytes[b]);
+    bw.put(nbits - nbytes * 8, 0);
+  } else {
+    int b = 0;
+    for (; b + 1 < nbytes; ++b) bw.put(8, bytes[b]);
+    bw.put(nbits - b * 8, bytes[b]);
+  }
+}
+
+inline int tng_needed_idx(uint64_t dmax) {
+  for (int i = 9; i < kTngMagicN; ++i)
+    if (uint64_t(kTngMagic[i]) > dmax) return i;
+  return -1;
+}
+
+int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
+                             std::vector<uint8_t>& out) {
+  if (natoms <= 0) return GX_ERR_RANGE;
+  int32_t mn[3], mx[3];
+  for (int c = 0; c < 3; ++c) mn[c] = mx[c] = q[c];
+  for (int64_t a = 1; a < natoms; ++a)
+    for (int c = 0; c < 3; ++c) {
+      int32_t v = q[3 * a + c];
+      if (v < mn[c]) mn[c] = v;
+      if (v > mx[c]) mx[c] = v;
+    }
+  int sb[3];
+  int32_t bl[3];
+  double wlb = 0;
+  for (int c = 0; c < 3; ++c) {
+    int64_t span = int64_t(mx[c]) - mn[c] + 1;
+    int i = 9;
+    while (i < kTngMagicN && kTngMagic[i] < span) ++i;
+    if (i >= kTngMagicN) return GX_ERR_RANGE;
+    sb[c] = i - 4;
+    bl[c] = kTngMagic[i];
+    wlb += std::log2(double(bl[c]));
+  }
+  const int wl = int(std::ceil(wlb));
+
+  // zigzag intra deltas vs the previous atom (dz[0] unused)
+  std::vector<uint64_t> dz(size_t(natoms) * 3, 0);
+  for (int64_t a = 1; a < natoms; ++a)
+    for (int c = 0; c < 3; ++c) {
+      int64_t d = int64_t(q[3 * a + c]) - q[3 * (a - 1) + c];
+      dz[size_t(3 * a + c)] = d > 0 ? uint64_t(2 * d - 1) : uint64_t(-2 * d);
+    }
+  auto window_max = [&](int64_t a, int kk) {
+    uint64_t m = 0;
+    for (int64_t j = a; j < a + kk; ++j)
+      for (int c = 0; c < 3; ++c)
+        if (dz[size_t(3 * j + c)] > m) m = dz[size_t(3 * j + c)];
+    return m;
+  };
+
+  out.clear();
+  out.resize(16);
+  std::memcpy(out.data(), mn, 12);
+  out[12] = uint8_t(sb[0]);
+  out[13] = uint8_t(sb[1]);
+  out[14] = uint8_t(sb[2]);
+  int idx = tng_needed_idx(
+      natoms > 1 ? window_max(1, int(std::min<int64_t>(6, natoms - 1))) : 0);
+  if (idx < 0) idx = 9;
+  if (idx > 4 + 255) idx = 4 + 255;
+  out[15] = uint8_t(idx - 4);
+  int K = 1;
+
+  BitWriter bw(out);  // appends after the 16 header bytes = bit 128
+  const uint32_t lsz[3] = {uint32_t(bl[0]), uint32_t(bl[1]), uint32_t(bl[2])};
+  auto put_large = [&](int64_t a) {
+    uint32_t nums[3] = {uint32_t(q[3 * a] - mn[0]),
+                        uint32_t(q[3 * a + 1] - mn[1]),
+                        uint32_t(q[3 * a + 2] - mn[2])};
+    tng_put_ints_wide(bw, nums, lsz, 3, wl);
+  };
+  auto set_idx_k = [&](int target_idx, int target_k) {
+    if (target_k != K) {
+      int step = target_idx - idx;
+      step = step < -1 ? -1 : (step > 1 ? 1 : step);
+      if (target_k == 6) {
+        bw.put(2, 0b00);
+        bw.put(4, 15);
+      } else {
+        bw.put(2, 0b00);
+        bw.put(4, uint32_t((target_k - 1) * 3 + step + 1));
+        idx += step;
+      }
+      K = target_k;
+    }
+    while (idx != target_idx) {
+      int d = target_idx - idx;
+      int m = (d >= 2 || d <= -2) ? 1 : 0;
+      bw.put(4, 0b0110);
+      bw.put(1, d < 0 ? 1 : 0);
+      bw.put(1, uint32_t(m));
+      idx += (1 + m) * (d > 0 ? 1 : -1);
+    }
+  };
+
+  int64_t a = 0;
+  bw.put(4, 0b0100);  // ONLY_LARGE: atom 0
+  put_large(a);
+  ++a;
+  while (a < natoms) {
+    int kk = int(std::min<int64_t>(6, natoms - a));
+    int ni = -1;
+    while (kk > 0) {
+      ni = tng_needed_idx(window_max(a, kk));
+      if (ni >= 0 && 3.0 * std::log2(double(kTngMagic[ni])) < double(wl))
+        break;
+      --kk;
+    }
+    if (kk == 0) {  // isolated big jump(s) -> large coder
+      int n_big = 1;
+      while (a + n_big < natoms && n_big < 18) {
+        int ni2 = tng_needed_idx(window_max(a + n_big, 1));
+        if (ni2 >= 0 && 3.0 * std::log2(double(kTngMagic[ni2])) < double(wl))
+          break;
+        ++n_big;
+      }
+      if (n_big >= 3) {
+        bw.put(5, 0b01111);
+        bw.put(4, uint32_t(n_big - 3));
+        for (int i = 0; i < n_big; ++i) put_large(a++);
+      } else {
+        for (int i = 0; i < n_big; ++i) {
+          bw.put(4, 0b0100);
+          put_large(a++);
+        }
+      }
+      continue;
+    }
+    set_idx_k(ni, kk);
+    bw.put(4, 0b0101);  // ONLY_SMALL
+    uint32_t base = uint32_t(kTngMagic[idx]);
+    uint32_t digits[18], szs[18];
+    for (int k = 0; k < 3 * kk; ++k) {
+      digits[k] = uint32_t(dz[size_t(3 * a + k)]);
+      szs[k] = base;
+    }
+    tng_put_ints_wide(bw, digits, szs, 3 * kk,
+                      tng_small_width(3 * kk, std::log2(double(base))));
+    a += kk;
+  }
+  bw.flush();
+  return 0;
+}
+
 }  // namespace
 
 // ==================================================================== C ABI
@@ -1103,6 +1283,19 @@ extern "C" {
 int64_t gx_tng_xtc2_decode(const uint8_t* stream, int64_t nbytes,
                            int32_t natoms, int32_t* out) {
   return tng_xtc2_decode_impl(stream, nbytes, natoms, out);
+}
+
+// Encode int32 quantized coordinates [natoms, 3] as one XTC2 stream
+// (header + instruction bits).  Returns bytes written into `out`
+// (capacity `cap`), or a negative GxError.
+int64_t gx_tng_xtc2_encode(const int32_t* q, int32_t natoms, uint8_t* out,
+                           int64_t cap) {
+  std::vector<uint8_t> buf;
+  int64_t rc = tng_xtc2_encode_impl(q, natoms, buf);
+  if (rc != 0) return rc;
+  if (int64_t(buf.size()) > cap) return GX_ERR_CAP;
+  std::memcpy(out, buf.data(), buf.size());
+  return int64_t(buf.size());
 }
 
 // ---- XTC ----------------------------------------------------------------

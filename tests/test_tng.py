@@ -344,3 +344,36 @@ def test_tng_writer_xtc2_codec(gro_system, test_files, tmp_path):
     q = np.round(fb.positions.astype(np.float64) * 1000)
     q2 = np.round(np.stack(ref) * 1000)
     assert float(np.abs(q - q2).max()) <= 1.0
+
+
+def test_xtc2_native_encoder_bit_identical(test_files):
+    """The C++ fast-path encoder (native.tng_xtc2_encode) mirrors the
+    Python reference encoder decision-for-decision: identical bytes on
+    the fixture ints and on adversarial walks."""
+    import struct
+
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.tng import (_encode_xtc2, _parse_data_block,
+                                     _scan_blocks)
+
+    data = open(os.path.join(test_files, "short_trajectory.tng"), "rb").read()
+    endian, blocks = _scan_blocks(data, "short")
+    pb = [_parse_data_block(data, b, endian)
+          for b in blocks if b.name == "POSITIONS"][0]
+    slen = struct.unpack_from("<i", pb.payload, 36)[0]
+    q = native.tng_xtc2_decode(pb.payload[40:40 + slen], 16844).astype(np.int64)
+    assert native.tng_xtc2_encode(q) == _encode_xtc2(q)
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        n = int(rng.integers(1, 1500))
+        w = np.cumsum(rng.integers(-50, 51, size=(n, 3)), axis=0)
+        if n > 20:
+            stride = int(rng.integers(7, 60))
+            w[::stride] += rng.integers(-300000, 300000,
+                                        size=(w[::stride].shape[0], 3))
+        q = w.astype(np.int64)
+        en = native.tng_xtc2_encode(q)
+        assert en == _encode_xtc2(q)
+        np.testing.assert_array_equal(
+            native.tng_xtc2_decode(en, n).astype(np.int64), q)
