@@ -116,6 +116,27 @@ def main() -> None:
                 n_ok += 1
             except GroanError:
                 n_typed += 1
+    # the XTC2 encoder on adversarial walks (+ decode of its own output,
+    # and decode of bit-flipped encoder output)
+    for trial in range(40):
+        n = int(rng.integers(1, 3000))
+        w = np.cumsum(rng.integers(-60, 61, size=(n, 3)), axis=0)
+        if n > 16:
+            stride = int(rng.integers(5, 50))
+            w[::stride] += rng.integers(-400000, 400000,
+                                        size=(w[::stride].shape[0], 3))
+        enc = native.tng_xtc2_encode(w.astype(np.int64))
+        q = native.tng_xtc2_decode(enc, n)
+        assert (q.astype(np.int64) == w).all()
+        bad = bytearray(enc)
+        for _ in range(4):
+            bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+        try:
+            native.tng_xtc2_decode(bytes(bad), n)
+            n_ok += 1
+        except GroanError:
+            n_typed += 1
+
     # the hbond candidate walk on valid + degenerate inputs
     pos, box9, *_ = (native.xtc_read_frames(FIXTURE, offs[:1], na))
     box = box9[0][[0, 4, 8]]
