@@ -213,7 +213,7 @@ def test_system_triclinic_methods(test_files):
 
     d = s.group_distance_triclinic("A", "B")
     dk = float(np.asarray(distance_triclinic_frames(
-        ca[None, :], cb[None, :], h[None])))
+        ca[None, :], cb[None, :], h[None])).reshape(-1)[0])
     assert d == pytest.approx(dk, abs=1e-5)
 
     d01 = s.atoms_distance_triclinic(0, 5)
