@@ -40,6 +40,11 @@ def main():
     bench("System::atoms_iter", lambda: sum(1 for _ in system.atoms_iter()))
     bench("System::group_iter (Membrane)",
           lambda: sum(1 for _ in system.group_iter("Membrane")))
+    bench("System::atoms_iter (creation)", lambda: system.atoms_iter())
+    bench("System::group_iter (Membrane, creation)",
+          lambda: system.group_iter("Membrane"))
+    bench("System::get_atoms_as_ref and iter",
+          lambda: sum(a.get_atom_number() for a in system.get_atoms()))
     bench("System::group_estimate_center (Protein)",
           lambda: system.group_estimate_center("Protein"))
     bench("System::group_get_center (Protein)",
@@ -50,8 +55,12 @@ def main():
           lambda: system.group_get_center("Membrane"))
     bench("System::atoms_center (Protein, xyz)",
           lambda: system.copy().atoms_center("Protein", Dimension.XYZ))
+    bench("System::atoms_center (Membrane, xyz)",
+          lambda: system.copy().atoms_center("Membrane", Dimension.XYZ))
     bench("System::atoms_translate (short)",
           lambda: system.atoms_translate([0.001, 0.001, 0.001]))
+    bench("System::atoms_translate (medium)",
+          lambda: system.atoms_translate([0.8, -0.5, 0.3]))
     bench("System::atoms_translate (long)",
           lambda: system.atoms_translate([4.2, -1.1, 2.3]))
     bench("System::xtc_iter (no progress printing)",
