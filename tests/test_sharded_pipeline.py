@@ -192,3 +192,37 @@ def test_atoms_sharded_runner_rejects_delta_wire(tmp_path):
     assert runner.wire == "q16"  # coerced
     out = runner.run(xtc, batch_size=2)
     assert out["com_A"].shape == (4, 3)
+
+
+def test_sidecars_pack_one_put_per_batch(test_files, monkeypatch):
+    """VERDICT r3 #9: on a multi-device mesh a warm pass pays exactly
+    TWO device_puts per batch — the positions wire + ONE packed sidecar
+    buffer (boxes/mask/inv_prec ride together, `_put_small`), not one
+    RTT per sidecar array."""
+    import os
+
+    import jax
+
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(os.path.join(test_files, "example.tpr"))
+    s.group_create("Protein", "@protein")
+    monkeypatch.setenv("GROAN_ONESHOT_BYTES", "0")  # force streaming
+    pipe = TrajectoryAnalysis(s, mesh=make_mesh(4, 2))
+    pipe.add_com("Protein", name="com")
+    runner = pipe.runner(wire="q16")
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    runner.run(xtc, batch_size=4)  # warm: compile + caches
+
+    real_put = jax.device_put
+    calls = []
+
+    def counting_put(x, *a, **k):
+        calls.append(np.asarray(x).nbytes if hasattr(x, "nbytes") else 0)
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    out = runner.run(xtc, batch_size=4)
+    assert len(out["com"]) == 11
+    n_batches = 3  # 11 frames / batch_size 4
+    assert len(calls) == 2 * n_batches, calls
