@@ -488,6 +488,20 @@ class TrajReader:
         self._times = np.array(times, np.float32)
         self._steps = np.array(steps, np.int64)
         self._mask = np.ones(self._times.shape[0], bool)
+        # stepping state: the reference's adapters commute —
+        # `.with_step(n).with_range(a, b)` equals
+        # `.with_range(a, b).with_step(n)` because jumping to the range
+        # start restarts the step counter there (traj_read.rs:474
+        # TrajStepReader::with_range).  Track the pre-step selection and
+        # the accumulated step so with_range can re-anchor the stride.
+        self._prestep_mask = self._mask.copy()
+        self._step_factor = 1
+
+    def _apply_step(self):
+        sel = np.nonzero(self._prestep_mask)[0][::self._step_factor]
+        m = np.zeros_like(self._prestep_mask)
+        m[sel] = True
+        self._mask = m
 
     # ------------------------------------------------------------- adapters
     def with_range(self, start_time: float, end_time: float) -> "TrajReader":
@@ -498,9 +512,11 @@ class TrajReader:
             raise ReadTrajError("range start exceeds end", code="InvalidTimeRange")
         if self.progress is not None:
             self.progress.print_jumping()
-        self._mask &= (self._times >= start_time - TIME_PRECISION) & (
+        rng = (self._times >= start_time - TIME_PRECISION) & (
             self._times <= end_time + TIME_PRECISION
         )
+        self._prestep_mask &= rng
+        self._apply_step()
         if not self._mask.any():
             raise ReadTrajError(
                 f"start of time range ({start_time} ps) not found in trajectory",
@@ -527,6 +543,10 @@ class TrajReader:
         newmask = np.zeros_like(self._mask)
         newmask[keep] = True
         self._mask = newmask
+        # materialize: the stripe is the new baseline selection (stepping
+        # before/after a host shard does not need range re-anchoring)
+        self._prestep_mask = newmask.copy()
+        self._step_factor = 1
         return self
 
     def with_step(self, step: int) -> "TrajReader":
@@ -534,11 +554,8 @@ class TrajReader:
         (reference: traj_read.rs:394)."""
         if step == 0:
             raise ReadTrajError("step must be non-zero", code="InvalidStep")
-        sel = np.nonzero(self._mask)[0]
-        keep = sel[::step]
-        newmask = np.zeros_like(self._mask)
-        newmask[keep] = True
-        self._mask = newmask
+        self._step_factor *= int(step)
+        self._apply_step()
         return self
 
     def print_progress(self, printer: ProgressPrinter) -> "TrajReader":

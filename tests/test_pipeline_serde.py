@@ -257,3 +257,32 @@ def test_lammps_unknown_units_errors(test_files, tmp_path):
     open(bad, "w").write(src.replace("real", "parsecs", 1))
     with pytest.raises(ReadTrajError, match="parsecs"):
         open_source(bad, "lammpstrj")
+
+
+def test_extra_format_iters_ranges_steps(example, test_files):
+    """reference read_dcd_ranges/steps + read_nc/lammps equivalents
+    (chemfiles.rs:1102-1180): range/step adapters behave identically on
+    every trajectory format because frame selection is index arithmetic
+    over the shared time table."""
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    # nc excluded: time is not read from NetCDF (reference parity — the
+    # reference's chemfiles nc tests have no range/step cases either)
+    for other in ("short_trajectory.dcd",):
+        for args in (dict(rng=(200.0, 600.0)), dict(step=3),
+                     dict(rng=(100.0, 900.0), step=4)):
+            s1, s2 = example.copy(), example.copy()
+            i1 = s1.traj_iter(xtc)
+            i2 = s2.traj_iter(os.path.join(test_files, other))
+            if "step" in args:  # deliberately swap adapter order (i2)
+                i2 = i2.with_step(args["step"])
+            if "rng" in args:
+                i1 = i1.with_range(*args["rng"])
+                i2 = i2.with_range(*args["rng"])
+            if "step" in args:
+                i1 = i1.with_step(args["step"])
+            f1 = [(fr.get_time(), np.array(fr.positions)) for fr in i1]
+            f2 = [(fr.get_time(), np.array(fr.positions)) for fr in i2]
+            assert len(f1) == len(f2) and len(f1) > 0
+            for (t1, p1), (t2, p2) in zip(f1, f2):
+                assert t1 == pytest.approx(t2, abs=1e-3)
+                np.testing.assert_allclose(p1, p2, atol=1e-5)

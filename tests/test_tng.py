@@ -377,3 +377,80 @@ def test_xtc2_native_encoder_bit_identical(test_files):
         assert en == _encode_xtc2(q)
         np.testing.assert_array_equal(
             native.tng_xtc2_decode(en, n).astype(np.int64), q)
+
+
+# ---------------------- GROMACS-file iterator parity (chemfiles tests)
+
+def _compare_iters(it1, it2, atol):
+    """Mirror of the reference's compare_iterators (chemfiles.rs:440-470):
+    same steps, times, boxes, positions frame-for-frame; both exhausted."""
+    import itertools
+
+    n = 0
+    for f1, f2 in itertools.zip_longest(it1, it2):
+        assert f1 is not None and f2 is not None, "iterator lengths differ"
+        assert f1.get_step() == f2.get_step()
+        assert f1.get_time() == pytest.approx(f2.get_time(), abs=1e-3)
+        np.testing.assert_allclose(
+            np.array(f1.get_box().to_matrix()),
+            np.array(f2.get_box().to_matrix()), atol=1e-5)
+        np.testing.assert_allclose(np.array(f1.positions),
+                                   np.array(f2.positions), atol=atol)
+        n += 1
+    return n
+
+
+def test_read_gmx_tng_pass(test_files):
+    """reference read_tng_pass (chemfiles.rs:863): the REAL GROMACS
+    codec-2 files (XTC2 + triplet-intra) iterate frame-for-frame equal to
+    their XTC twins (tolerance = XTC's own precision-100 grid)."""
+    for gro, xtc, tng, n_want in [
+        ("example.gro", "short_trajectory.xtc", "short_trajectory.tng", 11),
+        ("octahedron.gro", "octahedron_trajectory.xtc",
+         "octahedron_trajectory.tng", 11),
+    ]:
+        s1 = System.from_file(os.path.join(test_files, gro))
+        s2 = System.from_file(os.path.join(test_files, gro))
+        n = _compare_iters(s1.xtc_iter(os.path.join(test_files, xtc)),
+                           s2.tng_iter(os.path.join(test_files, tng)),
+                           atol=5.01e-3)
+        assert n == n_want
+
+
+def test_read_gmx_tng_ranges_steps(test_files):
+    """reference read_tng_ranges / read_tng_steps / read_tng_ranges_steps
+    (chemfiles.rs:920-999) on the real codec-2 file."""
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    tng = os.path.join(test_files, "short_trajectory.tng")
+
+    def fresh():
+        a = System.from_file(os.path.join(test_files, "example.gro"))
+        b = System.from_file(os.path.join(test_files, "example.gro"))
+        return a, b
+
+    for start, end in [(0.0, 100_000.0), (200.0, 600.0), (300.0, 500.0),
+                       (500.0, 500.0), (300.0, 100_000.0)]:
+        s1, s2 = fresh()
+        _compare_iters(s1.xtc_iter(xtc).with_range(start, end),
+                       s2.tng_iter(tng).with_range(start, end), atol=5.01e-3)
+    for step in [1, 2, 3, 5, 23]:
+        s1, s2 = fresh()
+        _compare_iters(s1.xtc_iter(xtc).with_step(step),
+                       s2.tng_iter(tng).with_step(step), atol=5.01e-3)
+    for start, end, step in [(0.0, 100_000.0, 1), (300.0, 800.0, 2),
+                             (100.0, 900.0, 4)]:
+        s1, s2 = fresh()
+        _compare_iters(
+            s1.xtc_iter(xtc).with_range(start, end).with_step(step),
+            s2.tng_iter(tng).with_step(step).with_range(start, end),
+            atol=5.01e-3)
+
+
+def test_read_gmx_tng_unmatching(test_files):
+    """reference read_tng_unmatching (chemfiles.rs:887): wrong atom count
+    raises AtomsNumberMismatch."""
+    s = System.from_file(os.path.join(test_files, "example_novelocities.gro"))
+    with pytest.raises(ReadTrajError) as e:
+        for _ in s.tng_iter(os.path.join(test_files, "short_trajectory.tng")):
+            pass
+    assert e.value.code == "AtomsNumberMismatch"
