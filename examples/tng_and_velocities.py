@@ -38,6 +38,24 @@ def main():
            .run(tng, batch_size=4))
     print("per-frame protein COM from TNG:", np.asarray(out["com_Protein"])[0])
 
+    # --- TNG *writing* with GROMACS' own compression (codec="tng") -----
+    # (the reference cannot write TNG at all; gzip codec is the lossless
+    # default, codec="tng" quantizes like XTC at `multiplier` ints/nm)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out_tng = os.path.join(td, "rewritten.tng")
+        s3 = System.from_file(os.path.join(FIXTURES, "example.gro"))
+        s3.traj_writer_init(out_tng, fmt="tng", codec="tng", multiplier=1000.0)
+        for fr in s3.tng_iter(tng):
+            fr.traj_write_frame()
+        s3.traj_writers_close()
+        from groan_rs_tpu.io.tng import tng_info
+        info = tng_info(out_tng)
+        print(f"rewrote {info['n_frames']} frames with codec-2 XTC2 "
+              f"({os.path.getsize(out_tng)} bytes, "
+              f"POSITIONS codec {info['codecs']['POSITIONS']})")
+
     # --- velocities: TRR x/v/f ride the engine as aux channels ---------
     trr = os.path.join(FIXTURES, "short_trajectory.trr")
     pipe = (TrajectoryAnalysis(s2)
