@@ -594,8 +594,13 @@ def _scan_blocks(data: bytes, path: str):
                 code="InvalidTngFile",
             )
         name_start = pos + 40
-        name_end = data.index(b"\0", name_start, pos + hsz)
-        name = data[name_start:name_end].decode(errors="replace")
+        name_end = data.find(b"\0", name_start, pos + hsz)
+        if name_end < 0:
+            raise ReadTrajError(
+                f"corrupted TNG block name at offset {pos} in '{path}'",
+                code="InvalidTngFile",
+            )
+        name = bytes(data[name_start:name_end]).decode(errors="replace")
         ver, = struct.unpack_from(endian + "q", data, name_end + 1)
         blocks.append(TngBlock(pos, hsz, csz, bid, name, ver))
         pos += hsz + csz
@@ -701,7 +706,9 @@ def _parse_data_block(data: bytes, blk: TngBlock, endian: str) -> TngDataBlock:
         block_id=blk.block_id, name=blk.name, datatype=datatype, dependency=dep,
         sparse=sparse, n_values=n_values, codec=codec, multiplier=mult,
         first_frame=first_frame, stride=max(1, stride), first_particle=first_particle,
-        n_particles=n_particles, payload=data[p:blk.end],
+        # zero-copy view into the (possibly mmapped) file: payloads are
+        # demand-paged, so multi-GB trajectories never fully materialize
+        n_particles=n_particles, payload=memoryview(data)[p:blk.end],
     )
 
 
@@ -719,10 +726,20 @@ def _parse_frame_set(data: bytes, blk: TngBlock, endian: str) -> TngFrameSet:
 
 def read_tng(path: str):
     """Parse a TNG file: returns (endian, blocks, general_info_strings,
-    [TngFrameSet])."""
+    [TngFrameSet]).
+
+    The file is memory-mapped, and data-block payloads are zero-copy
+    views into the map, so container parsing touches only headers and a
+    multi-GB trajectory is demand-paged frame set by frame set (the
+    chemfiles reader the reference uses streams the same way)."""
+    import mmap
+
     try:
         with open(path, "rb") as fh:
-            data = fh.read()
+            try:
+                data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+            except (ValueError, OSError):  # empty or unmappable file
+                data = fh.read()
     except OSError:
         raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
     endian, blocks = _scan_blocks(data, path)
