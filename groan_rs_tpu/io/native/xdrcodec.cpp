@@ -1222,27 +1222,54 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
     }
   };
 
+  // Instruction selection (mirrors io/tng.py _encode_xtc2 exactly —
+  // same options, same integer cross-multiplied bits-per-atom
+  // comparison, same evaluation order — so the streams stay
+  // byte-identical): ONLY_LARGE vs ONLY_SMALL run vs DEFAULT
+  // (large + chained run, the GROMACS-style 1-bit molecule pattern).
+  std::vector<int> per_atom(size_t(natoms), 0);
+  std::vector<uint8_t> small_ok(size_t(natoms), 0);
+  for (int64_t a2 = 1; a2 < natoms; ++a2) {
+    int ni2 = tng_needed_idx(window_max(a2, 1));
+    if (ni2 >= 0) {
+      per_atom[size_t(a2)] = ni2;
+      small_ok[size_t(a2)] =
+          3.0 * std::log2(double(kTngMagic[ni2])) < double(wl);
+    }
+  }
+  auto trans_bits = [&](int ti, int tk) -> int64_t {
+    int d = ti - idx;
+    int64_t c = 0;
+    if (tk != K) {
+      c += 6;
+      if (tk != 6) {
+        if (d > 0) --d;
+        else if (d < 0) ++d;
+      }
+    }
+    return c + 6 * ((std::abs(d) + 1) / 2);
+  };
+  auto put_run = [&](int64_t start, int kk) {
+    uint32_t base = uint32_t(kTngMagic[idx]);
+    uint32_t digits[18], szs[18];
+    for (int k = 0; k < 3 * kk; ++k) {
+      digits[k] = uint32_t(dz[size_t(3 * start + k)]);
+      szs[k] = base;
+    }
+    tng_put_ints_wide(bw, digits, szs, 3 * kk,
+                      tng_small_width(3 * kk, std::log2(double(base))));
+  };
+
   int64_t a = 0;
   bw.put(4, 0b0100);  // ONLY_LARGE: atom 0
   put_large(a);
   ++a;
   while (a < natoms) {
-    int kk = int(std::min<int64_t>(6, natoms - a));
-    int ni = -1;
-    while (kk > 0) {
-      ni = tng_needed_idx(window_max(a, kk));
-      if (ni >= 0 && 3.0 * std::log2(double(kTngMagic[ni])) < double(wl))
-        break;
-      --kk;
-    }
-    if (kk == 0) {  // isolated big jump(s) -> large coder
+    if (!small_ok[size_t(a)]) {  // structurally large -> RLE'able
       int n_big = 1;
-      while (a + n_big < natoms && n_big < 18) {
-        int ni2 = tng_needed_idx(window_max(a + n_big, 1));
-        if (ni2 >= 0 && 3.0 * std::log2(double(kTngMagic[ni2])) < double(wl))
-          break;
+      while (a + n_big < natoms && n_big < 18 &&
+             !small_ok[size_t(a + n_big)])
         ++n_big;
-      }
       if (n_big >= 3) {
         bw.put(5, 0b01111);
         bw.put(4, uint32_t(n_big - 3));
@@ -1255,17 +1282,54 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
       }
       continue;
     }
-    set_idx_k(ni, kk);
-    bw.put(4, 0b0101);  // ONLY_SMALL
-    uint32_t base = uint32_t(kTngMagic[idx]);
-    uint32_t digits[18], szs[18];
-    for (int k = 0; k < 3 * kk; ++k) {
-      digits[k] = uint32_t(dz[size_t(3 * a + k)]);
-      szs[k] = base;
+    int64_t best_c = 4 + wl;
+    int best_adv = 1;
+    char kind = 'L';
+    int t_idx = idx, t_kk = 0;
+    int m = 0;
+    for (int kk = 1; kk <= int(std::min<int64_t>(6, natoms - a)); ++kk) {
+      if (!small_ok[size_t(a + kk - 1)]) break;
+      m = std::max(m, per_atom[size_t(a + kk - 1)]);
+      int64_t c = trans_bits(m, kk) + 4 +
+                  tng_small_width(3 * kk, std::log2(double(kTngMagic[m])));
+      if (c * best_adv < best_c * kk) {
+        best_c = c;
+        best_adv = kk;
+        kind = 'S';
+        t_idx = m;
+        t_kk = kk;
+      }
     }
-    tng_put_ints_wide(bw, digits, szs, 3 * kk,
-                      tng_small_width(3 * kk, std::log2(double(base))));
-    a += kk;
+    m = 0;
+    for (int kk = 1; kk <= int(std::min<int64_t>(6, natoms - a - 1)); ++kk) {
+      if (!small_ok[size_t(a + kk)]) break;
+      m = std::max(m, per_atom[size_t(a + kk)]);
+      int64_t c = trans_bits(m, kk) + 1 + wl +
+                  tng_small_width(3 * kk, std::log2(double(kTngMagic[m])));
+      if (c * best_adv < best_c * (1 + kk)) {
+        best_c = c;
+        best_adv = 1 + kk;
+        kind = 'D';
+        t_idx = m;
+        t_kk = kk;
+      }
+    }
+    if (kind == 'L') {
+      bw.put(4, 0b0100);
+      put_large(a);
+      ++a;
+    } else if (kind == 'S') {
+      set_idx_k(t_idx, t_kk);
+      bw.put(4, 0b0101);
+      put_run(a, t_kk);
+      a += t_kk;
+    } else {  // DEFAULT: large + chained run
+      set_idx_k(t_idx, t_kk);
+      bw.put(1, 1);
+      put_large(a);
+      put_run(a + 1, t_kk);
+      a += 1 + t_kk;
+    }
   }
   bw.flush();
   return 0;

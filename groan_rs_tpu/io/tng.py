@@ -468,25 +468,57 @@ def _encode_xtc2(q: np.ndarray) -> bytes:
             w.put(m, 1)
             idx += (1 + m) * (1 if d_ > 0 else -1)
 
+    # Instruction selection: at each atom compare, in exact bit counts
+    # (including the K-change / smallidx-jump transition cost from the
+    # CURRENT coder state), three grammar options and take the best
+    # bits-per-atom (integer cross-multiplied comparison — keeps the C++
+    # mirror bit-identical):
+    #   ONLY_LARGE            4 + W_large           (1 atom)
+    #   ONLY_SMALL run of kk  trans + 4 + W(kk,B)   (kk atoms)
+    #   DEFAULT               trans + 1 + W_large + W(kk,B)  (1+kk atoms)
+    # DEFAULT is the big win on molecular data (the GROMACS encoder's
+    # main loop): a water is one 1-bit instruction = absolute large for
+    # O + a tight 2-small run for the hydrogens, with K and smallidx
+    # stable across molecules.
+    per_atom = [0] * natoms              # needed idx per atom
+    small_ok = np.zeros(natoms, bool)
+    for a2 in range(1, natoms):
+        ni2 = needed_idx(int(dz[a2].max()))
+        if ni2 is not None:
+            per_atom[a2] = ni2
+            small_ok[a2] = 3 * _LOG2_MAGIC[ni2] < wl
+
+    def trans_bits(ti: int, tk: int) -> int:
+        # mirror of set_idx_k's emission cost: 6 bits per K change
+        # (absorbing one idx step unless K=6), 6 bits per +-2 jump
+        d_ = ti - idx
+        c = 0
+        if tk != K:
+            c += 6
+            if tk != 6:
+                if d_ > 0:
+                    d_ -= 1
+                elif d_ < 0:
+                    d_ += 1
+        return c + 6 * ((abs(d_) + 1) // 2)
+
+    def put_run(start: int, kk: int):
+        b = _TNG_MAGIC[idx]
+        v = 0
+        for j in range(start, start + kk):
+            for ax in range(3):
+                v = v * b + int(dz[j, ax])
+        w.put_send(v, math.ceil(3 * kk * _LOG2_MAGIC[idx]))
+
     a = 0
     w.put(0b0100, 4)                      # ONLY_LARGE: atom 0
     put_large(a)
     a += 1
     while a < natoms:
-        kk = min(6, natoms - a)
-        # shrink the run while its worst delta forces a base so wide the
-        # large coder is cheaper for the whole run
-        while kk > 0:
-            dmax = int(dz[a:a + kk].max())
-            ni = needed_idx(dmax)
-            if ni is not None and 3 * _LOG2_MAGIC[ni] < wl:
-                break
-            kk -= 1
-        if kk == 0:                       # isolated big jump -> large(s)
+        if not small_ok[a]:               # structurally large -> RLE'able
             n_big = 1
             while (a + n_big < natoms and n_big < 18
-                   and (needed_idx(int(dz[a + n_big].max())) is None
-                        or 3 * _LOG2_MAGIC[needed_idx(int(dz[a + n_big].max()))] >= wl)):
+                   and not small_ok[a + n_big]):
                 n_big += 1
             if n_big >= 3:
                 w.put(0b01111, 5)
@@ -500,16 +532,39 @@ def _encode_xtc2(q: np.ndarray) -> bytes:
                     put_large(a)
                     a += 1
             continue
-        ni = needed_idx(int(dz[a:a + kk].max()))
-        set_idx_k(ni, kk)
-        w.put(0b0101, 4)                  # ONLY_SMALL
-        b = _TNG_MAGIC[idx]
-        v = 0
-        for j in range(a, a + kk):
-            for ax in range(3):
-                v = v * b + int(dz[j, ax])
-        w.put_send(v, math.ceil(3 * kk * _LOG2_MAGIC[idx]))
-        a += kk
+        best_c, best_adv, kind, tgt = 4 + wl, 1, "L", (idx, K)
+        m = 0
+        for kk in range(1, min(6, natoms - a) + 1):  # ONLY_SMALL
+            if not small_ok[a + kk - 1]:
+                break
+            m = max(m, per_atom[a + kk - 1])
+            c = trans_bits(m, kk) + 4 + math.ceil(3 * kk * _LOG2_MAGIC[m])
+            if c * best_adv < best_c * kk:
+                best_c, best_adv, kind, tgt = c, kk, "S", (m, kk)
+        m = 0
+        for kk in range(1, min(6, natoms - a - 1) + 1):  # DEFAULT
+            if not small_ok[a + kk]:
+                break
+            m = max(m, per_atom[a + kk])
+            c = trans_bits(m, kk) + 1 + wl + math.ceil(
+                3 * kk * _LOG2_MAGIC[m])
+            if c * best_adv < best_c * (1 + kk):
+                best_c, best_adv, kind, tgt = c, 1 + kk, "D", (m, kk)
+        if kind == "L":
+            w.put(0b0100, 4)
+            put_large(a)
+            a += 1
+        elif kind == "S":
+            set_idx_k(tgt[0], tgt[1])
+            w.put(0b0101, 4)
+            put_run(a, tgt[1])
+            a += tgt[1]
+        else:                             # DEFAULT: large + chained run
+            set_idx_k(tgt[0], tgt[1])
+            w.put(1, 1)
+            put_large(a)
+            put_run(a + 1, tgt[1])
+            a += 1 + tgt[1]
     return header + w.getvalue()
 
 

@@ -295,7 +295,7 @@ def test_xtc2_encoder_roundtrips_gmx_ints(test_files):
     assert (_decode_xtc2(enc, 16844, "re") == q).all()
     assert (native.tng_xtc2_decode(enc, 16844).astype(np.int64) == q).all()
     # competitive with GROMACS' own encoder on the same ints
-    assert len(enc) < 1.25 * slen
+    assert len(enc) < 1.05 * slen
 
 
 def test_xtc2_encoder_property(test_files):
