@@ -1019,12 +1019,22 @@ class TngFrameWriter:
             fh.write(_block_bytes("LAMBDAS", TNG_GMX_LAMBDA, _data_contents(
                 2, 1, 1, TNG_GZIP_COMPRESSION, gz(np.float32([lam])))))
         if self.codec == "tng":
+            # per-frame fallback: a frame whose quantized span exceeds
+            # the XTC2 magic table (or overflows i32) is stored gzip —
+            # codecs are per data block in TNG, so the file stays valid
+            # instead of dying mid-trajectory
+            try:
+                payload = _encode_tng_compress(positions, self.multiplier)
+                codec_id = TNG_TNG_COMPRESSION
+            except WriteTrajError:
+                payload = gz(positions)
+                codec_id = TNG_GZIP_COMPRESSION
             fh.write(_block_bytes(
                 "POSITIONS", TNG_TRAJ_POSITIONS,
-                _data_contents(2, 3, 3, TNG_TNG_COMPRESSION,
-                               _encode_tng_compress(positions,
-                                                    self.multiplier),
-                               self.n_atoms, multiplier=self.multiplier)))
+                _data_contents(2, 3, 3, codec_id, payload, self.n_atoms,
+                               multiplier=(self.multiplier
+                                           if codec_id == TNG_TNG_COMPRESSION
+                                           else 1.0))))
         else:
             fh.write(_block_bytes(
                 "POSITIONS", TNG_TRAJ_POSITIONS,

@@ -454,3 +454,27 @@ def test_read_gmx_tng_unmatching(test_files):
         for _ in s.tng_iter(os.path.join(test_files, "short_trajectory.tng")):
             pass
     assert e.value.code == "AtomsNumberMismatch"
+
+
+def test_tng_writer_xtc2_range_fallback(tmp_path):
+    """A frame whose quantized span exceeds the XTC2 magic table falls
+    back to the gzip codec for THAT block (codecs are per data block in
+    TNG), keeping the file valid and lossless."""
+    w = TngFrameWriter(str(tmp_path / "fb.tng"), 4, codec="tng")
+    box = np.eye(3, dtype=np.float32) * 10.0
+    ok = np.array([[1, 1, 1], [1.1, 1, 1], [1, 1.2, 1], [2, 2, 2]],
+                  np.float32)
+    huge = ok.copy()
+    huge[0, 0] = 1.0e6  # 1e9 ints at multiplier 1000: beyond the table
+    w.write_frame(ok, box, 0, 0.0)
+    w.write_frame(huge, box, 1, 1.0)
+    w.close()
+
+    info = tng_info(str(tmp_path / "fb.tng"))
+    src = TngSource(str(tmp_path / "fb.tng"))
+    fb = src.read_batch(np.arange(2))
+    np.testing.assert_allclose(fb.positions[0], ok, atol=5.01e-4)
+    np.testing.assert_array_equal(fb.positions[1], huge)  # gzip: lossless
+    endian, _, _, sets = read_tng(str(tmp_path / "fb.tng"))
+    codecs = [fs.data[0x10000001].codec for fs in sets]
+    assert codecs == [2, 3]
