@@ -105,6 +105,19 @@ def main():
         bench("read_tpr(aa_membrane_peptide.tpr, 33k atoms)",
               lambda: System.from_file(tpr), reps=3)
 
+    tng = os.path.join(FIXTURES, "short_trajectory.tng")
+    if os.path.exists(tng):
+        from groan_rs_tpu.io.tng import TngSource
+
+        import numpy as np
+
+        src = TngSource(tng)
+        ids = np.arange(src.n_frames())
+        bench("tng_read_batch(short_trajectory.tng, XTC2 x11 frames)",
+              lambda: TngSource(tng).read_batch(ids), reps=3)
+        bench("tng_decode_only(11 frames, warm source)",
+              lambda: src.read_batch(ids), reps=3)
+
 
 if __name__ == "__main__":
     main()
