@@ -182,6 +182,11 @@ class SystemCore:
     def group_get_n_atoms(self, name: str) -> int:
         return self._get_group(name).get_n_atoms()
 
+    def group_isempty(self, name: str) -> bool:
+        """True if the group exists and contains no atoms
+        (reference: groups.rs:772 System::group_isempty)."""
+        return self._get_group(name).get_n_atoms() == 0
+
     def group_isin(self, name: str, index: int) -> bool:
         return self._get_group(name).atoms.isin(index)
 

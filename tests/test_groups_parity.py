@@ -32,6 +32,12 @@ def test_group_create_basic(example):
     s.group_create("Protein", "serial 1 to 61")
     assert s.group_get_n_atoms("Protein") == 61
     assert all(s.group_isin("Protein", i) for i in range(0, 61))
+    # reference groups.rs:772 group_isempty
+    assert not s.group_isempty("Protein")
+    s.group_create("Nothing", "resname NOPE")
+    assert s.group_isempty("Nothing")
+    with pytest.raises(GroupError):
+        s.group_isempty("Absent")
 
 
 def test_group_create_fails(example):
