@@ -181,7 +181,13 @@ def test_reader_selection_gathers_compact_wires(drifting_xtc):
 # ---------------------------------------------------------------- pipeline
 
 
-def test_pipeline_wire_ship_combinations_bit_identical(test_files):
+def test_pipeline_wire_ship_combinations_agree(test_files):
+    """Every wire x ship combination feeds the step the EXACT same decoded
+    positions (wire exactness is asserted bit-level elsewhere in this
+    file); the observable RESULTS agree to ~1e-6 relative — different
+    combinations compile different XLA programs (slice vs gather, fused
+    dequant) whose reductions may reassociate, so bit-identity of the
+    outputs across programs is not a contract XLA offers."""
     from groan_rs_tpu.models import TrajectoryAnalysis
 
     s = System.from_file(FIX_GRO)
@@ -200,8 +206,10 @@ def test_pipeline_wire_ship_combinations_bit_identical(test_files):
         for ship in ("all", "used"):
             out = build().run(xtc, wire=wire, ship=ship)
             for key in ("center_Prot", "distance_Prot_Mem", "mindist_Prot_Mem"):
-                assert np.array_equal(np.asarray(base[key]), np.asarray(out[key])), (
-                    wire, ship, key)
+                np.testing.assert_allclose(
+                    np.asarray(base[key]), np.asarray(out[key]),
+                    rtol=1e-6, atol=0,
+                    err_msg=f"{wire}/{ship}/{key}")
 
 
 def test_pipeline_group_run_remaps_spec_indices(test_files):
@@ -220,8 +228,13 @@ def test_pipeline_group_run_remaps_spec_indices(test_files):
 
     full = build().run(xtc, wire="f32", ship="all")
     grouped = build().run(xtc, group="Both")
+    # Same 1-ulp cross-program class as above: the grouped run compiles a
+    # different XLA program (remapped gather layout) whose reductions may
+    # reassociate; bit-identity across programs is not an XLA contract.
     for key in ("center_Prot", "distance_Prot_Mem"):
-        assert np.array_equal(np.asarray(full[key]), np.asarray(grouped[key])), key
+        np.testing.assert_allclose(
+            np.asarray(full[key]), np.asarray(grouped[key]),
+            rtol=1e-6, atol=0, err_msg=key)
 
     # a group that does NOT cover the observables is a typed error
     from groan_rs_tpu.errors import GroupError
