@@ -729,8 +729,14 @@ class PipelineRunner:
             reader = traj_iter(self.system, filename, indices=self.sel,
                                batch_size=batch_size, start_time=start_time,
                                end_time=end_time, step=step)
-        return self._engine_1dev().materialize(
+        dt = self._engine_1dev().materialize(
             reader.batches(wire=self.wire, deferred=True))
+        # Stamp the shipped-atom layout: a later pass compiled for a
+        # different selection of the same width would otherwise read the
+        # wrong atoms' coordinates without any shape error.
+        dt.sel = None if self.sel is None else np.asarray(self.sel)
+        dt.sel_known = True
+        return dt
 
     def run(self, filename, *, batch_size: int = 32, start_time=None,
             end_time=None, step=None, progress=None, profiler=None):
@@ -750,6 +756,7 @@ class PipelineRunner:
                 raise ParallelError(
                     "this DeviceTrajectory carries no velocity/force "
                     "channels; reload it with this runner's load_device")
+            self._check_resident_layout(filename)
             out = self._engine_1dev().run_resident(filename,
                                                    batch_size=batch_size)
             if out is None:
@@ -856,3 +863,89 @@ class PipelineRunner:
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out
+
+    def _check_resident_layout(self, dt):
+        """Refuse a DeviceTrajectory whose shipped-atom layout is not the
+        one this runner's step was compiled for.  A different selection
+        of the SAME width raises no shape error — the step would simply
+        read the wrong atoms' coordinates — so the layout is stamped at
+        load_device time and verified here."""
+        if not getattr(dt, "sel_known", False):
+            return  # engine-level materialize: the caller owns the layout
+        ours, theirs = self.sel, dt.sel
+        same = ((ours is None) == (theirs is None)) and (
+            ours is None or (np.asarray(ours).shape == theirs.shape
+                             and np.array_equal(np.asarray(ours), theirs)))
+        if not same:
+            raise ParallelError(
+                "this DeviceTrajectory was loaded with a different "
+                "shipped-atom layout than this runner compiles for; load "
+                "it with this runner's load_device, or build every sweep "
+                "runner with ship='all' so they share one layout")
+
+
+def run_many(analyses, trajectory, *, batch_size: int = 32):
+    """Run several analysis passes over ONE device-resident trajectory,
+    fetching every pass's results in a single packed round trip.
+
+    The parameter-sweep workflow: `load_device` once (ship='all', or one
+    shared group layout), then sweep observables/parameters by running
+    many `TrajectoryAnalysis` variants over the same `DeviceTrajectory`.
+    Each pass dispatches asynchronously on device; ALL results come back
+    in ONE packed fetch, so M passes cost M compute dispatches plus one
+    round trip instead of M — on a tunnel client the ~30 ms fetch RTT
+    dominates a resident pass, so sweeps scale ~M x better than calling
+    `runner.run(dt)` in a loop.
+
+    `analyses`: `TrajectoryAnalysis` (compiled here via `.runner()`) or
+    prebuilt `PipelineRunner` instances.  Results are bit-identical to
+    the individual `run(dt)` calls (the packing is pure data movement).
+    The reference has no analogue — it re-decodes the file per pass.
+    """
+    from ..parallel.engine import DeviceTrajectory
+
+    import jax
+    import jax.numpy as jnp
+
+    if not isinstance(trajectory, DeviceTrajectory):
+        raise ParallelError(
+            "run_many analyzes a DeviceTrajectory; load one with "
+            "runner.load_device(filename)")
+    # Bare analyses compile HERE, targeting the trajectory's shipped
+    # layout: full-layout trajectories need ship='all' (the default
+    # 'auto' would ship only each analysis's touched atoms and fail the
+    # layout check); group-layout trajectories need prebuilt runners.
+    ship = "all" if getattr(trajectory, "sel", None) is None else "auto"
+    runners = [a.runner(ship=ship) if isinstance(a, TrajectoryAnalysis)
+               else a for a in analyses]
+    engines, trees = [], []
+    for r in runners:
+        if r.hbond_specs:
+            raise ParallelError(
+                "hbond analyses score candidates host-side and need the "
+                "streamed pass; run them with a filename")
+        if len(trajectory.aux) < len(r.engine.aux):
+            raise ParallelError(
+                "this DeviceTrajectory carries no velocity/force "
+                "channels; reload it through a velocity-aware runner's "
+                "load_device")
+        r._check_resident_layout(trajectory)
+        eng = r._engine_1dev()
+        engines.append(eng)
+        trees.append(eng.run_resident(trajectory, batch_size=batch_size,
+                                      fetch=False))
+
+    def pre(all_outs):
+        return tuple(
+            (jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *os)
+             if len(os) > 1 else os[0])
+            for os in all_outs)
+
+    fetched = engines[0]._fetch_tree(tuple(trees), pre, ("fetch-sweep",))
+    results = []
+    for out in fetched:
+        out = dict(out)
+        out["times"] = trajectory.times
+        out["steps"] = trajectory.steps
+        results.append(out)
+    return results

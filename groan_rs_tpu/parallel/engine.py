@@ -811,11 +811,17 @@ class FrameEngine:
         return fn
 
     def run_resident(self, dt: DeviceTrajectory, batch_size: int = 32,
-                     collect: bool = True, fold=None, init=None):
+                     collect: bool = True, fold=None, init=None,
+                     fetch: bool = True):
         """One analysis pass over a device-resident trajectory.
 
         Pure device work: slices of `dt` feed the jitted step directly;
         nothing crosses the wire but the (tiny) per-frame results.
+
+        `fetch=False` leaves the collected results ON DEVICE (a tuple of
+        per-batch pytrees, dispatched asynchronously) so a sweep of many
+        passes can share ONE packed fetch round trip at the end — see
+        `models.run_many`.
         """
         import jax
         import jax.numpy as jnp
@@ -857,7 +863,8 @@ class FrameEngine:
             if collect:
                 outs.append(res)
         if collect:
-            collected = self._fetch_packed(tuple(outs))
+            collected = (self._fetch_packed(tuple(outs)) if fetch
+                         else tuple(outs))
         else:
             collected = None
         if fold is not None:
@@ -873,28 +880,41 @@ class FrameEngine:
         the first `trims[i]` frames of batch i (shard padding)."""
         import jax
         import jax.numpy as jnp
+
+        def catted(os):
+            if trims is not None:
+                os = tuple(jax.tree.map(lambda x: x[:t], o)
+                           for o, t in zip(os, trims))
+            return (jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *os)
+                if len(os) > 1 else os[0])
+
+        return self._fetch_tree(outs, catted, ("fetch-packed", trims))
+
+    def _fetch_tree(self, tree, pre, tag):
+        """Generic pack-and-fetch: apply `pre` (a pure device transform)
+        to `tree`, pack every float32 leaf of the result into ONE device
+        buffer in ONE jitted dispatch, and fetch with a single tunnel
+        round trip (non-f32 leaves fetch individually — rare).  `tag`
+        keys the jit cache alongside the tree structure + leaf shapes;
+        any closure state of `pre` that changes the computation must be
+        part of it."""
+        import jax
+        import jax.numpy as jnp
         import jax.tree_util as jtu
 
         shapes = tuple(
-            (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(outs))
-        key = ("fetch-packed", jtu.tree_structure(outs), shapes, trims)
+            (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(tree))
+        key = (tag, jtu.tree_structure(tree), shapes)
         cached = self._steps.get(key)
         if cached is None:
-            def catted(os):
-                if trims is not None:
-                    os = tuple(jax.tree.map(lambda x: x[:t], o)
-                               for o, t in zip(os, trims))
-                return (jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs, axis=0), *os)
-                    if len(os) > 1 else os[0])
-
-            out_shape = jax.eval_shape(catted, outs)
+            out_shape = jax.eval_shape(pre, tree)
             leaves, treedef = jax.tree.flatten(out_shape)
             f32_idx = [i for i, l in enumerate(leaves)
                        if l.dtype == jnp.float32]
 
             def pack(os):
-                ls = jax.tree.leaves(catted(os))
+                ls = jax.tree.leaves(pre(os))
                 packed = (jnp.concatenate([ls[i].ravel() for i in f32_idx])
                           if f32_idx else jnp.zeros((0,), jnp.float32))
                 rest = [ls[i] for i in range(len(ls)) if i not in f32_idx]
@@ -903,7 +923,7 @@ class FrameEngine:
             cached = (jax.jit(pack), treedef, leaves, f32_idx)
             self._steps[key] = cached
         jfn, treedef, leaves, f32_idx = cached
-        packed, rest = jax.device_get(jfn(outs))
+        packed, rest = jax.device_get(jfn(tree))
         flat = [None] * len(leaves)
         off = 0
         for i in f32_idx:

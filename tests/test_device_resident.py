@@ -125,6 +125,71 @@ def test_resident_dense_hbonds(tpr_sys):
     assert np.asarray(out[key])[:3].tolist() == [4675, 4644, 4629]
 
 
+def test_run_many_sweep_equals_individual(tpr_sys):
+    """`run_many`: M analysis passes over ONE DeviceTrajectory share a
+    single packed fetch; results are bit-identical to the per-pass
+    `runner.run(dt)` calls (the packing is pure data movement)."""
+    from groan_rs_tpu.models.pipeline import run_many
+
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    s = tpr_sys.copy()
+    runners = [
+        TrajectoryAnalysis(s, mesh=_mesh1())
+        .add_com("Protein", name="com").runner(ship="all"),
+        TrajectoryAnalysis(s, mesh=_mesh1())
+        .add_distance("Protein", "all", com=(True, False), name="dist")
+        .runner(ship="all"),
+        TrajectoryAnalysis(s, mesh=_mesh1())
+        .add_rmsd("Protein", reference=s, name="rmsd").runner(ship="all"),
+    ]
+    dt = runners[0].load_device(xtc, batch_size=4)
+    many = run_many(runners, dt, batch_size=4)
+    assert len(many) == 3
+    for r, out in zip(runners, many):
+        solo = r.run(dt, batch_size=4)
+        assert set(solo) == set(out)
+        for k in solo:
+            np.testing.assert_array_equal(
+                np.asarray(solo[k]), np.asarray(out[k]), err_msg=k)
+
+
+def test_run_many_accepts_analyses(tpr_sys):
+    """TrajectoryAnalysis instances compile inside run_many (ship='all'
+    against a full-layout trajectory)."""
+    from groan_rs_tpu.models.pipeline import run_many
+
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    s = tpr_sys.copy()
+    loader = (TrajectoryAnalysis(s, mesh=_mesh1())
+              .add_com("Protein", name="com").runner(ship="all"))
+    dt = loader.load_device(xtc)
+    outs = run_many(
+        [TrajectoryAnalysis(s, mesh=_mesh1()).add_com("Protein", name="com"),
+         TrajectoryAnalysis(s, mesh=_mesh1()).add_center("Protein",
+                                                         name="cog")],
+        dt)
+    ref = loader.run(dt)
+    np.testing.assert_array_equal(np.asarray(outs[0]["com"]),
+                                  np.asarray(ref["com"]))
+    assert outs[1]["cog"].shape == (11, 3)
+
+
+def test_resident_layout_guard(tpr_sys):
+    """A runner compiled for a different shipped-atom layout must refuse
+    the DeviceTrajectory: same-width mismatches raise no shape error and
+    would silently read the wrong atoms' coordinates."""
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    s = tpr_sys.copy()
+    r_used = (TrajectoryAnalysis(s, mesh=_mesh1())
+              .add_com("Protein", name="com").runner())  # protein-only ship
+    r_all = (TrajectoryAnalysis(s, mesh=_mesh1())
+             .add_com("Protein", name="com").runner(ship="all"))
+    dt_used = r_used.load_device(xtc)
+    assert r_used.run(dt_used)["com"].shape == (11, 3)
+    with pytest.raises(ParallelError):
+        r_all.run(dt_used)
+
+
 def test_resident_rejects_host_assisted_hbonds(tpr_sys):
     """method='cells' scores candidates host-side per frame; a resident
     pass has no host coordinates, so it must refuse."""
