@@ -23,6 +23,7 @@ Prints exactly ONE JSON line to stdout.
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -196,6 +197,39 @@ def main():
         while fh.read(1 << 24):
             pass
     log(f"setup: {time.perf_counter() - t_setup:.1f}s")
+
+    # The axon tunnel has transient outages (observed: backend init hangs
+    # or raises UNAVAILABLE for tens of minutes).  Probe the backend in a
+    # SUBPROCESS (a failed init poisons the parent's jax backend cache)
+    # and wait it out up to BENCH_BACKEND_WAIT_S before the real import,
+    # so one bad window doesn't record a crashed bench for the round.
+    wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", 900))
+    deadline = time.monotonic() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=150, capture_output=True).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        if time.monotonic() >= deadline:
+            log(f"backend still unavailable after {wait_s:.0f}s; "
+                "emitting an explicit-failure artifact")
+            print(json.dumps({
+                "metric": ("frames/sec/chip, 1M-atom XTC dist+COM+RMSD "
+                           "pass; float32 parity vs groan_rs"),
+                "value": 0.0, "unit": "frames/s/chip",
+                "vs_baseline": 0.0, "backend_unavailable": True,
+                "note": ("TPU tunnel backend failed to initialize for "
+                         f"{wait_s:.0f}s; bench could not run"),
+            }))
+            return
+        log(f"axon backend unavailable (attempt {attempt}); retrying...")
+        time.sleep(min(60, max(5, deadline - time.monotonic())))
 
     import jax
 
