@@ -80,6 +80,21 @@ def main():
     print(f"device-resident ({dt.n_frames} frames, {dt.nbytes/1e3:.0f} KB "
           f"HBM, kind={dt.kind}) bit-equal to streamed:", same)
 
+    # sweep MANY analyses over the resident trajectory with ONE packed
+    # result fetch (M passes ~ M async dispatches + 1 round trip)
+    from groan_rs_tpu.models import run_many
+
+    dt_all = pipe_r.runner(ship="all").load_device(
+        xtc, batch_size=8, end_time=70200.0)
+    sweep = run_many(
+        [TrajectoryAnalysis(system).add_com("Protein"),
+         TrajectoryAnalysis(system).add_center("Protein"),
+         TrajectoryAnalysis(system).add_rmsd("Protein", reference=system)],
+        dt_all)
+    print("run_many sweep        :",
+          [sorted(k for k in o if k not in ("times", "steps"))
+           for o in sweep])
+
     # multi-chip: the SAME suite as one shard_map step over a mesh
     # (on CPU this needs the virtual 8-device mesh: run tests/conftest-style
     # with XLA_FLAGS=--xla_force_host_platform_device_count=8)
