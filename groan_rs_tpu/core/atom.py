@@ -206,6 +206,103 @@ class Atom:
     def reset_force(self):
         self.set_force(None)
 
+    # ------------------------------------------------------------- resets
+    # (reference: atom.rs reset_* — clear an optional field)
+    def reset_chain(self):
+        self.set_chain(None)
+
+    def reset_charge(self):
+        self.set_charge(None)
+
+    def reset_mass(self):
+        self.set_mass(None)
+
+    def reset_vdw(self):
+        self.set_vdw(None)
+
+    def reset_element_name(self):
+        self.set_element_name(None)
+
+    def reset_element_symbol(self):
+        self.set_element_symbol(None)
+
+    def reset_expected_min_bonds(self):
+        self.set_expected_min_bonds(None)
+
+    def reset_expected_max_bonds(self):
+        self.set_expected_max_bonds(None)
+
+    # ------------------------------------------------------------- builders
+    # (reference: atom.rs with_* — chainable setters; on this view they
+    # mutate the parent System and return the view)
+    def with_chain(self, v):
+        self.set_chain(v)
+        return self
+
+    def with_charge(self, v):
+        self.set_charge(v)
+        return self
+
+    def with_mass(self, v):
+        self.set_mass(v)
+        return self
+
+    def with_vdw(self, v):
+        self.set_vdw(v)
+        return self
+
+    def with_element_name(self, v):
+        self.set_element_name(v)
+        return self
+
+    def with_element_symbol(self, v):
+        self.set_element_symbol(v)
+        return self
+
+    def with_expected_min_bonds(self, v):
+        self.set_expected_min_bonds(v)
+        return self
+
+    def with_expected_max_bonds(self, v):
+        self.set_expected_max_bonds(v)
+        return self
+
+    def with_position(self, v):
+        self.set_position(v)
+        return self
+
+    def with_velocity(self, v):
+        self.set_velocity(v)
+        return self
+
+    def with_force(self, v):
+        self.set_force(v)
+        return self
+
+    # ------------------------------------------------------------- line writers
+    # (reference: atom.rs write_gro:556 / write_pdb:633 / write_pqr:693 —
+    # format THIS atom's record; the same byte-golden-tested formatters
+    # the vectorized file writers use, applied to a one-atom slice)
+    def write_gro(self, stream, write_velocities: bool = False):
+        from ..io.gro import format_atom_lines
+
+        stream.write(format_atom_lines(
+            self._system, np.array([self._index]), write_velocities)[0]
+            + "\n")
+
+    def write_pdb(self, stream):
+        from ..io.pdb import format_pdb_atom_line
+
+        stream.write(format_pdb_atom_line(self._system, self._index) + "\n")
+
+    def write_pqr(self, stream, precision=None):
+        from ..io.pqr import PqrPrecision, format_pqr_atom_line
+
+        if precision is None:
+            precision = PqrPrecision()
+        stream.write(
+            format_pqr_atom_line(self._system, self._index, precision) + "\n")
+
     # ------------------------------------------------------------- bonds
     def get_bonded(self) -> AtomContainer:
         return AtomContainer.from_indices(self._system.topology.bonded[self._index])

@@ -148,18 +148,6 @@ class GroupsMixin:
         del self.groups[old]
         self._add_group(new, g)
 
-    # ------------------------------------------------------------- ndx writability
-    def group_make_writable(self, name: str):
-        """reference: groups.rs:565."""
-        self._get_group(name).print_ndx = True
-
-    def group_make_nonwritable(self, name: str):
-        """reference: groups.rs:574."""
-        self._get_group(name).print_ndx = False
-
-    def group_names_writable(self) -> list[str]:
-        return [n for n, g in self.groups.items() if g.print_ndx]
-
     def groups_member(self, index: int) -> list[str]:
         """All groups containing the atom (reference: groups.rs:781)."""
         return [n for n, g in self.groups.items() if g.atoms.isin(index)]

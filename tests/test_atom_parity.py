@@ -235,3 +235,58 @@ def test_set_position_axes_and_resets():
 
     with pytest.raises(PositionError):
         a.set_position_x(1.0)
+
+
+def test_with_builders_and_metadata_resets(sys_):
+    """atom.rs with_* (chainable) and reset_* (clear optional) parity."""
+    a = (sys_.get_atom(3)
+         .with_chain("A")
+         .with_charge(-0.5)
+         .with_mass(15.999)
+         .with_vdw(0.152)
+         .with_element_name("oxygen")
+         .with_element_symbol("O")
+         .with_expected_min_bonds(1)
+         .with_expected_max_bonds(2)
+         .with_position([1.0, 2.0, 3.0])
+         .with_velocity([0.1, 0.2, 0.3])
+         .with_force([-1.0, 0.0, 1.0]))
+    assert a.get_chain() == "A"
+    assert a.get_charge() == pytest.approx(-0.5)
+    assert a.get_mass() == pytest.approx(15.999)
+    assert a.get_vdw() == pytest.approx(0.152)
+    assert a.get_element_name() == "oxygen"
+    assert a.get_element_symbol() == "O"
+    assert a.get_expected_min_bonds() == 1
+    assert a.get_expected_max_bonds() == 2
+    for r in ("chain", "charge", "mass", "vdw", "element_name",
+              "element_symbol", "expected_min_bonds", "expected_max_bonds"):
+        getattr(a, f"reset_{r}")()
+        assert getattr(a, f"get_{r}")() is None, r
+
+
+def test_atom_line_writers_match_file_writers(sys_, tmp_path):
+    """Per-atom write_gro/write_pdb/write_pqr emit exactly the line the
+    byte-golden file writers produce for that atom."""
+    import io as _io
+
+    from groan_rs_tpu.io.gro import format_atom_lines
+    from groan_rs_tpu.io.pdb import format_pdb_atom_line
+    from groan_rs_tpu.io.pqr import PqrPrecision, format_pqr_atom_line
+
+    a = sys_.get_atom(7)
+    buf = _io.StringIO()
+    a.write_gro(buf, write_velocities=True)
+    assert buf.getvalue() == format_atom_lines(
+        sys_, np.array([7]), True)[0] + "\n"
+
+    buf = _io.StringIO()
+    a.write_pdb(buf)
+    assert buf.getvalue() == format_pdb_atom_line(sys_, 7) + "\n"
+
+    sys_.get_atom(7).set_charge(0.25)
+    sys_.get_atom(7).set_vdw(0.19)
+    buf = _io.StringIO()
+    a.write_pqr(buf)
+    assert buf.getvalue() == format_pqr_atom_line(
+        sys_, 7, PqrPrecision()) + "\n"
