@@ -124,6 +124,10 @@ class AtomContainer:
         for s, e in self.blocks:
             yield from range(int(s), int(e) + 1)
 
+    def iter(self):
+        """reference: container.rs iter (alias of Python iteration)."""
+        return self.__iter__()
+
     def __eq__(self, other) -> bool:
         return isinstance(other, AtomContainer) and np.array_equal(self.blocks, other.blocks)
 

@@ -106,6 +106,19 @@ def read_ndx(system, filename):
         )
 
 
+def write_ndx_group(fh, name, group):
+    """One `[ name ]` ndx section (reference: group.rs:298 write_ndx)."""
+    fh.write(f"[ {name} ]\n")
+    idx = group.atoms.indices()
+    n = idx.shape[0]
+    for k in range(n):
+        serial = idx[k] + 1
+        if (k + 1) % 15 == 0 or k == n - 1:
+            fh.write(f"{serial:4}\n")
+        else:
+            fh.write(f"{serial:4} ")
+
+
 def write_ndx(system, filename):
     """reference: System::write_ndx (ndx_io.rs:82)."""
     try:
@@ -116,12 +129,4 @@ def write_ndx(system, filename):
         for name, group in system.groups.items():
             if not group.print_ndx:
                 continue
-            fh.write(f"[ {name} ]\n")
-            idx = group.atoms.indices()
-            n = idx.shape[0]
-            for k in range(n):
-                serial = idx[k] + 1
-                if (k + 1) % 15 == 0 or k == n - 1:
-                    fh.write(f"{serial:4}\n")
-                else:
-                    fh.write(f"{serial:4} ")
+            write_ndx_group(fh, name, group)

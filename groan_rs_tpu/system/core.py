@@ -49,11 +49,78 @@ class Group:
         self.atoms = atoms
         self.print_ndx = print_ndx
 
+    def get_atoms(self) -> AtomContainer:
+        """reference: group.rs:30."""
+        return self.atoms
+
     def get_n_atoms(self) -> int:
         return self.atoms.get_n_atoms()
 
     def copy(self) -> "Group":
         return Group(AtomContainer(self.atoms.blocks.copy()), self.print_ndx)
+
+    # ------------------------------------------------------- constructors
+    @classmethod
+    def from_indices(cls, indices, n_atoms: int) -> "Group":
+        """reference: group.rs:86 (out-of-range indices are dropped)."""
+        return cls(AtomContainer.from_indices(indices, n_atoms))
+
+    @classmethod
+    def from_ranges(cls, ranges, n_atoms: int) -> "Group":
+        """reference: group.rs:74."""
+        return cls(AtomContainer.from_ranges(ranges, n_atoms))
+
+    @classmethod
+    def from_query(cls, query: str, system) -> "Group":
+        """reference: group.rs:35 — GSL query evaluated against `system`."""
+        from ..select import evaluate_mask, parse_query
+
+        return cls(AtomContainer.from_mask(
+            evaluate_mask(parse_query(query), system)))
+
+    @classmethod
+    def from_query_and_geometry(cls, query: str, geometry, system) -> "Group":
+        """reference: group.rs:43 — query AND inside(shape)."""
+        return cls.from_query_and_geometries(query, [geometry], system)
+
+    @classmethod
+    def from_query_and_geometries(cls, query: str, geometries,
+                                  system) -> "Group":
+        """reference: group.rs:58."""
+        import numpy as np
+
+        from ..errors import GroupError
+        from ..select import evaluate_mask, parse_query
+
+        if not system.has_box():
+            raise GroupError("system has no simulation box",
+                             code="InvalidSimBox")
+        if not system.simbox.is_orthogonal():
+            raise GroupError("simulation box is not orthogonal",
+                             code="InvalidSimBox")
+        mask = evaluate_mask(parse_query(query), system)
+        box = system.simbox.to_lengths_vec()
+        mask = mask & system.has_position
+        for geom in geometries:
+            mask = mask & np.asarray(geom.inside(system.positions, box))
+        return cls(AtomContainer.from_mask(mask))
+
+    # ------------------------------------------------------------ algebra
+    @staticmethod
+    def union(group1: "Group", group2: "Group") -> "Group":
+        """reference: group.rs:318."""
+        return Group(group1.atoms.union(group2.atoms))
+
+    @staticmethod
+    def intersection(group1: "Group", group2: "Group") -> "Group":
+        """reference: group.rs:328."""
+        return Group(group1.atoms.intersection(group2.atoms))
+
+    def write_ndx(self, stream, name: str):
+        """Write this group as one ndx section (reference: group.rs:298)."""
+        from ..io.ndx import write_ndx_group
+
+        write_ndx_group(stream, name, self)
 
 
 class SystemCore:

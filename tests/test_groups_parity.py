@@ -436,3 +436,45 @@ def test_group_from_geometries_complex(example):
     inter = set(map(int, sph.group_indices("S"))) & set(map(int, rect.group_indices("R")))
     assert set(map(int, s.group_indices("G"))) == inter
     assert len(inter) > 0
+
+
+def test_group_struct_api(test_files):
+    """The Group struct's own public surface (group.rs:30-340):
+    constructors, algebra, get_atoms, write_ndx."""
+    import io as _io
+
+    from groan_rs_tpu.system.core import Group
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    n = s.get_n_atoms()
+
+    gi = Group.from_indices([5, 3, 3, 9, n + 50], n)  # dedup + drop OOR
+    assert sorted(gi.get_atoms()) == [3, 5, 9]
+    gr = Group.from_ranges([(0, 4), (3, 6)], n)       # merge overlap
+    assert gr.get_n_atoms() == 7
+
+    gq = Group.from_query("@protein", s)
+    assert gq.get_n_atoms() == s.group_indices("Protein").shape[0] \
+        if s.group_exists("Protein") else gq.get_n_atoms() > 0
+
+    u = Group.union(gi, gr)
+    assert sorted(u.get_atoms()) == [0, 1, 2, 3, 4, 5, 6, 9]
+    it = Group.intersection(gi, gr)
+    assert sorted(it.get_atoms()) == [3, 5]
+
+    buf = _io.StringIO()
+    gi.write_ndx(buf, "Test")
+    assert buf.getvalue() == "[ Test ]\n   4    6   10\n"
+
+    from groan_rs_tpu.core.shapes import Sphere
+
+    ggeo = Group.from_query_and_geometry(
+        "all", Sphere(s.group_get_center("all"), 1.0), s)
+    assert 0 < ggeo.get_n_atoms() < n
+
+
+def test_container_iter_method(test_files):
+    from groan_rs_tpu.core.container import AtomContainer
+
+    c = AtomContainer.from_ranges([(2, 4)], 10)
+    assert list(c.iter()) == [2, 3, 4]
