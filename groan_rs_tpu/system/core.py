@@ -228,8 +228,11 @@ class SystemCore:
         return self.get_atom(index)
 
     def atoms_iter(self):
-        for i in range(self.topology.n_atoms):
-            yield Atom(self, i)
+        """All atoms as a chainable AtomIterator (reference:
+        iterating.rs atoms_iter; adaptors per iterators.rs:842,1053)."""
+        from .iterating import AtomIterator
+
+        return AtomIterator(self, np.arange(self.topology.n_atoms))
 
     atoms_iter_mut = atoms_iter  # Python atoms views are always writable
 

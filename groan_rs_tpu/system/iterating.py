@@ -13,15 +13,167 @@ from ..core.atom import Atom
 from ..errors import AtomError, GroupError, SelectError
 
 
+class AtomIterator:
+    """Chainable, vectorized atom iterator — the reference's
+    `AtomIterable` / `AtomIteratorWithBox` trait surface
+    (structures/iterators.rs:842,1053) as one class.
+
+    Holds the parent System and a resolved index array: adaptors
+    (`filter_geometry`, `union`, `intersection`) stay vectorized over
+    the index set, aggregators (`get_center`, `get_com`, ...) call the
+    same host kernels the System methods use, and `Atom` views
+    materialize only at iteration.  Like the reference's by-value
+    adaptors, chaining methods operate on the iterator's FULL atom set
+    regardless of any partially-advanced cursor."""
+
+    __slots__ = ("_system", "_idx", "_pos")
+
+    def __init__(self, system, indices):
+        self._system = system
+        self._idx = np.asarray(indices, dtype=np.int64).ravel()
+        self._pos = 0
+
+    # ------------------------------------------------------ iteration
+    def __iter__(self) -> "AtomIterator":
+        return self
+
+    def __next__(self) -> Atom:
+        if self._pos >= self._idx.shape[0]:
+            raise StopIteration
+        a = Atom(self._system, int(self._idx[self._pos]))
+        self._pos += 1
+        return a
+
+    @property
+    def indices(self) -> np.ndarray:
+        """The (remaining-agnostic) full index set, System order."""
+        return self._idx.copy()
+
+    def get_simbox(self):
+        """reference: iterators.rs HasBox::get_simbox:838."""
+        return self._system.simbox
+
+    # ------------------------------------------------------ internals
+    def _positions(self) -> np.ndarray:
+        s, idx = self._system, self._idx
+        if not s.has_position[idx].all():
+            bad = int(idx[~s.has_position[idx]][0])
+            raise AtomError(f"atom {bad} has no position",
+                            code="InvalidPosition")
+        return s.positions[idx]
+
+    def _masses(self) -> np.ndarray:
+        topo, idx = self._system.topology, self._idx
+        if not topo.has_mass[idx].all():
+            bad = int(idx[~topo.has_mass[idx]][0])
+            raise AtomError(f"atom {bad} has no mass", code="InvalidMass")
+        return topo.mass[idx]
+
+    def _box(self) -> np.ndarray:
+        from ..core.simbox import simbox_check
+        from ..errors import SimBoxError
+
+        try:
+            return simbox_check(self._system.simbox).to_lengths_vec()
+        except SimBoxError as e:
+            raise AtomError(str(e), code="InvalidSimBox") from e
+
+    # ------------------------------------------------------ adaptors
+    def filter_geometry(self, geometry) -> "AtomIterator":
+        """Atoms (with positions) inside `geometry`, PBC-aware
+        (reference: iterators.rs:1094)."""
+        s, idx = self._system, self._idx
+        box = self._box()
+        ok = s.has_position[idx] & np.asarray(
+            geometry.inside(s.positions[idx], box))
+        return AtomIterator(s, idx[ok])
+
+    def filter_geometry_naive(self, geometry) -> "AtomIterator":
+        """No-PBC variant (reference: iterators.rs:994)."""
+        s, idx = self._system, self._idx
+        ok = s.has_position[idx] & np.asarray(
+            geometry.inside_naive(s.positions[idx]))
+        return AtomIterator(s, idx[ok])
+
+    def union(self, other: "AtomIterator") -> "AtomIterator":
+        """Atoms in either iterator, System order, each once
+        (reference: UnionAtomIterator, iterators.rs:660)."""
+        return AtomIterator(self._system,
+                            np.union1d(self._idx, other._idx))
+
+    def intersection(self, other: "AtomIterator") -> "AtomIterator":
+        """Atoms in both iterators, System order
+        (reference: IntersectionAtomIterator, iterators.rs:758)."""
+        return AtomIterator(self._system,
+                            np.intersect1d(self._idx, other._idx))
+
+    # ------------------------------------------------------ aggregators
+    def get_center(self) -> np.ndarray:
+        """Refined Bai-Breen center of geometry
+        (reference: iterators.rs:1237)."""
+        from ..ops import interactive
+
+        return interactive.center(self._positions(), self._box())
+
+    def get_com(self) -> np.ndarray:
+        """Refined center of mass (reference: iterators.rs get_com)."""
+        from ..ops import interactive
+
+        return interactive.center(self._positions(), self._box(),
+                                  weights=self._masses())
+
+    def estimate_center(self) -> np.ndarray:
+        """Bai-Breen estimate only (reference: iterators.rs:1152)."""
+        from ..ops import interactive
+
+        return interactive.estimate_center(self._positions(), self._box())
+
+    def estimate_com(self) -> np.ndarray:
+        """reference: iterators.rs:1314."""
+        from ..ops import interactive
+
+        return interactive.estimate_center(self._positions(), self._box(),
+                                           weights=self._masses())
+
+    def get_center_naive(self) -> np.ndarray:
+        """Plain mean, no PBC (reference: iterators.rs:886)."""
+        from ..ops import interactive
+
+        return interactive.center_naive(self._positions())
+
+    def get_com_naive(self) -> np.ndarray:
+        """reference: iterators.rs:946."""
+        from ..ops import interactive
+
+        return interactive.center_naive(self._positions(),
+                                        weights=self._masses())
+
+    # ------------------------------------------------------ mutators
+    def translate(self, vector) -> "AtomIterator":
+        """Translate these atoms and wrap into the box
+        (reference: MutableAtomIterable::translate, iterators.rs:1006)."""
+        self._system._translate_indices(self._idx, vector,
+                                        group_errors=False)
+        return self
+
+    def wrap(self) -> "AtomIterator":
+        """Wrap these atoms into the box
+        (reference: iterator wrap, iterators.rs)."""
+        self._system._wrap_indices(self._idx, group_errors=False)
+        return self
+
+
 class IteratingMixin:
-    def group_iter(self, name: str):
-        """Iterate atoms of a group (reference: iterating.rs:43)."""
-        for i in self.group_indices(name):
-            yield Atom(self, int(i))
+    def group_iter(self, name: str) -> AtomIterator:
+        """Iterate atoms of a group (reference: iterating.rs:43).
+
+        Returns a chainable `AtomIterator`:
+        `system.group_iter("Protein").filter_geometry(s).get_center()`."""
+        return AtomIterator(self, self.group_indices(name))
 
     group_iter_mut = group_iter
 
-    def selection_iter(self, query: str):
+    def selection_iter(self, query: str) -> AtomIterator:
         """Parse a query and iterate matching atoms (reference: iterating.rs:352)."""
         from ..select import parse_query
         from ..select.compile import evaluate_mask
@@ -30,8 +182,7 @@ class IteratingMixin:
             mask = evaluate_mask(parse_query(query), self)
         except SelectError as e:
             raise GroupError(f"invalid query '{query}': {e}", code="InvalidQuery") from e
-        for i in np.nonzero(mask)[0]:
-            yield Atom(self, int(i))
+        return AtomIterator(self, np.nonzero(mask)[0])
 
     selection_iter_mut = selection_iter
 

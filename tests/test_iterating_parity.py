@@ -95,3 +95,77 @@ def test_selection_iter_and_geometry(ndx):
     s2 = ndx.copy()
     s2.group_create("P", "name PO4")
     assert count == s2.group_get_n_atoms("P")
+
+
+def test_chained_iterator_get_center_exact(test_files):
+    """iterators.rs test iterator_get_center — Membrane atoms within a
+    2.0-sphere of the Protein center; exact reference doc values."""
+    from groan_rs_tpu.core.shapes import Sphere
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    sphere = Sphere(s.group_get_center("Protein"), 2.0)
+    center = s.group_iter("Membrane").filter_geometry(sphere).get_center()
+    np.testing.assert_allclose(
+        np.asarray(center), [9.848716, 2.4805717, 5.4309845], atol=1e-5)
+
+
+def test_iterator_union_intersection_match_group_algebra(test_files):
+    """iterators.rs union/intersection adaptors agree with the Group
+    algebra over the same geometric selections
+    (test iterator_filter_geometry_union pattern)."""
+    from groan_rs_tpu.core.shapes import Cylinder
+    from groan_rs_tpu.core.dimension import Dimension
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.group_create("Protein", "@protein")
+    c = s.group_get_center("Protein")
+    zcyl = Cylinder(c, 2.5, 4.0, Dimension.Z)
+    xcyl = Cylinder(c, 3.5, 2.0, Dimension.X)
+    s.group_create_from_geometry("Zcylinder", "@membrane", zcyl)
+    s.group_create_from_geometry("Xcylinder", "@membrane", xcyl)
+    s.group_union("Xcylinder", "Zcylinder", "Geometry")
+
+    it_u = (s.selection_iter("@membrane").filter_geometry(zcyl)
+            .union(s.selection_iter("@membrane").filter_geometry(xcyl)))
+    np.testing.assert_array_equal(it_u.indices, s.group_indices("Geometry"))
+
+    s.group_intersection("Xcylinder", "Zcylinder", "Both")
+    it_i = (s.selection_iter("@membrane").filter_geometry(zcyl)
+            .intersection(s.selection_iter("@membrane").filter_geometry(xcyl)))
+    np.testing.assert_array_equal(it_i.indices, s.group_indices("Both"))
+
+
+def test_iterator_translate_and_wrap(test_files):
+    """MutableAtomIterable::translate semantics: move + PBC wrap, only
+    the iterator's atoms."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.group_create("Protein", "@protein")
+    before = s.positions.copy()
+    idx = s.group_indices("Protein")
+    s.group_iter("Protein").translate([1.0, 0.0, 0.0])
+    box = s.simbox.to_lengths_vec()
+    expected = before[idx].copy()
+    expected[:, 0] = (expected[:, 0] + 1.0) % box[0]
+    np.testing.assert_allclose(s.positions[idx], expected, atol=1e-5)
+    others = np.setdiff1d(np.arange(s.get_n_atoms()), idx)
+    np.testing.assert_array_equal(s.positions[others], before[others])
+
+
+def test_iterator_estimate_and_naive_centers(test_files):
+    """Aggregators agree with the System group_* methods (same kernels)."""
+    s = System.from_file(os.path.join(test_files, "example.tpr"))
+    s.group_create("Protein", "@protein")
+    it = lambda: s.group_iter("Protein")
+    np.testing.assert_array_equal(it().get_center(),
+                                  s.group_get_center("Protein"))
+    np.testing.assert_array_equal(it().get_com(),
+                                  s.group_get_com("Protein"))
+    np.testing.assert_array_equal(it().get_center_naive(),
+                                  s.group_get_center_naive("Protein"))
+    np.testing.assert_array_equal(it().get_com_naive(),
+                                  s.group_get_com_naive("Protein"))
+    np.testing.assert_array_equal(it().estimate_center(),
+                                  s.group_estimate_center("Protein"))
+    np.testing.assert_array_equal(it().estimate_com(),
+                                  s.group_estimate_com("Protein"))
