@@ -81,6 +81,20 @@ def parse_ndx(filename, n_atoms: int):
     return groups, invalid, duplicate
 
 
+def from_ndx(filename, n_atoms: int):
+    """Parse an ndx file into a standalone `{name: Group}` registry plus
+    the (invalid, duplicate) name sets (reference: Groups::from_ndx,
+    ndx_io.rs:106)."""
+    from ..system.core import Group
+
+    groups, invalid, duplicate = parse_ndx(filename, n_atoms)
+    return (
+        {name: Group(AtomContainer.from_indices(idx, n_atoms))
+         for name, idx in groups.items()},
+        invalid, duplicate,
+    )
+
+
 def read_ndx(system, filename):
     """reference: System::read_ndx (ndx_io.rs:39).
 

@@ -176,6 +176,13 @@ class System(
 
         return _it(self, filenames, **kw)
 
+    def group_traj_cat_iter(self, filenames, group, **kw):
+        """Concatenated iteration over one group's atoms
+        (reference: traj_cat.rs:399)."""
+        from ..io.traj import cat_iter as _it
+
+        return _it(self, filenames, group=group, **kw)
+
     # ------------------------------------------------------------- trajectory writers
     # reference: src/io/traj_write.rs (SystemWriters registry on System)
     def traj_writer_init(self, filename, fmt=None, **kw):
@@ -219,6 +226,20 @@ class System(
 
     def traj_group_writer_auto_init(self, group, filename, **kw):
         return self.group_traj_writer_init(group, filename, **kw)
+
+    # format-pinned conveniences (reference: xtc_io/mod.rs:236,
+    # trr_io.rs:424 — thin wrappers over the generic writer init)
+    def xtc_writer_init(self, filename, **kw):
+        return self.traj_writer_init(filename, fmt="xtc", **kw)
+
+    def xtc_group_writer_init(self, group, filename, **kw):
+        return self.group_traj_writer_init(group, filename, fmt="xtc", **kw)
+
+    def trr_writer_init(self, filename, **kw):
+        return self.traj_writer_init(filename, fmt="trr", **kw)
+
+    def trr_group_writer_init(self, group, filename, **kw):
+        return self.group_traj_writer_init(group, filename, fmt="trr", **kw)
 
     def get_n_writers(self) -> int:
         return len(self._traj_writers)

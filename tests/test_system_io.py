@@ -347,3 +347,56 @@ def test_from_file_with_format_overrides_extension(test_files, tmp_path):
     s = System.from_file_with_format(renamed, FileType.GRO)
     auto = System.from_file(os.path.join(test_files, "example.gro"))
     assert s.get_n_atoms() == auto.get_n_atoms()
+
+
+def test_format_pinned_writer_inits(test_files, tmp_path):
+    """xtc_io/mod.rs:236 / trr_io.rs:424 — format-pinned writer-init
+    conveniences write byte-identically to the generic init."""
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    s.group_create("Protein", "@protein")
+    a, b = str(tmp_path / "a.dat"), str(tmp_path / "b.dat")
+    s.xtc_writer_init(a)
+    s.traj_writer_init(b, fmt="xtc")
+    s.traj_write_frame()
+    s.traj_close()
+    with open(a, "rb") as f1, open(b, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    c, d = str(tmp_path / "c.dat"), str(tmp_path / "d.dat")
+    s.trr_group_writer_init("Protein", c)
+    s.group_traj_writer_init("Protein", d, fmt="trr")
+    s.traj_write_frame()
+    s.traj_close()
+    with open(c, "rb") as f1, open(d, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_group_traj_cat_iter(test_files):
+    """traj_cat.rs:399 — concatenated read restricted to a group equals
+    the full concatenated read on that group's atoms."""
+    s1 = System.from_file(os.path.join(test_files, "example.tpr"))
+    s1.group_create("Protein", "@protein")
+    s2 = s1.copy()
+    xtc = os.path.join(test_files, "short_trajectory.xtc")
+    idx = s1.group_indices("Protein")
+    full = [np.asarray(fr.positions[idx]) for fr in s1.traj_cat_iter([xtc, xtc])]
+    part = [np.asarray(fr.positions[idx])
+            for fr in s2.group_traj_cat_iter([xtc, xtc], "Protein")]
+    assert len(full) == len(part)
+    for f, p in zip(full, part):
+        np.testing.assert_array_equal(f, p)
+
+
+def test_from_ndx_standalone(test_files):
+    """Groups::from_ndx (ndx_io.rs:106) — standalone registry parse."""
+    from groan_rs_tpu.io.ndx import from_ndx
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    groups, invalid, duplicate = from_ndx(
+        os.path.join(test_files, "index.ndx"), s.get_n_atoms())
+    assert not invalid and not duplicate
+    s.read_ndx(os.path.join(test_files, "index.ndx"))
+    assert set(groups) == set(s.group_names()) - {"all", "All"}
+    for name, g in groups.items():
+        np.testing.assert_array_equal(
+            np.fromiter(g.get_atoms(), dtype=np.int64), s.group_indices(name))
