@@ -101,6 +101,17 @@ class CellGrid:
             return np.empty(0, np.int64)
         return np.concatenate(parts)
 
+    def neighbors_iter(self, point, x_range=None, y_range=None,
+                       z_range=None):
+        """Chainable Atom iterator over `neighbors(point, ...)`
+        (reference: cellgrid.rs:383 — visit order is undefined there;
+        here atoms come in System order, each at most once)."""
+        from ..system.iterating import AtomIterator
+
+        return AtomIterator(
+            self.system,
+            np.sort(self.neighbors(point, x_range, y_range, z_range)))
+
     def neighbor_cell_pairs(self):
         """Yield (cell_atoms, neighbor_atoms) for every non-empty cell with
         its half-shell of neighbor cells (each unordered cell pair visited

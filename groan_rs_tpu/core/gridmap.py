@@ -43,12 +43,54 @@ class GridMap:
         """reference: gridmap.rs from_box."""
         return cls((0.0, simbox.x), (0.0, simbox.y), tile_dim, converter, dtype)
 
+    @classmethod
+    def from_vec(cls, span_x, span_y, tile_dim, values, data_order="row",
+                 converter=None):
+        """Build from a flat value list (reference: gridmap.rs:492).
+
+        `data_order`: 'row' (x outer, matches `extract_raw`) or 'column'."""
+        arr = np.asarray(values)
+        gm = cls(span_x, span_y, tile_dim, converter, dtype=arr.dtype)
+        nx, ny = gm.n_tiles_x(), gm.n_tiles_y()
+        if arr.size != nx * ny:
+            raise GridMapError(
+                f"expected {nx * ny} values, got {arr.size}",
+                code="InvalidNumberOfValues")
+        if data_order == "row":
+            gm.values = arr.reshape(nx, ny)
+        elif data_order == "column":
+            gm.values = arr.reshape(ny, nx).T.copy()
+        else:
+            raise GridMapError(f"unknown data order '{data_order}'",
+                               code="InvalidDataOrder")
+        return gm
+
     # ------------------------------------------------------------- geometry
     def n_tiles_x(self) -> int:
         return self.values.shape[0]
 
     def n_tiles_y(self) -> int:
         return self.values.shape[1]
+
+    def n_tiles(self) -> int:
+        """Total tile count (reference: gridmap.rs:533)."""
+        return int(self.values.size)
+
+    def clear(self):
+        """Reset every tile to the default value (reference: gridmap.rs:525)."""
+        self.values.fill(0)
+
+    def is_inside(self, x: float, y: float) -> bool:
+        """reference: gridmap.rs:566."""
+        return self._coord2index(x, y) is not None
+
+    def get_tile(self, x: float, y: float):
+        """Coordinates of the tile containing the point, or None outside
+        the map (reference: gridmap.rs:553)."""
+        idx = self._coord2index(x, y)
+        if idx is None:
+            return None
+        return (self.index2x(idx[0]), self.index2y(idx[1]))
 
     def index2x(self, i: int) -> float:
         return self.span_x[0] + i * self.tile_dim[0]
@@ -67,6 +109,12 @@ class GridMap:
     def get_at(self, x: float, y: float):
         idx = self._coord2index(x, y)
         return None if idx is None else self.values[idx]
+
+    def get_at_convert(self, x: float, y: float):
+        """Converted (display) value at the coordinates, or None outside
+        the map (reference: gridmap.rs:594)."""
+        v = self.get_at(x, y)
+        return None if v is None else self.converter(v)
 
     def set_at(self, x: float, y: float, value):
         idx = self._coord2index(x, y)
@@ -115,6 +163,21 @@ class GridMap:
         it = self.extract_convert_column_major() if column_major else self.extract_convert()
         for x, y, v in it:
             fh.write(f"{x:10.6f} {y:10.6f} {v}\n")
+
+    def write_map_column_major(self, fh):
+        """reference: gridmap.rs write_map_column_major."""
+        self.write_map(fh, column_major=True)
+
+    def write_map_raw(self, fh, column_major: bool = False):
+        """Raw (unconverted) values (reference: gridmap.rs:601)."""
+        it = (self.extract_raw_column_major() if column_major
+              else self.extract_raw())
+        for x, y, v in it:
+            fh.write(f"{x:10.6f} {y:10.6f} {v}\n")
+
+    def write_map_raw_column_major(self, fh):
+        """reference: gridmap.rs:613."""
+        self.write_map_raw(fh, column_major=True)
 
     def save(self, filename, column_major: bool = False):
         with open(filename, "w") as fh:

@@ -41,6 +41,7 @@ class ProgressPrinter:
         self.time_msg = "Time"
         self.terminating = "\r"
         self.newline_at_end = True
+        self.status_msgs = {}  # per-status tag overrides (with_*_msg)
 
     # builder-style configuration (reference: with_* methods)
     def with_output(self, stream):
@@ -72,9 +73,41 @@ class ProgressPrinter:
         self.newline_at_end = bool(v)
         return self
 
+    def _with_status_msg(self, status: ProgressStatus, msg: str):
+        """reference: with_*_msg setters (mod.rs:252-287); the tag field
+        is 9 characters wide, longer messages are refused like the
+        reference's ProgressMessage::new panic."""
+        if len(msg) > 9:
+            raise ValueError(
+                f"progress message '{msg}' is longer than 9 characters")
+        self.status_msgs[status] = msg
+        return self
+
+    def with_running_msg(self, msg: str):
+        return self._with_status_msg(ProgressStatus.RUNNING, msg)
+
+    def with_completed_msg(self, msg: str):
+        return self._with_status_msg(ProgressStatus.COMPLETED, msg)
+
+    def with_failed_msg(self, msg: str):
+        return self._with_status_msg(ProgressStatus.FAILED, msg)
+
+    def with_jumping_msg(self, msg: str):
+        return self._with_status_msg(ProgressStatus.JUMPING, msg)
+
+    def with_step_msg(self, msg: str):
+        """reference: mod.rs:235."""
+        self.step_msg = msg
+        return self
+
+    def with_time_msg(self, msg: str):
+        """reference: mod.rs:242."""
+        self.time_msg = msg
+        return self
+
     # ------------------------------------------------------------- printing
     def _status_tag(self) -> str:
-        name = self.status.value
+        name = self.status_msgs.get(self.status, self.status.value)
         if self.colored:
             return f"[{_COLORS[self.status]}{name:^9}{_RESET}]   "
         return f"[{name:^9}]   "

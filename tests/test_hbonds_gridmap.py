@@ -226,3 +226,58 @@ def test_gridmap_invalid_fixtures(test_files, bad):
             os.path.join(test_files, "gridmaps", bad),
             split=("|",), parser=lambda s: s, comments=("#", "@"),
         )
+
+
+def test_gridmap_struct_api():
+    """gridmap.rs:492-617 — from_vec, clear, n_tiles, tile queries,
+    converted access, raw/column-major writers."""
+    import io
+
+    from groan_rs_tpu.core.gridmap import GridMap
+    from groan_rs_tpu.errors import GridMapError
+
+    vals = np.arange(12, dtype=np.float64)
+    gm = GridMap.from_vec((0.0, 1.5), (0.0, 1.0), (0.5, 0.5), vals,
+                          data_order="row", converter=lambda v: 2 * v)
+    assert gm.n_tiles_x() == 4 and gm.n_tiles_y() == 3
+    assert gm.n_tiles() == 12
+    assert gm.get_at(0.5, 0.5) == vals.reshape(4, 3)[1, 1]
+    assert gm.get_at_convert(0.5, 0.5) == 2 * vals.reshape(4, 3)[1, 1]
+    assert gm.is_inside(1.5, 1.0) and not gm.is_inside(1.8, 0.0)
+    assert gm.get_tile(0.6, 0.4) == (0.5, 0.5)
+    assert gm.get_tile(9.0, 0.0) is None
+
+    gmc = GridMap.from_vec((0.0, 1.5), (0.0, 1.0), (0.5, 0.5), vals,
+                           data_order="column")
+    np.testing.assert_array_equal(gmc.values, vals.reshape(3, 4).T)
+
+    with pytest.raises(GridMapError):
+        GridMap.from_vec((0.0, 1.5), (0.0, 1.0), (0.5, 0.5), vals[:5])
+
+    buf_raw = io.StringIO()
+    gm.write_map_raw(buf_raw)
+    first = buf_raw.getvalue().splitlines()[0]
+    assert first == f"{0.0:10.6f} {0.0:10.6f} 0.0"
+    buf_cm = io.StringIO()
+    gm.write_map_raw_column_major(buf_cm)
+    assert len(buf_cm.getvalue().splitlines()) == 12
+
+    gm.clear()
+    assert gm.n_tiles() == 12 and not gm.values.any()
+
+
+def test_cellgrid_neighbors_iter(test_files):
+    """cellgrid.rs:383 — chainable atom iterator over neighbor cells;
+    same atom set as the array-form `neighbors`."""
+    from groan_rs_tpu.core.cellgrid import CellGrid
+
+    s = System.from_file(os.path.join(test_files, "example.gro"))
+    grid = CellGrid(s, "all", 1.0)
+    point = [3.0, 4.0, 5.0]
+    arr = np.sort(grid.neighbors(point))
+    got = [a.get_index() for a in grid.neighbors_iter(point)]
+    np.testing.assert_array_equal(np.asarray(got), arr)
+    assert len(got) > 0
+    # chainability: these are full AtomIterator objects
+    center = grid.neighbors_iter(point).get_center()
+    assert np.asarray(center).shape == (3,)

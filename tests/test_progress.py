@@ -183,3 +183,34 @@ def test_map_reduce_progress_golden_many(test_files):
     )
     assert out["first"].shape == (11, 3)
     assert buf.getvalue() == _golden(test_files, "progress_multithreaded_many.txt")
+
+
+def test_custom_messages_builder():
+    """mod.rs:235-287 + test new_progress_printer — custom step/time and
+    per-status tag messages render in the output; >9-char tags refuse."""
+    import io
+
+    from groan_rs_tpu.progress import ProgressPrinter, ProgressStatus
+
+    buf = io.StringIO()
+    p = (ProgressPrinter()
+         .with_output(buf)
+         .with_colored(False)
+         .with_print_freq(1)
+         .with_step_msg("STEP")
+         .with_time_msg("time")
+         .with_running_msg("ANALYZING")
+         .with_completed_msg("DONE")
+         .with_failed_msg("FAILURE")
+         .with_jumping_msg("JUMP"))
+    p.print(0, 5000, 100.0)
+    assert "[ANALYZING]" in buf.getvalue()
+    assert "STEP" in buf.getvalue() and "time" in buf.getvalue()
+    p.set_status(ProgressStatus.COMPLETED)
+    p.print(1, 10000, 200.0)
+    assert "[  DONE   ]" in buf.getvalue()
+    p.set_status(ProgressStatus.FAILED)
+    p.print(2, 10000, 200.0)
+    assert "[ FAILURE ]" in buf.getvalue()
+    with pytest.raises(ValueError):
+        ProgressPrinter().with_running_msg("TOO LONG MSG")
