@@ -26,6 +26,7 @@ from .core.shapes import (
     TriangularPrism,
 )
 from .core.simbox import SimBox
+from .core.vector3d import Vector3D
 from .core.container import AtomContainer
 from .files import FileType
 from .io.traj import TrajReader, TrajWriter
@@ -54,6 +55,7 @@ __all__ = [
     "AtomContainer",
     "CellGrid",
     "SimBox",
+    "Vector3D",
     "Dimension",
     "Shape",
     "NaiveShape",
@@ -97,6 +99,7 @@ class prelude:
     AtomContainer = AtomContainer
     CellGrid = CellGrid
     SimBox = SimBox
+    Vector3D = Vector3D
     Dimension = Dimension
     Shape = Shape
     NaiveShape = NaiveShape

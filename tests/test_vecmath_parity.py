@@ -282,3 +282,78 @@ def test_dimension_to_unit_vector():
         np.testing.assert_allclose(got, want, atol=1e-7)
         if dim is not Dimension.NONE:
             assert float(np.linalg.norm(got)) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestVector3DClass:
+    """The Vector3D type itself (vector3d.rs doc-test values); it IS a
+    (3,) float32 ndarray, so array code interoperates."""
+
+    def test_fields_len_unit_invert(self):
+        from groan_rs_tpu.core.vector3d import Vector3D
+
+        v = Vector3D(1.0, 2.0, 3.0)
+        assert (v.x, v.y, v.z) == (1.0, 2.0, 3.0)
+        assert v.len() == pytest.approx(3.741657, abs=1e-6)
+        u = v.to_unit()
+        np.testing.assert_allclose(
+            np.asarray(u), [0.2672612, 0.5345225, 0.8017837], atol=1e-6)
+        assert u.len() == pytest.approx(1.0, abs=1e-6)
+        assert Vector3D(0, 0, 0).to_unit().is_zero()
+        np.testing.assert_array_equal(
+            np.asarray(Vector3D(1.0, -2.0, 3.0).invert()), [-1.0, 2.0, -3.0])
+
+    def test_angle_wrap_vector_to(self):
+        from groan_rs_tpu.core.simbox import SimBox
+        from groan_rs_tpu.core.vector3d import Vector3D
+
+        a = Vector3D(1.0, 2.0, 3.0)
+        b = Vector3D(3.0, 2.0, 1.0)
+        assert a.angle(b) == pytest.approx(0.7751933, abs=1e-5)
+
+        p = Vector3D(-0.5, 2.0, 4.2)
+        p.wrap(SimBox.from_lengths(4.0, 4.0, 4.0))
+        np.testing.assert_allclose(np.asarray(p), [3.5, 2.0, 0.2], atol=1e-5)
+
+        v = Vector3D(1.0, 2.0, 3.0).vector_to(
+            Vector3D(3.0, 2.0, 1.0), SimBox.from_lengths(3.5, 5.0, 5.0))
+        np.testing.assert_allclose(np.asarray(v), [-1.5, 0.0, -2.0],
+                                   atol=1e-6)
+
+    def test_shift_filter_average_distance(self):
+        from groan_rs_tpu.core.dimension import Dimension
+        from groan_rs_tpu.core.simbox import SimBox
+        from groan_rs_tpu.core.vector3d import Vector3D
+
+        s = Vector3D(1.0, 1.0, 1.0).shift(Vector3D(0.0, 3.0, 0.0), 2.0)
+        np.testing.assert_allclose(np.asarray(s), [1.0, 3.0, 1.0], atol=1e-6)
+
+        f = Vector3D(1.0, 2.0, 3.0).filter(Dimension.XZ)
+        np.testing.assert_array_equal(np.asarray(f), [1.0, 0.0, 3.0])
+
+        avg = Vector3D.average([Vector3D(1.0, 2.0, 4.0),
+                                Vector3D(3.0, 2.0, -2.0)])
+        np.testing.assert_allclose(np.asarray(avg), [2.0, 2.0, 1.0])
+        avg2 = Vector3D.average([Vector3D(-3.0, 0.0, 2.0),
+                                 Vector3D(-2.0, 1.0, 7.0),
+                                 Vector3D(1.0, -2.0, 2.0)])
+        np.testing.assert_allclose(
+            np.asarray(avg2), [-1.333333, -0.333333, 3.6666666], atol=1e-4)
+
+        sb = SimBox.from_lengths(3.5, 5.0, 5.0)
+        d = Vector3D(1.0, 2.0, 3.0).distance(Vector3D(3.0, 2.0, 1.0),
+                                             Dimension.XYZ, sb)
+        assert d == pytest.approx(2.5, abs=1e-6)
+        dn = Vector3D(1.0, 0.0, 0.0).distance_naive(Vector3D(3.0, 0.0, 0.0),
+                                                    Dimension.X)
+        assert dn == pytest.approx(-2.0, abs=1e-6)
+
+    def test_ndarray_interop(self):
+        from groan_rs_tpu.core.vector3d import Vector3D
+
+        v = Vector3D(1.0, 2.0, 3.0)
+        assert isinstance(np.asarray(v), np.ndarray)
+        assert (v + np.float32(1.0)).tolist() == [2.0, 3.0, 4.0]
+        w = Vector3D.from_array(np.array([4, 5, 6]))
+        assert w.dot(v) == pytest.approx(32.0)
+        np.testing.assert_array_equal(np.asarray(v.cross(w)),
+                                      np.cross([1, 2, 3], [4, 5, 6]))
