@@ -60,6 +60,15 @@ class Sphere(Shape):
         self.position = np.asarray(position, np.float32)
         self.radius = float(radius)
 
+    def get_position(self):
+        """reference: shape.rs get_position."""
+        from .vector3d import Vector3D
+
+        return Vector3D.from_array(self.position)
+
+    def get_radius(self) -> float:
+        return self.radius
+
     def inside(self, points, box):
         d = _plane_distance(points, self.position, Dimension.XYZ, box)
         return d < self.radius
@@ -75,6 +84,20 @@ class Rectangular(Shape):
     def __init__(self, position, x: float, y: float, z: float):
         self.position = np.asarray(position, np.float32)
         self.x, self.y, self.z = float(x), float(y), float(z)
+
+    def get_position(self):
+        from .vector3d import Vector3D
+
+        return Vector3D.from_array(self.position)
+
+    def get_x(self) -> float:
+        return self.x
+
+    def get_y(self) -> float:
+        return self.y
+
+    def get_z(self) -> float:
+        return self.z
 
     def inside(self, points, box):
         dx = _oriented_axis_distance(points, self.position, 0, box)
@@ -106,6 +129,23 @@ class Cylinder(Shape):
         self.height = float(height)
         self.orientation = orientation
         self.plane = _PLANE[orientation]
+
+    def get_position(self):
+        from .vector3d import Vector3D
+
+        return Vector3D.from_array(self.position)
+
+    def get_radius(self) -> float:
+        return self.radius
+
+    def get_height(self) -> float:
+        return self.height
+
+    def get_orientation(self) -> Dimension:
+        return self.orientation
+
+    def get_plane(self) -> Dimension:
+        return self.plane
 
     def inside(self, points, box):
         axis = _AXIS[self.orientation]
@@ -144,6 +184,27 @@ class TriangularPrism(Shape):
         if orientation is None:
             raise ShapeError("prism base does not lie in the xy, xz, or yz plane")
         self.orientation = orientation
+
+    def get_base1(self):
+        from .vector3d import Vector3D
+
+        return Vector3D.from_array(self.base1)
+
+    def get_base2(self):
+        from .vector3d import Vector3D
+
+        return Vector3D.from_array(self.base2)
+
+    def get_base3(self):
+        from .vector3d import Vector3D
+
+        return Vector3D.from_array(self.base3)
+
+    def get_height(self) -> float:
+        return self.height
+
+    def get_orientation(self) -> Dimension:
+        return self.orientation
 
     @staticmethod
     def _sign(p, a, b, plane: Dimension):

@@ -121,3 +121,28 @@ def test_select_reparse_stability(test_files):
         s.group_create("B", q)
         assert s.group_get_n_atoms("A") == s.group_get_n_atoms("B")
         s.group_remove("A"); s.group_remove("B")
+
+
+def test_shape_getters():
+    """shape.rs getter surface (get_position/get_radius/get_x/.../
+    get_base1-3/get_height/get_orientation/get_plane)."""
+    from groan_rs_tpu.core.dimension import Dimension
+    from groan_rs_tpu.core.shapes import (Cylinder, Rectangular, Sphere,
+                                          TriangularPrism)
+    from groan_rs_tpu.core.vector3d import Vector3D
+
+    sp = Sphere([1.0, 2.0, 3.0], 0.5)
+    assert isinstance(sp.get_position(), Vector3D)
+    assert sp.get_position().tolist() == [1.0, 2.0, 3.0]
+    assert sp.get_radius() == 0.5
+
+    r = Rectangular([0.0, 0.0, 0.0], 1.0, 2.0, 3.0)
+    assert (r.get_x(), r.get_y(), r.get_z()) == (1.0, 2.0, 3.0)
+
+    c = Cylinder([1.0, 1.0, 1.0], 0.7, 2.0, Dimension.Z)
+    assert c.get_radius() == 0.7 and c.get_height() == 2.0
+    assert c.get_orientation() is Dimension.Z and c.get_plane() is Dimension.XY
+
+    t = TriangularPrism([0, 0, 0], [1, 0, 0], [0, 1, 0], 2.0)
+    assert t.get_base2().tolist() == [1.0, 0.0, 0.0]
+    assert t.get_height() == 2.0 and t.get_orientation() is Dimension.Z
