@@ -61,6 +61,19 @@ cylinder = Cylinder(np.asarray(protein_com), 2.0, 4.0, Dimension.Z)
 inside = tpr.group_filter_geometry("W", cylinder)
 print("water atoms inside protein cylinder:", len(inside))
 
+# the chainable iterator form (iterators.rs AtomIterable adaptors)
+wcenter = tpr.group_iter("W").filter_geometry(cylinder).get_center()
+print("  ... their center:", np.round(np.asarray(wcenter), 4))
+
+# ------------------------------------------------- Vector3D
+# (vector3d.rs — positions behave like the reference's Vector3D)
+from groan_rs_tpu import SimBox, Vector3D
+
+v = Vector3D(1.0, 2.0, 3.0)
+w = v.vector_to(Vector3D(3.0, 2.0, 1.0), SimBox.from_lengths(3.5, 5.0, 5.0))
+print("Vector3D len/unit/vector_to:", round(v.len(), 4),
+      np.round(np.asarray(v.to_unit()), 4), np.asarray(w))
+
 # ------------------------------------------------- analyzing trajectories
 # (lib.rs "Analyzing trajectory files")
 for frame in system.xtc_iter(os.path.join(TF, "short_trajectory.xtc")):
