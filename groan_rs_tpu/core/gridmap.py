@@ -57,7 +57,9 @@ class GridMap:
                 f"expected {nx * ny} values, got {arr.size}",
                 code="InvalidNumberOfValues")
         if data_order == "row":
-            gm.values = arr.reshape(nx, ny)
+            # copy: a reshape view would alias the caller's array and
+            # clear()/set_at would silently corrupt it (and vice versa)
+            gm.values = arr.reshape(nx, ny).copy()
         elif data_order == "column":
             gm.values = arr.reshape(ny, nx).T.copy()
         else:

@@ -86,7 +86,7 @@ class Vector3D(np.ndarray):
         (reference: vector3d.rs:236)."""
         n = self.len()
         if n == 0.0:
-            return Vector3D.from_array(self)
+            return Vector3D.from_array(self.copy())
         return Vector3D.from_array(np.asarray(self) / np.float32(n))
 
     def invert(self) -> "Vector3D":
@@ -152,7 +152,10 @@ class Vector3D(np.ndarray):
     # ------------------------------------------------------------ static
     @staticmethod
     def average(vectors) -> "Vector3D":
-        """Component mean of a collection (reference: vector3d.rs:662)."""
-        arr = np.asarray([np.asarray(v, np.float32) for v in vectors],
-                         dtype=np.float32)
+        """Component mean of a collection; empty input yields the NaN
+        vector like the reference's 0/0 (reference: vector3d.rs:662)."""
+        vs = [np.asarray(v, np.float32) for v in vectors]
+        if not vs:
+            return Vector3D(np.nan, np.nan, np.nan)
+        arr = np.asarray(vs, dtype=np.float32)
         return Vector3D.from_array(arr.sum(axis=0) / np.float32(len(arr)))

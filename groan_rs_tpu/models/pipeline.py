@@ -902,15 +902,14 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
     the individual `run(dt)` calls (the packing is pure data movement).
     The reference has no analogue — it re-decodes the file per pass.
     """
-    from ..parallel.engine import DeviceTrajectory
-
-    import jax
-    import jax.numpy as jnp
+    from ..parallel.engine import DeviceTrajectory, FrameEngine
 
     if not isinstance(trajectory, DeviceTrajectory):
         raise ParallelError(
             "run_many analyzes a DeviceTrajectory; load one with "
             "runner.load_device(filename)")
+    if not analyses:
+        return []
     # Bare analyses compile HERE, targeting the trajectory's shipped
     # layout: full-layout trajectories need ship='all' (the default
     # 'auto' would ship only each analysis's touched atoms and fail the
@@ -936,10 +935,7 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
                                       fetch=False))
 
     def pre(all_outs):
-        return tuple(
-            (jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *os)
-             if len(os) > 1 else os[0])
-            for os in all_outs)
+        return tuple(FrameEngine.cat_batches(os) for os in all_outs)
 
     fetched = engines[0]._fetch_tree(tuple(trees), pre, ("fetch-sweep",))
     results = []

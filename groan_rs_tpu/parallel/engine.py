@@ -878,18 +878,26 @@ class FrameEngine:
         fetched array pays its own ~RTT on a tunnel client), non-f32
         leaves are fetched individually (rare).  `trims[i]` keeps only
         the first `trims[i]` frames of batch i (shard padding)."""
+        def catted(os):
+            return FrameEngine.cat_batches(os, trims)
+
+        return self._fetch_tree(outs, catted, ("fetch-packed", trims))
+
+    @staticmethod
+    def cat_batches(outs, trims=None):
+        """Concatenate a tuple of per-batch result pytrees over the frame
+        axis (device-side, traceable); `trims[i]` keeps the first
+        `trims[i]` frames of batch i.  Shared by the packed fetch and the
+        sweep path (models.run_many) so their concat semantics cannot
+        drift."""
         import jax
         import jax.numpy as jnp
 
-        def catted(os):
-            if trims is not None:
-                os = tuple(jax.tree.map(lambda x: x[:t], o)
-                           for o, t in zip(os, trims))
-            return (jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *os)
-                if len(os) > 1 else os[0])
-
-        return self._fetch_tree(outs, catted, ("fetch-packed", trims))
+        if trims is not None:
+            outs = tuple(jax.tree.map(lambda x: x[:t], o)
+                         for o, t in zip(outs, trims))
+        return (jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+                if len(outs) > 1 else outs[0])
 
     def _fetch_tree(self, tree, pre, tag):
         """Generic pack-and-fetch: apply `pre` (a pure device transform)

@@ -70,13 +70,23 @@ class Group:
         """reference: group.rs:74."""
         return cls(AtomContainer.from_ranges(ranges, n_atoms))
 
+    @staticmethod
+    def _query_mask(query: str, system):
+        """Parse + evaluate with the same error wrapping every other
+        query entry point uses (GroupError, code InvalidQuery)."""
+        from ..errors import GroupError, SelectError
+        from ..select import evaluate_mask, parse_query
+
+        try:
+            return evaluate_mask(parse_query(query), system)
+        except SelectError as e:
+            raise GroupError(f"invalid query '{query}': {e}",
+                             code="InvalidQuery") from e
+
     @classmethod
     def from_query(cls, query: str, system) -> "Group":
         """reference: group.rs:35 — GSL query evaluated against `system`."""
-        from ..select import evaluate_mask, parse_query
-
-        return cls(AtomContainer.from_mask(
-            evaluate_mask(parse_query(query), system)))
+        return cls(AtomContainer.from_mask(cls._query_mask(query, system)))
 
     @classmethod
     def from_query_and_geometry(cls, query: str, geometry, system) -> "Group":
@@ -90,7 +100,6 @@ class Group:
         import numpy as np
 
         from ..errors import GroupError
-        from ..select import evaluate_mask, parse_query
 
         if not system.has_box():
             raise GroupError("system has no simulation box",
@@ -98,7 +107,7 @@ class Group:
         if not system.simbox.is_orthogonal():
             raise GroupError("simulation box is not orthogonal",
                              code="InvalidSimBox")
-        mask = evaluate_mask(parse_query(query), system)
+        mask = cls._query_mask(query, system)
         box = system.simbox.to_lengths_vec()
         mask = mask & system.has_position
         for geom in geometries:

@@ -208,7 +208,7 @@ def test_pipeline_wire_ship_combinations_agree(test_files):
             for key in ("center_Prot", "distance_Prot_Mem", "mindist_Prot_Mem"):
                 np.testing.assert_allclose(
                     np.asarray(base[key]), np.asarray(out[key]),
-                    rtol=1e-6, atol=0,
+                    rtol=1e-6, atol=1e-6,
                     err_msg=f"{wire}/{ship}/{key}")
 
 
@@ -234,7 +234,7 @@ def test_pipeline_group_run_remaps_spec_indices(test_files):
     for key in ("center_Prot", "distance_Prot_Mem"):
         np.testing.assert_allclose(
             np.asarray(full[key]), np.asarray(grouped[key]),
-            rtol=1e-6, atol=0, err_msg=key)
+            rtol=1e-6, atol=1e-6, err_msg=key)
 
     # a group that does NOT cover the observables is a typed error
     from groan_rs_tpu.errors import GroupError
