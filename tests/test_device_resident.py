@@ -205,3 +205,34 @@ def test_resident_rejects_host_assisted_hbonds(tpr_sys):
         os.path.join(TF, "short_trajectory.xtc"))
     with pytest.raises(ParallelError):
         runner.run(dt)
+
+
+def test_run_many_hbond_threshold_sweep(tpr_sys):
+    """THE sweep use case: dense hbond counts at several thresholds over
+    one resident trajectory — also exercises int leaves through the
+    packed sweep fetch (non-f32 leaves fetch via the rest path)."""
+    from groan_rs_tpu.models.pipeline import run_many
+    from groan_rs_tpu.system.hbonds import HBondChain
+
+    s = System.from_file(os.path.join(TF, "aa_membrane_peptide.tpr"))
+    xtc = os.path.join(TF, "aa_membrane_peptide.xtc")
+    chain = HBondChain("resname SOL and name OW", "resname SOL and name OW",
+                       "resname SOL and name HW1 HW2")
+
+    def build(dist):
+        return (TrajectoryAnalysis(s, mesh=_mesh1())
+                .add_hbonds([chain], [(0, 0)], dist, 150.0, name="hb",
+                            method="dense").runner(ship="all"))
+
+    runners = [build(0.3), build(0.25)]
+    # first 3 frames only: the dense counter is O(ND*NA) and the CPU
+    # suite pays ~4x the pass count here (sweep + solo re-run)
+    dt = runners[0].load_device(xtc, end_time=70100.0)
+    many = run_many(runners, dt)
+    key = [k for k in many[0] if k.startswith("hb")][0]
+    assert np.asarray(many[0][key])[:3].tolist() == [4675, 4644, 4629]
+    solo = runners[1].run(dt)
+    np.testing.assert_array_equal(np.asarray(many[1][key]),
+                                  np.asarray(solo[key]))
+    # tighter threshold finds strictly fewer bonds
+    assert (np.asarray(many[1][key]) < np.asarray(many[0][key])).all()
