@@ -901,12 +901,13 @@ class FrameEngine:
 
     def _fetch_tree(self, tree, pre, tag):
         """Generic pack-and-fetch: apply `pre` (a pure device transform)
-        to `tree`, pack every float32 leaf of the result into ONE device
-        buffer in ONE jitted dispatch, and fetch with a single tunnel
-        round trip (non-f32 leaves fetch individually — rare).  `tag`
-        keys the jit cache alongside the tree structure + leaf shapes;
-        any closure state of `pre` that changes the computation must be
-        part of it."""
+        to `tree`, pack the leaves of the result into ONE device buffer
+        PER DTYPE in ONE jitted dispatch, and fetch them together (each
+        fetched array pays its own ~RTT on a tunnel client, so an int
+        observable — hbond counts, contacts — must ride a packed buffer
+        exactly like the f32 ones).  `tag` keys the jit cache alongside
+        the tree structure + leaf shapes; any closure state of `pre`
+        that changes the computation must be part of it."""
         import jax
         import jax.numpy as jnp
         import jax.tree_util as jtu
@@ -918,31 +919,34 @@ class FrameEngine:
         if cached is None:
             out_shape = jax.eval_shape(pre, tree)
             leaves, treedef = jax.tree.flatten(out_shape)
-            f32_idx = [i for i, l in enumerate(leaves)
-                       if l.dtype == jnp.float32]
+            # group leaf indices by dtype, first-appearance order
+            groups = []
+            by_dt = {}
+            for i, l in enumerate(leaves):
+                dt = str(l.dtype)
+                if dt not in by_dt:
+                    by_dt[dt] = []
+                    groups.append((dt, by_dt[dt]))
+                by_dt[dt].append(i)
 
             def pack(os):
                 ls = jax.tree.leaves(pre(os))
-                packed = (jnp.concatenate([ls[i].ravel() for i in f32_idx])
-                          if f32_idx else jnp.zeros((0,), jnp.float32))
-                rest = [ls[i] for i in range(len(ls)) if i not in f32_idx]
-                return packed, rest
+                return tuple(
+                    jnp.concatenate([ls[i].ravel() for i in idxs])
+                    for _, idxs in groups)
 
-            cached = (jax.jit(pack), treedef, leaves, f32_idx)
+            cached = (jax.jit(pack), treedef, leaves, groups)
             self._steps[key] = cached
-        jfn, treedef, leaves, f32_idx = cached
-        packed, rest = jax.device_get(jfn(tree))
+        jfn, treedef, leaves, groups = cached
+        bufs = jax.device_get(jfn(tree))
         flat = [None] * len(leaves)
-        off = 0
-        for i in f32_idx:
-            cnt = int(np.prod(leaves[i].shape))
-            flat[i] = np.asarray(packed[off:off + cnt]).reshape(
-                leaves[i].shape)
-            off += cnt
-        rest_it = iter(rest)
-        for i in range(len(leaves)):
-            if flat[i] is None:
-                flat[i] = np.asarray(next(rest_it))
+        for buf, (_, idxs) in zip(bufs, groups):
+            off = 0
+            for i in idxs:
+                cnt = int(np.prod(leaves[i].shape))
+                flat[i] = np.asarray(buf[off:off + cnt]).reshape(
+                    leaves[i].shape)
+                off += cnt
         return jtu.tree_unflatten(treedef, flat)
 
 
