@@ -304,6 +304,20 @@ class Atom:
             format_pqr_atom_line(self._system, self._index, precision) + "\n")
 
     # ------------------------------------------------------------- bonds
+    def reset_bonded(self):
+        """Remove every bond of this atom — the SAFE form of the
+        reference's `unsafe Atom::reset_bonded` (atom.rs:452): bonds are
+        removed symmetrically from the neighbours and the molecule
+        references are invalidated, so no follow-up calls are needed."""
+        topo = self._system.topology
+        mine = topo.bonded[self._index]
+        for j in mine:
+            nb = topo.bonded[j]
+            if self._index in nb:
+                nb.remove(self._index)
+        topo.bonded[self._index] = []
+        topo._invalidate_bonds()
+
     def get_bonded(self) -> AtomContainer:
         return AtomContainer.from_indices(self._system.topology.bonded[self._index])
 

@@ -290,3 +290,19 @@ def test_atom_line_writers_match_file_writers(sys_, tmp_path):
     a.write_pqr(buf)
     assert buf.getvalue() == format_pqr_atom_line(
         sys_, 7, PqrPrecision()) + "\n"
+
+
+def test_reset_bonded_symmetric(test_files):
+    """The safe form of atom.rs:452 unsafe reset_bonded: bonds vanish
+    from BOTH sides and molecule splitting updates."""
+    s = System.from_file(os.path.join(test_files, "example.tpr"))
+    a = s.get_atom(1)
+    neighbors = [b.get_index() for b in s.bonded_atoms_iter(1)]
+    assert neighbors
+    before_mols = s.topology.molecule_ids().max()
+    a.reset_bonded()
+    assert a.get_n_bonded() == 0
+    for j in neighbors:
+        assert 1 not in [b.get_index() for b in s.bonded_atoms_iter(j)]
+    # molecule references recompute (atom 1 now its own molecule)
+    assert s.topology.molecule_ids().max() >= before_mols

@@ -400,3 +400,39 @@ def test_from_ndx_standalone(test_files):
     for name, g in groups.items():
         np.testing.assert_array_equal(
             np.fromiter(g.get_atoms(), dtype=np.int64), s.group_indices(name))
+
+
+class _BareSystem:
+    def __init__(self, n):
+        self.n = n
+
+    def get_n_atoms(self):
+        return self.n
+
+
+def test_cat_iter_beyond_fd_limit(tmp_path):
+    """v0.11.3 parity: concatenating more trajectories than the open-file
+    limit works — sources hold offsets, not descriptors; every read opens
+    and closes the file transiently."""
+    import resource
+
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.traj import cat_iter
+
+    box9 = np.diag([8.0] * 3).astype(np.float32).reshape(9)
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 8, size=(50, 3)).astype(np.float32)
+    files = []
+    for i in range(96):
+        p = str(tmp_path / f"t{i}.xtc")
+        native.xtc_write_frame(p, 50, i, float(i), box9, pos, 1000.0)
+        files.append(p)
+
+    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    resource.setrlimit(resource.RLIMIT_NOFILE, (64, hard))
+    try:
+        reader = cat_iter(_BareSystem(50), files, batch_size=16)
+        n = sum(len(fb) for fb in reader.batches(wire="f32"))
+    finally:
+        resource.setrlimit(resource.RLIMIT_NOFILE, (soft, hard))
+    assert n == 96
