@@ -1260,16 +1260,78 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
                       tng_small_width(3 * kk, std::log2(double(base))));
   };
 
+  // Best grammar option at atom `a` against a large-baseline of
+  // `l_cost` bits (4+W standalone; W when extending an open LARGE_RLE
+  // run).  Mirrors io/tng.py decide() exactly: same candidate order
+  // (tightest base first, then the sticky current idx), same strict-<
+  // integer cross-multiplied comparison — byte-identical streams.
+  auto decide = [&](int64_t a, int64_t l_cost, char& kind, int& t_idx,
+                    int& t_kk) {
+    kind = 'L';
+    t_idx = idx;
+    t_kk = 0;
+    if (!small_ok[size_t(a)]) return;
+    int64_t best_c = l_cost;
+    int best_adv = 1;
+    int m = 0;
+    for (int kk = 1; kk <= int(std::min<int64_t>(6, natoms - a)); ++kk) {
+      if (!small_ok[size_t(a + kk - 1)]) break;
+      m = std::max(m, per_atom[size_t(a + kk - 1)]);
+      const int cands[2] = {m, idx};
+      const int ncand = idx > m ? 2 : 1;
+      for (int ci = 0; ci < ncand; ++ci) {
+        const int t = cands[ci];
+        int64_t c = trans_bits(t, kk) + 4 +
+                    tng_small_width(3 * kk, std::log2(double(kTngMagic[t])));
+        if (c * best_adv < best_c * kk) {
+          best_c = c;
+          best_adv = kk;
+          kind = 'S';
+          t_idx = t;
+          t_kk = kk;
+        }
+      }
+    }
+    m = 0;
+    for (int kk = 1; kk <= int(std::min<int64_t>(6, natoms - a - 1)); ++kk) {
+      if (!small_ok[size_t(a + kk)]) break;
+      m = std::max(m, per_atom[size_t(a + kk)]);
+      const int cands[2] = {m, idx};
+      const int ncand = idx > m ? 2 : 1;
+      for (int ci = 0; ci < ncand; ++ci) {
+        const int t = cands[ci];
+        int64_t c = trans_bits(t, kk) + 1 + wl +
+                    tng_small_width(3 * kk, std::log2(double(kTngMagic[t])));
+        if (c * best_adv < best_c * (1 + kk)) {
+          best_c = c;
+          best_adv = 1 + kk;
+          kind = 'D';
+          t_idx = t;
+          t_kk = kk;
+        }
+      }
+    }
+  };
+
   int64_t a = 0;
   bw.put(4, 0b0100);  // ONLY_LARGE: atom 0
   put_large(a);
   ++a;
   while (a < natoms) {
-    if (!small_ok[size_t(a)]) {  // structurally large -> RLE'able
+    char kind;
+    int t_idx, t_kk;
+    decide(a, 4 + wl, kind, t_idx, t_kk);
+    if (kind == 'L') {
+      // extend into a LARGE_RLE run: each further large costs exactly
+      // W bits, so the continuation baseline is W (see io/tng.py)
       int n_big = 1;
-      while (a + n_big < natoms && n_big < 18 &&
-             !small_ok[size_t(a + n_big)])
+      while (a + n_big < natoms && n_big < 18) {
+        char k2;
+        int ti2, tk2;
+        decide(a + n_big, wl, k2, ti2, tk2);
+        if (k2 != 'L') break;
         ++n_big;
+      }
       if (n_big >= 3) {
         bw.put(5, 0b01111);
         bw.put(4, uint32_t(n_big - 3));
@@ -1280,44 +1342,6 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
           put_large(a++);
         }
       }
-      continue;
-    }
-    int64_t best_c = 4 + wl;
-    int best_adv = 1;
-    char kind = 'L';
-    int t_idx = idx, t_kk = 0;
-    int m = 0;
-    for (int kk = 1; kk <= int(std::min<int64_t>(6, natoms - a)); ++kk) {
-      if (!small_ok[size_t(a + kk - 1)]) break;
-      m = std::max(m, per_atom[size_t(a + kk - 1)]);
-      int64_t c = trans_bits(m, kk) + 4 +
-                  tng_small_width(3 * kk, std::log2(double(kTngMagic[m])));
-      if (c * best_adv < best_c * kk) {
-        best_c = c;
-        best_adv = kk;
-        kind = 'S';
-        t_idx = m;
-        t_kk = kk;
-      }
-    }
-    m = 0;
-    for (int kk = 1; kk <= int(std::min<int64_t>(6, natoms - a - 1)); ++kk) {
-      if (!small_ok[size_t(a + kk)]) break;
-      m = std::max(m, per_atom[size_t(a + kk)]);
-      int64_t c = trans_bits(m, kk) + 1 + wl +
-                  tng_small_width(3 * kk, std::log2(double(kTngMagic[m])));
-      if (c * best_adv < best_c * (1 + kk)) {
-        best_c = c;
-        best_adv = 1 + kk;
-        kind = 'D';
-        t_idx = m;
-        t_kk = kk;
-      }
-    }
-    if (kind == 'L') {
-      bw.put(4, 0b0100);
-      put_large(a);
-      ++a;
     } else if (kind == 'S') {
       set_idx_k(t_idx, t_kk);
       bw.put(4, 0b0101);

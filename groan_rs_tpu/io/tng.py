@@ -510,15 +510,57 @@ def _encode_xtc2(q: np.ndarray) -> bytes:
                 v = v * b + int(dz[j, ax])
         w.put_send(v, math.ceil(3 * kk * _LOG2_MAGIC[idx]))
 
+    def decide(a: int, l_cost: int):
+        """Best grammar option at atom `a` against a large-baseline of
+        `l_cost` bits (4+W for a standalone ONLY_LARGE; W when extending
+        an open LARGE_RLE run, whose marginal large costs no instruction
+        bits).  Returns (kind, target_idx, target_kk)."""
+        if not small_ok[a]:
+            return "L", idx, 0
+        best_c, best_adv, kind, t_idx, t_kk = l_cost, 1, "L", idx, 0
+        m = 0
+        for kk in range(1, min(6, natoms - a) + 1):  # ONLY_SMALL
+            if not small_ok[a + kk - 1]:
+                break
+            m = max(m, per_atom[a + kk - 1])
+            # candidate run bases: the tightest (m) and, when wider, the
+            # CURRENT idx — staying put skips the down-jump bits, the
+            # reason GROMACS' smallidx usage is so sticky around 30-31
+            for t in ((m, idx) if idx > m else (m,)):
+                c = trans_bits(t, kk) + 4 + math.ceil(
+                    3 * kk * _LOG2_MAGIC[t])
+                if c * best_adv < best_c * kk:
+                    best_c, best_adv, kind, t_idx, t_kk = c, kk, "S", t, kk
+        m = 0
+        for kk in range(1, min(6, natoms - a - 1) + 1):  # DEFAULT
+            if not small_ok[a + kk]:
+                break
+            m = max(m, per_atom[a + kk])
+            for t in ((m, idx) if idx > m else (m,)):
+                c = trans_bits(t, kk) + 1 + wl + math.ceil(
+                    3 * kk * _LOG2_MAGIC[t])
+                if c * best_adv < best_c * (1 + kk):
+                    best_c, best_adv, kind, t_idx, t_kk = (
+                        c, 1 + kk, "D", t, kk)
+        return kind, t_idx, t_kk
+
     a = 0
     w.put(0b0100, 4)                      # ONLY_LARGE: atom 0
     put_large(a)
     a += 1
     while a < natoms:
-        if not small_ok[a]:               # structurally large -> RLE'able
+        kind, ti, tk = decide(a, 4 + wl)
+        if kind == "L":
+            # extend into a LARGE_RLE run: once >= 3 larges batch, each
+            # further large costs exactly W bits, so the continuation
+            # baseline is W — marginal smalls must beat a RUN large, not
+            # a standalone one (this is where GROMACS' encoder wins:
+            # its larges ride RLE, 9 bits per <=18 atoms, not 4 each)
             n_big = 1
-            while (a + n_big < natoms and n_big < 18
-                   and not small_ok[a + n_big]):
+            while a + n_big < natoms and n_big < 18:
+                k2, _, _ = decide(a + n_big, wl)
+                if k2 != "L":
+                    break
                 n_big += 1
             if n_big >= 3:
                 w.put(0b01111, 5)
@@ -531,40 +573,17 @@ def _encode_xtc2(q: np.ndarray) -> bytes:
                     w.put(0b0100, 4)
                     put_large(a)
                     a += 1
-            continue
-        best_c, best_adv, kind, tgt = 4 + wl, 1, "L", (idx, K)
-        m = 0
-        for kk in range(1, min(6, natoms - a) + 1):  # ONLY_SMALL
-            if not small_ok[a + kk - 1]:
-                break
-            m = max(m, per_atom[a + kk - 1])
-            c = trans_bits(m, kk) + 4 + math.ceil(3 * kk * _LOG2_MAGIC[m])
-            if c * best_adv < best_c * kk:
-                best_c, best_adv, kind, tgt = c, kk, "S", (m, kk)
-        m = 0
-        for kk in range(1, min(6, natoms - a - 1) + 1):  # DEFAULT
-            if not small_ok[a + kk]:
-                break
-            m = max(m, per_atom[a + kk])
-            c = trans_bits(m, kk) + 1 + wl + math.ceil(
-                3 * kk * _LOG2_MAGIC[m])
-            if c * best_adv < best_c * (1 + kk):
-                best_c, best_adv, kind, tgt = c, 1 + kk, "D", (m, kk)
-        if kind == "L":
-            w.put(0b0100, 4)
-            put_large(a)
-            a += 1
         elif kind == "S":
-            set_idx_k(tgt[0], tgt[1])
+            set_idx_k(ti, tk)
             w.put(0b0101, 4)
-            put_run(a, tgt[1])
-            a += tgt[1]
+            put_run(a, tk)
+            a += tk
         else:                             # DEFAULT: large + chained run
-            set_idx_k(tgt[0], tgt[1])
+            set_idx_k(ti, tk)
             w.put(1, 1)
             put_large(a)
-            put_run(a + 1, tgt[1])
-            a += 1 + tgt[1]
+            put_run(a + 1, tk)
+            a += 1 + tk
     return header + w.getvalue()
 
 
