@@ -904,52 +904,95 @@ constexpr int kTngMagicN = int(sizeof(kTngMagic) / sizeof(kTngMagic[0]));
 
 namespace {
 
-// little-endian big-number divmod: bytes[0..n) is the sendints payload
-// (LS bytes first); repeatedly extracts `value % base` from the top.
+// little-endian big-number divmod over 32-bit limbs: the sendints payload
+// arrives LS-byte-first, so limb[0] is the least significant.  Each digit
+// extraction is one pass of u64-by-u32 division; the hardware divide is
+// replaced by the codec's double-reciprocal fast_div (cur < 2^63 here:
+// rem < base < 2^31 and a 32-bit limb, so the fixup products stay in
+// u64), and fully-extracted top limbs are shed so later digits walk a
+// shorter number.  vs the byte-wise/divq version this is ~8x fewer and
+// ~5x cheaper steps on the K-run hot path.
 struct TngBignum {
-  uint8_t bytes[96];
+  uint32_t limbs[24];  // 768 bits; >= any 6-atom run at 24-bit bases
   int n = 0;
 
   // read `w` bits from the MSB-first stream in sendints layout:
   // whole bytes first (each MSB-first within itself), remainder last
   bool load(BitReader& br, int w) {
+    if (w > int(sizeof(limbs)) * 8) return false;
     n = 0;
-    while (w >= 8 && n < int(sizeof(bytes))) {
-      bytes[n++] = uint8_t(br.get(8));
-      w -= 8;
+    while (w >= 32) {
+      // 4 whole wire bytes: first byte read is least significant
+      limbs[n++] = __builtin_bswap32(uint32_t(br.get64(32)));
+      w -= 32;
     }
     if (w > 0) {
-      if (n >= int(sizeof(bytes))) return false;
-      bytes[n++] = uint8_t(br.get(w));
+      uint32_t cur = 0;
+      int shift = 0;
+      while (w >= 8) {
+        cur |= uint32_t(br.get(8)) << shift;
+        shift += 8;
+        w -= 8;
+      }
+      if (w > 0) cur |= uint32_t(br.get(w)) << shift;
+      limbs[n++] = cur;
     }
     return !br.overrun;
   }
 
-  uint32_t divmod(uint32_t base) {
+  uint32_t divmod(uint32_t base, double inv) {
     uint64_t rem = 0;
     for (int i = n - 1; i >= 0; --i) {
-      uint64_t cur = (rem << 8) | bytes[i];
-      bytes[i] = uint8_t(cur / base);
-      rem = cur % base;
+      uint64_t cur = (rem << 32) | limbs[i];
+      uint64_t q = BitReader::fast_div(cur, base, inv);
+      limbs[i] = uint32_t(q);
+      rem = cur - q * base;
     }
+    while (n > 0 && limbs[n - 1] == 0) --n;
     return uint32_t(rem);
   }
 
-  bool nonzero() const {
-    for (int i = 0; i < n; ++i)
-      if (bytes[i]) return true;
-    return false;
-  }
+  bool nonzero() const { return n != 0; }
 };
 
 inline int64_t tng_unzig(uint32_t u) {
   return (u & 1) ? int64_t(u + 1) / 2 : -int64_t(u / 2);
 }
 
+// gather a w-bit (w <= 57) sendints-layout pack as ONE u64: read the bits
+// MSB-first in one refill, then reverse the byte order in O(1) — same
+// chunk-reassembly trick as BitReader::get_ints (the wire is LS-byte-first
+// with an MSB-aligned remainder chunk).
+inline uint64_t tng_read_pack57(BitReader& br, int w) {
+  uint64_t v = br.get64(w);
+  int k = (w - 1) >> 3;   // whole bytes before the remainder chunk
+  int rem = w - 8 * k;    // 1..8 bits
+  uint64_t b = __builtin_bswap64(v << (64 - w));
+  return (b & ((uint64_t(1) << (8 * k)) - 1)) |
+         ((b >> (8 * k + 8 - rem)) << (8 * k));
+}
+
 // width of a 3K-digit base-b pack: ceil(3K * log2 b)
 inline int tng_small_width(int k3, double log2b) {
   return int(std::ceil(double(k3) * log2b));
 }
+
+// Precomputed per-table-entry log2 and pack widths (identical expressions
+// to the inline computations they replace, so encoder decisions — and
+// therefore the emitted bytes — are unchanged; log2/ceil in the chooser's
+// inner loop dominated the encode profile).
+struct TngTables {
+  double log2[kTngMagicN];
+  int16_t width[kTngMagicN][19];  // [idx][n_digits], n_digits <= 18
+  TngTables() {
+    for (int i = 0; i < kTngMagicN; ++i) {
+      log2[i] = kTngMagic[i] ? std::log2(double(kTngMagic[i])) : 0.0;
+      for (int k3 = 0; k3 <= 18; ++k3)
+        width[i][k3] = int16_t(tng_small_width(k3, log2[i]));
+    }
+  }
+};
+static const TngTables kTngTab;
 
 }  // namespace
 
@@ -970,9 +1013,18 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
     wl_bits += std::log2(double(bl[c]));
   }
   const int wl = int(std::ceil(wl_bits));
+  const double inv_bl[3] = {1.0 / double(bl[0]), 1.0 / double(bl[1]),
+                            1.0 / double(bl[2])};
   int idx = int(stream[15]) + 4;
   int K = 1;
   bool flip = false;
+  // per-smallidx cache: reciprocal + log2 of the current run base (the
+  // smallidx adapts rarely relative to run decodes), plus the digit-chunk
+  // divisor b^m (kept < 2^31 so the fast_div fixup products stay in u64)
+  int cached_idx = -1;
+  double inv_small = 0.0, inv_chunk = 0.0;
+  int chunk_m = 1;
+  uint32_t chunk_d = 0;
 
   BitReader br{stream, size_t(nbytes)};
   // skip the 16 header bytes: instructions start at bit 128
@@ -982,10 +1034,23 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
   int64_t a = 0;
 
   auto read_large = [&](int32_t* dst) -> bool {
+    if (wl <= 57) {  // one refill + two divisions (the common case)
+      uint64_t v = tng_read_pack57(br, wl);
+      if (br.overrun) return false;
+      uint64_t q = BitReader::fast_div(v, uint32_t(bl[2]), inv_bl[2]);
+      uint32_t z = uint32_t(v - q * uint64_t(bl[2]));
+      uint64_t q2 = BitReader::fast_div(q, uint32_t(bl[1]), inv_bl[1]);
+      uint32_t y = uint32_t(q - q2 * uint64_t(bl[1]));
+      if (q2 >= uint64_t(bl[0])) return false;
+      dst[0] = int32_t(q2) + minint[0];
+      dst[1] = int32_t(y) + minint[1];
+      dst[2] = int32_t(z) + minint[2];
+      return true;
+    }
     if (!bn.load(br, wl)) return false;
-    uint32_t z = bn.divmod(uint32_t(bl[2]));
-    uint32_t y = bn.divmod(uint32_t(bl[1]));
-    uint32_t x = bn.divmod(uint32_t(bl[0]));
+    uint32_t z = bn.divmod(uint32_t(bl[2]), inv_bl[2]);
+    uint32_t y = bn.divmod(uint32_t(bl[1]), inv_bl[1]);
+    uint32_t x = bn.divmod(uint32_t(bl[0]), inv_bl[0]);
     if (bn.nonzero()) return false;
     dst[0] = int32_t(x) + minint[0];
     dst[1] = int32_t(y) + minint[1];
@@ -998,9 +1063,52 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
   auto read_run = [&](int kk) -> bool {
     if (idx < 0 || idx >= kTngMagicN || kTngMagic[idx] == 0) return false;
     uint32_t b = uint32_t(kTngMagic[idx]);
-    int w = tng_small_width(3 * kk, std::log2(double(b)));
+    if (idx != cached_idx) {
+      cached_idx = idx;
+      inv_small = 1.0 / double(b);
+      // chunk size: extract `chunk_m` digits per bignum pass by dividing
+      // by b^m (largest power that still fits a 32-bit schoolbook divisor)
+      chunk_m = 1;
+      uint64_t p = b;
+      while (p * b < (uint64_t(1) << 31) && chunk_m < 6) {
+        p *= b;
+        ++chunk_m;
+      }
+      chunk_d = uint32_t(p);
+      inv_chunk = 1.0 / double(p);
+    }
+    const int nd = 3 * kk;
+    int w = kTngTab.width[idx][nd];
+    if (w <= 57) {  // whole run in one u64 — no bignum at all
+      uint64_t v = tng_read_pack57(br, w);
+      if (br.overrun) return false;
+      for (int j = nd - 1; j > 0; --j) {
+        uint64_t q = BitReader::fast_div(v, b, inv_small);
+        tmp[j] = tng_unzig(uint32_t(v - q * b));
+        v = q;
+      }
+      if (v >= b) return false;
+      tmp[0] = tng_unzig(uint32_t(v));
+      return true;
+    }
     if (!bn.load(br, w)) return false;
-    for (int j = 3 * kk - 1; j >= 0; --j) tmp[j] = tng_unzig(bn.divmod(b));
+    // chunked extraction: one bignum pass yields chunk_m digits
+    for (int j = nd - 1; j >= 0;) {
+      int m = (j + 1 < chunk_m) ? j + 1 : chunk_m;
+      uint64_t r;
+      if (m == chunk_m) {
+        r = bn.divmod(chunk_d, inv_chunk);
+      } else {  // final short group
+        uint32_t d = b;
+        for (int t = 1; t < m; ++t) d *= b;
+        r = bn.divmod(d, 1.0 / double(d));
+      }
+      for (int t = 0; t < m; ++t) {
+        uint64_t q = BitReader::fast_div(r, b, inv_small);
+        tmp[j--] = tng_unzig(uint32_t(r - q * b));
+        r = q;
+      }
+    }
     return !bn.nonzero();
   };
 
@@ -1105,6 +1213,17 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
 // enough for 6-atom runs at 24-bit bases).
 static void tng_put_ints_wide(BitWriter& bw, const uint32_t* digits,
                               const uint32_t* sizes, int nd, int nbits) {
+  if (nbits <= 57) {  // whole pack fits u64: Horner + LS-first emission
+    uint64_t v = digits[0];
+    for (int i = 1; i < nd; ++i) v = v * sizes[i] + digits[i];
+    int full = nbits >> 3, rem = nbits & 7;
+    for (int b = 0; b < full; ++b) {
+      bw.put(8, uint32_t(v & 0xff));
+      v >>= 8;
+    }
+    if (rem) bw.put(rem, uint32_t(v));
+    return;
+  }
   uint8_t bytes[96];
   int nbytes = 0;
   for (int i = 0; i < nd; ++i) {
@@ -1233,8 +1352,7 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
     int ni2 = tng_needed_idx(window_max(a2, 1));
     if (ni2 >= 0) {
       per_atom[size_t(a2)] = ni2;
-      small_ok[size_t(a2)] =
-          3.0 * std::log2(double(kTngMagic[ni2])) < double(wl);
+      small_ok[size_t(a2)] = 3.0 * kTngTab.log2[ni2] < double(wl);
     }
   }
   auto trans_bits = [&](int ti, int tk) -> int64_t {
@@ -1256,8 +1374,7 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
       digits[k] = uint32_t(dz[size_t(3 * start + k)]);
       szs[k] = base;
     }
-    tng_put_ints_wide(bw, digits, szs, 3 * kk,
-                      tng_small_width(3 * kk, std::log2(double(base))));
+    tng_put_ints_wide(bw, digits, szs, 3 * kk, kTngTab.width[idx][3 * kk]);
   };
 
   // Best grammar option at atom `a` against a large-baseline of
@@ -1281,8 +1398,7 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
       const int ncand = idx > m ? 2 : 1;
       for (int ci = 0; ci < ncand; ++ci) {
         const int t = cands[ci];
-        int64_t c = trans_bits(t, kk) + 4 +
-                    tng_small_width(3 * kk, std::log2(double(kTngMagic[t])));
+        int64_t c = trans_bits(t, kk) + 4 + kTngTab.width[t][3 * kk];
         if (c * best_adv < best_c * kk) {
           best_c = c;
           best_adv = kk;
@@ -1300,8 +1416,7 @@ int64_t tng_xtc2_encode_impl(const int32_t* q, int64_t natoms,
       const int ncand = idx > m ? 2 : 1;
       for (int ci = 0; ci < ncand; ++ci) {
         const int t = cands[ci];
-        int64_t c = trans_bits(t, kk) + 1 + wl +
-                    tng_small_width(3 * kk, std::log2(double(kTngMagic[t])));
+        int64_t c = trans_bits(t, kk) + 1 + wl + kTngTab.width[t][3 * kk];
         if (c * best_adv < best_c * (1 + kk)) {
           best_c = c;
           best_adv = 1 + kk;
