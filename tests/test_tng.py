@@ -379,8 +379,8 @@ def test_xtc2_native_encoder_bit_identical(test_files):
     import struct
 
     from groan_rs_tpu.io import native
-    from groan_rs_tpu.io.tng import (_encode_xtc2, _parse_data_block,
-                                     _scan_blocks)
+    from groan_rs_tpu.io.tng import (_decode_xtc2, _encode_xtc2,
+                                     _parse_data_block, _scan_blocks)
 
     data = open(os.path.join(test_files, "short_trajectory.tng"), "rb").read()
     endian, blocks = _scan_blocks(data, "short")
@@ -403,6 +403,18 @@ def test_xtc2_native_encoder_bit_identical(test_files):
         assert en == _encode_xtc2(q)
         np.testing.assert_array_equal(
             native.tng_xtc2_decode(en, n).astype(np.int64), q)
+
+    # wide-delta walk: spans of ~2^22 per axis force >57-bit large packs
+    # AND small runs at bases past 2^15.5, where the native decoder's
+    # chunked bignum extracts ONE digit per pass (chunk_m=1) — the
+    # slowest, least-travelled path of all three decode tiers
+    w = np.cumsum(rng.integers(-60000, 60001, size=(2000, 3)), axis=0)
+    q = w.astype(np.int64)
+    en = native.tng_xtc2_encode(q)
+    assert en == _encode_xtc2(q)
+    np.testing.assert_array_equal(
+        native.tng_xtc2_decode(en, 2000).astype(np.int64), q)
+    np.testing.assert_array_equal(_decode_xtc2(en, 2000, "wide"), q)
 
 
 # ---------------------- GROMACS-file iterator parity (chemfiles tests)
