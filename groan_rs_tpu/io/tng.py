@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -915,7 +916,8 @@ class TngSource:
         has_v = np.zeros(b, bool)
         has_f = np.zeros(b, bool)
         boxes = np.zeros((b, 3, 3), np.float32)
-        for k, fid in enumerate(ids):
+
+        def _one(k, fid):
             fs = self._sets[int(self._set_ids[fid])]
             r = int(self._rows[fid])
             pblock = fs.data[TNG_TRAJ_POSITIONS]
@@ -932,6 +934,20 @@ class TngSource:
             if fblock is not None:
                 frc[k] = fblock.decode(self._endian)[r, :stop].astype(np.float32)
                 has_f[k] = True
+
+        # frame-parallel decode, like the native XTC bulk read: the C++
+        # XTC2 decode and zlib both release the GIL, each k writes
+        # disjoint rows of the preallocated arrays (GROAN_DECODE_THREADS
+        # overrides, same knob as the XTC path)
+        from .native import n_default_threads
+        nt = min(n_default_threads(), b)
+        if nt > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=nt) as ex:
+                list(ex.map(_one, range(b), ids))
+        else:
+            for k, fid in enumerate(ids):
+                _one(k, fid)
         return FrameBatch(
             positions=pos,
             velocities=vel if has_v.any() else None,

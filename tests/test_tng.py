@@ -251,6 +251,16 @@ def test_tng_compress_xtc2_positions(test_files):
     assert (q_tng == 10 * q_xtc).all()
     assert float(np.abs(fb.positions - cx).max()) < 5e-3
 
+    # frame-parallel decode path (ThreadPoolExecutor over blocks; on this
+    # 1-core host only GROAN_DECODE_THREADS exercises it) is bit-identical
+    os.environ["GROAN_DECODE_THREADS"] = "3"
+    try:
+        fb_mt = src.read_batch(np.arange(11))
+    finally:
+        del os.environ["GROAN_DECODE_THREADS"]
+    np.testing.assert_array_equal(fb_mt.positions, fb.positions)
+    np.testing.assert_array_equal(fb_mt.boxes9, fb.boxes9)
+
 
 def test_xtc2_native_equals_python_reference(test_files):
     """The C++ fast path (native.tng_xtc2_decode) and the Python
