@@ -1663,6 +1663,19 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
   }
   if (base_used) *base_used = used;
 
+  // contiguous selections (incl. the common "analysis atoms are a file
+  // prefix" case) collapse the gathered per-atom loop to flat pointer
+  // arithmetic, which the compiler auto-vectorizes (see the fast path in
+  // the frame lambda below)
+  bool sel_contig = sel != nullptr;
+  if (sel)
+    for (int32_t j = 1; j < nsel; ++j)
+      if (sel[j] != sel[0] + j) {
+        sel_contig = false;
+        break;
+      }
+  const int32_t sel0 = (sel && nsel > 0) ? sel[0] : 0;
+
   parallel_for(nframes, n_threads, [&](int64_t i) {
     if (err.load(std::memory_order_relaxed) != GX_OK) return;
     // prev is SELECTION space for frame 0 (the base), full-frame space
@@ -1701,6 +1714,95 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
     shifts[3 * i + 2] = shift[2];
 
     int32_t ne = 0;
+    if (out && (!sel || sel_contig)) {
+      // same flat two-pass scheme as the packed6 fast path below, with
+      // int8 lanes: bias by 128 for the overflow test, store d directly
+      const int16_t* cp = cur + 3 * int64_t(sel0);
+      const int16_t* pp = prev_is_sel ? prev : prev + 3 * int64_t(sel0);
+      std::vector<uint8_t> ovb(static_cast<size_t>(nout3), 0);
+      int32_t pat[24];
+      for (int t = 0; t < 24; ++t) pat[t] = shift[t % 3];
+      int64_t k = 0;
+      for (; k + 24 <= nout3; k += 24)
+        for (int t = 0; t < 24; ++t) {
+          const int32_t d = int32_t(cp[k + t]) - int32_t(pp[k + t]) - pat[t];
+          out[k + t] = int8_t(d);
+          ovb[size_t(k + t)] = (uint32_t(d + 128) & ~0xffu) != 0;
+        }
+      for (; k < nout3; ++k) {
+        const int32_t d = int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 3];
+        out[k] = int8_t(d);
+        ovb[size_t(k)] = (uint32_t(d + 128) & ~0xffu) != 0;
+      }
+      for (int32_t j = 0; j < nout; ++j) {
+        if (ovb[size_t(3 * j)] | ovb[size_t(3 * j + 1)] |
+            ovb[size_t(3 * j + 2)]) {
+          if (ne >= esc_cap) {
+            int64_t expected = GX_OK;
+            err.compare_exchange_strong(expected, int64_t(GX_ERR_DELTA));
+            return;
+          }
+          eidx[ne] = j;
+          eval[3 * ne] = cp[3 * j];
+          eval[3 * ne + 1] = cp[3 * j + 1];
+          eval[3 * ne + 2] = cp[3 * j + 2];
+          ne++;
+          out[3 * j] = out[3 * j + 1] = out[3 * j + 2] = 0;
+        }
+      }
+      esc_count[i] = ne;
+      return;
+    }
+    if (packed6 && (!sel || sel_contig)) {
+      // flat two-pass fast path: (1) biased bytes + per-value overflow
+      // flags in a vectorizable sweep; (2) a cheap scalar scan patches
+      // the (rare) escapes back to the zero-delta byte and records them.
+      // Identical output to the scalar loop below by construction.
+      const int16_t* cp = cur + 3 * int64_t(sel0);
+      const int16_t* pp = prev_is_sel ? prev : prev + 3 * int64_t(sel0);
+      std::vector<uint8_t> ovb(static_cast<size_t>(nout3), 0);
+      int32_t pat[24];
+      for (int t = 0; t < 24; ++t) pat[t] = shift[t % 3] - 32;
+      int64_t k = 0;
+      for (; k + 24 <= nout3; k += 24)
+        for (int t = 0; t < 24; ++t) {
+          const int32_t d = int32_t(cp[k + t]) - int32_t(pp[k + t]) - pat[t];
+          stage[size_t(k + t)] = uint8_t(d);
+          ovb[size_t(k + t)] = (uint32_t(d) & ~0x3fu) != 0;
+        }
+      for (; k < nout3; ++k) {
+        const int32_t d = int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 3];
+        stage[size_t(k)] = uint8_t(d);
+        ovb[size_t(k)] = (uint32_t(d) & ~0x3fu) != 0;
+      }
+      for (int32_t j = 0; j < nout; ++j) {
+        if (ovb[size_t(3 * j)] | ovb[size_t(3 * j + 1)] |
+            ovb[size_t(3 * j + 2)]) {
+          if (ne >= esc_cap) {
+            int64_t expected = GX_OK;
+            err.compare_exchange_strong(expected, int64_t(GX_ERR_DELTA));
+            return;
+          }
+          eidx[ne] = j;
+          eval[3 * ne] = cp[3 * j];
+          eval[3 * ne + 1] = cp[3 * j + 1];
+          eval[3 * ne + 2] = cp[3 * j + 2];
+          ne++;
+          stage[size_t(3 * j)] = stage[size_t(3 * j + 1)] =
+              stage[size_t(3 * j + 2)] = 32;
+        }
+      }
+      uint8_t* pk = packed6 + i * (npad / 4) * 3;
+      for (int64_t g = 0; g < npad / 4; g++) {
+        const uint8_t u0 = stage[size_t(4 * g)], u1 = stage[size_t(4 * g + 1)],
+                      u2 = stage[size_t(4 * g + 2)], u3 = stage[size_t(4 * g + 3)];
+        pk[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
+        pk[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
+        pk[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
+      }
+      esc_count[i] = ne;
+      return;
+    }
     for (int32_t j = 0; j < nout; j++) {
       const int32_t a = sel ? sel[j] : j;
       const int16_t* c = cur + 3 * a;

@@ -293,6 +293,66 @@ def test_delta6_wire_bit_identical_chained(smooth_xtc):
     assert np.array_equal(rec, full)
 
 
+def test_delta6_fast_path_escapes_bit_identical():
+    """The flat vectorized delta6 pack (contiguous/absent selections) must
+    emit byte-equivalent wires to the gathered scalar loop, INCLUDING the
+    escape patch-back pass: a few atoms teleport every frame so escapes
+    fire inside the fast path, and every selection shape (none, offset
+    contiguous, prefix, scattered ungathered scalar) reconstructs
+    bit-identically to the f32 decode."""
+    path = tempfile.mktemp(suffix=".xtc")
+    rng = np.random.default_rng(7)
+    natoms, nframes, box = 4000, 6, 8.0
+    box9 = np.diag([box] * 3).astype(np.float32).reshape(9)
+    pos = rng.uniform(0, box, size=(natoms, 3)).astype(np.float32)
+    try:
+        for f in range(nframes):
+            if f:
+                pos = (pos + rng.normal(size=pos.shape).astype(np.float32)
+                       * 0.005) % box
+                jump = rng.choice(natoms, size=17, replace=False)
+                pos[jump] = rng.uniform(0, box, size=(17, 3)).astype(np.float32)
+            native.xtc_write_frame(path, natoms, f, f * 1.0, box9, pos, 1000.0)
+
+        offs, _, _, n = native.xtc_scan(path)
+        full, *_ = native.xtc_read_frames(path, offs, n)
+
+        def unpack(row, nout):
+            b = row.reshape(-1, 3).astype(np.int32)
+            u = np.stack([b[:, 0] >> 2,
+                          ((b[:, 0] & 3) << 4) | (b[:, 1] >> 4),
+                          ((b[:, 1] & 15) << 2) | (b[:, 2] >> 6),
+                          b[:, 2] & 63], axis=1).reshape(-1)[:nout * 3]
+            return (u - 32).reshape(-1, 3)
+
+        sels = (None,                                     # fast, sel0 = 0
+                np.arange(500, 3500, dtype=np.int32),     # fast, sel0 = 500
+                np.arange(0, 1234, dtype=np.int32),       # fast, ragged pad
+                np.unique(rng.choice(natoms, 900,
+                                     replace=False)).astype(np.int32))  # scalar
+        for sel in sels:
+            nout = natoms if sel is None else len(sel)
+            expected = full if sel is None else full[:, sel]
+            for reader in (native.xtc_read_frames_delta6,
+                           native.xtc_read_frames_delta):
+                pk, sh, ei, ev, base, last, *_ = reader(path, offs, n, sel=sel)
+                assert (ei < nout).any(), "test must exercise the escape pass"
+                carry = base.astype(np.int64).copy()
+                out = []
+                for f in range(nframes):
+                    d = (unpack(pk[f], nout) if pk.dtype == np.uint8
+                         else pk[f].astype(np.int64))
+                    carry += d + sh[f][None, :]
+                    ok = ei[f] < nout
+                    carry[ei[f][ok]] = ev[f][ok]
+                    out.append(carry.copy())
+                rec = np.stack(out).astype(np.float32) * np.float32(1.0 / 1000.0)
+                assert np.array_equal(rec, expected), (reader.__name__, sel)
+                assert np.array_equal(np.stack(out)[-1], last)
+    finally:
+        os.remove(path)
+
+
 def test_reader_auto_selects_delta6_and_engine_is_exact(smooth_xtc):
     src = XtcSource(smooth_xtc, use_index_cache=False)
     sysb = _BareSystem(src.natoms)
