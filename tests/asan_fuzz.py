@@ -108,6 +108,11 @@ def main() -> None:
             lambda o, n: native.xtc_read_frames_delta6(p, o, n),
             lambda o, n: native.xtc_read_frames_delta6(
                 p, o, n, sel=np.arange(0, n, 7)),
+            # contiguous selections take the flat vectorized pack path
+            lambda o, n: native.xtc_read_frames_delta6(
+                p, o, n, sel=np.arange(n // 3, n - n // 3)),
+            lambda o, n: native.xtc_read_frames_delta(
+                p, o, n, sel=np.arange(n // 3, n - n // 3)),
         ):
             try:
                 o, _, _, n = native.xtc_scan(p)
@@ -116,6 +121,26 @@ def main() -> None:
                 n_ok += 1
             except GroanError:
                 n_typed += 1
+    # successful delta packs: a smooth synthetic trajectory (plus a few
+    # teleporting atoms) runs the flat fast path to completion with
+    # escapes firing, on full / contiguous / scattered selections
+    sp = os.path.join(tmpdir, "smooth.xtc")
+    na2, box9 = 5000, np.diag([8.0] * 3).astype(np.float32).reshape(9)
+    pos = rng.uniform(0, 8.0, size=(na2, 3)).astype(np.float32)
+    for f in range(6):
+        if f:
+            pos = (pos + rng.normal(size=pos.shape).astype(np.float32)
+                   * 0.004) % 8.0
+            jump = rng.choice(na2, size=9, replace=False)
+            pos[jump] = rng.uniform(0, 8.0, size=(9, 3)).astype(np.float32)
+        native.xtc_write_frame(sp, na2, f, f * 1.0, box9, pos, 1000.0)
+    o2, _, _, _ = native.xtc_scan(sp)
+    for sel in (None, np.arange(1000, 4000), np.arange(0, na2, 3)):
+        for read2 in (native.xtc_read_frames_delta6,
+                      native.xtc_read_frames_delta):
+            read2(sp, o2, na2, sel=sel, n_threads=4)
+            n_ok += 1
+
     # the XTC2 encoder on adversarial walks (+ decode of its own output,
     # and decode of bit-flipped encoder output)
     for trial in range(40):
