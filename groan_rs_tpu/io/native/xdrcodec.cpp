@@ -34,6 +34,7 @@
 // C ABI exported at the bottom; Python binds via ctypes (io/native.py).
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -139,6 +140,19 @@ constexpr int kMagicInts[] = {
 constexpr int kFirstIdx = 9;
 constexpr int kLastIdx = int(sizeof(kMagicInts) / sizeof(int)) - 1;
 
+// exact-division magic numbers m = ceil(2^64 / d) for every kMagicInts
+// entry (see BitReader::fast_divm), computed at compile time; 0 marks
+// the d <= 1 identity case
+constexpr std::array<uint64_t, size_t(kLastIdx) + 1> make_magic_table() {
+  std::array<uint64_t, size_t(kLastIdx) + 1> t{};
+  for (int i = 0; i <= kLastIdx; i++)
+    t[size_t(i)] = kMagicInts[i] <= 1
+                       ? 0
+                       : ~uint64_t(0) / uint32_t(kMagicInts[i]) + 1;
+  return t;
+}
+constexpr auto kMagicDiv = make_magic_table();
+
 // number of bits needed to represent values in [0, size]
 int sizeof_int(int size) {
   int num = 1, nbits = 0;
@@ -227,21 +241,23 @@ struct BitReader {
 
   inline int get(int n) { return n == 0 ? 0 : int(get64(n)); }
 
-  // unpack a multi-radix triple stored in `nbits_total` bits
-  // exact unsigned division via double reciprocal + fixup: the reciprocal
-  // estimate is within a few ULP, the fixup loops correct it exactly
-  // (x < 2^57, d < 2^25 so q*d fits u64).  ~3x faster than divq on the
-  // decode hot path, where the divisor changes rarely but is loop-variant
-  // so the compiler cannot strength-reduce it.
-  static inline uint64_t fast_div(uint64_t x, uint32_t d, double inv) {
-    uint64_t q = uint64_t(double(x) * inv);
-    while ((q + 1) * uint64_t(d) <= x) q++;
-    while (q * uint64_t(d) > x) q--;
+  // exact magic-number division, one widening multiply + one conditional
+  // decrement (no int<->double converts, no fixup loop): with
+  // m = ceil(2^64/d) the estimate floor(x*m / 2^64) = floor(x/d) + {0,1}
+  // for ANY x < 2^64, and never undershoots.  `magic_of` returns 0 for
+  // d <= 1 (the q = x identity case, branched on here).
+  static inline uint64_t magic_of(uint32_t d) {
+    return d <= 1 ? 0 : ~uint64_t(0) / d + 1;
+  }
+  static inline uint64_t fast_divm(uint64_t x, uint32_t d, uint64_t m) {
+    if (m == 0) return x;  // d == 1
+    uint64_t q = uint64_t((unsigned __int128)(x) * m >> 64);
+    if (q * uint64_t(d) > x) q--;
     return q;
   }
 
   inline void get_ints(int nints, int nbits_total, const uint32_t sizes[],
-                       const double invs[], int32_t nums[]) {
+                       const uint64_t magics[], int32_t nums[]) {
     if (nints == 3 && nbits_total <= 57) {
       // fast path: gather the least-significant-chunk-first packed value
       // with one refill, then two divisions
@@ -255,9 +271,9 @@ struct BitReader {
       uint64_t b = __builtin_bswap64(v << (64 - nbits_total));
       uint64_t x = (b & ((uint64_t(1) << (8 * k)) - 1))
                  | ((b >> (8 * k + 8 - rem)) << (8 * k));
-      uint64_t q = fast_div(x, sizes[2], invs[2]);
+      uint64_t q = fast_divm(x, sizes[2], magics[2]);
       nums[2] = int32_t(x - q * sizes[2]);
-      uint64_t q2 = fast_div(q, sizes[1], invs[1]);
+      uint64_t q2 = fast_divm(q, sizes[1], magics[1]);
       nums[1] = int32_t(q - q2 * sizes[1]);
       nums[0] = int32_t(q2);
       return;
@@ -456,13 +472,14 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
   uint32_t sizesmall[3] = {uint32_t(kMagicInts[smallidx]), uint32_t(kMagicInts[smallidx]),
                            uint32_t(kMagicInts[smallidx])};
 
-  // reciprocals for the fast_div hot path (sizeint fixed per frame;
-  // sizesmall follows the smallidx adaptation)
-  double inv_sizeint[3] = {sizeint[0] ? 1.0 / sizeint[0] : 0.0,
-                           sizeint[1] ? 1.0 / sizeint[1] : 0.0,
-                           sizeint[2] ? 1.0 / sizeint[2] : 0.0};
-  double inv_smallv = 1.0 / double(kMagicInts[smallidx]);
-  double inv_small[3] = {inv_smallv, inv_smallv, inv_smallv};
+  // division magics for the fast_divm hot path (sizeint fixed per
+  // frame; sizesmall follows the smallidx adaptation via kMagicDiv)
+  uint64_t mag_sizeint[3] = {BitReader::magic_of(sizeint[0]),
+                             BitReader::magic_of(sizeint[1]),
+                             BitReader::magic_of(sizeint[2])};
+  uint64_t mag_small[3] = {kMagicDiv[size_t(smallidx)],
+                           kMagicDiv[size_t(smallidx)],
+                           kMagicDiv[size_t(smallidx)]};
 
   BitReader br{data, datalen};
   int32_t thiscoord[3], prevcoord[3] = {0, 0, 0};
@@ -482,7 +499,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
       thiscoord[1] = br.get(int(bitsizeint[1]));
       thiscoord[2] = br.get(int(bitsizeint[2]));
     } else {
-      br.get_ints(3, bitsize, sizeint, inv_sizeint, thiscoord);
+      br.get_ints(3, bitsize, sizeint, mag_sizeint, thiscoord);
     }
     i++;
     thiscoord[0] += h.minint[0];
@@ -504,7 +521,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
 
     if (run > 0) {
       for (int k = 0; k < run; k += 3) {
-        br.get_ints(3, smallidx, sizesmall, inv_small, thiscoord);
+        br.get_ints(3, smallidx, sizesmall, mag_small, thiscoord);
         i++;
         thiscoord[0] += prevcoord[0] - smallnum;
         thiscoord[1] += prevcoord[1] - smallnum;
@@ -538,7 +555,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
     }
     if (smallidx < kFirstIdx || smallidx > kLastIdx) return GX_ERR_CORRUPT;
     sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(kMagicInts[smallidx]);
-    inv_small[0] = inv_small[1] = inv_small[2] = 1.0 / double(kMagicInts[smallidx]);
+    mag_small[0] = mag_small[1] = mag_small[2] = kMagicDiv[size_t(smallidx)];
     if (br.overrun) return GX_ERR_CORRUPT;
   }
   return GX_OK;
@@ -940,11 +957,11 @@ struct TngBignum {
     return !br.overrun;
   }
 
-  uint32_t divmod(uint32_t base, double inv) {
+  uint32_t divmod(uint32_t base, uint64_t magic) {
     uint64_t rem = 0;
     for (int i = n - 1; i >= 0; --i) {
       uint64_t cur = (rem << 32) | limbs[i];
-      uint64_t q = BitReader::fast_div(cur, base, inv);
+      uint64_t q = BitReader::fast_divm(cur, base, magic);
       limbs[i] = uint32_t(q);
       rem = cur - q * base;
     }
@@ -1013,16 +1030,17 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
     wl_bits += std::log2(double(bl[c]));
   }
   const int wl = int(std::ceil(wl_bits));
-  const double inv_bl[3] = {1.0 / double(bl[0]), 1.0 / double(bl[1]),
-                            1.0 / double(bl[2])};
+  const uint64_t mag_bl[3] = {BitReader::magic_of(uint32_t(bl[0])),
+                              BitReader::magic_of(uint32_t(bl[1])),
+                              BitReader::magic_of(uint32_t(bl[2]))};
   int idx = int(stream[15]) + 4;
   int K = 1;
   bool flip = false;
-  // per-smallidx cache: reciprocal + log2 of the current run base (the
+  // per-smallidx cache: division magic of the current run base (the
   // smallidx adapts rarely relative to run decodes), plus the digit-chunk
-  // divisor b^m (kept < 2^31 so the fast_div fixup products stay in u64)
+  // divisor b^m (kept < 2^31 so the quotient-check products stay in u64)
   int cached_idx = -1;
-  double inv_small = 0.0, inv_chunk = 0.0;
+  uint64_t mag_small = 0, mag_chunk = 0;
   int chunk_m = 1;
   uint32_t chunk_d = 0;
 
@@ -1037,9 +1055,9 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
     if (wl <= 57) {  // one refill + two divisions (the common case)
       uint64_t v = tng_read_pack57(br, wl);
       if (br.overrun) return false;
-      uint64_t q = BitReader::fast_div(v, uint32_t(bl[2]), inv_bl[2]);
+      uint64_t q = BitReader::fast_divm(v, uint32_t(bl[2]), mag_bl[2]);
       uint32_t z = uint32_t(v - q * uint64_t(bl[2]));
-      uint64_t q2 = BitReader::fast_div(q, uint32_t(bl[1]), inv_bl[1]);
+      uint64_t q2 = BitReader::fast_divm(q, uint32_t(bl[1]), mag_bl[1]);
       uint32_t y = uint32_t(q - q2 * uint64_t(bl[1]));
       if (q2 >= uint64_t(bl[0])) return false;
       dst[0] = int32_t(q2) + minint[0];
@@ -1048,9 +1066,9 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
       return true;
     }
     if (!bn.load(br, wl)) return false;
-    uint32_t z = bn.divmod(uint32_t(bl[2]), inv_bl[2]);
-    uint32_t y = bn.divmod(uint32_t(bl[1]), inv_bl[1]);
-    uint32_t x = bn.divmod(uint32_t(bl[0]), inv_bl[0]);
+    uint32_t z = bn.divmod(uint32_t(bl[2]), mag_bl[2]);
+    uint32_t y = bn.divmod(uint32_t(bl[1]), mag_bl[1]);
+    uint32_t x = bn.divmod(uint32_t(bl[0]), mag_bl[0]);
     if (bn.nonzero()) return false;
     dst[0] = int32_t(x) + minint[0];
     dst[1] = int32_t(y) + minint[1];
@@ -1065,7 +1083,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
     uint32_t b = uint32_t(kTngMagic[idx]);
     if (idx != cached_idx) {
       cached_idx = idx;
-      inv_small = 1.0 / double(b);
+      mag_small = BitReader::magic_of(b);
       // chunk size: extract `chunk_m` digits per bignum pass by dividing
       // by b^m (largest power that still fits a 32-bit schoolbook divisor)
       chunk_m = 1;
@@ -1075,7 +1093,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
         ++chunk_m;
       }
       chunk_d = uint32_t(p);
-      inv_chunk = 1.0 / double(p);
+      mag_chunk = BitReader::magic_of(chunk_d);
     }
     const int nd = 3 * kk;
     int w = kTngTab.width[idx][nd];
@@ -1083,7 +1101,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
       uint64_t v = tng_read_pack57(br, w);
       if (br.overrun) return false;
       for (int j = nd - 1; j > 0; --j) {
-        uint64_t q = BitReader::fast_div(v, b, inv_small);
+        uint64_t q = BitReader::fast_divm(v, b, mag_small);
         tmp[j] = tng_unzig(uint32_t(v - q * b));
         v = q;
       }
@@ -1097,14 +1115,14 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
       int m = (j + 1 < chunk_m) ? j + 1 : chunk_m;
       uint64_t r;
       if (m == chunk_m) {
-        r = bn.divmod(chunk_d, inv_chunk);
+        r = bn.divmod(chunk_d, mag_chunk);
       } else {  // final short group
         uint32_t d = b;
         for (int t = 1; t < m; ++t) d *= b;
-        r = bn.divmod(d, 1.0 / double(d));
+        r = bn.divmod(d, BitReader::magic_of(d));
       }
       for (int t = 0; t < m; ++t) {
-        uint64_t q = BitReader::fast_div(r, b, inv_small);
+        uint64_t q = BitReader::fast_divm(r, b, mag_small);
         tmp[j--] = tng_unzig(uint32_t(r - q * b));
         r = q;
       }
