@@ -520,25 +520,32 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
     if (br.overrun) return GX_ERR_CORRUPT;
 
     if (run > 0) {
-      for (int k = 0; k < run; k += 3) {
+      // first run atom: water-optimization — it was swapped with its
+      // predecessor at compression time; swap back and emit both
+      br.get_ints(3, smallidx, sizesmall, mag_small, thiscoord);
+      i++;
+      thiscoord[0] += prevcoord[0] - smallnum;
+      thiscoord[1] += prevcoord[1] - smallnum;
+      thiscoord[2] += prevcoord[2] - smallnum;
+      std::swap(thiscoord[0], prevcoord[0]);
+      std::swap(thiscoord[1], prevcoord[1]);
+      std::swap(thiscoord[2], prevcoord[2]);
+      if (fp >= fp_end) return GX_OK;
+      emit3(fp, prevcoord, inv_precision);
+      if (fp >= fp_end) return GX_OK;
+      emit3(fp, thiscoord, inv_precision);
+      // the delta chain continues from prevcoord (the swap left the
+      // decoded first run atom there), exactly as the scalar loop did
+      // remaining run atoms: straight-line chain, no swap branch
+      for (int k = 3; k < run; k += 3) {
         br.get_ints(3, smallidx, sizesmall, mag_small, thiscoord);
         i++;
         thiscoord[0] += prevcoord[0] - smallnum;
         thiscoord[1] += prevcoord[1] - smallnum;
         thiscoord[2] += prevcoord[2] - smallnum;
-        if (k == 0) {
-          // water-optimization: the first atom of a run was swapped with
-          // its predecessor at compression time — swap back and emit both
-          std::swap(thiscoord[0], prevcoord[0]);
-          std::swap(thiscoord[1], prevcoord[1]);
-          std::swap(thiscoord[2], prevcoord[2]);
-          if (fp >= fp_end) return GX_OK;
-          emit3(fp, prevcoord, inv_precision);
-        } else {
-          prevcoord[0] = thiscoord[0];
-          prevcoord[1] = thiscoord[1];
-          prevcoord[2] = thiscoord[2];
-        }
+        prevcoord[0] = thiscoord[0];
+        prevcoord[1] = thiscoord[1];
+        prevcoord[2] = thiscoord[2];
         if (fp >= fp_end) return GX_OK;
         emit3(fp, thiscoord, inv_precision);
       }
