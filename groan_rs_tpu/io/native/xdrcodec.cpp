@@ -1710,8 +1710,7 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
     const int16_t* cur = q.get() + i * natoms3;
     const int64_t npad = (nout3 + 3) & ~int64_t(3);
     int8_t* out = deltas ? deltas + i * nout3 : nullptr;
-    std::vector<uint8_t> stage;
-    if (packed6) stage.assign(size_t(npad), 32);  // pad decodes to d=0
+    std::vector<uint8_t> stage;  // scalar path only (fast path packs direct)
     auto prev_at = [&](int32_t j, int32_t a, int c) -> int32_t {
       return prev_is_sel && sel ? prev[3 * j + c] : prev[3 * a + c];
     };
@@ -1739,95 +1738,125 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
     shifts[3 * i + 2] = shift[2];
 
     int32_t ne = 0;
-    if (out && (!sel || sel_contig)) {
-      // same flat two-pass scheme as the packed6 fast path below, with
-      // int8 lanes: bias by 128 for the overflow test, store d directly
+    if ((out || packed6) && (!sel || sel_contig)) {
+      // flat block fast path for contiguous/absent selections.  24-value
+      // blocks align with BOTH atom (3) and 6-bit-group (4) boundaries,
+      // so each block is self-contained: pass 1 computes the 24 biased
+      // bytes in registers, emits the wire directly, and records ONE
+      // overflow flag per block (no per-value stage/ovb arrays — 6 MB of
+      // cache traffic per 1M-atom frame in the previous two-pass form);
+      // pass 2 revisits only flagged blocks (escapes are rare by the
+      // wire's design), records the escapes, and repairs the block's
+      // bytes in place.  Identical output to the scalar loop below.
       const int16_t* cp = cur + 3 * int64_t(sel0);
       const int16_t* pp = prev_is_sel ? prev : prev + 3 * int64_t(sel0);
-      std::vector<uint8_t> ovb(static_cast<size_t>(nout3), 0);
+      const int32_t bias = packed6 ? 32 : 128;
+      const uint32_t ovmask = packed6 ? ~0x3fu : ~0xffu;
       int32_t pat[24];
-      for (int t = 0; t < 24; ++t) pat[t] = shift[t % 3];
-      int64_t k = 0;
-      for (; k + 24 <= nout3; k += 24)
+      for (int t = 0; t < 24; ++t) pat[t] = shift[t % 3] - bias;
+      uint8_t* pk = packed6 ? packed6 + i * (npad / 4) * 3 : nullptr;
+      const int64_t nblk = nout3 / 24;
+      std::vector<uint8_t> blkov(static_cast<size_t>(nblk) + 1, 0);
+      for (int64_t blk = 0; blk < nblk; ++blk) {
+        const int64_t k = 24 * blk;
+        uint8_t s[24];
+        uint32_t ov = 0;
         for (int t = 0; t < 24; ++t) {
           const int32_t d = int32_t(cp[k + t]) - int32_t(pp[k + t]) - pat[t];
-          out[k + t] = int8_t(d);
-          ovb[size_t(k + t)] = (uint32_t(d + 128) & ~0xffu) != 0;
+          s[t] = uint8_t(d);
+          ov |= uint32_t(d) & ovmask;
         }
-      for (; k < nout3; ++k) {
-        const int32_t d = int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 3];
-        out[k] = int8_t(d);
-        ovb[size_t(k)] = (uint32_t(d + 128) & ~0xffu) != 0;
+        blkov[size_t(blk)] = ov != 0;
+        if (packed6) {
+          uint8_t* p3 = pk + (k / 4) * 3;
+          for (int g = 0; g < 6; ++g) {
+            const uint8_t u0 = s[4 * g], u1 = s[4 * g + 1], u2 = s[4 * g + 2],
+                          u3 = s[4 * g + 3];
+            p3[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
+            p3[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
+            p3[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
+          }
+        } else {
+          for (int t = 0; t < 24; ++t)
+            out[k + t] = int8_t(int32_t(s[t]) - bias);
+        }
       }
-      for (int32_t j = 0; j < nout; ++j) {
-        if (ovb[size_t(3 * j)] | ovb[size_t(3 * j + 1)] |
-            ovb[size_t(3 * j + 2)]) {
+      // ragged tail block (< 24 values, < 28 incl. group pad): a small
+      // local buffer pre-filled with the zero-delta bias
+      if (nblk * 24 < nout3) {
+        uint8_t s2[28];
+        for (int t = 0; t < 28; ++t) s2[t] = 32;
+        uint32_t ov = 0;
+        for (int64_t k = nblk * 24; k < nout3; ++k) {
+          const int32_t d = int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 24];
+          if (packed6)
+            s2[k - nblk * 24] = uint8_t(d);
+          else
+            out[k] = int8_t(int32_t(uint8_t(d)) - bias);
+          ov |= uint32_t(d) & ovmask;
+        }
+        blkov[size_t(nblk)] = ov != 0;
+        if (packed6)
+          for (int64_t g = (nblk * 24) / 4; g < npad / 4; ++g) {
+            const uint8_t* u = s2 + (4 * g - nblk * 24);
+            pk[3 * g] = uint8_t((u[0] << 2) | (u[1] >> 4));
+            pk[3 * g + 1] = uint8_t(((u[1] & 0x0f) << 4) | (u[2] >> 2));
+            pk[3 * g + 2] = uint8_t(((u[2] & 0x03) << 6) | u[3]);
+          }
+      }
+      // pass 2: record + repair escapes inside flagged blocks only
+      for (int64_t blk = 0; blk <= nblk; ++blk) {
+        if (!blkov[size_t(blk)]) continue;
+        const int32_t j0 = int32_t(8 * blk);
+        const int32_t j1 = std::min<int32_t>(j0 + 8, nout);
+        bool esc_in_blk[8] = {};
+        for (int32_t j = j0; j < j1; ++j) {
+          uint32_t ov = 0;
+          for (int c = 0; c < 3; ++c) {
+            const int64_t k = 3 * int64_t(j) + c;
+            const int32_t d =
+                int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 24];
+            ov |= uint32_t(d) & ovmask;
+          }
+          if (!ov) continue;
           if (ne >= esc_cap) {
             int64_t expected = GX_OK;
             err.compare_exchange_strong(expected, int64_t(GX_ERR_DELTA));
             return;
           }
+          esc_in_blk[j - j0] = true;
           eidx[ne] = j;
           eval[3 * ne] = cp[3 * j];
           eval[3 * ne + 1] = cp[3 * j + 1];
           eval[3 * ne + 2] = cp[3 * j + 2];
           ne++;
-          out[3 * j] = out[3 * j + 1] = out[3 * j + 2] = 0;
+          if (out)
+            out[3 * j] = out[3 * j + 1] = out[3 * j + 2] = 0;
         }
-      }
-      esc_count[i] = ne;
-      return;
-    }
-    if (packed6 && (!sel || sel_contig)) {
-      // flat two-pass fast path: (1) biased bytes + per-value overflow
-      // flags in a vectorizable sweep; (2) a cheap scalar scan patches
-      // the (rare) escapes back to the zero-delta byte and records them.
-      // Identical output to the scalar loop below by construction.
-      const int16_t* cp = cur + 3 * int64_t(sel0);
-      const int16_t* pp = prev_is_sel ? prev : prev + 3 * int64_t(sel0);
-      std::vector<uint8_t> ovb(static_cast<size_t>(nout3), 0);
-      int32_t pat[24];
-      for (int t = 0; t < 24; ++t) pat[t] = shift[t % 3] - 32;
-      int64_t k = 0;
-      for (; k + 24 <= nout3; k += 24)
-        for (int t = 0; t < 24; ++t) {
-          const int32_t d = int32_t(cp[k + t]) - int32_t(pp[k + t]) - pat[t];
-          stage[size_t(k + t)] = uint8_t(d);
-          ovb[size_t(k + t)] = (uint32_t(d) & ~0x3fu) != 0;
-        }
-      for (; k < nout3; ++k) {
-        const int32_t d = int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 3];
-        stage[size_t(k)] = uint8_t(d);
-        ovb[size_t(k)] = (uint32_t(d) & ~0x3fu) != 0;
-      }
-      for (int32_t j = 0; j < nout; ++j) {
-        if (ovb[size_t(3 * j)] | ovb[size_t(3 * j + 1)] |
-            ovb[size_t(3 * j + 2)]) {
-          if (ne >= esc_cap) {
-            int64_t expected = GX_OK;
-            err.compare_exchange_strong(expected, int64_t(GX_ERR_DELTA));
-            return;
+        if (packed6) {
+          // repack the block's groups with escaped atoms at the
+          // zero-delta byte (blocks are group- and atom-aligned, so the
+          // repair never crosses a block boundary)
+          auto biased_at = [&](int64_t k) -> uint8_t {
+            if (k >= nout3) return 32;  // pad
+            if (esc_in_blk[(k / 3) - int64_t(j0)]) return 32;
+            return uint8_t(int32_t(cp[k]) - int32_t(pp[k]) - pat[k % 24]);
+          };
+          const int64_t g0 = 6 * blk;
+          const int64_t g1 = std::min<int64_t>(g0 + 6, npad / 4);
+          for (int64_t g = g0; g < g1; ++g) {
+            const uint8_t u0 = biased_at(4 * g), u1 = biased_at(4 * g + 1),
+                          u2 = biased_at(4 * g + 2), u3 = biased_at(4 * g + 3);
+            pk[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
+            pk[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
+            pk[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
           }
-          eidx[ne] = j;
-          eval[3 * ne] = cp[3 * j];
-          eval[3 * ne + 1] = cp[3 * j + 1];
-          eval[3 * ne + 2] = cp[3 * j + 2];
-          ne++;
-          stage[size_t(3 * j)] = stage[size_t(3 * j + 1)] =
-              stage[size_t(3 * j + 2)] = 32;
         }
-      }
-      uint8_t* pk = packed6 + i * (npad / 4) * 3;
-      for (int64_t g = 0; g < npad / 4; g++) {
-        const uint8_t u0 = stage[size_t(4 * g)], u1 = stage[size_t(4 * g + 1)],
-                      u2 = stage[size_t(4 * g + 2)], u3 = stage[size_t(4 * g + 3)];
-        pk[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
-        pk[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
-        pk[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
       }
       esc_count[i] = ne;
       return;
     }
+    if (packed6) stage.assign(size_t(npad), 32);  // pad decodes to d=0
     for (int32_t j = 0; j < nout; j++) {
       const int32_t a = sel ? sel[j] : j;
       const int16_t* c = cur + 3 * a;
