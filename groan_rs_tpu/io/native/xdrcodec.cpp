@@ -140,15 +140,17 @@ constexpr int kMagicInts[] = {
 constexpr int kFirstIdx = 9;
 constexpr int kLastIdx = int(sizeof(kMagicInts) / sizeof(int)) - 1;
 
-// exact-division magic numbers m = ceil(2^64 / d) for every kMagicInts
-// entry (see BitReader::fast_divm), computed at compile time; 0 marks
-// the d <= 1 identity case
+// exact-division magic number m = ceil(2^64 / d) (see
+// BitReader::fast_divm); 0 marks the d <= 1 identity case
+constexpr uint64_t magic_of_u32(uint32_t d) {
+  return d <= 1 ? 0 : ~uint64_t(0) / d + 1;
+}
+
+// magics for every kMagicInts entry, computed at compile time
 constexpr std::array<uint64_t, size_t(kLastIdx) + 1> make_magic_table() {
   std::array<uint64_t, size_t(kLastIdx) + 1> t{};
   for (int i = 0; i <= kLastIdx; i++)
-    t[size_t(i)] = kMagicInts[i] <= 1
-                       ? 0
-                       : ~uint64_t(0) / uint32_t(kMagicInts[i]) + 1;
+    t[size_t(i)] = magic_of_u32(uint32_t(kMagicInts[i]));
   return t;
 }
 constexpr auto kMagicDiv = make_magic_table();
@@ -246,9 +248,7 @@ struct BitReader {
   // m = ceil(2^64/d) the estimate floor(x*m / 2^64) = floor(x/d) + {0,1}
   // for ANY x < 2^64, and never undershoots.  `magic_of` returns 0 for
   // d <= 1 (the q = x identity case, branched on here).
-  static inline uint64_t magic_of(uint32_t d) {
-    return d <= 1 ? 0 : ~uint64_t(0) / d + 1;
-  }
+  static constexpr uint64_t magic_of(uint32_t d) { return magic_of_u32(d); }
   static inline uint64_t fast_divm(uint64_t x, uint32_t d, uint64_t m) {
     if (m == 0) return x;  // d == 1
     uint64_t q = uint64_t((unsigned __int128)(x) * m >> 64);
@@ -931,11 +931,11 @@ namespace {
 // little-endian big-number divmod over 32-bit limbs: the sendints payload
 // arrives LS-byte-first, so limb[0] is the least significant.  Each digit
 // extraction is one pass of u64-by-u32 division; the hardware divide is
-// replaced by the codec's double-reciprocal fast_div (cur < 2^63 here:
-// rem < base < 2^31 and a 32-bit limb, so the fixup products stay in
-// u64), and fully-extracted top limbs are shed so later digits walk a
-// shorter number.  vs the byte-wise/divq version this is ~8x fewer and
-// ~5x cheaper steps on the K-run hot path.
+// replaced by the codec's exact magic division (fast_divm; cur < 2^63
+// here: rem < base < 2^31 plus a 32-bit limb, so the quotient-check
+// product q*base <= cur stays in u64), and fully-extracted top limbs are
+// shed so later digits walk a shorter number.  vs the byte-wise/divq
+// version this is ~8x fewer and ~5x cheaper steps on the K-run hot path.
 struct TngBignum {
   uint32_t limbs[24];  // 768 bits; >= any 6-atom run at 24-bit bases
   int n = 0;
@@ -1615,6 +1615,16 @@ int64_t gx_xtc_read_q16(const char* path, const int64_t* offsets, int64_t nframe
 // Shared impl for the int8 and 6-bit-packed delta wires: exactly one of
 // `deltas` (int8, 3 B/atom) / `packed6` (6-bit biased u=d+32 MSB-first,
 // 2.25 B/atom; per-frame row of ceil(stop*3/4)*3 bytes) is non-null.
+// 4 biased 6-bit values -> 3 wire bytes, MSB-first within the group
+// (the delta6 wire layout; the device-side unpack in FrameEngine and the
+// test reconstructions mirror this expression)
+static inline void pack6_group(uint8_t* dst, uint8_t u0, uint8_t u1,
+                               uint8_t u2, uint8_t u3) {
+  dst[0] = uint8_t((u0 << 2) | (u1 >> 4));
+  dst[1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
+  dst[2] = uint8_t(((u2 & 0x03) << 6) | u3);
+}
+
 static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t nframes,
                           int32_t expected_natoms, int32_t stop_after,
                           const int32_t* sel, int32_t nsel,
@@ -1769,13 +1779,9 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
         blkov[size_t(blk)] = ov != 0;
         if (packed6) {
           uint8_t* p3 = pk + (k / 4) * 3;
-          for (int g = 0; g < 6; ++g) {
-            const uint8_t u0 = s[4 * g], u1 = s[4 * g + 1], u2 = s[4 * g + 2],
-                          u3 = s[4 * g + 3];
-            p3[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
-            p3[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
-            p3[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
-          }
+          for (int g = 0; g < 6; ++g)
+            pack6_group(p3 + 3 * g, s[4 * g], s[4 * g + 1], s[4 * g + 2],
+                        s[4 * g + 3]);
         } else {
           for (int t = 0; t < 24; ++t)
             out[k + t] = int8_t(int32_t(s[t]) - bias);
@@ -1799,9 +1805,7 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
         if (packed6)
           for (int64_t g = (nblk * 24) / 4; g < npad / 4; ++g) {
             const uint8_t* u = s2 + (4 * g - nblk * 24);
-            pk[3 * g] = uint8_t((u[0] << 2) | (u[1] >> 4));
-            pk[3 * g + 1] = uint8_t(((u[1] & 0x0f) << 4) | (u[2] >> 2));
-            pk[3 * g + 2] = uint8_t(((u[2] & 0x03) << 6) | u[3]);
+            pack6_group(pk + 3 * g, u[0], u[1], u[2], u[3]);
           }
       }
       // pass 2: record + repair escapes inside flagged blocks only
@@ -1844,13 +1848,9 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
           };
           const int64_t g0 = 6 * blk;
           const int64_t g1 = std::min<int64_t>(g0 + 6, npad / 4);
-          for (int64_t g = g0; g < g1; ++g) {
-            const uint8_t u0 = biased_at(4 * g), u1 = biased_at(4 * g + 1),
-                          u2 = biased_at(4 * g + 2), u3 = biased_at(4 * g + 3);
-            pk[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
-            pk[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
-            pk[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
-          }
+          for (int64_t g = g0; g < g1; ++g)
+            pack6_group(pk + 3 * g, biased_at(4 * g), biased_at(4 * g + 1),
+                        biased_at(4 * g + 2), biased_at(4 * g + 3));
         }
       }
       esc_count[i] = ne;
@@ -1890,15 +1890,10 @@ static int64_t read_delta_impl(const char* path, const int64_t* offsets, int64_t
       }
     }
     if (packed6) {
-      // 4 biased values -> 3 bytes, MSB-first within the group
       uint8_t* pk = packed6 + i * (npad / 4) * 3;
-      for (int64_t g = 0; g < npad / 4; g++) {
-        const uint8_t u0 = stage[size_t(4 * g)], u1 = stage[size_t(4 * g + 1)],
-                      u2 = stage[size_t(4 * g + 2)], u3 = stage[size_t(4 * g + 3)];
-        pk[3 * g] = uint8_t((u0 << 2) | (u1 >> 4));
-        pk[3 * g + 1] = uint8_t(((u1 & 0x0f) << 4) | (u2 >> 2));
-        pk[3 * g + 2] = uint8_t(((u2 & 0x03) << 6) | u3);
-      }
+      for (int64_t g = 0; g < npad / 4; g++)
+        pack6_group(pk + 3 * g, stage[size_t(4 * g)], stage[size_t(4 * g + 1)],
+                    stage[size_t(4 * g + 2)], stage[size_t(4 * g + 3)]);
     }
     esc_count[i] = ne;
   });
