@@ -109,6 +109,8 @@ def get_lib():
         ]
         lib.gx_xtc_probe.restype = i64
         lib.gx_xtc_probe.argtypes = [ctypes.c_char_p, P(i32), P(i32)]
+        lib.gx_selftest_divm.restype = i64
+        lib.gx_selftest_divm.argtypes = [i64]
         lib.gx_hbond_candidates.restype = i64
         lib.gx_hbond_candidates.argtypes = [
             P(f32), P(f32), P(i32), i32, P(i32), i32, f32, P(i32), P(i32), i64,

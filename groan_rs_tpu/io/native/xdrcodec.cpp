@@ -2259,4 +2259,61 @@ int64_t gx_trr_write_frame(const char* path, int32_t natoms, int32_t step, doubl
   return (w == frame.size()) ? GX_OK : GX_ERR_IO;
 }
 
+// Self-test of the exact magic division that underpins every bitstream
+// decode (fast_divm): for each divisor in the XTC smallidx ladder, the
+// TNG base table, and adversarial families (d, d-1, d+1, 2^k, 2^k +- 1),
+// check quotient/remainder against hardware division at the boundary
+// dividends x in {k*d - 1, k*d, k*d + 1} for k spanning the full u64/x
+// range plus a deterministic LCG sweep.  Returns the number of failing
+// (x, d) pairs (0 = pass); exercised by tests/test_wire_formats.py.
+int64_t gx_selftest_divm(int64_t n_random) {
+  int64_t bad = 0;
+  std::vector<uint32_t> divisors;
+  for (int i = 0; i <= kLastIdx; ++i)
+    if (kMagicInts[i] > 1) divisors.push_back(uint32_t(kMagicInts[i]));
+  for (int k = 1; k < 32; ++k) {
+    const uint32_t p = uint32_t(1) << k;
+    divisors.push_back(p);
+    divisors.push_back(p - 1);
+    if (p < 0x80000000u) divisors.push_back(p + 1);
+  }
+  divisors.push_back(2);
+  divisors.push_back(3);
+  divisors.push_back(0xffffffffu);
+  auto check = [&](uint64_t x, uint32_t d, uint64_t m) {
+    const uint64_t q = BitReader::fast_divm(x, d, m);
+    if (q != x / d) ++bad;
+  };
+  uint64_t lcg = 0x9e3779b97f4a7c15ull;
+  for (uint32_t d : divisors) {
+    const uint64_t m = BitReader::magic_of(d);
+    // boundaries around multiples across the magnitude range
+    for (int s = 0; s < 64; ++s) {
+      const uint64_t base = (uint64_t(1) << s);
+      const uint64_t k = base / d;
+      for (int off = -1; off <= 1; ++off) {
+        const uint64_t x0 = k * uint64_t(d);
+        if (x0 == 0 && off < 0) continue;
+        check(x0 + uint64_t(int64_t(off)), d, m);
+      }
+      check(base - 1, d, m);
+      check(base, d, m);
+    }
+    check(~uint64_t(0), d, m);            // x = 2^64 - 1
+    check(uint64_t(d) - 1, d, m);         // q = 0 boundary
+    check(uint64_t(d), d, m);             // q = 1 boundary
+    for (int64_t r = 0; r < n_random; ++r) {
+      lcg = lcg * 6364136223846793005ull + 1442695040888963407ull;
+      check(lcg, d, m);
+      // and the nearest exact-multiple boundaries of that draw
+      const uint64_t q = lcg / d;
+      check(q * d, d, m);
+      if (q) check(q * d - 1, d, m);
+    }
+  }
+  // d == 1 identity path
+  check(123456789ull, 1, BitReader::magic_of(1));
+  return bad;
+}
+
 }  // extern "C"

@@ -293,6 +293,16 @@ def test_delta6_wire_bit_identical_chained(smooth_xtc):
     assert np.array_equal(rec, full)
 
 
+def test_native_magic_division_selftest():
+    """Exhaustive boundary check of the exact magic division every
+    bitstream decode runs on (fast_divm): quotients at x = k*d +- 1 for
+    the XTC smallidx ladder, power-of-two +- 1 divisor families, and an
+    LCG sweep must all equal hardware division.  Returns failing-pair
+    count; anything nonzero means decoded coordinates could be wrong."""
+    bad = native.get_lib().gx_selftest_divm(2000)
+    assert bad == 0
+
+
 def test_delta6_fast_path_escapes_bit_identical():
     """The flat vectorized delta6 pack (contiguous/absent selections) must
     emit byte-equivalent wires to the gathered scalar loop, INCLUDING the
