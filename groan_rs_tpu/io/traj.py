@@ -765,15 +765,31 @@ class TrajReader:
         return src.read_batch(ids, stop_after=self._stop_after)
 
     def _gather_selection(self, out: FrameBatch) -> None:
-        """Compact a decoded batch to the atom selection (all wires)."""
+        """Compact a decoded batch to the atom selection (all wires).
+
+        Contiguous selections (sorted-unique by construction) use a basic
+        slice instead of a fancy-index gather; a prefix selection that
+        already equals the decoded width (stop_after == len(sel)) is a
+        pure relabel — no copy at all.  The common case: analysis atoms
+        laid out as a file prefix, where the old gather copied the whole
+        batch to itself."""
         sel = self._sel
-        out.positions = out.positions[:, sel, :]
-        if out.velocities is not None:
-            out.velocities = out.velocities[:, sel, :]
-        if out.forces is not None:
-            out.forces = out.forces[:, sel, :]
-        if out.base_q is not None:
-            out.base_q = out.base_q[sel]
+        n = len(sel)
+        contig = n > 0 and int(sel[-1]) - int(sel[0]) == n - 1
+        if contig and int(sel[0]) == 0 and out.positions.shape[1] == n:
+            ix = None  # identity: decode already stopped at the selection
+        elif contig:
+            ix = slice(int(sel[0]), int(sel[0]) + n)
+        else:
+            ix = sel
+        if ix is not None:
+            out.positions = out.positions[:, ix, :]
+            if out.velocities is not None:
+                out.velocities = out.velocities[:, ix, :]
+            if out.forces is not None:
+                out.forces = out.forces[:, ix, :]
+            if out.base_q is not None:
+                out.base_q = out.base_q[ix]
         if out.esc_idx is not None and out.esc_idx.size:
             # escapes are indexed in decode space [0, stop]: drop atoms
             # outside the selection, remap the rest; index len(sel) is the

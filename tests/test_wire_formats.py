@@ -159,11 +159,15 @@ def test_reader_auto_wire_fixture_falls_back_to_q16(test_files):
 
 def test_reader_selection_gathers_compact_wires(drifting_xtc):
     """Subset ship: gathered q16/delta batches reconstruct the same atoms
-    as the full f32 decode (escape indices remapped into the selection)."""
+    as the full f32 decode (escape indices remapped into the selection).
+    Covers scattered selections (fancy gather), offset-contiguous ranges
+    (basic slice), and prefix ranges (pure relabel, zero copies)."""
     src = XtcSource(drifting_xtc, use_index_cache=False)
     sysb = _BareSystem(src.natoms)
     rng = np.random.default_rng(1)
-    sel = np.unique(rng.choice(src.natoms, size=700, replace=False))
+    sels = (np.unique(rng.choice(src.natoms, size=700, replace=False)),
+            np.arange(800, 2600),        # contiguous, sel0 > 0
+            np.arange(0, 1500))          # prefix: decode stops exactly there
 
     mesh = make_mesh(1, 1)
 
@@ -172,10 +176,13 @@ def test_reader_selection_gathers_compact_wires(drifting_xtc):
 
     out_full = FrameEngine(step, mesh=mesh).run(
         TrajReader(sysb, [src], batch_size=3).batches(wire="f32"))
-    for wire in ("q16", "delta"):
-        out_sel = FrameEngine(step, mesh=mesh).run(
-            TrajReader(sysb, [src], batch_size=3, indices=sel).batches(wire=wire))
-        assert np.array_equal(out_sel["p"], out_full["p"][:, sel]), wire
+    for sel in sels:
+        for wire in ("q16", "delta"):
+            out_sel = FrameEngine(step, mesh=mesh).run(
+                TrajReader(sysb, [src], batch_size=3,
+                           indices=sel).batches(wire=wire))
+            assert np.array_equal(out_sel["p"], out_full["p"][:, sel]), (
+                wire, sel[0], len(sel))
 
 
 # ---------------------------------------------------------------- pipeline
