@@ -303,39 +303,56 @@ struct BitReader {
 };
 
 // ------------------------------------------------------------------ bit writer
+// 64-bit accumulator mirror of the BitReader: bits collect MSB-first in
+// the low `nbits` of `acc`, whole bytes drain as they complete — the
+// previous byte-at-a-time carry (lastbyte/lastbits) cost several shifts
+// and a push_back branch per BYTE; this costs them per PUT.  The emitted
+// stream is bit-identical by construction.
 struct BitWriter {
   std::vector<uint8_t>& out;
-  uint32_t lastbits = 0;
-  uint32_t lastbyte = 0;
+  uint64_t acc = 0;  // pending bits, right-aligned (low nbits valid)
+  int nbits = 0;     // 0..7 between puts
 
   explicit BitWriter(std::vector<uint8_t>& buf) : out(buf) {}
 
-  void put(int nbits, uint32_t num) {
-    uint32_t mask = nbits < 32 ? (1u << nbits) - 1 : 0xffffffffu;
-    num &= mask;
+  inline void put(int n, uint32_t num) {
+    const uint32_t mask = n < 32 ? (1u << n) - 1 : 0xffffffffu;
+    acc = (acc << n) | uint64_t(num & mask);  // nbits + n <= 7 + 32 < 64
+    nbits += n;
     while (nbits >= 8) {
-      lastbyte = (lastbyte << 8) | ((num >> (nbits - 8)) & 0xff);
-      out.push_back(uint8_t(lastbyte >> lastbits));
       nbits -= 8;
+      out.push_back(uint8_t(acc >> nbits));
     }
-    if (nbits > 0) {
-      lastbyte = (lastbyte << nbits) | (num & ((1u << nbits) - 1));
-      lastbits += nbits;
-      if (lastbits >= 8) {
-        lastbits -= 8;
-        out.push_back(uint8_t(lastbyte >> lastbits));
-      }
-    }
+    acc &= (uint64_t(1) << nbits) - 1;  // shed emitted bits
   }
 
   void flush() {
-    if (lastbits > 0) {
-      out.push_back(uint8_t(lastbyte << (8 - lastbits)));
-      lastbits = 0;
+    if (nbits > 0) {
+      out.push_back(uint8_t(acc << (8 - nbits)));
+      acc = 0;
+      nbits = 0;
     }
   }
 
-  void put_ints(int nints, int nbits, const uint32_t sizes[], const uint32_t nums[]) {
+  void put_ints(int nints, int nbits_total, const uint32_t sizes[],
+                const uint32_t nums[]) {
+    if (nints == 3 && nbits_total <= 57) {
+      // fast path (mirror of BitReader::get_ints): the packed value fits
+      // u64 (nums[i] < sizes[i] and sizeof_ints bounds the product by
+      // 2^nbits_total), emitted least-significant byte first with the
+      // final remainder chunk MSB-aligned — exactly the byte-path order.
+      uint64_t x =
+          (uint64_t(nums[0]) * sizes[1] + nums[1]) * sizes[2] + nums[2];
+      int nb = nbits_total;
+      while (nb >= 8) {
+        put(8, uint32_t(x & 0xff));
+        x >>= 8;
+        nb -= 8;
+      }
+      if (nb) put(nb, uint32_t(x));
+      return;
+    }
+    // general path (wide ranges): byte-based schoolbook base conversion
     uint32_t bytes[32];
     uint32_t nbytes = 0;
     uint64_t tmp = nums[0];
@@ -357,13 +374,13 @@ struct BitWriter {
       }
       nbytes = bytecnt;
     }
-    if (nbits >= int(nbytes) * 8) {
+    if (nbits_total >= int(nbytes) * 8) {
       for (uint32_t b = 0; b < nbytes; b++) put(8, bytes[b]);
-      put(nbits - int(nbytes) * 8, 0);
+      put(nbits_total - int(nbytes) * 8, 0);
     } else {
       uint32_t b = 0;
       for (; b + 1 < nbytes; b++) put(8, bytes[b]);
-      put(nbits - int(b) * 8, bytes[b]);
+      put(nbits_total - int(b) * 8, bytes[b]);
     }
   }
 };
@@ -609,11 +626,19 @@ int64_t encode_3dfcoord(const float* coords, int natoms, float precision,
                         std::vector<uint8_t>& out) {
   std::vector<int32_t> ip(size_t(natoms) * 3);
   const float kMaxAbs = float(INT32_MAX - 2);
+  // branchless rounding (identical expression to the checked original so
+  // quantized ints — and therefore the emitted bytes — are unchanged);
+  // the range check is deferred to one flag so the loop vectorizes, with
+  // out-of-range lanes clamped to keep the float->int cast defined
+  bool out_of_range = false;
   for (int64_t i = 0; i < int64_t(natoms) * 3; i++) {
-    float lf = coords[i] * precision;
-    if (lf > kMaxAbs || lf < -kMaxAbs) return GX_ERR_PRECISION;
-    ip[i] = int32_t(lf >= 0 ? lf + 0.5f : lf - 0.5f);
+    const float lf = coords[i] * precision;
+    const bool bad = !(lf >= -kMaxAbs && lf <= kMaxAbs);  // true for NaN too
+    out_of_range |= bad;
+    const float lc = bad ? 0.0f : lf;
+    ip[i] = int32_t(lc >= 0 ? lc + 0.5f : lc - 0.5f);
   }
+  if (out_of_range) return GX_ERR_PRECISION;
 
   minint[0] = minint[1] = minint[2] = INT32_MAX;
   maxint[0] = maxint[1] = maxint[2] = INT32_MIN;

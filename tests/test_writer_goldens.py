@@ -176,6 +176,14 @@ def test_xtc_write_precision_overflow(tmp_path):
     with pytest.raises(WriteTrajError):
         native.xtc_write_frame(str(tmp_path / "o.xtc"), 50, 0, 0.0, box9, bad, 1e6)
 
+    # a single NaN (or inf) coordinate must also raise, never be written
+    for poison in (np.nan, np.inf, -np.inf):
+        one = np.zeros((50, 3), np.float32)
+        one[17, 1] = poison
+        with pytest.raises(WriteTrajError):
+            native.xtc_write_frame(str(tmp_path / "p.xtc"), 50, 0, 0.0,
+                                   box9, one, 1000.0)
+
 
 # =====================================================================
 # Byte-exact trajectory writer goldens (xtc_io/mod.rs tests_write,
