@@ -495,6 +495,10 @@ def main():
                                   if serial_floor_fps else None),
         "cpu_canary_ms": canary_ms(),
         "canary_timed_ms": can_timed,
+        # which native codec build produced this number (hash of
+        # xdrcodec.cpp — correlates artifacts with decode-path commits)
+        "native_lib": os.path.basename(native._build()).replace(
+            "libgroanxdr-", "").replace(".so", ""),
         "breakdown": timings,
     }
     print(json.dumps(result), flush=True)
