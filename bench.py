@@ -335,20 +335,64 @@ def main():
     # the overlapped device compute + packed result fetch.  This replaces
     # the r03 profiler-instrumented pass, whose forced per-batch syncs made
     # it run ~5x slower than the pass it claimed to describe.
+    #
+    # Weather resilience: this 1-vCPU box sees up to 10x steal swings
+    # WITHIN a run (identical code has recorded 7.6-25 f/s across windows).
+    # A fixed best-of-5 can land entirely inside one bad window, so each
+    # pass is stamped with its own canary and, if the base reps never hit
+    # a healthy window (canary <= BENCH_HEALTHY_CANARY_MS), sampling
+    # extends up to BENCH_EXTRA_S — keeping the best pass and the canary
+    # measured NEXT TO it, so the artifact says which weather produced it.
     log("timed passes...")
     can_timed = canary_ms()
+    healthy_ms = float(os.environ.get("BENCH_HEALTHY_CANARY_MS", 90))
+    extra_s = float(os.environ.get("BENCH_EXTRA_S", 600))
     best = float("inf")
+    can_best = can_timed
+    reps_run = 0
     timings = {}
-    for _ in range(int(os.environ.get("BENCH_REPS", 5))):
+
+    def timed_pass():
+        nonlocal best, can_best, reps_run
         t0 = time.perf_counter()
         runner.run(xtc, batch_size=BATCH)
         dt = time.perf_counter() - t0
+        can = canary_ms()
+        reps_run += 1
         if dt < best:
             best = dt
-            stages = {k: list(v) for k, v in
-                      runner.engine.last_stage_seconds.items()}
-            fetch_s = runner.engine.last_fetch_seconds
-        log(f"  pass {dt:.3f}s")
+            can_best = can
+            timed_pass.stages = {k: list(v) for k, v in
+                                 runner.engine.last_stage_seconds.items()}
+            timed_pass.fetch_s = runner.engine.last_fetch_seconds
+        log(f"  pass {dt:.3f}s (canary {can:.0f} ms)")
+        return can
+
+    for _ in range(int(os.environ.get("BENCH_REPS", 5))):
+        timed_pass()
+    if can_best > healthy_ms and extra_s > 0:
+        log(f"no healthy window in base reps (best-pass canary "
+            f"{can_best:.0f} ms > {healthy_ms:.0f}); extending up to "
+            f"{extra_s:.0f}s...")
+        deadline = time.monotonic() + extra_s
+        failures = 0
+        while time.monotonic() < deadline:
+            try:
+                can = timed_pass()
+            except Exception as e:  # keep the base-reps number on outage
+                failures += 1
+                log(f"extension pass failed ({e!r}); "
+                    f"{failures} consecutive failures")
+                if failures >= 3:
+                    break
+                time.sleep(10)
+                continue
+            failures = 0
+            if can <= healthy_ms and can_best <= healthy_ms:
+                break  # a healthy-window pass is now the recorded best
+            time.sleep(2)  # let a steal burst pass rather than re-enter it
+    stages = timed_pass.stages
+    fetch_s = timed_pass.fetch_s
     n_batches = len(stages.get("h2d", []))
     stage_sum = sum(sum(v) for v in stages.values()) + fetch_s
     for k, v in stages.items():
@@ -495,6 +539,10 @@ def main():
                                   if serial_floor_fps else None),
         "cpu_canary_ms": canary_ms(),
         "canary_timed_ms": can_timed,
+        # canary measured immediately AFTER the recorded best pass — the
+        # weather that actually produced `value` (healthy ~20-60 ms here)
+        "canary_at_best_ms": can_best,
+        "reps_run": reps_run,
         # which native codec build produced this number (hash of
         # xdrcodec.cpp — correlates artifacts with decode-path commits)
         "native_lib": os.path.basename(native._build()).replace(

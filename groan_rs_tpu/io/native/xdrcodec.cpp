@@ -256,21 +256,26 @@ struct BitReader {
     return q;
   }
 
+  // Reassemble a least-significant-chunk-first packed value from its raw
+  // MSB-first stream image `v` (low nbits_total bits valid).  The stream
+  // holds the chunks first-chunk-first: [c0 (8b)][c1 (8b)]...[ck (rem)];
+  // the packed integer is X = c0 + c1*2^8 + ... + ck*2^(8k).  bswap
+  // reverses the byte order in O(1); the final (rem<8)-bit chunk lands
+  // high-aligned inside its byte and is re-seated explicitly.
+  static inline uint64_t reassemble_chunks(uint64_t v, int nbits_total) {
+    int k = (nbits_total - 1) >> 3;  // index of the remainder chunk
+    int rem = nbits_total - 8 * k;   // 1..8 bits
+    uint64_t b = __builtin_bswap64(v << (64 - nbits_total));
+    return (b & ((uint64_t(1) << (8 * k)) - 1))
+         | ((b >> (8 * k + 8 - rem)) << (8 * k));
+  }
+
   inline void get_ints(int nints, int nbits_total, const uint32_t sizes[],
                        const uint64_t magics[], int32_t nums[]) {
     if (nints == 3 && nbits_total <= 57) {
       // fast path: gather the least-significant-chunk-first packed value
       // with one refill, then two divisions
-      uint64_t v = get64(nbits_total);
-      // v holds the chunks MSB-first: [c0 (8b)][c1 (8b)]...[ck (rem)];
-      // the packed integer is X = c0 + c1*2^8 + ... + ck*2^(8k).
-      // bswap reverses the byte order in O(1); the final (rem<8)-bit chunk
-      // lands high-aligned inside its byte and is re-seated explicitly.
-      int k = (nbits_total - 1) >> 3;        // index of the remainder chunk
-      int rem = nbits_total - 8 * k;         // 1..8 bits
-      uint64_t b = __builtin_bswap64(v << (64 - nbits_total));
-      uint64_t x = (b & ((uint64_t(1) << (8 * k)) - 1))
-                 | ((b >> (8 * k + 8 - rem)) << (8 * k));
+      uint64_t x = reassemble_chunks(get64(nbits_total), nbits_total);
       uint64_t q = fast_divm(x, sizes[2], magics[2]);
       nums[2] = int32_t(x - q * sizes[2]);
       uint64_t q2 = fast_divm(q, sizes[1], magics[1]);
@@ -553,7 +558,11 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
       emit3(fp, thiscoord, inv_precision);
       // the delta chain continues from prevcoord (the swap left the
       // decoded first run atom there), exactly as the scalar loop did
-      // remaining run atoms: straight-line chain, no swap branch
+      // remaining run atoms: straight-line chain, no swap branch.
+      // (Batching m fixed-width triples per bit-read was tried and is a
+      // measured wash here — typical water runs leave only 2 chained
+      // triples, see PERF.md "Negative result: batched small-triple
+      // reads".)
       for (int k = 3; k < run; k += 3) {
         br.get_ints(3, smallidx, sizesmall, mag_small, thiscoord);
         i++;
