@@ -587,5 +587,10 @@ def tng_xtc2_encode(q: np.ndarray) -> bytes:
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), natoms,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
     )
+    if rc == -6:  # coordinate span exceeds the tng magic table — same
+        # typed error (and remedy) as the Python reference encoder
+        raise WriteTrajError(
+            "XTC2 encode: coordinate span exceeds the tng magic table; "
+            "use codec='gzip'", code="TngCompressRange")
     _check(rc, "<tng xtc2 encode>", write=True)
     return out[:rc].tobytes()

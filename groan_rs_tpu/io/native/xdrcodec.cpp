@@ -321,8 +321,19 @@ struct BitWriter {
   explicit BitWriter(std::vector<uint8_t>& buf) : out(buf) {}
 
   inline void put(int n, uint32_t num) {
+    if (__builtin_expect(n > 56, 0)) {
+      // Wide puts carry at most 32 significant bits (num is u32); the
+      // excess high bits are zeros.  Emit them first in safe chunks so
+      // `acc << n` below never sheds pending bits (nbits <= 7, so any
+      // n <= 56 keeps nbits + n < 64; n >= 64 would be shift UB).  The
+      // zero-padding calls in put_ints / tng_put_ints_wide reach here
+      // with n up to ~432 for very wide value ranges.
+      for (int zeros = n - 32; zeros > 0; zeros -= 24)
+        put(zeros > 24 ? 24 : zeros, 0);
+      n = 32;
+    }
     const uint32_t mask = n < 32 ? (1u << n) - 1 : 0xffffffffu;
-    acc = (acc << n) | uint64_t(num & mask);  // nbits + n <= 7 + 32 < 64
+    acc = (acc << n) | uint64_t(num & mask);  // nbits + n <= 7 + 56 < 64
     nbits += n;
     while (nbits >= 8) {
       nbits -= 8;
@@ -1022,12 +1033,7 @@ inline int64_t tng_unzig(uint32_t u) {
 // chunk-reassembly trick as BitReader::get_ints (the wire is LS-byte-first
 // with an MSB-aligned remainder chunk).
 inline uint64_t tng_read_pack57(BitReader& br, int w) {
-  uint64_t v = br.get64(w);
-  int k = (w - 1) >> 3;   // whole bytes before the remainder chunk
-  int rem = w - 8 * k;    // 1..8 bits
-  uint64_t b = __builtin_bswap64(v << (64 - w));
-  return (b & ((uint64_t(1) << (8 * k)) - 1)) |
-         ((b >> (8 * k + 8 - rem)) << (8 * k));
+  return BitReader::reassemble_chunks(br.get64(w), w);
 }
 
 // width of a 3K-digit base-b pack: ceil(3K * log2 b)

@@ -526,3 +526,37 @@ def test_tng_writer_xtc2_range_fallback(tmp_path):
     endian, _, _, sets = read_tng(str(tmp_path / "fb.tng"))
     codecs = [fs.data[0x10000001].codec for fs in sets]
     assert codecs == [2, 3]
+
+
+def test_xtc2_wide_zero_pack_min_corner():
+    """An atom sitting at the per-axis minimum packs its wide (>57-bit)
+    large triple to 0, so the encoder's wide emission path zero-pads
+    with a single put() of n > 56 bits (up to ~67 here).  Regression
+    for the u64 BitWriter losing pending bits / undefined shifts on
+    those pads: native bytes must equal the Python reference encoder's
+    and both decoders must round-trip exactly."""
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.io.tng import _decode_xtc2, _encode_xtc2
+
+    from groan_rs_tpu.errors import WriteTrajError
+
+    rng = np.random.default_rng(3)
+    for span_bits in (22, 24):  # large-pack widths ~69/73 bits
+        span = 2 ** span_bits
+        q = rng.integers(0, span, size=(48, 3)).astype(np.int64)
+        q[0] = 0           # min corner on all three axes -> zero pack
+        q[1] = span - 1    # pins the range
+        en = native.tng_xtc2_encode(q)
+        assert en == _encode_xtc2(q)
+        np.testing.assert_array_equal(
+            native.tng_xtc2_decode(en, 48).astype(np.int64), q)
+        np.testing.assert_array_equal(_decode_xtc2(en, 48, "corner"), q)
+
+    # beyond the tng magic table (span > 2^24) neither coder can
+    # represent the frame: both raise the same typed error
+    q = np.zeros((4, 3), np.int64)
+    q[1] = 2 ** 27
+    for enc in (native.tng_xtc2_encode, _encode_xtc2):
+        with pytest.raises(WriteTrajError) as ei:
+            enc(q)
+        assert ei.value.code == "TngCompressRange"

@@ -239,3 +239,49 @@ def test_write_trr_byte_golden_full(test_files, tmp_path, gro, trr, golden):
         fr.traj_write_frame()
     s.traj_writers_close()
     assert open(out, "rb").read() == open(os.path.join(test_files, golden), "rb").read()
+
+
+def test_xtc_write_wide_range_roundtrip(tmp_path):
+    """Coordinate ranges past ~2^21·prec per axis push the encoder onto
+    the general (schoolbook) put_ints path whose zero-padding put()
+    calls carry 58-67 bits in one call; atoms at the min corner pack to
+    tiny values, maximizing the pad width.  Regression for the u64
+    BitWriter dropping pending bits (or shifting past 63 — UB) on those
+    wide puts: the file must round-trip bit-identically through BOTH
+    independent readers (reference analogue: xdrfile.c:950+ writes any
+    int range the 32-bit ints permit)."""
+    from groan_rs_tpu.io import native, xtc_py
+
+    rng = np.random.default_rng(1)
+    # triple widths ~67-72 bits -> pad puts of n=59..64 (the latter is
+    # the pre-fix undefined-shift case); ints stay < 2^24 so every
+    # coordinate is f32-exact at precision 1.0.  This exact data was
+    # verified to CORRUPT under the pre-fix writer (bytes differ).
+    for span_bits in (22, 24):
+        span = 2 ** span_bits - 1
+        coords = rng.integers(0, span, size=(40, 3)).astype(np.float32)
+        coords[0] = 0.0  # min corner on all axes -> zero-valued pack
+        coords[1] = float(span - 1)  # pins the per-axis range
+        # near-corner atoms MID-stream: their wide triples pack to tiny
+        # values while the bit accumulator holds pending bits from the
+        # preceding atoms — the state the padding bug corrupted
+        for k, v in zip((5, 9, 14, 23, 31), (1.0, 3.0, 200.0, 4e3, 5e4)):
+            coords[k] = (0.0, 0.0, v)
+        path = str(tmp_path / f"wide{span_bits}.xtc")
+        box9 = np.zeros(9, np.float32)
+        box9[:3] = float(span)
+        native.xtc_write_frame(path, 40, 0, 0.0, box9, coords, 1.0)
+
+        offs, steps, times, na = native.xtc_scan(path)
+        assert na == 40 and len(offs) == 1
+        dec_n = native.xtc_read_frames(path, offs, na)[0]
+        dec_p = xtc_py.xtc_read_frames(path, offs, na)[0]
+        np.testing.assert_array_equal(dec_n, dec_p)
+        if span_bits < 24:
+            # f32-exact integers at precision 1.0: lossless round-trip
+            np.testing.assert_array_equal(dec_n[0], coords)
+        else:
+            # near 2^24 the quantization's f32 `+0.5` rounding (xdrfile
+            # semantics, xdrfile.c:950+) may land on the next integer:
+            # at most one grid step of error, never corruption
+            assert float(np.abs(dec_n[0] - coords).max()) <= 1.0
