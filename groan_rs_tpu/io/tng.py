@@ -917,37 +917,47 @@ class TngSource:
         has_f = np.zeros(b, bool)
         boxes = np.zeros((b, 3, 3), np.float32)
 
-        def _one(k, fid):
-            fs = self._sets[int(self._set_ids[fid])]
-            r = int(self._rows[fid])
-            pblock = fs.data[TNG_TRAJ_POSITIONS]
-            pos[k] = pblock.decode(self._endian)[r, :stop].astype(np.float32)
-            bblock = fs.data.get(TNG_TRAJ_BOX_SHAPE)
-            if bblock is not None:
-                bx = bblock.decode(self._endian)
-                boxes[k] = bx[min(r, bx.shape[0] - 1)].reshape(3, 3)
-            vblock = fs.data.get(TNG_TRAJ_VELOCITIES)
-            if vblock is not None:
-                vel[k] = vblock.decode(self._endian)[r, :stop].astype(np.float32)
-                has_v[k] = True
-            fblock = fs.data.get(TNG_TRAJ_FORCES)
-            if fblock is not None:
-                frc[k] = fblock.decode(self._endian)[r, :stop].astype(np.float32)
-                has_f[k] = True
+        # Frames in one frame set share their data blocks, so each
+        # touched block decodes ONCE per batch (a multi-frame set
+        # previously re-decompressed its whole payload for every row it
+        # contributed).  Distinct sets decode in parallel, like the
+        # native XTC bulk read: the C++ XTC2 decode and zlib both
+        # release the GIL (GROAN_DECODE_THREADS overrides, same knob as
+        # the XTC path).
+        uniq = sorted({int(self._set_ids[fid]) for fid in ids})
 
-        # frame-parallel decode, like the native XTC bulk read: the C++
-        # XTC2 decode and zlib both release the GIL, each k writes
-        # disjoint rows of the preallocated arrays (GROAN_DECODE_THREADS
-        # overrides, same knob as the XTC path)
+        def _decode_set(sid):
+            fs = self._sets[sid]
+            out = {"pos": fs.data[TNG_TRAJ_POSITIONS].decode(self._endian)}
+            for key, block_id in (("box", TNG_TRAJ_BOX_SHAPE),
+                                  ("vel", TNG_TRAJ_VELOCITIES),
+                                  ("frc", TNG_TRAJ_FORCES)):
+                blk = fs.data.get(block_id)
+                out[key] = None if blk is None else blk.decode(self._endian)
+            return sid, out
+
         from .native import n_default_threads
-        nt = min(n_default_threads(), b)
+        nt = min(n_default_threads(), len(uniq))
         if nt > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=nt) as ex:
-                list(ex.map(_one, range(b), ids))
+                cache = dict(ex.map(_decode_set, uniq))
         else:
-            for k, fid in enumerate(ids):
-                _one(k, fid)
+            cache = dict(map(_decode_set, uniq))
+
+        for k, fid in enumerate(ids):
+            dec = cache[int(self._set_ids[fid])]
+            r = int(self._rows[fid])
+            pos[k] = dec["pos"][r, :stop].astype(np.float32)
+            if dec["box"] is not None:
+                bx = dec["box"]
+                boxes[k] = bx[min(r, bx.shape[0] - 1)].reshape(3, 3)
+            if dec["vel"] is not None:
+                vel[k] = dec["vel"][r, :stop].astype(np.float32)
+                has_v[k] = True
+            if dec["frc"] is not None:
+                frc[k] = dec["frc"][r, :stop].astype(np.float32)
+                has_f[k] = True
         return FrameBatch(
             positions=pos,
             velocities=vel if has_v.any() else None,
