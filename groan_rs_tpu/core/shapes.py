@@ -64,7 +64,7 @@ class Sphere(Shape):
         """reference: shape.rs get_position."""
         from .vector3d import Vector3D
 
-        return Vector3D.from_array(self.position)
+        return Vector3D.from_array(self.position.copy())
 
     def get_radius(self) -> float:
         return self.radius
@@ -88,7 +88,7 @@ class Rectangular(Shape):
     def get_position(self):
         from .vector3d import Vector3D
 
-        return Vector3D.from_array(self.position)
+        return Vector3D.from_array(self.position.copy())
 
     def get_x(self) -> float:
         return self.x
@@ -133,7 +133,7 @@ class Cylinder(Shape):
     def get_position(self):
         from .vector3d import Vector3D
 
-        return Vector3D.from_array(self.position)
+        return Vector3D.from_array(self.position.copy())
 
     def get_radius(self) -> float:
         return self.radius
@@ -188,17 +188,17 @@ class TriangularPrism(Shape):
     def get_base1(self):
         from .vector3d import Vector3D
 
-        return Vector3D.from_array(self.base1)
+        return Vector3D.from_array(self.base1.copy())
 
     def get_base2(self):
         from .vector3d import Vector3D
 
-        return Vector3D.from_array(self.base2)
+        return Vector3D.from_array(self.base2.copy())
 
     def get_base3(self):
         from .vector3d import Vector3D
 
-        return Vector3D.from_array(self.base3)
+        return Vector3D.from_array(self.base3.copy())
 
     def get_height(self) -> float:
         return self.height

@@ -206,12 +206,13 @@ def _decode_xtc2(stream: bytes, natoms: int, name: str) -> np.ndarray:
         raise ReadTrajError(
             f"TNG block '{name}': XTC2 stream too short", code="ParseTng")
     minint = np.array(struct.unpack_from("<3i", stream, 0), np.int64)
-    bl = [_TNG_MAGIC[stream[12] + 4], _TNG_MAGIC[stream[13] + 4],
-          _TNG_MAGIC[stream[14] + 4]]
-    if 0 in bl:
+    bidx = [stream[12] + 4, stream[13] + 4, stream[14] + 4]
+    if any(not 0 <= t < len(_TNG_MAGIC) or _TNG_MAGIC[t] == 0
+           for t in bidx):
         raise ReadTrajError(
             f"TNG block '{name}': bad XTC2 large size bytes",
             code="ParseTng")
+    bl = [_TNG_MAGIC[t] for t in bidx]
     wl = math.ceil(math.log2(bl[0]) + math.log2(bl[1]) + math.log2(bl[2]))
     idx = stream[15] + 4
     r = _BitReader(stream)
@@ -297,6 +298,12 @@ def _decode_xtc2(stream: bytes, natoms: int, name: str) -> np.ndarray:
                 out[a] = read_large()
                 a += 1
             else:                                     # ONLY_SMALL
+                if a == 0:
+                    # smalls are deltas vs the previous atom; none exists
+                    # yet (the C++ decoder returns GX_ERR_CORRUPT here)
+                    raise ReadTrajError(
+                        f"TNG block '{name}': XTC2 small run before any "
+                        "large value", code="ParseTng")
                 kk = min(K, natoms - a)
                 emit_run(out[a - 1], kk, a)
                 a += kk

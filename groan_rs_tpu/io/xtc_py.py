@@ -196,9 +196,18 @@ def _decode_3dfcoord(payload: bytes, natoms: int, precision: float,
     prev = (0, 0, 0)
     i = 0
     run = 0  # STICKY across atoms: flag==0 reuses the previous run length
+
+    def done():
+        # a truncated payload reads zeros (the reader flags, not raises):
+        # any value emitted AFTER the overrun is garbage, so every exit
+        # must check, including the partial-read early returns
+        if br.overrun:
+            raise _err("corrupted or truncated frame", path, "CorruptFrame")
+        return out
+
     while i < natoms:
         if i >= stop_after:
-            return out
+            return done()
         if bitsize == 0:
             x = br.get(bitsizeint[0])
             y = br.get(bitsizeint[1])
@@ -230,19 +239,19 @@ def _decode_3dfcoord(payload: bytes, natoms: int, precision: float,
                     # predecessor at compression time — swap back, emit both
                     cur, prev = prev, cur
                     if emitted >= n_out:
-                        return out
+                        return done()
                     out[emitted] = prev
                     emitted += 1
                 else:
                     prev = cur
                 if emitted >= n_out:
-                    return out
+                    return done()
                 out[emitted] = cur
                 emitted += 1
             prev = cur
         else:
             if emitted >= n_out:
-                return out
+                return done()
             out[emitted] = cur
             emitted += 1
 
@@ -258,7 +267,7 @@ def _decode_3dfcoord(payload: bytes, natoms: int, precision: float,
         sizesmall = [MAGICINTS[smallidx]] * 3
         if br.overrun:
             raise _err("corrupted or truncated frame", path, "CorruptFrame")
-    return out
+    return done()
 
 
 def xtc_scan(path):

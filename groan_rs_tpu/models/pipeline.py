@@ -752,15 +752,12 @@ class PipelineRunner:
                 raise ParallelError(
                     "hbond analyses score candidates host-side and need "
                     "the streamed pass; run them with a filename")
-            if len(filename.aux) < len(self.engine.aux):
-                raise ParallelError(
-                    "this DeviceTrajectory carries no velocity/force "
-                    "channels; reload it with this runner's load_device")
             self._check_resident_layout(filename)
             out = self._engine_1dev().run_resident(filename,
                                                    batch_size=batch_size)
             if out is None:
                 out = {}
+            self._finish_dense_guards_resident(out, filename)
             out["times"] = filename.times
             out["steps"] = filename.steps
             return out
@@ -803,17 +800,21 @@ class PipelineRunner:
         # path pays several tunnel round trips per batch — pure waste at
         # small sizes; BASELINE.md rows 5-7, reference partial reads)
         budget = int(os.environ.get("GROAN_ONESHOT_BYTES", 6_000_000))
+        # GROAN_WIRE overrides whatever wire we request from the reader
+        # (io/traj.py batches()), so honor it HERE too: a delta-pinned
+        # run must stream, not reach run_oneshot and be refused
+        wire1 = os.environ.get(
+            "GROAN_WIRE", "f32" if self.wire == "f32" else "q16")
         if (profiler is None and self.engine._spec is None
-                and self.engine.n_shards == 1):
+                and self.engine.n_shards == 1 and wire1 in ("q16", "f32")):
             n_f = reader.n_selected()
             n_ship = (len(self.sel) if self.sel is not None
                       else self.system.get_n_atoms())
-            est = n_f * n_ship * 3 * (4 if self.wire == "f32" else 2)
+            est = n_f * n_ship * 3 * (4 if wire1 == "f32" else 2)
             if 0 < est <= budget:
-                wire1 = "f32" if self.wire == "f32" else "q16"
                 fbs = list(reader.batches(batch_size=n_f, wire=wire1,
                                           prefetch=False))
-                if len(fbs) == 1:
+                if len(fbs) == 1 and fbs[0].wire in ("q16", "f32"):
                     out = self.engine.run_oneshot(fbs[0])
                     if on_batch is not None:
                         on_batch(fbs[0])
@@ -863,6 +864,45 @@ class PipelineRunner:
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out
+
+    def _finish_dense_guards_resident(self, out, dt):
+        """Strict dense hbonds on a device-resident pass: any frame whose
+        in-step guard counter is nonzero had a threshold decision within
+        backend-float reach.  The streamed path re-reads such frames from
+        the file; here the trajectory IS resident, so fetch the flagged
+        frames from HBM, dequantize (bit-identical to the file decode —
+        the DeviceTrajectory contract) and re-score with the exact
+        reference-f32 host semantics (hbonds.rs:302-340)."""
+        for nm, analysis in self.dense_strict:
+            gkey = f"__guard__{nm}"
+            if gkey not in out:
+                continue
+            g = np.asarray(out.pop(gkey))
+            bad = np.nonzero(g > 0)[0]
+            if bad.size == 0:
+                continue
+            if self.sel is not None:
+                from ..system.hbonds import remap_analysis
+
+                lut = np.full(self.system.get_n_atoms(), -1, np.int64)
+                lut[self.sel] = np.arange(self.sel.shape[0])
+                analysis = remap_analysis(analysis, lut)
+            idx = np.asarray(bad)
+            pos = np.asarray(dt.pos[idx])
+            boxes = np.asarray(dt.boxes[idx], np.float32)
+            if boxes.ndim == 3:  # triclinic matrix rows -> lengths
+                boxes = boxes[:, [0, 1, 2], [0, 1, 2]]
+            if dt.kind == "q16":
+                inv = np.asarray(dt.inv_prec[idx], np.float32)
+                pos = pos.astype(np.float32) * inv[:, None, None]
+            else:
+                pos = np.asarray(pos, np.float32)
+            res = analysis.analyze_batch(pos, boxes, counts_only=True)
+            for pair in analysis.pairs:
+                key = f"{nm}_{pair[0]}_{pair[1]}"
+                fixed = np.asarray(out[key]).copy()
+                fixed[bad] = res[tuple(pair)]
+                out[key] = fixed
 
     def _check_resident_layout(self, dt):
         """Refuse a DeviceTrajectory whose shipped-atom layout is not the
@@ -923,11 +963,6 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
             raise ParallelError(
                 "hbond analyses score candidates host-side and need the "
                 "streamed pass; run them with a filename")
-        if len(trajectory.aux) < len(r.engine.aux):
-            raise ParallelError(
-                "this DeviceTrajectory carries no velocity/force "
-                "channels; reload it through a velocity-aware runner's "
-                "load_device")
         r._check_resident_layout(trajectory)
         eng = r._engine_1dev()
         engines.append(eng)
@@ -939,8 +974,9 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
 
     fetched = engines[0]._fetch_tree(tuple(trees), pre, ("fetch-sweep",))
     results = []
-    for out in fetched:
+    for r, out in zip(runners, fetched):
         out = dict(out)
+        r._finish_dense_guards_resident(out, trajectory)
         out["times"] = trajectory.times
         out["steps"] = trajectory.steps
         results.append(out)

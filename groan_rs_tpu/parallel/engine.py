@@ -65,7 +65,8 @@ class DeviceTrajectory:
     Dequantization on use is bit-identical to the streamed q16 wire.
     """
 
-    def __init__(self, pos, boxes, inv_prec, times, steps, kind, aux=()):
+    def __init__(self, pos, boxes, inv_prec, times, steps, kind, aux=(),
+                 aux_names=None):
         self.pos = pos            # device [F, K, 3] int16/int32 q or f32
         self.boxes = boxes        # device [F, 3] f32 lengths
         self.inv_prec = inv_prec  # device [F] f32 (ones for f32 kind)
@@ -73,6 +74,11 @@ class DeviceTrajectory:
         self.steps = steps        # host [F]
         self.kind = kind          # "q16" (int q) | "f32"
         self.aux = tuple(aux)     # device [F, K, 3] f32 channels (vel/frc)
+        # which channel each aux slot holds ("vel"/"frc"), so a later
+        # pass can pick the channels it consumes by NAME — a trajectory
+        # loaded with velocities still serves a position-only step
+        self.aux_names = (tuple(aux_names) if aux_names is not None
+                          else ("vel", "frc")[: len(self.aux)])
 
     @property
     def n_frames(self) -> int:
@@ -777,7 +783,7 @@ class FrameEngine:
         return DeviceTrajectory(
             pos=pos, boxes=boxes, inv_prec=inv,
             times=np.concatenate(times), steps=np.concatenate(steps),
-            kind=out_kind, aux=aux,
+            kind=out_kind, aux=aux, aux_names=self.aux,
         )
 
     def _finisher(self, dt):
@@ -810,6 +816,23 @@ class FrameEngine:
         self._steps[key] = fn
         return fn
 
+    def _resident_aux(self, dt):
+        """The aux channels this step consumes, picked by NAME from the
+        trajectory's carried channels: extra channels are ignored (a
+        velocity-loaded trajectory serves a position-only step), missing
+        ones raise."""
+        if not self.aux:
+            return ()
+        names = tuple(getattr(dt, "aux_names", ()) or ())
+        try:
+            return tuple(dt.aux[names.index(ch)] for ch in self.aux)
+        except ValueError:
+            raise ParallelError(
+                "this DeviceTrajectory was loaded without the aux "
+                f"channels the step needs ({'/'.join(self.aux)}, carried: "
+                f"{'/'.join(names) or 'none'}); reload it through a "
+                "runner that declares them") from None
+
     def run_resident(self, dt: DeviceTrajectory, batch_size: int = 32,
                      collect: bool = True, fold=None, init=None,
                      fetch: bool = True):
@@ -826,11 +849,7 @@ class FrameEngine:
         import jax
         import jax.numpy as jnp
 
-        if len(dt.aux) != len(self.aux):
-            raise ParallelError(
-                "this DeviceTrajectory was loaded without the aux "
-                "channels (velocities/forces) the step needs; reload "
-                "it through the same runner's load_device")
+        dt_aux = self._resident_aux(dt)
         fold_j = jax.jit(fold) if fold is not None else None
         carry = init
         outs = []
@@ -852,7 +871,7 @@ class FrameEngine:
             pos = jax.lax.dynamic_slice_in_dim(dt.pos, f0, b, 0)
             boxes = jax.lax.dynamic_slice_in_dim(dt.boxes, f0, b, 0)
             ax = tuple(jax.lax.dynamic_slice_in_dim(A, f0, b, 0)
-                       for A in dt.aux)
+                       for A in dt_aux)
             if dt.kind == "q16":
                 inv = jax.lax.dynamic_slice_in_dim(dt.inv_prec, f0, b, 0)
                 res = step(pos, boxes, masks[b], inv, *ax)

@@ -73,14 +73,23 @@ def merge_striped(local: np.ndarray, stride: int, host_id: int):
     from jax.experimental import multihost_utils
 
     local = np.asarray(local)
-    counts = np.asarray(multihost_utils.process_allgather(
-        np.int32(local.shape[0])))
+    meta = np.asarray(multihost_utils.process_allgather(
+        np.array([local.shape[0], host_id], np.int32)))
+    counts, ids = meta[:, 0], meta[:, 1]
+    if sorted(ids.tolist()) != list(range(stride)):
+        raise ParallelError(
+            f"merge_striped needs exactly one host per stripe 0..{stride - 1}"
+            f"; got host_ids {ids.tolist()}")
     pad = int(counts.max())
     padded = np.zeros((pad,) + local.shape[1:], local.dtype)
     padded[: local.shape[0]] = local
     gathered = np.asarray(multihost_utils.process_allgather(padded))
     total = int(counts.sum())
     merged = np.zeros((total,) + local.shape[1:], local.dtype)
-    for h in range(stride):
-        merged[h::stride] = gathered[h][: counts[h]]
+    # stripes land by each host's DECLARED stripe index, not by its
+    # process index — the two differ whenever with_host_shard was built
+    # with a custom assignment
+    for p in range(stride):
+        h = int(ids[p])
+        merged[h::stride] = gathered[p][: counts[p]]
     return merged

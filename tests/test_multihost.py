@@ -223,7 +223,10 @@ from groan_rs_tpu.system import System
 import jax.numpy as jnp
 
 s = System.from_file(%(gro)r)
-reader = traj_iter(s, %(xtc)r, batch_size=2).with_host_shard(pid, 4)
+# stripe index deliberately PERMUTED vs the process index: merge_striped
+# must reassemble by the declared host_id, not by allgather order
+stripe = (pid + 1) %% 4
+reader = traj_iter(s, %(xtc)r, batch_size=2).with_host_shard(stripe, 4)
 loader = reader.batches()
 coms = []
 for fb in striped_batches(loader, len(loader)):
@@ -231,7 +234,7 @@ for fb in striped_batches(loader, len(loader)):
     box = jnp.asarray(fb.box_lengths())
     coms.append(np.asarray(center_ops.center(g, box[:, None, :])))
 local = (np.concatenate(coms) if coms else np.zeros((0, 3), np.float32))
-merged = merge_striped(local, 4, pid)
+merged = merge_striped(local, 4, stripe)
 if pid == 0:
     print("RESULT " + json.dumps({"n": merged.shape[0],
                                   "coms": merged.tolist()}))

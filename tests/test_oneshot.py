@@ -109,3 +109,16 @@ def test_oneshot_hbonds_match_streamed():
     assert list(a["hb_0_0"][:3]) == [4675, 4644, 4629]
     np.testing.assert_allclose(np.asarray(a["com"]), np.asarray(b["com"]),
                                rtol=0, atol=2e-6)
+
+
+def test_oneshot_honors_wire_env(tpr_sys, monkeypatch):
+    """GROAN_WIRE pins the reader's wire AFTER the oneshot path chooses
+    one, so a delta-pinned small pass must stream instead of reaching
+    run_oneshot (which supports q16/f32 only) and crashing."""
+    monkeypatch.setenv("GROAN_ONESHOT_BYTES", "64000000")
+    monkeypatch.setenv("GROAN_WIRE", "delta6")
+    pipe = (TrajectoryAnalysis(tpr_sys.copy(), mesh=_mesh1())
+            .add_com("Protein", name="com"))
+    out = pipe.runner().run(
+        os.path.join(TF, "short_trajectory.xtc"), batch_size=4)
+    assert np.asarray(out["com"]).shape[0] == 11

@@ -84,3 +84,23 @@ def test_cylinder_inside(pos, radius, height, axis, point, box, pbc_in, naive_in
     c = Cylinder(pos, radius, height, axis)
     assert _inside(c, point, box) is pbc_in
     assert _inside_naive(c, point) is naive_in
+
+
+# --------------------------------------------------------- getter safety
+
+def test_getters_do_not_alias_shape_state():
+    """Shape getters return copies: mutating the returned Vector3D (the
+    reference returns an immutable borrow, shape.rs) must not move the
+    shape's own geometry."""
+    from groan_rs_tpu.core.shapes import Sphere, TriangularPrism
+
+    s = Sphere((1.0, 2.0, 3.0), 1.5)
+    v = s.get_position()
+    v.x = 99.0
+    v += 1.0
+    assert s.get_position().tolist() == [1.0, 2.0, 3.0]
+
+    t = TriangularPrism((0, 0, 0), (1, 0, 0), (0, 1, 0), 2.0)
+    b = t.get_base2()
+    b[:] = 0
+    assert t.get_base2().tolist() == [1.0, 0.0, 0.0]

@@ -560,3 +560,28 @@ def test_xtc2_wide_zero_pack_min_corner():
         with pytest.raises(WriteTrajError) as ei:
             enc(q)
         assert ei.value.code == "TngCompressRange"
+
+
+def test_xtc2_python_fallback_corrupt_streams():
+    """The Python fallback decoder must fail corrupt streams the way the
+    C++ path does (typed ParseTng), never IndexError or silent garbage:
+    out-of-table large size bytes, and a small run arriving before any
+    large value exists to delta against."""
+    import struct
+
+    from groan_rs_tpu.errors import ReadTrajError
+    from groan_rs_tpu.io.tng import _decode_xtc2
+
+    # size byte 200 -> magic index 204, past the 73-entry table
+    bad_size = struct.pack("<3i", 0, 0, 0) + bytes([200, 10, 10, 10])
+    with pytest.raises(ReadTrajError) as ei:
+        _decode_xtc2(bad_size + b"\x00" * 32, 4, "POSITIONS")
+    assert ei.value.code == "ParseTng"
+
+    # valid header, but the first instruction is ONLY_SMALL ('0101'):
+    # smalls are deltas vs the previous atom and none was emitted yet
+    hdr = struct.pack("<3i", 0, 0, 0) + bytes([10, 10, 10, 10])
+    with pytest.raises(ReadTrajError) as ei:
+        _decode_xtc2(hdr + bytes([0b0101_0000]) + b"\x00" * 16, 4,
+                     "POSITIONS")
+    assert ei.value.code == "ParseTng"

@@ -143,3 +143,35 @@ def test_resident_without_vel_rejected(tpr_sys):
                 .add_kinetic_energy("Protein", name="ke"))
     with pytest.raises(ParallelError):
         vel_pipe.runner().run(dt, batch_size=4)
+
+
+def test_velocity_dt_serves_position_only_runner(tpr_sys):
+    """A velocity-loaded DeviceTrajectory carries MORE channels than a
+    position-only step needs: the extra channels are ignored by NAME
+    (aux_names), so one TRR load serves mixed sweeps."""
+    from groan_rs_tpu.models.pipeline import run_many
+
+    trr = os.path.join(TF, "short_trajectory.trr")
+    vel_pipe = (TrajectoryAnalysis(tpr_sys.copy(), mesh=_mesh1())
+                .add_kinetic_energy("Protein", name="ke"))
+    vel_runner = vel_pipe.runner(ship="all")
+    dt = vel_runner.load_device(trr, batch_size=4)
+    assert dt.aux_names == ("vel",)
+
+    pos_pipe = (TrajectoryAnalysis(tpr_sys.copy(), mesh=_mesh1())
+                .add_com("Protein", name="com"))
+    pos_runner = pos_pipe.runner(ship="all")
+    resident = pos_runner.run(dt, batch_size=4)
+    streamed = pos_runner.run(trr, batch_size=4)
+    np.testing.assert_allclose(np.asarray(streamed["com"]),
+                               np.asarray(resident["com"]),
+                               rtol=0, atol=2e-6)
+
+    # mixed sweep over the ONE velocity-loaded trajectory
+    many = run_many([vel_runner, pos_runner], dt, batch_size=4)
+    np.testing.assert_allclose(np.asarray(many[1]["com"]),
+                               np.asarray(resident["com"]),
+                               rtol=0, atol=0)
+    solo_ke = vel_runner.run(dt, batch_size=4)
+    np.testing.assert_array_equal(np.asarray(many[0]["ke"]),
+                                  np.asarray(solo_ke["ke"]))

@@ -93,3 +93,30 @@ def test_product_path_parity(test_files, monkeypatch, tmp_path):
     monkeypatch.setenv("GROAN_XTC_BACKEND", "py")
     got = com_series(tmp_path / "py")
     assert np.array_equal(ref, got)
+
+
+def test_truncated_payload_never_silent(test_files):
+    """A truncated coordinate payload must either raise CorruptFrame or
+    return the exact true prefix — NEVER silently emit values decoded
+    from past-the-end zeros.  Regression: the partial-read early returns
+    used to skip the overrun check."""
+    path = os.path.join(test_files, "short_trajectory.xtc")
+    buf = open(path, "rb").read()
+    (natoms, _, _, _, precision, minint, maxint, smallidx,
+     nbytes, doff, _) = xtc_py._parse_header(buf, 0, len(buf), path)
+    payload = buf[doff:doff + nbytes]
+    # every byte cut x several stop points: the vulnerable cuts are the
+    # handful where the overrun lands in the same iteration that crosses
+    # stop_after (e.g. stop_after=10, cut=35 on this fixture)
+    for stop in (10, 25, 50):
+        want = xtc_py._decode_3dfcoord(payload, natoms, precision, minint,
+                                       maxint, smallidx, stop, path)
+        for cut in range(0, 400):
+            try:
+                got = xtc_py._decode_3dfcoord(
+                    payload[:cut], natoms, precision, minint, maxint,
+                    smallidx, stop, path)
+            except ReadTrajError as e:
+                assert e.code == "CorruptFrame"
+                continue
+            np.testing.assert_array_equal(got, want)
