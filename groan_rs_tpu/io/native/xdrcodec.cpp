@@ -206,7 +206,6 @@ struct BitReader {
   size_t cnt = 0;       // bytes consumed into acc
   uint64_t acc = 0;     // left-aligned pending bits
   int nbits = 0;        // valid bits in acc
-  bool overrun = false;
 
   inline void refill() {
     if (nbits > 56) return;
@@ -231,15 +230,21 @@ struct BitReader {
     }
   }
 
-  // n <= 57; consuming zero-padded bits past the real payload sets overrun
+  // n <= 57; reads past the real payload consume zero-padding (see
+  // overrun() for detection)
   inline uint64_t get64(int n) {
     refill();
     uint64_t v = acc >> (64 - n);
     acc <<= n;
     nbits -= n;
-    if (cnt * 8 - size_t(nbits) > len * 8) overrun = true;
     return v;
   }
+
+  // Consumption (cnt, nbits) is monotone, so evaluating "did we read past
+  // the payload" on demand at the former sticky-flag checkpoints is
+  // equivalent to updating a flag inside every get64 — and removes a
+  // compare+set from the per-value hot path.
+  inline bool overrun() const { return cnt * 8 - size_t(nbits) > len * 8; }
 
   inline int get(int n) { return n == 0 ? 0 : int(get64(n)); }
 
@@ -525,14 +530,34 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
   // alone would overrun `out` by up to one run)
   OutT* const fp_end = out + 3 * int64_t(std::min(stop_after, lsize));
 
+  // The stream interleaves [large triple][flag] per lone atom; when the
+  // joint pack plus the flag fit one <=57-bit read, fuse them — one refill
+  // and one accumulator update per atom instead of two (xdrfile reads them
+  // separately, xdrfile.c receivebits per value).  flag==0 REUSES the
+  // previous runlength (format semantics), so the straight-line hot exit
+  // below additionally requires run == 0.
+  const bool fused = (bitsize != 0 && bitsize + 1 <= 57);
   while (i < lsize) {
     if (i >= stop_after) return GX_OK;  // partial-frame early stop
-    if (bitsize == 0) {
-      thiscoord[0] = br.get(int(bitsizeint[0]));
-      thiscoord[1] = br.get(int(bitsizeint[1]));
-      thiscoord[2] = br.get(int(bitsizeint[2]));
+    int flag;
+    if (fused) {
+      uint64_t v = br.get64(bitsize + 1);
+      flag = int(v & 1);
+      uint64_t x = BitReader::reassemble_chunks(v >> 1, bitsize);
+      uint64_t q = BitReader::fast_divm(x, sizeint[2], mag_sizeint[2]);
+      thiscoord[2] = int32_t(x - q * sizeint[2]);
+      uint64_t q2 = BitReader::fast_divm(q, sizeint[1], mag_sizeint[1]);
+      thiscoord[1] = int32_t(q - q2 * sizeint[1]);
+      thiscoord[0] = int32_t(q2);
     } else {
-      br.get_ints(3, bitsize, sizeint, mag_sizeint, thiscoord);
+      if (bitsize == 0) {
+        thiscoord[0] = br.get(int(bitsizeint[0]));
+        thiscoord[1] = br.get(int(bitsizeint[1]));
+        thiscoord[2] = br.get(int(bitsizeint[2]));
+      } else {
+        br.get_ints(3, bitsize, sizeint, mag_sizeint, thiscoord);
+      }
+      flag = br.get(1);
     }
     i++;
     thiscoord[0] += h.minint[0];
@@ -542,7 +567,12 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
     prevcoord[1] = thiscoord[1];
     prevcoord[2] = thiscoord[2];
 
-    int flag = br.get(1);
+    if (flag == 0 && run == 0) {
+      // hot path: lone large atom, no run to reuse, smallidx unchanged
+      emit3(fp, thiscoord, inv_precision);
+      if (br.overrun()) return GX_ERR_CORRUPT;
+      continue;
+    }
     int is_smaller = 0;
     if (flag == 1) {
       run = br.get(5);
@@ -550,7 +580,7 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
       run -= is_smaller;
       is_smaller--;
     }
-    if (br.overrun) return GX_ERR_CORRUPT;
+    if (br.overrun()) return GX_ERR_CORRUPT;
 
     if (run > 0) {
       // first run atom: water-optimization — it was swapped with its
@@ -598,9 +628,11 @@ int64_t decode_3dfcoord_t(const XtcHeader& h, const uint8_t* data, size_t datale
       smallnum = kMagicInts[smallidx] / 2;
     }
     if (smallidx < kFirstIdx || smallidx > kLastIdx) return GX_ERR_CORRUPT;
-    sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(kMagicInts[smallidx]);
-    mag_small[0] = mag_small[1] = mag_small[2] = kMagicDiv[size_t(smallidx)];
-    if (br.overrun) return GX_ERR_CORRUPT;
+    if (is_smaller) {
+      sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(kMagicInts[smallidx]);
+      mag_small[0] = mag_small[1] = mag_small[2] = kMagicDiv[size_t(smallidx)];
+    }
+    if (br.overrun()) return GX_ERR_CORRUPT;
   }
   return GX_OK;
 }
@@ -1006,7 +1038,7 @@ struct TngBignum {
       if (w > 0) cur |= uint32_t(br.get(w)) << shift;
       limbs[n++] = cur;
     }
-    return !br.overrun;
+    return !br.overrun();
   }
 
   uint32_t divmod(uint32_t base, uint64_t magic) {
@@ -1101,7 +1133,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
   auto read_large = [&](int32_t* dst) -> bool {
     if (wl <= 57) {  // one refill + two divisions (the common case)
       uint64_t v = tng_read_pack57(br, wl);
-      if (br.overrun) return false;
+      if (br.overrun()) return false;
       uint64_t q = BitReader::fast_divm(v, uint32_t(bl[2]), mag_bl[2]);
       uint32_t z = uint32_t(v - q * uint64_t(bl[2]));
       uint64_t q2 = BitReader::fast_divm(q, uint32_t(bl[1]), mag_bl[1]);
@@ -1146,7 +1178,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
     int w = kTngTab.width[idx][nd];
     if (w <= 57) {  // whole run in one u64 — no bignum at all
       uint64_t v = tng_read_pack57(br, w);
-      if (br.overrun) return false;
+      if (br.overrun()) return false;
       for (int j = nd - 1; j > 0; --j) {
         uint64_t q = BitReader::fast_divm(v, b, mag_small);
         tmp[j] = tng_unzig(uint32_t(v - q * b));
@@ -1178,7 +1210,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
   };
 
   while (a < natoms) {
-    if (br.overrun) return GX_ERR_CORRUPT;
+    if (br.overrun()) return GX_ERR_CORRUPT;
     if (br.get(1)) {  // DEFAULT: one large + a small run
       if (!flip) {
         if (!read_large(out + 3 * a)) return GX_ERR_CORRUPT;
@@ -1261,7 +1293,7 @@ static int64_t tng_xtc2_decode_impl(const uint8_t* stream, int64_t nbytes,
       ++a;
     }
   }
-  return br.overrun ? GX_ERR_CORRUPT : 0;
+  return br.overrun() ? GX_ERR_CORRUPT : 0;
 }
 
 // ------------------------------------------------------------------ encoder
