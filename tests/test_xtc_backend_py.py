@@ -120,3 +120,50 @@ def test_truncated_payload_never_silent(test_files):
                 assert e.code == "CorruptFrame"
                 continue
             np.testing.assert_array_equal(got, want)
+
+
+def test_wide_box_bitsize_boundaries_bit_identical(tmp_path):
+    """Joint packs near the 57-bit single-read limit and the per-axis
+    split path (sizeint > 2^24) decode identically on both backends.
+
+    The native decoder fuses the [joint triple][flag] read into one
+    <=57-bit get when bitsize+1 fits (xdrcodec.cpp decode_3dfcoord_t);
+    spans here are chosen so bitsize lands at ~54..58 and, in the last
+    case, exceeds the 24-bit per-axis limit so the decoder takes the
+    split bitsizeint reads (xdrfile.c large-box semantics).
+    """
+    rng = np.random.default_rng(7)
+    natoms = 600
+    # span (nm) at precision 10 -> sizeint ~ span*10; 3*log2 sizes = bitsize
+    cases = [
+        ("bitsize~54", (26_000.0, 26_000.0, 26_000.0), 10.0),
+        ("bitsize~56", (41_000.0, 41_000.0, 41_000.0), 10.0),
+        ("bitsize~57", (52_000.0, 52_000.0, 52_000.0), 10.0),
+        ("bitsize~58", (66_000.0, 66_000.0, 66_000.0), 10.0),
+        ("per-axis split", (1_700_000.0, 1_700_000.0, 1_700_000.0), 10.0),
+    ]
+    for label, span, prec in cases:
+        coords = np.empty((natoms, 3), np.float32)
+        for a in range(3):
+            coords[:, a] = rng.uniform(0.0, span[a], natoms).astype(np.float32)
+        # pin the extremes so minint/maxint (and so bitsize) are deterministic
+        coords[0] = (0.0, 0.0, 0.0)
+        coords[1] = span
+        box9 = np.zeros(9, np.float32)
+        box9[[0, 4, 8]] = span
+        path = str(tmp_path / f"wide_{label.replace(' ', '_').replace('~', '')}.xtc")
+        native.xtc_write_frame(path, natoms, 0, 0.0, box9,
+                               np.ascontiguousarray(coords.reshape(-1)), prec)
+        offs_n, _, _, na = native.xtc_scan(path)
+        out_n = np.asarray(native.xtc_read_frames(path, offs_n, na)[0])
+        out_p = np.asarray(xtc_py.xtc_read_frames(path, offs_n, na)[0])
+        assert np.array_equal(out_n, out_p), label
+        # the quantization grid is coarse vs the spans; decoded floats must
+        # sit within half a grid step of the inputs (catches off-by-one-int
+        # decode bugs the cross-backend check could share only if both
+        # backends made the identical mistake)
+        # ints in the split case exceed 2^24, so float32 holds them only to
+        # ~1 unit; allow one grid step plus rounding
+        step = 1.0 / prec
+        np.testing.assert_allclose(out_n.reshape(-1, 3), coords,
+                                   atol=1.1 * step, err_msg=label)
