@@ -351,12 +351,14 @@ def main():
     can_best = can_timed
     reps_run = 0
     timings = {}
+    all_pass_s = []
 
     def timed_pass():
         nonlocal best, can_best, reps_run
         t0 = time.perf_counter()
         runner.run(xtc, batch_size=BATCH)
         dt = time.perf_counter() - t0
+        all_pass_s.append(dt)
         can = canary_ms()
         reps_run += 1
         if dt < best:
@@ -444,9 +446,20 @@ def main():
     # (the r03 artifact's 43.9 s device_load was largely this compile)
     warm = runner.load_device(xtc, batch_size=BATCH)
     del warm
-    t0 = time.perf_counter()
-    dtraj = runner.load_device(xtc, batch_size=BATCH)
-    load_s = time.perf_counter() - t0
+    # best-of-N like the timed passes: the tunnel occasionally blocks a
+    # single dispatch for ~19 s on a transport retry (constant duration,
+    # healthy canary — infrastructure, not schedule); a single-shot load
+    # that catches one would record 10x its real cost
+    load_s = float("inf")
+    dtraj = None
+    for _ in range(3):
+        if dtraj is not None:
+            del dtraj
+        t0 = time.perf_counter()
+        dtraj = runner.load_device(xtc, batch_size=BATCH)
+        load_s = min(load_s, time.perf_counter() - t0)
+        if load_s < 3.0 * best:
+            break
     res_out = runner.run(dtraj, batch_size=BATCH)  # compile + parity
     resident_ok = bool(
         np.abs(np.asarray(res_out["com"], np.float64)[0] - ref_com0).max() < 2e-3
@@ -543,6 +556,12 @@ def main():
         # weather that actually produced `value` (healthy ~20-60 ms here)
         "canary_at_best_ms": can_best,
         "reps_run": reps_run,
+        # passes that caught a tunnel transport-retry stall (a normally
+        # ~1 ms dispatch blocking for a constant ~19 s with a HEALTHY cpu
+        # canary — infrastructure weather, distinct from cpu steal)
+        "tunnel_stall_passes": sum(1 for t in all_pass_s if t - best > 10.0),
+        "tunnel_stall_s_max": round(max((t - best for t in all_pass_s
+                                         if t - best > 10.0), default=0.0), 1),
         # which native codec build produced this number (hash of
         # xdrcodec.cpp — correlates artifacts with decode-path commits)
         "native_lib": os.path.basename(native._build()).replace(

@@ -507,13 +507,17 @@ class FrameEngine:
                         # clients: finish it before waking the decoder
                         jax.block_until_ready(args)
                 stage_times["h2d"].append(_pc() - _t0)
+                # wake the decoder BEFORE dispatching: the dispatch is
+                # normally ~1 ms, but on tunnel clients it occasionally
+                # blocks for ~19 s on a transport retry — the decode of
+                # the next batch must not sit idle behind that
+                if release is not None:
+                    release()
                 _t0 = _pc()
                 with _stage("compute"):
                     res = step(*args)
                     if kind in ("delta", "delta6"):
                         res, self._carry_q = res
-                    if release is not None:
-                        release()
                     mask_d = (args[2] if kind not in ("delta", "delta6")
                               else args[6])
                     if fold_j is not None:
@@ -729,6 +733,11 @@ class FrameEngine:
             # tunnel clients, so finish it before waking the decoder.
             fresh = args[1:] if kind2 in ("delta", "delta6") else args
             jax.block_until_ready(fresh)
+            # wake the decoder before dispatching (same stall-hiding
+            # rationale as `run`: a tunnel dispatch can block ~19 s on a
+            # transport retry; decode must proceed through it)
+            if release is not None:
+                release()
             if kind2 in ("delta", "delta6"):
                 qs, self._carry_q = self._mat_for(kind2)(*args[:5])
                 inv_parts.append(args[7])
@@ -756,8 +765,6 @@ class FrameEngine:
                     "materialize supports the f32/q16/delta wires only "
                     f"(got '{kind2}')")
             qs_parts.append(qs)
-            if release is not None:
-                release()
             times.append(np.asarray(fb.times))
             steps.append(np.asarray(fb.steps))
         if not qs_parts:
