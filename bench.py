@@ -568,6 +568,24 @@ def main():
             "libgroanxdr-", "").replace(".so", ""),
         "breakdown": timings,
     }
+
+    # ---- the reference's OWN published study (BASELINE.md rows 1-7) -----
+    # host-only passes (no device/tunnel): our reader vs the molly numbers
+    # on the study's workload shapes.  BENCH_ROWS=0 skips; BENCH_ROWS_FRAMES
+    # scales the one-time trajectory build (speedups are scale-free).
+    if os.environ.get("BENCH_ROWS", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benches"))
+            import baseline_rows
+
+            log("reference-study rows (xdrfile_vs_molly workloads)...")
+            result["baseline_rows"] = baseline_rows.run(
+                n_frames=int(os.environ.get("BENCH_ROWS_FRAMES", 2000)),
+                reps=3)
+        except Exception as e:  # never let the secondary study kill the run
+            result["baseline_rows"] = {"error": repr(e)}
+
     print(json.dumps(result), flush=True)
 
 

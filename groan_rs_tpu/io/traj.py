@@ -837,6 +837,19 @@ class TrajReader:
         XtcFrameData::update_system, molly_xtc.rs:292-306)."""
         s = self.system
         sel = batch.atom_indices
+        if sel is not None:
+            # contiguous selections (whole-group reads usually are) write
+            # as a slice: a 40k-atom fancy scatter costs ~1 ms/frame and
+            # dominates a partial per-frame pass
+            sl = getattr(batch, "_sel_slice", False)
+            if sl is False:
+                sl = None
+                if len(sel) and int(sel[-1]) - int(sel[0]) + 1 == len(sel) \
+                        and bool((np.diff(sel) == 1).all()):
+                    sl = slice(int(sel[0]), int(sel[-1]) + 1)
+                batch._sel_slice = sl
+            if sl is not None:
+                sel = sl
         has_x = batch.has_x is None or bool(batch.has_x[k])
         has_v = batch.velocities is not None and (batch.has_v is None or bool(batch.has_v[k]))
         has_f = batch.forces is not None and (batch.has_f is None or bool(batch.has_f[k]))
