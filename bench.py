@@ -358,8 +358,8 @@ def main():
         t0 = time.perf_counter()
         runner.run(xtc, batch_size=BATCH)
         dt = time.perf_counter() - t0
-        all_pass_s.append(dt)
         can = canary_ms()
+        all_pass_s.append((dt, can))
         reps_run += 1
         if dt < best:
             best = dt
@@ -558,10 +558,13 @@ def main():
         "reps_run": reps_run,
         # passes that caught a tunnel transport-retry stall (a normally
         # ~1 ms dispatch blocking for a constant ~19 s with a HEALTHY cpu
-        # canary — infrastructure weather, distinct from cpu steal)
-        "tunnel_stall_passes": sum(1 for t in all_pass_s if t - best > 10.0),
-        "tunnel_stall_s_max": round(max((t - best for t in all_pass_s
-                                         if t - best > 10.0), default=0.0), 1),
+        # canary — infrastructure weather; a slow pass whose own canary is
+        # unhealthy is steal, not a stall, and is NOT counted here)
+        "tunnel_stall_passes": sum(
+            1 for t, c in all_pass_s if t - best > 10.0 and c <= 3 * healthy_ms),
+        "tunnel_stall_s_max": round(max(
+            (t - best for t, c in all_pass_s
+             if t - best > 10.0 and c <= 3 * healthy_ms), default=0.0), 1),
         # which native codec build produced this number (hash of
         # xdrcodec.cpp — correlates artifacts with decode-path commits)
         "native_lib": os.path.basename(native._build()).replace(

@@ -241,7 +241,12 @@ def run(n_frames=5000, reps=3, quiet=False):
             f"{REF_S['full_pass'] * scale:6.2f}s  "
             f"-> {rows['full_pass_batched']['speedup']:5.2f}x")
 
-    geo = float(np.exp(np.mean([np.log(r["speedup"]) for r in rows.values()])))
+    # geomean over the study's own 9 rows only; the batched-pipeline row
+    # re-measures the full-pass workload through a different API and would
+    # double-weight it (it is reported alongside, not inside)
+    geo = float(np.exp(np.mean([np.log(r["speedup"])
+                                for k, r in rows.items()
+                                if k != "full_pass_batched"])))
     return {
         "n_atoms": N_ATOMS,
         "n_frames": n_frames,

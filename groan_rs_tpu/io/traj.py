@@ -464,6 +464,14 @@ class TrajReader:
         else:
             self._sel = None
             self._stop_after = None
+        # contiguous selections (whole-group reads usually are) write back
+        # into the System as a slice: a 40k-atom fancy scatter costs
+        # ~1 ms/frame — more than the frame's decode.  The selection is
+        # fixed per reader, so decide once here.
+        self._sel_slice = None
+        if self._sel is not None and len(self._sel) and \
+                int(self._sel[-1]) - int(self._sel[0]) + 1 == len(self._sel):
+            self._sel_slice = slice(int(self._sel[0]), int(self._sel[-1]) + 1)
 
         # global frame table: (source_idx, local_frame, time, step)
         src_ids, local_ids, times, steps = [], [], [], []
@@ -837,19 +845,8 @@ class TrajReader:
         XtcFrameData::update_system, molly_xtc.rs:292-306)."""
         s = self.system
         sel = batch.atom_indices
-        if sel is not None:
-            # contiguous selections (whole-group reads usually are) write
-            # as a slice: a 40k-atom fancy scatter costs ~1 ms/frame and
-            # dominates a partial per-frame pass
-            sl = getattr(batch, "_sel_slice", False)
-            if sl is False:
-                sl = None
-                if len(sel) and int(sel[-1]) - int(sel[0]) + 1 == len(sel) \
-                        and bool((np.diff(sel) == 1).all()):
-                    sl = slice(int(sel[0]), int(sel[-1]) + 1)
-                batch._sel_slice = sl
-            if sl is not None:
-                sel = sl
+        if sel is not None and self._sel_slice is not None:
+            sel = self._sel_slice  # contiguous selection: slice, not scatter
         has_x = batch.has_x is None or bool(batch.has_x[k])
         has_v = batch.velocities is not None and (batch.has_v is None or bool(batch.has_v[k]))
         has_f = batch.forces is not None and (batch.has_f is None or bool(batch.has_f[k]))
