@@ -981,3 +981,66 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
         out["steps"] = trajectory.steps
         results.append(out)
     return results
+
+
+def msd(system, trajectory, group: str, *, lags=None, batch_size: int = 32):
+    """Mean-squared displacement of a selection over frame lags
+    (surpass feature — the reference has no MSD; `gmx msd` semantics:
+    atom-averaged, all time origins).
+
+    `trajectory` is a filename (loaded device-resident once via
+    `load_device`, shipping ONLY the group's atoms) or an existing
+    `DeviceTrajectory` whose layout contains the group.  Unwrapping and
+    the all-lag sweep run on device in one dispatch each
+    (`ops.msd.unwrap_orthorhombic` / `msd_lags`); orthorhombic boxes,
+    frame-to-frame motion < half a box vector (the standard MSD
+    sampling assumption).
+
+    Returns `(lag_times, msd)`: lag_times [L] in the file's time unit
+    (ps), msd [L] in nm^2.  `lags` defaults to every frame lag
+    0..F-1.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        shipped = getattr(dt, "sel", None)
+        if shipped is None:
+            cols = gsel
+        else:
+            lut = np.full(int(system.get_n_atoms()), -1, np.int64)
+            lut[np.asarray(shipped)] = np.arange(len(shipped))
+            cols = lut[gsel]
+            if (cols < 0).any():
+                raise ParallelError(
+                    f"the DeviceTrajectory's shipped layout does not "
+                    f"contain every atom of group '{group}'; load with "
+                    "ship='all' or runner(group=...)")
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+
+    f = int(dt.pos.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+
+    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    u = msd_ops.unwrap_orthorhombic(pos, jnp.asarray(dt.boxes))
+    curve = np.asarray(msd_ops.msd_lags(u, lags))
+    times = np.asarray(dt.times, np.float64)
+    lag_times = times[lags] - times[0]
+    return lag_times, curve

@@ -1,0 +1,88 @@
+"""Mean-squared displacement on device (surpass feature).
+
+The reference has no MSD analysis; this is the classic `gmx msd`
+observable computed TPU-natively from a device-resident trajectory:
+
+  1. unwrap: consecutive-frame displacements taken through the minimum
+     image (orthorhombic boxes; frame-to-frame motion is assumed smaller
+     than half a box vector — the same sampling assumption `gmx msd`
+     makes), then an (associative, parallel) cumulative sum rebuilds
+     continuous paths.
+  2. MSD(tau) = mean over time origins t and atoms of
+     |u(t+tau) - u(t)|^2, evaluated for every requested lag inside ONE
+     jitted `lax.map` (differences first — no large-sum cancellation,
+     unlike the FFT S1/S2 decomposition, which is why the direct form is
+     used; each lag is O(F*K) so the full all-lag sweep is O(F^2*K)
+     streaming work the TPU does from HBM at full bandwidth).
+
+All math is float32 on device; tests pin it against a float64 host
+recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def unwrap_orthorhombic(pos, boxes):
+    """Remove periodic jumps from a trajectory.
+
+    pos [F, K, 3] f32 wrapped coordinates, boxes [F, 3] f32 per-frame box
+    lengths -> [F, K, 3] continuous coordinates with u[0] = pos[0].
+    Frame t's displacement uses frame t's box (the box the step was
+    wrapped into).
+    """
+    import jax.numpy as jnp
+
+    d = pos[1:] - pos[:-1]
+    b = boxes[1:][:, None, :]
+    d = d - b * jnp.round(d / b)
+    return jnp.concatenate([pos[:1], pos[:1] + jnp.cumsum(d, axis=0)], axis=0)
+
+
+def msd_lags(unwrapped, lags):
+    """MSD over the given frame lags.
+
+    unwrapped [F, K, 3] f32 (from `unwrap_orthorhombic`), lags [L] int32
+    -> [L] f32: mean over the F-lag time origins and K atoms of the
+    squared displacement.  Evaluated as one `lax.map` over lags — a
+    single device dispatch for the whole curve.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    u = jnp.asarray(unwrapped)
+    f = u.shape[0]
+    k = max(1, u.shape[1])
+    t = jnp.arange(f)
+
+    def one(lag):
+        disp = jnp.roll(u, -lag, axis=0) - u
+        sq = jnp.sum(disp * disp, axis=-1)  # [F, K]
+        valid = (t < f - lag)[:, None]
+        n = jnp.maximum(f - lag, 1)
+        return jnp.sum(jnp.where(valid, sq, 0.0)) / (n * k)
+
+    return jax.lax.map(one, jnp.asarray(lags, jnp.int32))
+
+
+def msd_host_f64(pos, boxes, lags):
+    """Float64 host reference of unwrap + MSD (test oracle)."""
+    p = np.asarray(pos, np.float64)
+    b = np.asarray(boxes, np.float64)
+    d = p[1:] - p[:-1]
+    bb = b[1:][:, None, :]
+    d -= bb * np.round(d / bb)
+    u = np.concatenate([p[:1], p[:1] + np.cumsum(d, axis=0)], axis=0)
+    out = []
+    f, k = u.shape[0], max(1, u.shape[1])
+    for lag in np.asarray(lags, np.int64):
+        if lag >= f:
+            out.append(np.nan)
+            continue
+        if lag == 0:
+            out.append(0.0)
+            continue
+        disp = u[lag:] - u[:-lag]
+        out.append(float((disp**2).sum() / ((f - lag) * k)))
+    return np.asarray(out)
