@@ -16,6 +16,6 @@ from .convert import (
     analyze_iter,
     convert_iter,
 )
-from .pipeline import TrajectoryAnalysis, msd, run_many
+from .pipeline import TrajectoryAnalysis, msd, run_many, vacf
 
-__all__ = ["TrajectoryAnalysis", "msd", "run_many"]
+__all__ = ["TrajectoryAnalysis", "msd", "run_many", "vacf"]

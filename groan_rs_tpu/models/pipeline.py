@@ -204,6 +204,39 @@ class TrajectoryAnalysis:
         self._specs.append((nm, fn))
         return self
 
+    def add_gyration(self, group: str, name: str | None = None,
+                     mass_weighted: bool = True):
+        """Radius of gyration of a group per frame -> [F] nm (surpass —
+        the reference has no gyration analysis; `gmx gyrate` semantics:
+        Rg = sqrt(sum_i w_i |r_i - center|^2 / sum_i w_i), minimum-image
+        displacements to the group's refined Bai-Breen center,
+        mass-weighted by default)."""
+        import jax.numpy as jnp
+
+        idx = self._register(self._indices(group))
+        w = jnp.asarray(self._masses(group)) if mass_weighted else None
+        c_fn = self._center_fn(idx, w)
+        triclinic = self.triclinic
+
+        def fn(pos, boxes):
+            g = idx.take(pos)                      # [B, n, 3]
+            c = c_fn(pos, boxes)                   # [B, 3]
+            d = g - c[:, None, :]
+            if triclinic:
+                d = pbc.min_image_triclinic_frames(d, boxes)
+            else:
+                d = pbc.min_image(d, boxes[:, None, :])
+            r2 = jnp.sum(d * d, axis=-1)           # [B, n]
+            if w is None:
+                return jnp.sqrt(jnp.mean(r2, axis=-1))
+            return jnp.sqrt(jnp.sum(w[None, :] * r2, axis=-1) / jnp.sum(w))
+
+        nm = name or f"gyration_{group}"
+        self._decls.append({"kind": "gyration", "name": nm, "group": group,
+                            "com": bool(mass_weighted)})
+        self._specs.append((nm, fn))
+        return self
+
     def add_rmsd(self, group: str, reference, name: str | None = None):
         """Mass-weighted Kabsch RMSD vs a reference System per frame -> [F]
         (reference: RMSDTrajRead::calc_rmsd, rmsd.rs:258)."""
@@ -572,7 +605,8 @@ class TrajectoryAnalysis:
         return step
 
     def runner(self, *, group: str | None = None, wire: str = "auto",
-               ship: str = "auto") -> "PipelineRunner":
+               ship: str = "auto",
+               velocities: bool = False) -> "PipelineRunner":
         """Compile the configured observables into a reusable runner.
 
         The runner owns the jitted engine; calling `.run(filename)`
@@ -608,7 +642,7 @@ class TrajectoryAnalysis:
                     "hbond observables have no atoms-sharded formulation",
                     code="InvalidSelection",
                 )
-            if self._vel_specs:
+            if self._vel_specs or velocities:
                 raise ParallelError(
                     "velocity observables have no atoms-sharded "
                     "formulation yet; use a frames-only mesh")
@@ -621,8 +655,10 @@ class TrajectoryAnalysis:
         # the delta wire is single-shard (sequential frame reconstruction)
         if wire == "auto" and mesh.shape["frames"] > 1:
             wire = "q16"
-        # velocity channels ride the q16/f32 wires (TRR batches are f32)
-        if self._vel_specs and wire == "auto":
+        # velocity channels ride the q16/f32 wires (TRR batches are f32);
+        # `velocities=True` ships the channel even with no vel observable
+        # (device-resident velocity analyses, e.g. models.vacf)
+        if (self._vel_specs or velocities) and wire == "auto":
             wire = "q16"
         # hbond candidate binning needs absolute host coords per frame
         if self._hbond_specs:
@@ -648,7 +684,7 @@ class TrajectoryAnalysis:
         engine = FrameEngine(
             self.step_fn(sel), mesh=mesh,
             box="matrix" if self.triclinic else "lengths",
-            aux=("vel",) if self._vel_specs else (),
+            aux=("vel",) if (self._vel_specs or velocities) else (),
         )
 
         # host-assisted hbond specs, remapped into the shipped layout
@@ -1041,6 +1077,85 @@ def msd(system, trajectory, group: str, *, lags=None, batch_size: int = 32):
         pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
     u = msd_ops.unwrap_orthorhombic(pos, jnp.asarray(dt.boxes))
     curve = np.asarray(msd_ops.msd_lags(u, lags))
+    times = np.asarray(dt.times, np.float64)
+    lag_times = times[lags] - times[0]
+    return lag_times, curve
+
+
+def _resident_group_cols(system, dtraj, group, gsel):
+    """Column indices of `group`'s atoms inside a DeviceTrajectory's
+    shipped-atom layout (raises if the layout misses any)."""
+    shipped = getattr(dtraj, "sel", None)
+    if shipped is None:
+        return gsel
+    lut = np.full(int(system.get_n_atoms()), -1, np.int64)
+    lut[np.asarray(shipped)] = np.arange(len(shipped))
+    cols = lut[gsel]
+    if (cols < 0).any():
+        raise ParallelError(
+            f"the DeviceTrajectory's shipped layout does not contain "
+            f"every atom of group '{group}'; load with ship='all' or "
+            "runner(group=...)")
+    return cols
+
+
+def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
+         batch_size: int = 32):
+    """Velocity autocorrelation function of a selection over frame lags
+    (surpass — the reference decodes TRR velocities but has no VACF;
+    `gmx velacc` semantics: C(tau) = <v(t) . v(t+tau)> averaged over all
+    time origins and the group's atoms, mass-weighted with
+    `mass_weighted=True`).
+
+    `trajectory` is a TRR filename (loaded device-resident once with the
+    velocity channel, shipping ONLY the group's atoms) or an existing
+    `DeviceTrajectory` that carries a 'vel' aux channel.  Frames without
+    velocities decode v=0 and contribute zero terms — pass a
+    velocity-carrying trajectory.  The whole curve evaluates in one
+    device dispatch (`ops.msd.lag_correlation`).
+
+    Returns `(lag_times, vacf)`: [L] ps, [L] (nm/ps)^2.  `lags` defaults
+    to every frame lag 0..F-1.  Normalize with `vacf / vacf[0]`.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group,
+                                                   velocities=True)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+    if "vel" not in dt.aux_names:
+        raise ParallelError(
+            "the DeviceTrajectory carries no velocity channel; load it "
+            "with runner(velocities=True).load_device(...)")
+    vel = dt.aux[dt.aux_names.index("vel")]
+
+    f = int(vel.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+
+    w = None
+    if mass_weighted:
+        if not system.topology.has_mass[gsel].all():
+            raise GroupError(
+                f"group '{group}' has atoms without mass", code="InvalidMass")
+        w = np.asarray(system.topology.mass, np.float32)[gsel]
+    v = jnp.asarray(vel)[:, jnp.asarray(cols), :]
+    curve = np.asarray(msd_ops.lag_correlation(v, lags, weights=w))
     times = np.asarray(dt.times, np.float64)
     lag_times = times[lags] - times[0]
     return lag_times, curve

@@ -86,3 +86,51 @@ def msd_host_f64(pos, boxes, lags):
         disp = u[lag:] - u[:-lag]
         out.append(float((disp**2).sum() / ((f - lag) * k)))
     return np.asarray(out)
+
+
+def lag_correlation(series, lags, weights=None):
+    """Time autocorrelation of a per-atom vector series over frame lags.
+
+    series [F, K, 3] f32 (e.g. velocities), lags [L] int32,
+    weights [K] or None -> [L] f32:
+    C(tau) = mean over the F-tau time origins of the (weighted) atom
+    mean of dot(series(t), series(t+tau)) — `gmx velacc` semantics
+    (unweighted by default; pass masses for the -m form).  One `lax.map`
+    dispatch for the whole curve, like `msd_lags`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = jnp.asarray(series)
+    f = s.shape[0]
+    t = jnp.arange(f)
+    if weights is None:
+        w = jnp.ones(s.shape[1], jnp.float32)
+    else:
+        w = jnp.asarray(weights, jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-30)
+
+    def one(lag):
+        dot = jnp.sum(jnp.roll(s, -lag, axis=0) * s, axis=-1)  # [F, K]
+        per_origin = jnp.sum(dot * w[None, :], axis=-1) / wsum  # [F]
+        valid = t < f - lag
+        n = jnp.maximum(f - lag, 1)
+        return jnp.sum(jnp.where(valid, per_origin, 0.0)) / n
+
+    return jax.lax.map(one, jnp.asarray(lags, jnp.int32))
+
+
+def lag_correlation_host_f64(series, lags, weights=None):
+    """Float64 host reference of `lag_correlation` (test oracle)."""
+    s = np.asarray(series, np.float64)
+    f = s.shape[0]
+    w = (np.ones(s.shape[1]) if weights is None
+         else np.asarray(weights, np.float64))
+    out = []
+    for lag in np.asarray(lags, np.int64):
+        if lag >= f:
+            out.append(np.nan)
+            continue
+        dot = np.sum(s[lag:] * s[: f - lag], axis=-1)  # [F-lag, K]
+        out.append(float((dot @ w).sum() / (w.sum() * (f - lag))))
+    return np.asarray(out)

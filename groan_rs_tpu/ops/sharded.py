@@ -83,6 +83,23 @@ def _eval_center(pos, box, static, arrays):
     return c
 
 
+def _eval_gyration(pos, box, static, arrays):
+    """Radius of gyration, atoms-sharded: refined center via psum, then a
+    weighted psum of minimum-image squared distances (pad atoms carry
+    zero weight)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pbc import min_image
+
+    (w,) = arrays
+    c, den = _masked_bai_breen_center(pos, box, w)
+    d = min_image(pos - c[:, None, :], box[:, None, :])
+    r2 = jnp.sum(d * d, axis=-1)  # [b, n_local]
+    num = jax.lax.psum(jnp.sum(w[None, :] * r2, axis=-1), "atoms")
+    return jnp.sqrt(num / den)
+
+
 def _eval_distance(pos, box, static, arrays):
     import jax.numpy as jnp
 
@@ -246,6 +263,7 @@ def _eval_density(pos, box, static, arrays):
 
 _EVAL = {
     "center": _eval_center,
+    "gyration": _eval_gyration,
     "distance": _eval_distance,
     "rmsd": _eval_rmsd,
     "min_distance": _eval_min_distance,
@@ -254,8 +272,8 @@ _EVAL = {
     "density": _eval_density,
 }
 
-_OUT_RANK = {"center": 2, "distance": 1, "rmsd": 1, "min_distance": 1,
-             "contacts": 1, "rdf": 2, "density": 3}
+_OUT_RANK = {"center": 2, "gyration": 1, "distance": 1, "rmsd": 1,
+             "min_distance": 1, "contacts": 1, "rdf": 2, "density": 3}
 
 
 def compile_decl(decl, system) -> CompiledSpec:
@@ -282,6 +300,10 @@ def compile_decl(decl, system) -> CompiledSpec:
     if kind == "center":
         w = group_w(decl["group"], decl["com"])
         return CompiledSpec(decl["name"], "center", [(_ROLE_ATOM_VEC, w)])
+
+    if kind == "gyration":
+        w = group_w(decl["group"], decl["com"])
+        return CompiledSpec(decl["name"], "gyration", [(_ROLE_ATOM_VEC, w)])
 
     if kind == "distance":
         w1 = group_w(decl["g1"], decl["com1"])

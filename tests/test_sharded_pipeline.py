@@ -58,6 +58,7 @@ def _pipeline(system):
     pipe.add_contacts("A", "B", cutoff=2.5, name="contacts")
     pipe.add_rdf("A", "A", r_max=2.0, n_bins=40, name="rdf")
     pipe.add_density_map("A", plane="xy", tile=0.5, name="dens")
+    pipe.add_gyration("A", name="gyr")
     return pipe
 
 
@@ -92,7 +93,7 @@ def test_sharded_matches_unsharded_and_across_meshes():
     eight = _run_sharded(pipe, make_mesh(2, 4), positions, boxes)
 
     for key in ("com", "distance", "rmsd", "mindist", "contacts", "rdf",
-                "dens"):
+                "dens", "gyr"):
         np.testing.assert_allclose(one[key], eight[key], rtol=2e-5, atol=2e-5,
                                    err_msg=f"1-dev vs 8-dev '{key}'")
         if key == "rdf":
@@ -169,7 +170,8 @@ def test_atoms_sharded_runner_end_to_end(tmp_path):
     pipe2.mesh = make_mesh(2, 4)
     out = pipe2.runner(ship="all").run(xtc, batch_size=4)
 
-    for key in ("com", "distance", "rmsd", "mindist", "contacts", "dens"):
+    for key in ("com", "distance", "rmsd", "mindist", "contacts", "dens",
+                "gyr"):
         np.testing.assert_allclose(np.asarray(ref[key]), np.asarray(out[key]),
                                    rtol=5e-5, atol=5e-5, err_msg=key)
     np.testing.assert_array_equal(ref["times"], out["times"])
