@@ -16,6 +16,7 @@ from .convert import (
     analyze_iter,
     convert_iter,
 )
-from .pipeline import TrajectoryAnalysis, msd, run_many, vacf
+from .pipeline import TrajectoryAnalysis, msd, order_parameters, run_many, vacf
 
-__all__ = ["TrajectoryAnalysis", "msd", "run_many", "vacf"]
+__all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "run_many",
+           "vacf"]

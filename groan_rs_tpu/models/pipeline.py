@@ -68,6 +68,35 @@ class _Idx:
         return jnp.take(pos, self.j, axis=axis)
 
 
+def _hydrogen_mask(topo) -> np.ndarray:
+    """Per-atom hydrogen flags: element symbol where assigned, else
+    mass < 3.5 amu where present, else the first alphabetic character of
+    the atom name (PDB-style hydrogens like '1HH1' lead with a digit)."""
+    n = topo.n_atoms
+    out = np.zeros(n, bool)
+    decided = np.zeros(n, bool)
+
+    sym = topo.element_symbol
+    sym_is_h = np.asarray([c.strip().upper() == "H" for c in sym.categories])
+    sym_set = np.asarray([bool(c.strip()) for c in sym.categories])
+    codes = sym.codes
+    has_sym = sym_set[codes]
+    out[has_sym] = sym_is_h[codes[has_sym]]
+    decided |= has_sym
+
+    by_mass = ~decided & topo.has_mass
+    out[by_mass] = topo.mass[by_mass] < 3.5
+    decided |= by_mass
+
+    if not decided.all() and len(topo.atomname.categories):
+        name_is_h = np.asarray(
+            [next((ch for ch in c if ch.isalpha()), "").upper() == "H"
+             for c in topo.atomname.categories])
+        rest = ~decided
+        out[rest] = name_is_h[topo.atomname.codes[rest]]
+    return out
+
+
 class TrajectoryAnalysis:
     def __init__(self, system, mesh=None, triclinic: bool = False):
         """With `triclinic=True`, kernels receive per-frame `[B, 3, 3]` box
@@ -127,6 +156,13 @@ class TrajectoryAnalysis:
         if not self.system.topology.has_mass[idx].all():
             raise GroupError(f"group '{group}' has atoms without mass", code="InvalidMass")
         return self.system.topology.mass[idx]
+
+    def _charges(self, group: str) -> np.ndarray:
+        idx = self._indices(group)
+        if not self.system.topology.has_charge[idx].all():
+            raise GroupError(f"group '{group}' has atoms without charge",
+                             code="InvalidCharge")
+        return self.system.topology.charge[idx]
 
     # ------------------------------------------------------------- observables
     def _center_fn(self, idx: _Idx, w=None):
@@ -353,6 +389,69 @@ class TrajectoryAnalysis:
         self._specs.append((nm, fn))
         return self
 
+    def add_density_profile(self, group: str, axis: str = "z",
+                            n_bins: int = 100, mode: str = "number",
+                            name: str | None = None):
+        """Per-frame density profile along a box axis -> [F, n_bins]
+        (surpass — the reference has no density analysis; `gmx density`
+        semantics: the axis is cut into `n_bins` slabs by FRACTIONAL
+        coordinate so slabs follow the per-frame box, each atom's weight
+        accumulates into its slab on device, and counts divide by the
+        per-frame slab volume).
+
+        mode: 'number' (atoms/nm^3), 'mass' (kg/m^3 — amu/nm^3 scaled
+        by 1.66054e0), 'charge' (e/nm^3).  Slab centers sit at
+        `(i + 0.5) / n_bins` in box fractions; average over axis 0 for
+        the trajectory profile.  With `triclinic=True` the fractional
+        coordinate comes from the full inverse box matrix and the slab
+        volume from its determinant."""
+        import jax
+        import jax.numpy as jnp
+
+        ax = {"x": 0, "y": 1, "z": 2}.get(axis)
+        if ax is None:
+            raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
+                             code="InvalidAxis")
+        idx = self._register(self._indices(group))
+        if mode == "number":
+            w, scale = np.ones(int(idx.raw.shape[0]), np.float32), 1.0
+        elif mode == "mass":
+            # 1 amu/nm^3 = 1.66053906660 kg/m^3 (gmx density's unit)
+            w, scale = self._masses(group), 1.66053906660
+        elif mode == "charge":
+            w, scale = self._charges(group), 1.0
+        else:
+            raise GroupError(f"unknown density mode '{mode}'",
+                             code="InvalidMode")
+        wj = jnp.asarray(np.asarray(w, np.float32))
+        n_bins = int(n_bins)
+        triclinic = self.triclinic
+
+        def fn(pos, boxes):
+            g = idx.take(pos)                               # [B, n, 3]
+            if triclinic:
+                inv = jnp.linalg.inv(boxes)                 # [B, 3, 3]
+                frac = jnp.einsum("bni,bij->bnj", g, inv)[..., ax]
+                vol = jnp.abs(jnp.linalg.det(boxes))
+            else:
+                frac = g[..., ax] / boxes[:, None, ax]
+                vol = jnp.prod(boxes, axis=-1)
+            frac = frac - jnp.floor(frac)
+            bi = jnp.clip((frac * n_bins).astype(jnp.int32), 0, n_bins - 1)
+
+            def one(b1):
+                return jnp.zeros(n_bins, jnp.float32).at[b1].add(wj)
+
+            hist = jax.vmap(one)(bi)                        # [B, n_bins]
+            return hist * (n_bins * scale) / vol[:, None]
+
+        nm = name or f"profile_{group}_{axis}"
+        self._decls.append({"kind": "density_profile", "name": nm,
+                            "group": group, "axis": ax, "n_bins": n_bins,
+                            "mode": mode, "scale": float(scale)})
+        self._specs.append((nm, fn))
+        return self
+
     def add_rdf(self, group1: str, group2: str, r_max: float = 2.0,
                 n_bins: int = 200, name: str | None = None):
         """Radial distribution function g(r) between two selections per
@@ -401,6 +500,109 @@ class TrajectoryAnalysis:
         nm = name or f"contacts_{group1}_{group2}"
         self._decls.append({"kind": "contacts", "name": nm, "g1": group1,
                             "g2": group2, "cutoff": float(cutoff)})
+        self._specs.append((nm, fn))
+        return self
+
+    def add_dipole(self, group: str, name: str | None = None):
+        """Per-frame dipole moment vector of a group -> [F, 3] e*nm
+        (surpass — the reference has no dipole analysis; `gmx dipoles`
+        semantics: mu = sum_i q_i d_i with d_i the minimum-image
+        displacement of atom i from the group's refined center of mass;
+        origin-independent for net-neutral groups).  1 e*nm =
+        48.032047 Debye.  Requires charges and masses (TPR/PQR)."""
+        import jax.numpy as jnp
+
+        idx = self._register(self._indices(group))
+        q = jnp.asarray(np.asarray(self._charges(group), np.float32))
+        w = jnp.asarray(np.asarray(self._masses(group), np.float32))
+        c_fn = self._center_fn(idx, w)
+        triclinic = self.triclinic
+
+        def fn(pos, boxes):
+            g = idx.take(pos)                       # [B, n, 3]
+            c = c_fn(pos, boxes)                    # [B, 3]
+            d = g - c[:, None, :]
+            if triclinic:
+                d = pbc.min_image_triclinic_frames(d, boxes)
+            else:
+                d = pbc.min_image(d, boxes[:, None, :])
+            return jnp.sum(q[None, :, None] * d, axis=1)
+
+        nm = name or f"dipole_{group}"
+        self._decls.append({"kind": "dipole", "name": nm, "group": group})
+        self._specs.append((nm, fn))
+        return self
+
+    def add_order(self, group: str, axis="z", name: str | None = None):
+        """Per-frame bond orientational order parameters -> [F, P]
+        (surpass — the membrane deuterium order parameter of
+        `gmx order` / the reference author's downstream `gorder` tool:
+        for every heavy-atom -> bonded-hydrogen bond in `group`,
+        S = (3 cos^2 theta - 1) / 2 with theta the angle between the
+        minimum-image bond vector and `axis`; lipid conventions report
+        -S_CH averaged per carbon).
+
+        Hydrogens are detected by element symbol when assigned, else by
+        mass < 3.5 amu, else by the first alphabetic character of the
+        atom name.  The bond partner need not be in `group`.  Pairs are
+        in file order of the heavy atom; the (heavy, hydrogen) global
+        index arrays are stored in `self.order_pairs[name]`.  Requires
+        bonds (TPR / PDB CONECT / `guess_bonds`).  `axis` is 'x'|'y'|'z'
+        or any 3-vector (normalized here)."""
+        import jax.numpy as jnp
+
+        idxg = self._indices(group)
+        topo = self.system.topology
+        is_h = _hydrogen_mask(topo)
+        heavies, hydros = [], []
+        for a in idxg:
+            a = int(a)
+            if is_h[a]:
+                continue
+            for j in topo.bonded[a]:
+                if is_h[int(j)]:
+                    heavies.append(a)
+                    hydros.append(int(j))
+        if not heavies:
+            raise GroupError(
+                f"group '{group}' has no heavy-atom-hydrogen bonds (does "
+                "the topology carry bonds? read a TPR / PDB CONECT or run "
+                "guess_bonds)", code="NoBonds")
+        c_idx = np.asarray(heavies, np.int64)
+        h_idx = np.asarray(hydros, np.int64)
+        ic = self._register(c_idx)
+        ih = self._register(h_idx)
+        if isinstance(axis, str):
+            ax = {"x": 0, "y": 1, "z": 2}.get(axis)
+            if ax is None:
+                raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z' "
+                                 "or a 3-vector)", code="InvalidAxis")
+            nvec = np.zeros(3, np.float32)
+            nvec[ax] = 1.0
+        else:
+            nvec = np.asarray(axis, np.float64)
+            nrm = float(np.linalg.norm(nvec))
+            if not nrm > 0:
+                raise GroupError("axis vector must be non-zero",
+                                 code="InvalidAxis")
+            nvec = (nvec / nrm).astype(np.float32)
+        nj = jnp.asarray(nvec)
+        triclinic = self.triclinic
+
+        def fn(pos, boxes):
+            d = ih.take(pos) - ic.take(pos)          # [B, P, 3]
+            if triclinic:
+                d = pbc.min_image_triclinic_frames(d, boxes)
+            else:
+                d = pbc.min_image(d, boxes[:, None, :])
+            cos2 = jnp.square(d @ nj) / jnp.sum(d * d, axis=-1)
+            return 1.5 * cos2 - 0.5
+
+        nm = name or f"order_{group}"
+        if not hasattr(self, "order_pairs"):
+            self.order_pairs = {}
+        self.order_pairs[nm] = (c_idx, h_idx)
+        self._decls.append({"kind": "order", "name": nm, "group": group})
         self._specs.append((nm, fn))
         return self
 
@@ -1159,3 +1361,33 @@ def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
     times = np.asarray(dt.times, np.float64)
     lag_times = times[lags] - times[0]
     return lag_times, curve
+
+
+def order_parameters(system, trajectory, group: str, *, axis="z",
+                     batch_size: int = 32):
+    """Trajectory-averaged bond orientational order parameters of a
+    selection (surpass — `gmx order` / gorder semantics; see
+    `TrajectoryAnalysis.add_order` for the per-frame form and the
+    hydrogen-detection rules).
+
+    Runs one batched pass over `trajectory` (a filename) and averages
+    S = (3 cos^2 theta - 1)/2 over frames, then over each heavy atom's
+    bonds.  Returns a dict:
+
+    - 'heavy' [M]: global indices of heavy atoms with >= 1 hydrogen bond
+    - 's' [M]: per-heavy-atom mean S (lipid conventions report -s)
+    - 'pairs' ([P], [P]): (heavy, hydrogen) global indices per bond
+    - 's_pairs' [P]: per-bond trajectory mean S
+    """
+    pipe = TrajectoryAnalysis(system).add_order(group, axis=axis,
+                                                name="order")
+    out = pipe.run(trajectory, batch_size=batch_size)
+    c_idx, h_idx = pipe.order_pairs["order"]
+    s_pairs = np.asarray(out["order"], np.float64).mean(axis=0)
+    heavy, inv = np.unique(c_idx, return_inverse=True)
+    sums = np.zeros(heavy.shape[0], np.float64)
+    counts = np.zeros(heavy.shape[0], np.int64)
+    np.add.at(sums, inv, s_pairs)
+    np.add.at(counts, inv, 1)
+    return {"heavy": heavy, "s": sums / counts,
+            "pairs": (c_idx, h_idx), "s_pairs": s_pairs}

@@ -261,6 +261,41 @@ def _eval_density(pos, box, static, arrays):
     return hist.reshape(-1, nx, ny)
 
 
+def _eval_density_profile(pos, box, static, arrays):
+    """1D density profile, atoms-sharded: per-shard scatter-add histogram
+    over fractional-coordinate slabs, psum over atoms (pad atoms carry
+    zero weight), per-frame slab-volume normalization."""
+    import jax
+    import jax.numpy as jnp
+
+    (w,) = arrays
+    ax, n_bins, scale = static["axis"], static["n_bins"], static["scale"]
+    frac = pos[..., ax] / box[:, None, ax]
+    frac = frac - jnp.floor(frac)
+    bi = jnp.clip((frac * n_bins).astype(jnp.int32), 0, n_bins - 1)
+
+    def one(b1):
+        return jnp.zeros(n_bins, jnp.float32).at[b1].add(w)
+
+    hist = jax.lax.psum(jax.vmap(one)(bi), "atoms")
+    vol = jnp.prod(box, axis=-1)
+    return hist * (n_bins * scale) / vol[:, None]
+
+
+def _eval_dipole(pos, box, static, arrays):
+    """Dipole moment, atoms-sharded: refined COM via psum, then a psum of
+    charge-weighted minimum-image displacements."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pbc import min_image
+
+    q, wm = arrays
+    c, _ = _masked_bai_breen_center(pos, box, wm)
+    d = min_image(pos - c[:, None, :], box[:, None, :])
+    return jax.lax.psum(jnp.sum(q[None, :, None] * d, axis=1), "atoms")
+
+
 _EVAL = {
     "center": _eval_center,
     "gyration": _eval_gyration,
@@ -270,10 +305,13 @@ _EVAL = {
     "contacts": _eval_contacts,
     "rdf": _eval_rdf,
     "density": _eval_density,
+    "density_profile": _eval_density_profile,
+    "dipole": _eval_dipole,
 }
 
 _OUT_RANK = {"center": 2, "gyration": 1, "distance": 1, "rmsd": 1,
-             "min_distance": 1, "contacts": 1, "rdf": 2, "density": 3}
+             "min_distance": 1, "contacts": 1, "rdf": 2, "density": 3,
+             "density_profile": 2, "dipole": 2}
 
 
 def compile_decl(decl, system) -> CompiledSpec:
@@ -377,6 +415,41 @@ def compile_decl(decl, system) -> CompiledSpec:
             [(_ROLE_ATOM_VEC, mask)],
             {"axes": tuple(decl["axes"]), "span": tuple(decl["span"]),
              "nx": int(decl["nx"]), "ny": int(decl["ny"])},
+        )
+
+    if kind == "density_profile":
+        mask = group_w(decl["group"], False)
+        mode = decl["mode"]
+        if mode == "mass":
+            w = group_w(decl["group"], True)
+        elif mode == "charge":
+            idx = np.nonzero(mask)[0]
+            if not system.topology.has_charge[idx].all():
+                raise GroupError(
+                    f"group '{decl['group']}' has atoms without charge",
+                    code="InvalidCharge")
+            w = mask * np.asarray(system.topology.charge, np.float32)
+        else:
+            w = mask
+        return CompiledSpec(
+            decl["name"], "density_profile", [(_ROLE_ATOM_VEC, w)],
+            {"axis": int(decl["axis"]), "n_bins": int(decl["n_bins"]),
+             "scale": float(decl["scale"])},
+        )
+
+    if kind == "dipole":
+        wm = group_w(decl["group"], True)
+        mask = system.group_mask(decl["group"])
+        idx = np.nonzero(mask)[0]
+        if not system.topology.has_charge[idx].all():
+            raise GroupError(
+                f"group '{decl['group']}' has atoms without charge",
+                code="InvalidCharge")
+        q = mask.astype(np.float32) * np.asarray(system.topology.charge,
+                                                 np.float32)
+        return CompiledSpec(
+            decl["name"], "dipole",
+            [(_ROLE_ATOM_VEC, q), (_ROLE_ATOM_VEC, wm)],
         )
 
     raise ParallelError(

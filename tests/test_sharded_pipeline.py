@@ -38,6 +38,7 @@ def _make_system(natoms=192, batch=4, seed=3):
         atomname=np.array(["C"] * natoms),
         atomnum=np.arange(1, natoms + 1),
         mass=masses,
+        charge=rng.uniform(-0.8, 0.8, size=natoms).astype(np.float32),
     )
     system = System(
         "sharded-test", topo,
@@ -59,6 +60,9 @@ def _pipeline(system):
     pipe.add_rdf("A", "A", r_max=2.0, n_bins=40, name="rdf")
     pipe.add_density_map("A", plane="xy", tile=0.5, name="dens")
     pipe.add_gyration("A", name="gyr")
+    pipe.add_density_profile("A", axis="z", n_bins=16, mode="mass",
+                             name="prof")
+    pipe.add_dipole("A", name="dip")
     return pipe
 
 
@@ -93,7 +97,7 @@ def test_sharded_matches_unsharded_and_across_meshes():
     eight = _run_sharded(pipe, make_mesh(2, 4), positions, boxes)
 
     for key in ("com", "distance", "rmsd", "mindist", "contacts", "rdf",
-                "dens", "gyr"):
+                "dens", "gyr", "prof", "dip"):
         np.testing.assert_allclose(one[key], eight[key], rtol=2e-5, atol=2e-5,
                                    err_msg=f"1-dev vs 8-dev '{key}'")
         if key == "rdf":
