@@ -16,7 +16,14 @@ from .convert import (
     analyze_iter,
     convert_iter,
 )
-from .pipeline import TrajectoryAnalysis, msd, order_parameters, run_many, vacf
+from .pipeline import (
+    TrajectoryAnalysis,
+    msd,
+    order_parameters,
+    rmsf,
+    run_many,
+    vacf,
+)
 
-__all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "run_many",
-           "vacf"]
+__all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "rmsf",
+           "run_many", "vacf"]

@@ -1363,6 +1363,91 @@ def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
     return lag_times, curve
 
 
+def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
+         batch_size: int = 32):
+    """Per-atom root-mean-square fluctuation of a selection (surpass —
+    the reference has RMSD/fit (`src/system/rmsd.rs`) but no RMSF;
+    `gmx rmsf` semantics: every frame is least-squares fitted onto the
+    reference structure with the group's masses as weights, then
+    RMSF_i = sqrt(<|x_i(t) - <x_i>_t|^2>_t).
+
+    `trajectory` is a filename (loaded device-resident once via
+    `load_device`, shipping ONLY the group's atoms) or an existing
+    `DeviceTrajectory` whose layout contains the group.  `reference`
+    is a System providing the fit target coordinates (default: `system`
+    itself, i.e. the structure file's positions — `gmx rmsf -s`).  The
+    whole computation (batched QCP fit of every frame + the fluctuation
+    reduction) runs on device in one jitted dispatch.  With
+    `fit=False` frames are only translated (group COM to the reference
+    COM), not rotated — for pre-fitted trajectories.  Orthorhombic
+    boxes (the fit-path contract, as in `calc_rmsd`, rmsd.rs:425-447).
+
+    Returns `(indices, rmsf)`: the group's global atom indices [n] and
+    per-atom RMSF [n] in nm.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.engine import DeviceTrajectory
+    from ..system.rmsd import _extract, _masses
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+
+    ref_sys = system if reference is None else reference
+    ref_coords, ref_center, ref_idx = _extract(ref_sys, group)
+    if ref_coords.shape[0] != gsel.shape[0]:
+        raise RMSDError(
+            f"group '{group}' has {ref_coords.shape[0]} atoms in reference "
+            f"but {gsel.shape[0]} in target", code="InconsistentGroup")
+    w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
+    ref_com = np.asarray(ref_sys.group_get_com(group), np.float32)
+
+    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    boxes = jnp.asarray(dt.boxes)
+    if boxes.ndim == 3:
+        raise RMSDError(
+            "rmsf fits against orthorhombic boxes (as calc_rmsd does); "
+            "got per-frame box matrices", code="InvalidSimBox")
+
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def _rmsf(pos, boxes):
+        wj = jnp.asarray(w)
+        com = center_ops.center(pos, boxes[:, None, :], weights=wj)  # [F,3]
+        if fit:
+            rot, _ = rmsd_ops.rmsd_frames(
+                jnp.asarray(ref_coords), jnp.asarray(ref_center),
+                pos, boxes, wj)
+            # apply the fit (rmsd.rs:508-533 semantics, batched): translate
+            # the group COM to the box center (wrapping), rotate about it
+            # by R^T (row vectors), translate to the reference group COM
+            bc = boxes * 0.5
+            moved = pbc.wrap(pos + (bc - com)[:, None, :], boxes[:, None, :])
+            centered = moved - bc[:, None, :]
+            fitted = jnp.einsum("fni,fji->fnj", centered, rot,
+                                precision=hi) + jnp.asarray(ref_com)
+        else:
+            fitted = pos + (jnp.asarray(ref_com) - com)[:, None, :]
+        mean = jnp.mean(fitted, axis=0)
+        d = fitted - mean[None]
+        return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1), axis=0))
+
+    return gsel, np.asarray(_rmsf(pos, boxes))
+
+
 def order_parameters(system, trajectory, group: str, *, axis="z",
                      batch_size: int = 32):
     """Trajectory-averaged bond orientational order parameters of a
