@@ -20,10 +20,11 @@ from .pipeline import (
     TrajectoryAnalysis,
     msd,
     order_parameters,
+    pca,
     rmsf,
     run_many,
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "rmsf",
-           "run_many", "vacf"]
+__all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "pca",
+           "rmsf", "run_many", "vacf"]

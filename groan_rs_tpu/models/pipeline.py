@@ -1424,6 +1424,56 @@ def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
     return lag_times, curve
 
 
+def _fit_inputs(system, dt, cols, group, gsel, reference, what: str):
+    """Shared rmsf/pca setup: the group's device-resident float positions,
+    per-frame boxes, fit masses, and a jittable `fit_frames(pos, boxes,
+    fit)` closure applying the batched mass-weighted least-squares fit
+    onto the reference structure (rmsd.rs:508-533 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..system.rmsd import _extract, _masses
+
+    ref_sys = system if reference is None else reference
+    ref_coords, ref_center, ref_idx = _extract(ref_sys, group)
+    if ref_coords.shape[0] != gsel.shape[0]:
+        raise RMSDError(
+            f"group '{group}' has {ref_coords.shape[0]} atoms in reference "
+            f"but {gsel.shape[0]} in target", code="InconsistentGroup")
+    w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
+    ref_com = np.asarray(ref_sys.group_get_com(group), np.float32)
+
+    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    boxes = jnp.asarray(dt.boxes)
+    if boxes.ndim == 3:
+        raise RMSDError(
+            f"{what} fits against orthorhombic boxes (as calc_rmsd does); "
+            "got per-frame box matrices", code="InvalidSimBox")
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def fit_frames(pos, boxes, fit):
+        wj = jnp.asarray(w)
+        com = center_ops.center(pos, boxes[:, None, :], weights=wj)  # [F,3]
+        if fit:
+            rot, _ = rmsd_ops.rmsd_frames(
+                jnp.asarray(ref_coords), jnp.asarray(ref_center),
+                pos, boxes, wj)
+            # apply the fit (rmsd.rs:508-533 semantics, batched): translate
+            # the group COM to the box center (wrapping), rotate about it
+            # by R^T (row vectors), translate to the reference group COM
+            bc = boxes * 0.5
+            moved = pbc.wrap(pos + (bc - com)[:, None, :], boxes[:, None, :])
+            centered = moved - bc[:, None, :]
+            return jnp.einsum("fni,fji->fnj", centered, rot,
+                              precision=hi) + jnp.asarray(ref_com)
+        return pos + (jnp.asarray(ref_com) - com)[:, None, :]
+
+    return pos, boxes, w, fit_frames
+
+
 def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
          batch_size: int = 32):
     """Per-atom root-mean-square fluctuation of a selection (surpass —
@@ -1450,7 +1500,6 @@ def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
     import jax.numpy as jnp
 
     from ..parallel.engine import DeviceTrajectory
-    from ..system.rmsd import _extract, _masses
 
     gsel = np.asarray(system.group_indices(group))
     if gsel.size == 0:
@@ -1464,49 +1513,105 @@ def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
 
-    ref_sys = system if reference is None else reference
-    ref_coords, ref_center, ref_idx = _extract(ref_sys, group)
-    if ref_coords.shape[0] != gsel.shape[0]:
-        raise RMSDError(
-            f"group '{group}' has {ref_coords.shape[0]} atoms in reference "
-            f"but {gsel.shape[0]} in target", code="InconsistentGroup")
-    w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
-    ref_com = np.asarray(ref_sys.group_get_com(group), np.float32)
-
-    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
-    if dt.kind == "q16":
-        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
-    boxes = jnp.asarray(dt.boxes)
-    if boxes.ndim == 3:
-        raise RMSDError(
-            "rmsf fits against orthorhombic boxes (as calc_rmsd does); "
-            "got per-frame box matrices", code="InvalidSimBox")
-
-    hi = jax.lax.Precision.HIGHEST
+    pos, boxes, _, fit_frames = _fit_inputs(system, dt, cols, group, gsel,
+                                            reference, what="rmsf")
 
     @jax.jit
     def _rmsf(pos, boxes):
-        wj = jnp.asarray(w)
-        com = center_ops.center(pos, boxes[:, None, :], weights=wj)  # [F,3]
-        if fit:
-            rot, _ = rmsd_ops.rmsd_frames(
-                jnp.asarray(ref_coords), jnp.asarray(ref_center),
-                pos, boxes, wj)
-            # apply the fit (rmsd.rs:508-533 semantics, batched): translate
-            # the group COM to the box center (wrapping), rotate about it
-            # by R^T (row vectors), translate to the reference group COM
-            bc = boxes * 0.5
-            moved = pbc.wrap(pos + (bc - com)[:, None, :], boxes[:, None, :])
-            centered = moved - bc[:, None, :]
-            fitted = jnp.einsum("fni,fji->fnj", centered, rot,
-                                precision=hi) + jnp.asarray(ref_com)
-        else:
-            fitted = pos + (jnp.asarray(ref_com) - com)[:, None, :]
+        fitted = fit_frames(pos, boxes, fit)
         mean = jnp.mean(fitted, axis=0)
         d = fitted - mean[None]
         return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1), axis=0))
 
     return gsel, np.asarray(_rmsf(pos, boxes))
+
+
+def pca(system, trajectory, group: str, *, n_components: int | None = None,
+        reference=None, fit: bool = True, mass_weighted: bool = True,
+        batch_size: int = 32):
+    """Principal component analysis of positional fluctuations (surpass —
+    `gmx covar` + `gmx anaeig` semantics; the reference has no PCA).
+
+    Every frame is least-squares fitted onto the reference structure
+    (mass-weighted, exactly as `rmsf`/`calc_rmsd_and_fit`), then the
+    3K x 3K covariance of the (optionally sqrt-mass-weighted) positional
+    deviations is built in ONE `[F, 3K]^T @ [F, 3K]` matmul — the MXU's
+    native workload — and eigendecomposed on device; frame projections
+    onto the eigenvectors come from a second matmul.  The whole analysis
+    is a single jitted dispatch over the device-resident trajectory.
+
+    `trajectory` is a filename or a `DeviceTrajectory` whose layout
+    contains the group.  With `mass_weighted=True` (gmx covar default)
+    deviations are scaled by sqrt(m_i): eigenvalues are in amu nm^2 and
+    projections in amu^(1/2) nm; unweighted, nm^2 and nm.  Eigenvector
+    signs are fixed deterministically (largest-magnitude component
+    positive) so results are reproducible across backends.
+
+    Returns a dict:
+    - 'indices' [K]: the group's global atom indices
+    - 'mean' [K, 3]: trajectory-average fitted structure (nm)
+    - 'eigenvalues' [n]: descending
+    - 'eigenvectors' [n, K, 3]: unit mass-weighted-coordinate modes
+    - 'projections' [F, n]: per-frame coordinates along each mode
+    - 'trace': total (mass-weighted) fluctuation, sum of ALL eigenvalues
+      (gmx covar's "trace of the covariance matrix")
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+
+    pos, boxes, w, fit_frames = _fit_inputs(system, dt, cols, group, gsel,
+                                            reference, what="pca")
+    k = int(gsel.shape[0])
+    f = int(pos.shape[0])
+    if f < 2:
+        raise ParallelError(
+            f"pca needs at least 2 frames (trajectory has {f})")
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def _pca(pos, boxes):
+        fitted = fit_frames(pos, boxes, fit)
+        sw = (jnp.sqrt(jnp.asarray(w)) if mass_weighted
+              else jnp.ones((k,), jnp.float32))
+        mean = jnp.mean(fitted, axis=0)
+        x = ((fitted - mean[None]) * sw[None, :, None]).reshape(f, 3 * k)
+        cov = jnp.matmul(x.T, x, precision=hi) / f
+        evals, evecs = jnp.linalg.eigh(cov)       # ascending
+        evals = evals[::-1]
+        evecs = evecs[:, ::-1]
+        # deterministic sign: largest-|component| entry positive
+        amax = jnp.argmax(jnp.abs(evecs), axis=0)
+        sign = jnp.sign(evecs[amax, jnp.arange(3 * k)])
+        sign = jnp.where(sign == 0, 1.0, sign)
+        evecs = evecs * sign[None]
+        proj = jnp.matmul(x, evecs, precision=hi)
+        return mean, evals, evecs, proj, jnp.trace(cov)
+
+    mean, evals, evecs, proj, trace = (np.asarray(a)
+                                       for a in _pca(pos, boxes))
+    n = 3 * k if n_components is None else min(int(n_components), 3 * k)
+    return {
+        "indices": gsel,
+        "mean": mean,
+        "eigenvalues": evals[:n],
+        "eigenvectors": evecs[:, :n].T.reshape(n, k, 3),
+        "projections": proj[:, :n],
+        "trace": float(trace),
+    }
 
 
 def order_parameters(system, trajectory, group: str, *, axis="z",
