@@ -23,8 +23,9 @@ from .pipeline import (
     pca,
     rmsf,
     run_many,
+    sasa,
     vacf,
 )
 
 __all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "pca",
-           "rmsf", "run_many", "vacf"]
+           "rmsf", "run_many", "sasa", "vacf"]
