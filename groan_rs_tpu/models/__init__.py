@@ -18,14 +18,18 @@ from .convert import (
 )
 from .pipeline import (
     TrajectoryAnalysis,
+    cluster,
     msd,
     order_parameters,
     pca,
+    ramachandran,
+    rmsd_matrix,
     rmsf,
     run_many,
     sasa,
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "msd", "order_parameters", "pca",
-           "rmsf", "run_many", "sasa", "vacf"]
+__all__ = ["TrajectoryAnalysis", "cluster", "msd", "order_parameters",
+           "pca", "ramachandran", "rmsd_matrix", "rmsf", "run_many",
+           "sasa", "vacf"]

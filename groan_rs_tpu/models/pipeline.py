@@ -1639,11 +1639,9 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
     Returns a dict: 'indices' [K], 'area' [F, K] (nm^2), 'total' [F].
     """
     from ..ops import sasa as sasa_ops
-    from ..parallel.engine import DeviceTrajectory
 
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="sasa")
 
     if radii is None:
         if not np.asarray(system.topology.has_vdw)[gsel].all():
@@ -1659,24 +1657,6 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
                 f"radii must have shape [{gsel.shape[0]}] to match group "
                 f"'{group}'", code="InvalidVdW")
 
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(system).runner(group=group)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-
-    import jax.numpy as jnp
-
-    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
-    if dt.kind == "q16":
-        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
-    boxes = jnp.asarray(dt.boxes)
-    if boxes.ndim == 3:
-        raise ParallelError(
-            "sasa supports orthorhombic boxes; got per-frame box matrices")
-
     areas, max_rel = sasa_ops.sasa_frames(
         pos, boxes, radii, probe=probe, n_points=n_points,
         max_neighbors=max_neighbors)
@@ -1689,6 +1669,177 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
     areas = np.asarray(areas)
     return {"indices": gsel, "area": areas,
             "total": areas.sum(axis=1)}
+
+
+def _resident_group_pos(system, trajectory, group, batch_size,
+                        require_ortho: str | None = None):
+    """Shared loader: the group's device-resident float32 positions
+    `[F, K, 3]`, boxes, global indices, and the DeviceTrajectory."""
+    import jax.numpy as jnp
+
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+
+    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    boxes = jnp.asarray(dt.boxes)
+    if require_ortho and boxes.ndim == 3:
+        raise ParallelError(
+            f"{require_ortho} supports orthorhombic boxes; got per-frame "
+            "box matrices")
+    return gsel, pos, boxes, dt
+
+
+def rmsd_matrix(system, trajectory, group: str, *, batch_size: int = 32,
+                chunk: int = 8):
+    """All-pairs fitted RMSD matrix of a trajectory (surpass — the
+    `gmx rms -m` workload; the reference computes single-pair RMSD only,
+    rmsd.rs:432).
+
+    Every frame pair is fitted and scored with EXACTLY the `calc_rmsd`
+    convention (mass-weighted centroids, unweighted covariance fit,
+    mass-weighted deviations), batched on device: rows of the matrix
+    evaluate `chunk` at a time, each as one QCP eigenproblem batch over
+    all F columns (`ops.rmsd.rmsd_matrix`).  Feeds `models.cluster`.
+
+    Returns `(indices [K], matrix [F, F])` in nm.
+    """
+    from ..system.rmsd import _masses
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="rmsd_matrix")
+    w = _masses(system, group, gsel)
+    m = np.asarray(rmsd_ops.rmsd_matrix(pos, boxes, w, chunk=chunk))
+    return gsel, m
+
+
+def cluster(system, trajectory=None, group: str | None = None, *,
+            cutoff: float = 0.1, matrix=None, batch_size: int = 32,
+            chunk: int = 8):
+    """GROMOS conformational clustering (surpass — `gmx cluster -method
+    gromos`, Daura et al. 1999; absent from the reference).
+
+    Builds the all-pairs fitted RMSD matrix on device (`rmsd_matrix`),
+    then iteratively: take the frame with the most neighbours within
+    `cutoff` (nm) as a cluster centre, assign it and its neighbours to
+    the cluster, remove them, repeat.  Ties break to the lowest frame
+    index (gmx behaviour).  Pass a precomputed `matrix` ([F, F]) to skip
+    the device pass (e.g. to sweep cutoffs).
+
+    Returns a dict:
+    - 'labels' [F]: cluster id per frame (0 = largest-first order)
+    - 'centers' [C]: the medoid frame index of each cluster
+    - 'sizes' [C]: frames per cluster
+    - 'matrix' [F, F]: the RMSD matrix used
+    """
+    if matrix is None:
+        if trajectory is None or group is None:
+            raise ParallelError(
+                "cluster needs (trajectory, group) or a precomputed matrix")
+        _, matrix = rmsd_matrix(system, trajectory, group,
+                                batch_size=batch_size, chunk=chunk)
+    matrix = np.asarray(matrix)
+    f = matrix.shape[0]
+    if matrix.shape != (f, f):
+        raise ParallelError(f"matrix must be square, got {matrix.shape}")
+
+    neigh = matrix < float(cutoff)
+    np.fill_diagonal(neigh, True)          # a frame is its own neighbour
+    alive = np.ones(f, bool)
+    labels = np.full(f, -1, np.int64)
+    centers, sizes = [], []
+    while alive.any():
+        counts = (neigh & alive[None, :]).sum(axis=1)
+        counts[~alive] = -1
+        c = int(np.argmax(counts))         # ties -> lowest index
+        members = neigh[c] & alive
+        labels[members] = len(centers)
+        centers.append(c)
+        sizes.append(int(members.sum()))
+        alive &= ~members
+    return {"labels": labels, "centers": np.asarray(centers, np.int64),
+            "sizes": np.asarray(sizes, np.int64), "matrix": matrix}
+
+
+def ramachandran(system, trajectory, group: str, *, batch_size: int = 32,
+                 triclinic: bool = False):
+    """Backbone phi/psi dihedrals per residue per frame (surpass — the
+    `gmx rama` / Ramachandran workload; absent from the reference).
+
+    phi_i = C(i-1)-N(i)-CA(i)-C(i), psi_i = N(i)-CA(i)-C(i)-N(i+1),
+    built from atom names (N/CA/C) within `group`.  Residues pair only
+    when adjacent (same chain, resnum difference 1) — chain breaks and
+    gaps produce no angle, exactly like gmx.  Only residues with BOTH
+    angles defined are reported.  The whole [F, R, 2] table evaluates
+    as one batched `add_dihedrals` pass on device.
+
+    Returns a dict: 'resids' [R], 'resnames' [R], 'phi' [F, R],
+    'psi' [F, R] (signed degrees, IUPAC convention).
+    """
+    idx = np.asarray(system.group_indices(group))
+    if idx.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    topo = system.topology
+    names = topo.atomname
+    resnum = np.asarray(topo.resnum)
+    chains = topo.chain
+
+    # first N/CA/C of each residue, residues in order of appearance
+    residues: dict[tuple, dict] = {}
+    order = []
+    for a in idx:
+        key = (chains.get(a), int(resnum[a]))
+        if key not in residues:
+            residues[key] = {}
+            order.append(key)
+        nm = names.get(a)
+        if nm in ("N", "CA", "C") and nm not in residues[key]:
+            residues[key][nm] = int(a)
+
+    phi_sites, psi_sites, out_keys = [], [], []
+    for i, key in enumerate(order):
+        r = residues[key]
+        if not all(n in r for n in ("N", "CA", "C")):
+            continue
+        prev = order[i - 1] if i > 0 else None
+        nxt = order[i + 1] if i + 1 < len(order) else None
+        has_phi = (prev is not None and prev[0] == key[0]
+                   and prev[1] == key[1] - 1 and "C" in residues[prev])
+        has_psi = (nxt is not None and nxt[0] == key[0]
+                   and nxt[1] == key[1] + 1 and "N" in residues[nxt])
+        if has_phi and has_psi:
+            phi_sites.append([residues[prev]["C"], r["N"], r["CA"], r["C"]])
+            psi_sites.append([r["N"], r["CA"], r["C"], residues[nxt]["N"]])
+            out_keys.append(key)
+    if not out_keys:
+        raise GroupError(
+            f"group '{group}' has no residue with both phi and psi "
+            "(needs N/CA/C names and adjacent residues)",
+            code="InvalidSelection")
+
+    pipe = (TrajectoryAnalysis(system, triclinic=triclinic)
+            .add_dihedrals(np.asarray(phi_sites), name="phi")
+            .add_dihedrals(np.asarray(psi_sites), name="psi"))
+    out = pipe.run(trajectory, batch_size=batch_size)
+
+    resids = np.asarray([k[1] for k in out_keys], np.int64)
+    first_atom = {k: residues[k]["CA"] for k in out_keys}
+    resnames = np.asarray(
+        [topo.resname.get(first_atom[k]) for k in out_keys], object)
+    return {"resids": resids, "resnames": resnames,
+            "phi": np.asarray(out["phi"]), "psi": np.asarray(out["psi"])}
 
 
 def order_parameters(system, trajectory, group: str, *, axis="z",

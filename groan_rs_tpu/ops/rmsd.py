@@ -37,6 +37,7 @@ __all__ = [
     "kabsch",
     "prepare_coords",
     "rmsd_frames",
+    "rmsd_matrix",
     "fit_transform",
     "prepare_coords_triclinic",
     "rmsd_frames_triclinic",
@@ -150,6 +151,45 @@ def rmsd_frames(ref_prepared, ref_center, frames, boxes, w, mask=None):
         tgt_center,
     )
     return r, rms
+
+
+def rmsd_matrix(frames, boxes, w, *, chunk: int = 8):
+    """All-pairs fitted RMSD of a frame batch -> `[F, F]` (the `gmx rms
+    -m` matrix; feeds GROMOS clustering).
+
+    frames: `[F, K, 3]` group coords per frame; boxes: `[F, 3]`; w: `[K]`
+    masses.  Every pair uses EXACTLY the single-pair `calc_rmsd`
+    convention (mass-weighted centroids, unweighted covariance, mass-
+    weighted deviations — rmsd.rs:547-604), so `out[i, j]` equals
+    `calc_rmsd` between frame-i and frame-j systems; the matrix is
+    exactly symmetric with a zero diagonal by that convention.  Rows are
+    processed `chunk` at a time under `lax.map` so peak memory is
+    `[chunk, F, K, 3]` while the covariance builds stay batched MXU
+    einsums.
+    """
+    frames = jnp.asarray(frames, jnp.float32)
+    f = int(frames.shape[0])
+    prepped, ctr = prepare_coords(frames, boxes, weights=w)  # [F,K,3],[F,3]
+
+    n_chunks = -(-f // chunk)
+    pad = n_chunks * chunk - f
+    if pad:
+        prepped_p = jnp.concatenate([prepped, prepped[:pad]], axis=0)
+        ctr_p = jnp.concatenate([ctr, ctr[:pad]], axis=0)
+    else:
+        prepped_p, ctr_p = prepped, ctr
+
+    wj = jnp.asarray(w, jnp.float32)
+
+    def rows(start):
+        p = jax.lax.dynamic_slice_in_dim(prepped_p, start, chunk, axis=0)
+        cp = jax.lax.dynamic_slice_in_dim(ctr_p, start, chunk, axis=0)
+        _, _, rms = kabsch(p[:, None], prepped[None], wj,
+                           cp[:, None], ctr[None])
+        return rms                                           # [chunk, F]
+
+    out = jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
+    return out.reshape(-1, f)[:f]
 
 
 def prepare_coords_triclinic(positions, box_matrix, mask=None, weights=None):

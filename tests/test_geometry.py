@@ -203,3 +203,95 @@ def test_geometry_no_sharded_formulation():
     s = _tiny_system(np.zeros((4, 3), np.float32))
     with pytest.raises(ParallelError, match="atoms-sharded"):
         compile_decl({"kind": "angles", "name": "a"}, s)
+
+
+def _named_system(pts, names, resnums, box=(10.0, 10.0, 10.0)):
+    from groan_rs_tpu.core.topology import StrColumn
+
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    topo = Topology(n)
+    topo.atomnum = np.arange(1, n + 1, dtype=np.int64)
+    topo.resnum = np.asarray(resnums, np.int64)
+    topo.atomname = StrColumn(values=list(names))
+    topo.resname = StrColumn(values=["ALA"] * n)
+    s = System("rama", topo, simbox=SimBox.from_lengths(*box),
+               positions=pts)
+    s.group_create_from_ranges("All", [(0, n - 1)])
+    return s
+
+
+def test_ramachandran_synthetic_chain(tmp_path):
+    from groan_rs_tpu import models
+    from groan_rs_tpu.io import native
+
+    # 4 residues x (N, CA, C, O); interior residues 2 and 3 get phi/psi
+    rng = np.random.default_rng(8)
+    nres = 4
+    names = ["N", "CA", "C", "O"] * nres
+    resnums = np.repeat(np.arange(1, nres + 1), 4)
+    pts = (rng.uniform(-1.2, 1.2, size=(len(names), 3)) + 5.0)
+
+    box9 = np.diag([10.0, 10.0, 10.0]).astype(np.float32).reshape(9)
+    path = str(tmp_path / "rama.xtc")
+    frames = np.stack([pts, pts + rng.normal(size=pts.shape) * 0.1])
+    for f in range(2):
+        native.xtc_write_frame(path, len(names), f, float(f), box9,
+                               frames[f].astype(np.float32), 10000.0)
+
+    s = _named_system(pts, names, resnums)
+    out = models.ramachandran(s, path, "All")
+    assert out["resids"].tolist() == [2, 3]
+    assert out["phi"].shape == out["psi"].shape == (2, 2)
+
+    # oracle: dihedrals over hand-built site tables on the decoded coords
+    offsets, _, _, natoms = native.xtc_scan(path)
+    coords, b9, *_ = native.xtc_read_frames(path, offsets, natoms)
+    boxes = b9[:, [0, 4, 8]]
+    at = {(r, nm): 4 * (r - 1) + ["N", "CA", "C", "O"].index(nm)
+          for r in range(1, nres + 1) for nm in ("N", "CA", "C", "O")}
+    for j, r in enumerate((2, 3)):
+        phi_sites = [at[(r - 1, "C")], at[(r, "N")], at[(r, "CA")],
+                     at[(r, "C")]]
+        psi_sites = [at[(r, "N")], at[(r, "CA")], at[(r, "C")],
+                     at[(r + 1, "N")]]
+        exp_phi = geometry.dihedrals_host_f64(
+            coords[:, [phi_sites[0]]], coords[:, [phi_sites[1]]],
+            coords[:, [phi_sites[2]]], coords[:, [phi_sites[3]]], boxes)
+        exp_psi = geometry.dihedrals_host_f64(
+            coords[:, [psi_sites[0]]], coords[:, [psi_sites[1]]],
+            coords[:, [psi_sites[2]]], coords[:, [psi_sites[3]]], boxes)
+        np.testing.assert_allclose(out["phi"][:, j], exp_phi[:, 0],
+                                   atol=2e-2)
+        np.testing.assert_allclose(out["psi"][:, j], exp_psi[:, 0],
+                                   atol=2e-2)
+
+
+def test_ramachandran_gap_and_errors(tmp_path):
+    from groan_rs_tpu import models
+
+    rng = np.random.default_rng(2)
+    # residues 1,2,4,5: no residue has BOTH neighbours -> explicit error
+    names = ["N", "CA", "C"] * 4
+    resnums = np.repeat([1, 2, 4, 5], 3)
+    pts = rng.uniform(3.0, 7.0, size=(12, 3))
+    s = _named_system(pts, names, resnums)
+    with pytest.raises(GroupError, match="phi and psi"):
+        models.ramachandran(s, "unused.xtc", "All")
+
+
+def test_ramachandran_fixture_peptide():
+    from groan_rs_tpu import models
+    from groan_rs_tpu.io import native
+
+    s = System.from_file(os.path.join(TF, "aa_membrane_peptide.gro"))
+    s.group_create("Peptide", "@protein")
+    xtc = os.path.join(TF, "aa_membrane_peptide.xtc")
+    out = models.ramachandran(s, xtc, "Peptide")
+    f, r = out["phi"].shape
+    assert f > 0 and r >= 3
+    assert out["psi"].shape == (f, r)
+    assert np.isfinite(out["phi"]).all() and np.isfinite(out["psi"]).all()
+    assert (np.abs(out["phi"]) <= 180.0).all()
+    # a helical membrane peptide: phi clusters near -60, psi near -45
+    assert -180.0 < float(np.median(out["phi"])) < 0.0
