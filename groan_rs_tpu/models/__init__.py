@@ -19,6 +19,7 @@ from .convert import (
 from .pipeline import (
     TrajectoryAnalysis,
     cluster,
+    mdmat,
     msd,
     order_parameters,
     pca,
@@ -30,6 +31,6 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "msd", "order_parameters",
+__all__ = ["TrajectoryAnalysis", "cluster", "mdmat", "msd", "order_parameters",
            "pca", "ramachandran", "rmsd_matrix", "rmsf", "run_many",
            "sasa", "vacf"]

@@ -1773,6 +1773,62 @@ def cluster(system, trajectory=None, group: str | None = None, *,
             "sizes": np.asarray(sizes, np.int64), "matrix": matrix}
 
 
+def _residue_blocks(system, gsel):
+    """Group atoms split by (chain, resnum) in order of appearance.
+
+    Returns (resids [R], resnames [R], blocks: list of local-index
+    lists into the group's own 0..K-1 layout)."""
+    topo = system.topology
+    resnum = np.asarray(topo.resnum)
+    chains = topo.chain
+    order, blocks = [], {}
+    for local, a in enumerate(gsel):
+        key = (chains.get(int(a)), int(resnum[a]))
+        if key not in blocks:
+            blocks[key] = []
+            order.append(key)
+        blocks[key].append(local)
+    resids = np.asarray([k[1] for k in order], np.int64)
+    resnames = np.asarray(
+        [topo.resname.get(int(gsel[blocks[k][0]])) for k in order], object)
+    return resids, resnames, [blocks[k] for k in order]
+
+
+def mdmat(system, trajectory, group: str, *, per_frame: bool = False,
+          batch_size: int = 32, chunk: int = 16):
+    """Residue-residue smallest-distance matrix (surpass — `gmx mdmat`;
+    the reference has whole-group N x M atom matrices only,
+    analysis.rs:401).
+
+    For every frame and residue pair (i, j) within `group`: the
+    smallest minimum-image atom-atom distance between residue i's and
+    residue j's atoms, evaluated as chunked dense tensor ops on the
+    device-resident trajectory (`ops.distances.residue_min_matrix`).
+    Residues are (chain, resnum) blocks in order of appearance.
+
+    Returns a dict: 'resids' [R], 'resnames' [R], 'mean' [R, R] nm
+    (frame average), and with `per_frame=True` also 'frames' [F, R, R].
+    """
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="mdmat")
+    resids, resnames, blocks = _residue_blocks(system, gsel)
+    r = len(blocks)
+    p = max(len(b) for b in blocks)
+    block_idx = np.zeros((r, p), np.int32)
+    block_mask = np.zeros((r, p), bool)
+    for i, b in enumerate(blocks):
+        block_idx[i, : len(b)] = b
+        block_mask[i, : len(b)] = True
+
+    m = np.asarray(distance_ops.residue_min_matrix(
+        pos, boxes, block_idx, block_mask, chunk=chunk))
+    out = {"resids": resids, "resnames": resnames,
+           "mean": m.mean(axis=0)}
+    if per_frame:
+        out["frames"] = m
+    return out
+
+
 def ramachandran(system, trajectory, group: str, *, batch_size: int = 32,
                  triclinic: bool = False):
     """Backbone phi/psi dihedrals per residue per frame (surpass — the

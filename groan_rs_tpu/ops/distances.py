@@ -48,7 +48,52 @@ __all__ = [
     "distance_matrix_masked",
     "contact_count",
     "min_distance",
+    "residue_min_matrix",
 ]
+
+
+def residue_min_matrix(pos, boxes, block_idx, block_mask, *,
+                       chunk: int = 16):
+    """Smallest atom-atom PBC distance between residue blocks, per frame
+    (the `gmx mdmat` kernel; surpass — the reference has whole-group
+    N x M matrices only, analysis.rs:401).
+
+    pos: `[F, K, 3]`; boxes: `[F, 3]`; block_idx: `[R, P]` atom indices
+    into K, padded; block_mask: `[R, P]` validity.  Returns `[F, R, R]`.
+    Rows evaluate `chunk` residues at a time under `lax.map` so peak
+    memory is the `[chunk, R, P, P, 3]` displacement tile.
+    """
+    import jax
+
+    pos = jnp.asarray(pos, jnp.float32)
+    bi = jnp.asarray(block_idx, jnp.int32)
+    bm = jnp.asarray(block_mask, bool)
+    r, p = bi.shape
+    n_chunks = -(-r // chunk)
+    pad = n_chunks * chunk - r
+    bi_p = jnp.concatenate([bi, jnp.zeros((pad, p), bi.dtype)]) if pad else bi
+    bm_p = jnp.concatenate([bm, jnp.zeros((pad, p), bool)]) if pad else bm
+    big = jnp.float32(1e30)
+
+    def one_frame(args):
+        pf, box = args
+        g = pf[bi]                                   # [R, P, 3]
+        g_p = pf[bi_p]                               # [R+pad, P, 3]
+
+        def rows(start):
+            ga = jax.lax.dynamic_slice_in_dim(g_p, start, chunk)  # [C,P,3]
+            ma = jax.lax.dynamic_slice_in_dim(bm_p, start, chunk)  # [C,P]
+            d = ga[:, None, :, None, :] - g[None, :, None, :, :]
+            d = min_image(d, box)                     # [C, R, P, P, 3]
+            d2 = jnp.sum(d * d, axis=-1)
+            valid = ma[:, None, :, None] & bm[None, :, None, :]
+            d2 = jnp.where(valid, d2, big)
+            return jnp.sqrt(jnp.min(d2, axis=(-2, -1)))  # [C, R]
+
+        out = jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
+        return out.reshape(-1, r)[:r]
+
+    return jax.lax.map(one_frame, (pos, boxes))
 
 
 def center_distance(pos_a, pos_b, box, dim_mask, mask_a=None, mask_b=None,
