@@ -1526,9 +1526,36 @@ def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
     return gsel, np.asarray(_rmsf(pos, boxes))
 
 
+def _pca_math(fitted, sw, fmask, reduce, k):
+    """Shared PCA core: deviations -> covariance -> eigh -> projections.
+
+    `reduce` folds frame-partial sums (identity locally, `psum` over the
+    'frames' mesh axis when sharded); `fmask` zeroes padded frames."""
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST
+    wsum = reduce(jnp.sum(fmask))
+    mean = reduce(jnp.sum(fitted * fmask[:, None, None], axis=0)) / wsum
+    x = ((fitted - mean[None]) * sw[None, :, None]).reshape(
+        fitted.shape[0], 3 * k)
+    x = x * fmask[:, None]
+    cov = reduce(jnp.matmul(x.T, x, precision=hi)) / wsum
+    evals, evecs = jnp.linalg.eigh(cov)       # ascending
+    evals = evals[::-1]
+    evecs = evecs[:, ::-1]
+    # deterministic sign: largest-|component| entry positive
+    amax = jnp.argmax(jnp.abs(evecs), axis=0)
+    sign = jnp.sign(evecs[amax, jnp.arange(3 * k)])
+    sign = jnp.where(sign == 0, 1.0, sign)
+    evecs = evecs * sign[None]
+    proj = jnp.matmul(x, evecs, precision=hi)
+    return mean, evals, evecs, proj, jnp.trace(cov)
+
+
 def pca(system, trajectory, group: str, *, n_components: int | None = None,
         reference=None, fit: bool = True, mass_weighted: bool = True,
-        batch_size: int = 32):
+        batch_size: int = 32, mesh=None):
     """Principal component analysis of positional fluctuations (surpass —
     `gmx covar` + `gmx anaeig` semantics; the reference has no PCA).
 
@@ -1546,6 +1573,15 @@ def pca(system, trajectory, group: str, *, n_components: int | None = None,
     projections in amu^(1/2) nm; unweighted, nm^2 and nm.  Eigenvector
     signs are fixed deterministically (largest-magnitude component
     positive) so results are reproducible across backends.
+
+    With `mesh` (a `jax.sharding.Mesh` with a 'frames' axis) the whole
+    analysis runs as ONE `shard_map`: frames shard over devices, each
+    shard fits its frames and builds partial mean / `X^T X` sums,
+    `psum` over ICI combines them (two 3K-sized collectives total), and
+    the eigendecomposition replicates — the data-parallel training-step
+    shape.  Frame counts that don't divide the axis are zero-mask
+    padded, never truncated.  Results are identical to the single-device
+    path up to f32 reduction order.
 
     Returns a dict:
     - 'indices' [K]: the group's global atom indices
@@ -1580,29 +1616,47 @@ def pca(system, trajectory, group: str, *, n_components: int | None = None,
     if f < 2:
         raise ParallelError(
             f"pca needs at least 2 frames (trajectory has {f})")
-    hi = jax.lax.Precision.HIGHEST
+    sw_np = (np.sqrt(np.asarray(w, np.float32)) if mass_weighted
+             else np.ones((k,), np.float32))
 
-    @jax.jit
-    def _pca(pos, boxes):
-        fitted = fit_frames(pos, boxes, fit)
-        sw = (jnp.sqrt(jnp.asarray(w)) if mass_weighted
-              else jnp.ones((k,), jnp.float32))
-        mean = jnp.mean(fitted, axis=0)
-        x = ((fitted - mean[None]) * sw[None, :, None]).reshape(f, 3 * k)
-        cov = jnp.matmul(x.T, x, precision=hi) / f
-        evals, evecs = jnp.linalg.eigh(cov)       # ascending
-        evals = evals[::-1]
-        evecs = evecs[:, ::-1]
-        # deterministic sign: largest-|component| entry positive
-        amax = jnp.argmax(jnp.abs(evecs), axis=0)
-        sign = jnp.sign(evecs[amax, jnp.arange(3 * k)])
-        sign = jnp.where(sign == 0, 1.0, sign)
-        evecs = evecs * sign[None]
-        proj = jnp.matmul(x, evecs, precision=hi)
-        return mean, evals, evecs, proj, jnp.trace(cov)
+    if mesh is None:
+        @jax.jit
+        def _pca(pos, boxes):
+            fitted = fit_frames(pos, boxes, fit)
+            return _pca_math(fitted, jnp.asarray(sw_np),
+                             jnp.ones((f,), jnp.float32),
+                             lambda t: t, k)
 
-    mean, evals, evecs, proj, trace = (np.asarray(a)
-                                       for a in _pca(pos, boxes))
+        mean, evals, evecs, proj, trace = (np.asarray(a)
+                                           for a in _pca(pos, boxes))
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        nd = int(mesh.shape.get("frames", 1))
+        f_pad = (-f) % nd
+        fmask = np.concatenate([np.ones(f, np.float32),
+                                np.zeros(f_pad, np.float32)])
+        if f_pad:
+            pos = jnp.concatenate([pos, pos[:f_pad]], axis=0)
+            boxes = jnp.concatenate([boxes, boxes[:f_pad]], axis=0)
+        sf = PartitionSpec("frames")
+        sr = PartitionSpec()
+
+        def _pca_shard(pos, boxes, fmask):
+            fitted = fit_frames(pos, boxes, fit)
+            return _pca_math(fitted, jnp.asarray(sw_np), fmask,
+                             lambda t: jax.lax.psum(t, "frames"), k)
+
+        stepped = jax.jit(shard_map(
+            _pca_shard, mesh=mesh,
+            in_specs=(sf, sf, sf),
+            out_specs=(sr, sr, sr, sf, sr)))
+        sharding = NamedSharding(mesh, sf)
+        mean, evals, evecs, proj, trace = (np.asarray(a) for a in stepped(
+            jax.device_put(pos, sharding), jax.device_put(boxes, sharding),
+            jax.device_put(jnp.asarray(fmask), sharding)))
+        proj = proj[:f]
     n = 3 * k if n_components is None else min(int(n_components), 3 * k)
     return {
         "indices": gsel,

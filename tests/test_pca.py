@@ -170,3 +170,33 @@ def test_pca_fixture_protein():
     assert np.isfinite(out["projections"]).all()
     # a handful of collective modes dominate a short protein trajectory
     assert ev[:8].sum() > 0.5 * out["trace"]
+
+
+def test_pca_frame_sharded_mesh_equality(tmp_path):
+    """The frame-sharded shard_map path (partial mean / X^T X psum over
+    the 'frames' axis) must match the single-device path, including a
+    frame count that does NOT divide the mesh axis (zero-mask padding)."""
+    import jax
+
+    from groan_rs_tpu.parallel.engine import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    frames, masses = _frames(n_frames=13, noise=0.06, seed=21)  # 13 % 8 != 0
+    path = str(tmp_path / "mesh.xtc")
+    _write_xtc(path, frames)
+    s = _system(frames.shape[1], masses, frames[0])
+
+    single = models.pca(s, path, "All", n_components=6)
+    mesh = make_mesh(8, 1)
+    sharded = models.pca(s, path, "All", n_components=6, mesh=mesh)
+    np.testing.assert_allclose(sharded["eigenvalues"],
+                               single["eigenvalues"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sharded["trace"], single["trace"], rtol=1e-4)
+    np.testing.assert_allclose(sharded["mean"], single["mean"], atol=1e-5)
+    # eigenvectors and projections agree up to f32 reduction order
+    np.testing.assert_allclose(np.abs(sharded["eigenvectors"]),
+                               np.abs(single["eigenvectors"]), atol=5e-3)
+    np.testing.assert_allclose(sharded["projections"],
+                               single["projections"], atol=5e-3)
+    assert sharded["projections"].shape == (13, 6)
