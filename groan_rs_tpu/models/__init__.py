@@ -19,6 +19,7 @@ from .convert import (
 from .pipeline import (
     TrajectoryAnalysis,
     cluster,
+    dssp,
     mdmat,
     msd,
     order_parameters,
@@ -31,6 +32,7 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "mdmat", "msd", "order_parameters",
+__all__ = ["TrajectoryAnalysis", "cluster", "dssp", "mdmat", "msd",
+           "order_parameters",
            "pca", "ramachandran", "rmsd_matrix", "rmsf", "run_many",
            "sasa", "vacf"]
