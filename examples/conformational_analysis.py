@@ -69,6 +69,23 @@ def main():
           f" nm^2; most exposed atom index "
           f"{int(sa['indices'][sa['area'].mean(0).argmax()])}")
 
+    # --- DSSP secondary structure (gmx do_dssp) -----------------------
+    ss = models.dssp(pep, os.path.join(TF, "aa_membrane_peptide.xtc"),
+                     "Peptide")
+    print(f"dssp: frame 0: {''.join(ss['ss'][0])}")
+    print(f"      helix {100 * ss['frac']['H']:.0f}%  strand "
+          f"{100 * ss['frac']['E']:.0f}%  loop {100 * ss['frac']['-']:.0f}%")
+
+    # --- residue contact matrix (gmx mdmat) ---------------------------
+    mm = models.mdmat(s, xtc, "Protein")
+    r = mm["mean"].shape[0]
+    off = np.abs(np.subtract.outer(np.arange(r), np.arange(r))) >= 3
+    i, j = np.unravel_index(np.argmin(np.where(off, mm["mean"], np.inf)),
+                            mm["mean"].shape)
+    print(f"mdmat: {r}x{r} residue matrix; closest long-range pair "
+          f"resid {mm['resids'][i]}-{mm['resids'][j]} at "
+          f"{mm['mean'][i, j]:.3f} nm")
+
     # --- angle table (gmx angle) over explicit sites ------------------
     from groan_rs_tpu.models import TrajectoryAnalysis
 
