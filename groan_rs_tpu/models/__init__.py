@@ -24,6 +24,7 @@ from .pipeline import (
     msd,
     order_parameters,
     pca,
+    potential_profile,
     ramachandran,
     rmsd_matrix,
     rmsf,
@@ -34,5 +35,6 @@ from .pipeline import (
 
 __all__ = ["TrajectoryAnalysis", "cluster", "dssp", "mdmat", "msd",
            "order_parameters",
-           "pca", "ramachandran", "rmsd_matrix", "rmsf", "run_many",
+           "pca", "potential_profile", "ramachandran", "rmsd_matrix",
+           "rmsf", "run_many",
            "sasa", "vacf"]

@@ -1962,6 +1962,62 @@ def dssp(system, trajectory, group: str, *, batch_size: int = 32):
     return {"resids": resids, "resnames": resnames, "ss": ss, "frac": frac}
 
 
+_E_OVER_EPS0_NM = 18.0951262     # e/(eps0 * nm) in volts (CODATA 2018)
+
+
+def potential_profile(system, trajectory, group: str, *, axis: str = "z",
+                      n_bins: int = 100, batch_size: int = 32):
+    """Electrostatic potential profile along a box axis (surpass —
+    `gmx potential`; absent from the reference).
+
+    The per-frame charge density profile rho(z) evaluates on device
+    (`add_density_profile(mode='charge')`, e/nm^3 in fractional slabs);
+    Poisson's equation is then integrated twice per frame host-side
+    (E(z) = (1/eps0) int rho dz', psi(z) = -int E dz', rectangle rule on
+    the slab grid, psi(0) = 0 at the box bottom — gmx potential's
+    convention) and averaged over frames.
+
+    Returns a dict: 'centers' [n_bins] (nm, mean box), 'rho' [n_bins]
+    (e/nm^3, frame mean), 'field' [n_bins] (V/nm), 'psi' [n_bins] (V).
+    """
+    ax = {"x": 0, "y": 1, "z": 2}.get(axis)
+    if ax is None:
+        raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
+                         code="InvalidAxis")
+    pipe = TrajectoryAnalysis(system).add_density_profile(
+        group, axis=axis, n_bins=n_bins, mode="charge", name="rho")
+    runner = pipe.runner(group=None, ship="all")
+    out = runner.run(trajectory, batch_size=batch_size)
+    rho = np.asarray(out["rho"], np.float64)              # [F, n_bins]
+    from ..parallel.engine import DeviceTrajectory
+
+    if isinstance(trajectory, DeviceTrajectory):
+        boxes = np.asarray(trajectory.boxes, np.float64)
+        if boxes.ndim == 3:
+            raise ParallelError(
+                "potential_profile supports orthorhombic boxes")
+        lz = boxes[:, ax]
+    else:
+        from ..io.traj import open_source
+
+        src = open_source(trajectory)
+        b = src.read_batch(np.arange(src.n_frames())).box_matrices()
+        lz = np.asarray([b[f][ax, ax] for f in range(b.shape[0])],
+                        np.float64)
+    if rho.shape[0] != lz.shape[0]:
+        raise ParallelError("frame count mismatch between profile and box")
+
+    dz = lz / n_bins                                      # [F]
+    # E_k = (e/eps0) * sum_{i<=k} rho_i * dz   (V/nm)
+    csum = np.cumsum(rho, axis=1)
+    field = _E_OVER_EPS0_NM * csum * dz[:, None]
+    # psi_k = -sum_{i<=k} E_i * dz   (V)
+    psi = -np.cumsum(field, axis=1) * dz[:, None]
+    centers = (np.arange(n_bins) + 0.5) / n_bins * lz.mean()
+    return {"centers": centers, "rho": rho.mean(0),
+            "field": field.mean(0), "psi": psi.mean(0)}
+
+
 def ramachandran(system, trajectory, group: str, *, batch_size: int = 32,
                  triclinic: bool = False):
     """Backbone phi/psi dihedrals per residue per frame (surpass — the
