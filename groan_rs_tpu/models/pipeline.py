@@ -667,6 +667,38 @@ class TrajectoryAnalysis:
         self._specs.append((nm, fn))
         return self
 
+    def add_in_shape(self, group: str, shape, name: str | None = None):
+        """Per-frame count of `group` atoms inside a geometric `Shape`
+        -> [F] (surpass — the batched form of the reference's
+        geometry-filtered iteration, `filter_geometry` /
+        `group_create_from_geometry`, which re-evaluates host-side per
+        frame; here every frame's membership is one fused device op
+        with exactly `Shape.inside`'s PBC semantics).
+
+        `shape`: a `core.shapes` Sphere / Rectangular / Cylinder.
+        Orthorhombic boxes (the shapes' own PBC contract).
+        """
+        if self.triclinic:
+            raise GroupError(
+                "shape observables use the shapes' orthorhombic PBC "
+                "semantics; triclinic pipelines are not supported",
+                code="InvalidSimBox")
+        # raise on unsupported shapes at build time, not in the trace
+        geometry.inside_shape(shape, np.zeros((1, 1, 3), np.float32),
+                              np.ones((1, 3), np.float32))
+        idx = self._register(self._indices(group))
+
+        def fn(pos, boxes):
+            import jax.numpy as jnp
+
+            g = idx.take(pos)
+            return jnp.sum(geometry.inside_shape(shape, g, boxes), axis=1)
+
+        nm = name or f"in_shape_{group}"
+        self._decls.append({"kind": "in_shape", "name": nm})
+        self._specs.append((nm, fn))
+        return self
+
     def add_hbonds(self, chains, pairs, max_distance: float = 0.35,
                    min_angle: float = 120.0, name: str | None = None,
                    method: str = "auto", strict: bool = True):

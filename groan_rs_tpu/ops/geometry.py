@@ -79,6 +79,57 @@ def dihedrals(a, b, c, d, boxes, *, triclinic: bool = False):
     return jnp.degrees(jnp.arctan2(y, x))
 
 
+def inside_shape(shape, pos, boxes):
+    """Jit-traceable batched membership for `core.shapes` shapes.
+
+    pos: `[B, N, 3]`; boxes: `[B, 3]` orthorhombic lengths.  Returns
+    `[B, N]` bool with EXACTLY `Shape.inside`'s PBC semantics
+    (shape.rs:114/256 asymmetries included: Sphere strict `<`,
+    Rectangular/Cylinder inclusive `<=`, oriented axis distances folded
+    to [0, L)).  The host `Shape.inside` materializes numpy; this is the
+    device-side twin used by per-frame shape observables.
+    """
+    import jax.numpy as jnp
+
+    from ..core.shapes import Cylinder, Rectangular, Sphere, _AXIS
+    from .pbc import min_image
+
+    pos = jnp.asarray(pos, jnp.float32)
+    boxes = jnp.asarray(boxes, jnp.float32)
+
+    def axis_dist(ax, anchor):
+        d = min_image(pos[..., ax] - jnp.float32(anchor),
+                      boxes[:, None, ax])
+        return jnp.where(d < 0, d + boxes[:, None, ax], d)
+
+    def plane_dist2(center, dims):
+        d = min_image(pos - jnp.asarray(center, jnp.float32),
+                      boxes[:, None, :])
+        m = jnp.asarray([ax in dims for ax in range(3)], bool)
+        d = jnp.where(m, d, 0.0)
+        return jnp.sum(d * d, axis=-1)
+
+    if isinstance(shape, Sphere):
+        return plane_dist2(shape.position, (0, 1, 2)) \
+            < jnp.float32(shape.radius) ** 2
+    if isinstance(shape, Rectangular):
+        return (axis_dist(0, shape.position[0]) <= jnp.float32(shape.x)) \
+            & (axis_dist(1, shape.position[1]) <= jnp.float32(shape.y)) \
+            & (axis_dist(2, shape.position[2]) <= jnp.float32(shape.z))
+    if isinstance(shape, Cylinder):
+        ax = _AXIS[shape.orientation]
+        dims = tuple(i for i in range(3) if i != ax)
+        return (axis_dist(ax, shape.position[ax])
+                <= jnp.float32(shape.height)) \
+            & (plane_dist2(shape.position, dims)
+               <= jnp.float32(shape.radius) ** 2)
+    from ..errors import ShapeError
+
+    raise ShapeError(
+        f"shape {type(shape).__name__} has no device formulation "
+        "(Sphere/Rectangular/Cylinder supported)")
+
+
 # ----------------------------------------------------------------- oracles
 
 

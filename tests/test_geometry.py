@@ -295,3 +295,53 @@ def test_ramachandran_fixture_peptide():
     assert (np.abs(out["phi"]) <= 180.0).all()
     # a helical membrane peptide: phi clusters near -60, psi near -45
     assert -180.0 < float(np.median(out["phi"])) < 0.0
+
+
+def test_in_shape_observable_matches_host_shapes(tmp_path):
+    """add_in_shape == host Shape.inside sums on the decoded coords, for
+    all three shapes, including PBC-wrapped members."""
+    from groan_rs_tpu.core.dimension import Dimension
+    from groan_rs_tpu.core.shapes import Cylinder, Rectangular, Sphere
+    from groan_rs_tpu.io import native
+
+    rng = np.random.default_rng(11)
+    k, f = 120, 5
+    box = np.array([6.0, 6.0, 6.0], np.float32)
+    pts = rng.uniform(0, 1, size=(f, k, 3)).astype(np.float32) * box
+    path = str(tmp_path / "s.xtc")
+    b9 = np.diag(box).astype(np.float32).reshape(9)
+    for i in range(f):
+        native.xtc_write_frame(path, k, i, float(i), b9, pts[i], 10000.0)
+    s = _tiny_system(pts[0], box=tuple(map(float, box)))
+    s.group_create_from_ranges("All", [(0, k - 1)])
+
+    shapes = {
+        "sph": Sphere([5.8, 3.0, 3.0], 1.5),        # wraps through a face
+        "rect": Rectangular([4.5, 4.5, 4.5], 2.5, 2.0, 3.0),
+        "cyl": Cylinder([3.0, 3.0, 5.5], 1.2, 2.0, Dimension.Z),
+    }
+    pipe = TrajectoryAnalysis(s)
+    for nm, sh in shapes.items():
+        pipe.add_in_shape("All", sh, name=nm)
+    out = pipe.run(path, batch_size=2)
+
+    offsets, _, _, natoms = native.xtc_scan(path)
+    coords, b9r, *_ = native.xtc_read_frames(path, offsets, natoms)
+    for nm, sh in shapes.items():
+        for fi in range(f):
+            expect = int(sh.inside(coords[fi], box).sum())
+            assert int(out[nm][fi]) == expect, (nm, fi)
+        assert out[nm].max() > 0          # shapes actually catch atoms
+
+
+def test_in_shape_build_time_errors():
+    from groan_rs_tpu.core.shapes import Shape, Sphere
+    from groan_rs_tpu.errors import ShapeError
+
+    s = _tiny_system(np.zeros((4, 3), np.float32))
+    s.group_create_from_ranges("All", [(0, 3)])
+    with pytest.raises(ShapeError, match="device formulation"):
+        TrajectoryAnalysis(s).add_in_shape("All", Shape())
+    with pytest.raises(GroupError, match="triclinic"):
+        TrajectoryAnalysis(s, triclinic=True).add_in_shape(
+            "All", Sphere([1, 1, 1], 0.5))
