@@ -28,6 +28,7 @@ from .pipeline import (
     ramachandran,
     rmsd_matrix,
     rmsf,
+    rotacf,
     run_many,
     sasa,
     vacf,
@@ -36,5 +37,5 @@ from .pipeline import (
 __all__ = ["TrajectoryAnalysis", "cluster", "dssp", "mdmat", "msd",
            "order_parameters",
            "pca", "potential_profile", "ramachandran", "rmsd_matrix",
-           "rmsf", "run_many",
+           "rmsf", "rotacf", "run_many",
            "sasa", "vacf"]

@@ -1994,6 +1994,84 @@ def dssp(system, trajectory, group: str, *, batch_size: int = 32):
     return {"resids": resids, "resnames": resnames, "ss": ss, "frac": frac}
 
 
+def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
+           batch_size: int = 32):
+    """Rotational autocorrelation of axis vectors (surpass — `gmx
+    rotacf -P {1,2}`; absent from the reference).
+
+    `pairs`: `[K, 2]` atom indices; per frame, u = unit minimum-image
+    vector from pairs[:, 1] to pairs[:, 0].  C_n(tau) =
+    <P_n(u(t) . u(t+tau))> over time origins and vectors, the whole
+    curve in one `lax.map` dispatch over the device-resident
+    trajectory (only the pairs' atoms are decoded and shipped).
+
+    Returns `(lag_times, curve)`: [L] ps, [L].
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+    from ..parallel.engine import DeviceTrajectory
+
+    pairs = np.asarray(pairs, np.int64)
+    if pairs.ndim != 2 or pairs.shape[1] != 2 or pairs.shape[0] == 0:
+        raise GroupError("pairs must be a non-empty [K, 2] array of atom "
+                         "indices", code="InvalidSelection")
+    n = int(system.get_n_atoms())
+    if pairs.min() < 0 or pairs.max() >= n:
+        raise GroupError(f"pairs reference atoms outside 0..{n - 1}",
+                         code="AtomOutOfRange")
+    if order not in (1, 2):
+        raise GroupError("order must be 1 or 2", code="InvalidMode")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        shipped = getattr(dt, "sel", None)
+        sel = np.arange(n) if shipped is None else np.asarray(shipped)
+        lut = {int(a): i for i, a in enumerate(sel)}
+        try:
+            cols = np.asarray([[lut[int(a)], lut[int(b)]]
+                               for a, b in pairs])
+        except KeyError:
+            raise ParallelError(
+                "the DeviceTrajectory's layout does not contain every "
+                "pair atom; reload with a wider selection") from None
+    else:
+        tag = "__rotacf__"
+        union = np.unique(pairs.ravel())
+        system.group_create_from_indices(tag, union)
+        try:
+            runner = TrajectoryAnalysis(system).runner(group=tag)
+            dt = runner.load_device(trajectory, batch_size=batch_size)
+        finally:
+            system.group_remove(tag)
+        lut = {int(a): i for i, a in enumerate(union)}
+        cols = np.asarray([[lut[int(a)], lut[int(b)]] for a, b in pairs])
+
+    pos = jnp.asarray(dt.pos)
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    boxes = jnp.asarray(dt.boxes)
+    if boxes.ndim == 3:
+        raise ParallelError("rotacf supports orthorhombic boxes")
+
+    f = int(pos.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+
+    d = pbc.min_image(pos[:, jnp.asarray(cols[:, 0])]
+                      - pos[:, jnp.asarray(cols[:, 1])],
+                      boxes[:, None, :])
+    u = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    curve = np.asarray(msd_ops.legendre_lag_correlation(u, lags, order))
+    times = np.asarray(dt.times, np.float64)
+    lag_times = times[lags] - times[0]
+    return lag_times, curve
+
+
 _E_OVER_EPS0_NM = 18.0951262     # e/(eps0 * nm) in volts (CODATA 2018)
 
 

@@ -134,3 +134,31 @@ def lag_correlation_host_f64(series, lags, weights=None):
         dot = np.sum(s[lag:] * s[: f - lag], axis=-1)  # [F-lag, K]
         out.append(float((dot @ w).sum() / (w.sum() * (f - lag))))
     return np.asarray(out)
+
+
+def legendre_lag_correlation(series, lags, order: int = 2):
+    """Legendre-polynomial rotational autocorrelation over frame lags.
+
+    series [F, K, 3] UNIT vectors, lags [L] int32, order 1 or 2 ->
+    [L] f32: C_n(tau) = mean over time origins and vectors of
+    P_n(u(t) . u(t+tau)) — `gmx rotacf -P n` semantics.  One `lax.map`
+    dispatch for the whole curve, like `lag_correlation`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+    s = jnp.asarray(series)
+    f = s.shape[0]
+    t = jnp.arange(f)
+
+    def one(lag):
+        dot = jnp.sum(jnp.roll(s, -lag, axis=0) * s, axis=-1)  # [F, K]
+        p = dot if order == 1 else 1.5 * dot * dot - 0.5
+        per_origin = jnp.mean(p, axis=-1)                      # [F]
+        valid = t < f - lag
+        n = jnp.maximum(f - lag, 1)
+        return jnp.sum(jnp.where(valid, per_origin, 0.0)) / n
+
+    return jax.lax.map(one, jnp.asarray(lags, jnp.int32))
