@@ -20,6 +20,7 @@ from .pipeline import (
     TrajectoryAnalysis,
     cluster,
     dssp,
+    hbond_acf,
     mdmat,
     msd,
     order_parameters,
@@ -34,7 +35,8 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "dssp", "mdmat", "msd",
+__all__ = ["TrajectoryAnalysis", "cluster", "dssp", "hbond_acf",
+           "mdmat", "msd",
            "order_parameters",
            "pca", "potential_profile", "ramachandran", "rmsd_matrix",
            "rmsf", "rotacf", "run_many",

@@ -1994,6 +1994,64 @@ def dssp(system, trajectory, group: str, *, batch_size: int = 32):
     return {"resids": resids, "resnames": resnames, "ss": ss, "frac": frac}
 
 
+def hbond_acf(system, trajectory, chains, pairs, *,
+              max_distance: float = 0.35, min_angle: float = 120.0,
+              continuous: bool = False, batch_size: int = 16):
+    """Hydrogen-bond existence autocorrelation (surpass — `gmx hbond
+    -ac`; the reference detects bonds per frame, hbonds.rs:457, but has
+    no lifetime analysis).
+
+    Bonds are detected per frame on the batched device path
+    (`hbonds_analyze_batched`, exact reference semantics), identified by
+    (pair, donor, hydrogen, acceptor), and correlated over frame lags:
+    C(tau) = <h(t) h(t+tau)>_{t,bonds} / <h> with h in {0, 1}, so
+    C(0) = 1 (the intermittent definition).  `continuous=True` gives
+    the uninterrupted-lifetime form: h(t)h(t+tau) counts only when the
+    bond persists through EVERY intermediate frame.
+
+    Returns `(lag_times, curve)`: [F] ps offsets and [F] C(tau).
+    """
+    times, frames = [], []
+    seen: dict[tuple, int] = {}
+    for time, hmap in system.hbonds_analyze_batched(
+            trajectory, chains, pairs, max_distance, min_angle,
+            batch_size=batch_size):
+        times.append(time)
+        ids = []
+        for pk, bonds in hmap.items():
+            for b in bonds:
+                key = (pk, b.donor, b.hydrogen, b.acceptor)
+                if key not in seen:
+                    seen[key] = len(seen)
+                ids.append(seen[key])
+        frames.append(np.asarray(ids, np.int64))
+    f = len(frames)
+    if f < 2:
+        raise ParallelError(
+            f"hbond_acf needs at least 2 frames (trajectory has {f})")
+    p = len(seen)
+    if p == 0:
+        raise ParallelError("no hydrogen bonds found in the trajectory")
+    h = np.zeros((f, p), bool)
+    for t, ids in enumerate(frames):
+        h[t, ids] = True
+
+    mean_h = h.mean()
+    curve = np.empty(f)
+    if continuous:
+        # run[t, p] = length of the 1-run starting at t
+        run = np.zeros((f + 1, p), np.int64)
+        for t in range(f - 1, -1, -1):
+            run[t] = np.where(h[t], run[t + 1] + 1, 0)
+        for tau in range(f):
+            curve[tau] = (run[: f - tau] >= tau + 1).mean() / mean_h
+    else:
+        for tau in range(f):
+            curve[tau] = (h[: f - tau] & h[tau:]).mean() / mean_h
+    lag_times = np.asarray(times, np.float64) - times[0]
+    return lag_times, curve
+
+
 def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
            batch_size: int = 32):
     """Rotational autocorrelation of axis vectors (surpass — `gmx
