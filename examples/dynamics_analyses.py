@@ -45,6 +45,31 @@ def main():
     c0 = c[0] if c[0] else 1.0
     print(f"VACF(tau)/VACF(0) at tau={lag_t[:6]} ps: "
           f"{np.round(c / c0, 4)[:6]}")
+
+    # rotational ACF of backbone-bead axis vectors (gmx rotacf -P 2)
+    idx = s.group_indices("Protein")
+    pairs = np.stack([idx[:-1], idx[1:]], axis=1)
+    lag_t, c2 = models.rotacf(s, xtc, pairs, order=2)
+    print(f"rotacf P2 at tau={lag_t[:6]} ps: {np.round(c2[:6], 4)}")
+
+    # water H-bond lifetime ACF (gmx hbond -ac), membrane fixture
+    from groan_rs_tpu.system.hbonds import HBondChain
+
+    mem = System.from_file(os.path.join(TF, "aa_membrane_peptide.tpr"))
+    water = [HBondChain("resname SOL and name OW",
+                        "resname SOL and name OW",
+                        "resname SOL and name HW1 HW2")]
+    lag_t, hb = models.hbond_acf(
+        mem, os.path.join(TF, "aa_membrane_peptide.xtc"), water, [(0, 0)],
+        max_distance=0.3, min_angle=150.0)
+    print(f"hbond ACF at tau={lag_t[:5]} ps: {np.round(hb[:5], 4)}")
+
+    # electrostatic potential across the CG membrane (gmx potential)
+    s.group_create("All", "all")
+    pot = models.potential_profile(s, xtc, "All", n_bins=40)
+    i = int(np.argmax(np.abs(pot["psi"])))
+    print(f"potential: |psi| peaks at z={pot['centers'][i]:.2f} nm "
+          f"({pot['psi'][i]:+.2f} V)")
     print("dynamics_analyses: OK")
 
 

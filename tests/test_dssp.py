@@ -86,8 +86,6 @@ def test_assign_chain_break_stops_helix():
 
 
 def test_hbond_energy_f64_oracle():
-    import jax.numpy as jnp
-
     rng = np.random.default_rng(4)
     f, r = 2, 6
     box = np.array([50.0, 50.0, 50.0], np.float32)   # no wrapping

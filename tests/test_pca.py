@@ -16,7 +16,7 @@ from groan_rs_tpu.errors import ParallelError
 from groan_rs_tpu.models import TrajectoryAnalysis
 from groan_rs_tpu.system import System
 
-from test_rmsf import _frames, _system, _write_xtc, _rot, BOX
+from test_rmsf import _frames, _system, _write_xtc
 
 pytestmark = pytest.mark.device_parity
 
