@@ -667,6 +667,47 @@ class TrajectoryAnalysis:
         self._specs.append((nm, fn))
         return self
 
+    def add_principal(self, group: str, name: str | None = None,
+                      mass_weighted: bool = True):
+        """Per-frame principal moments of inertia -> [F, 3] ascending
+        (surpass — the `gmx principal` workload; absent from the
+        reference).  The inertia tensor builds from minimum-image
+        displacements to the group's refined center (mass-weighted COM
+        by default) and eigendecomposes on device; moments are in
+        amu nm^2 (or nm^2 unweighted).  Use `models.pca` for the axes
+        of positional FLUCTUATION; this is the instantaneous mass
+        distribution."""
+        idx = self._register(self._indices(group))
+        w = (self._masses(group) if mass_weighted
+             else np.ones(int(idx.raw.shape[0]), np.float32))
+        wj = np.asarray(w, np.float32)
+        triclinic = self.triclinic
+
+        def fn(pos, boxes):
+            import jax
+            import jax.numpy as jnp
+
+            g = idx.take(pos)
+            if triclinic:
+                c = center_ops.center_triclinic(g, boxes, weights=jnp.asarray(wj))
+                d = pbc.min_image_triclinic_frames(g - c[:, None, :], boxes)
+            else:
+                c = center_ops.center(g, boxes[:, None, :],
+                                      weights=jnp.asarray(wj))
+                d = pbc.min_image(g - c[:, None, :], boxes[:, None, :])
+            r2 = jnp.sum(d * d, axis=-1)                       # [B, n]
+            eye = jnp.eye(3)
+            outer = jnp.einsum("bni,bnj->bnij", d, d,
+                               precision=jax.lax.Precision.HIGHEST)
+            contrib = r2[..., None, None] * eye - outer
+            inertia = jnp.einsum("n,bnij->bij", jnp.asarray(wj), contrib)
+            return jnp.linalg.eigvalsh(inertia)                # ascending
+
+        nm = name or f"principal_{group}"
+        self._decls.append({"kind": "principal", "name": nm})
+        self._specs.append((nm, fn))
+        return self
+
     def add_in_shape(self, group: str, shape, name: str | None = None):
         """Per-frame count of `group` atoms inside a geometric `Shape`
         -> [F] (surpass — the batched form of the reference's

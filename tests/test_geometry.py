@@ -345,3 +345,46 @@ def test_in_shape_build_time_errors():
     with pytest.raises(GroupError, match="triclinic"):
         TrajectoryAnalysis(s, triclinic=True).add_in_shape(
             "All", Sphere([1, 1, 1], 0.5))
+
+
+def test_principal_moments_known_bodies(tmp_path):
+    """Thin rod: I = [~0, I, I] with I = sum m x^2; PBC-split rod same."""
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu import models as _m
+
+    k = 11
+    xs = np.linspace(-0.5, 0.5, k)
+    box = np.array([4.0, 4.0, 4.0], np.float32)
+    rod = np.column_stack([xs + 2.0, np.full(k, 2.0), np.full(k, 2.0)])
+    split = rod.copy()
+    split[:, 0] = np.mod(xs + 0.05, box[0])     # rod across the x face
+    masses = np.linspace(1.0, 3.0, k).astype(np.float32)
+
+    for pts in (rod, split):
+        pts = pts.astype(np.float32)
+        s = _tiny_system(pts, box=tuple(map(float, box)))
+        s.topology.mass = masses
+        s.topology.has_mass = np.ones(k, bool)
+        s.group_create_from_ranges("All", [(0, k - 1)])
+        path = str(tmp_path / f"rod{int(pts[0, 0] * 100)}.xtc")
+        b9 = np.diag(box).astype(np.float32).reshape(9)
+        native.xtc_write_frame(path, k, 0, 0.0, b9, pts, 10000.0)
+        out = (TrajectoryAnalysis(s).add_principal("All", name="I")
+               .run(path))
+        moments = np.asarray(out["I"][0], np.float64)
+        com = (masses * xs).sum() / masses.sum()
+        expect = (masses * (xs - com) ** 2).sum()
+        assert moments[0] < 1e-4                          # rod axis
+        np.testing.assert_allclose(moments[1:], expect, rtol=1e-3)
+
+
+def test_principal_fixture_ordering():
+    from groan_rs_tpu import models as _m
+
+    s = System.from_file(os.path.join(TF, "example.tpr"))
+    s.group_create("Protein", "@protein")
+    out = (TrajectoryAnalysis(s).add_principal("Protein")
+           .run(os.path.join(TF, "short_trajectory.xtc"), batch_size=4))
+    m = np.asarray(out["principal_Protein"])
+    assert m.shape[1] == 3 and (np.diff(m, axis=1) >= -1e-3).all()
+    assert (m > 0).all() and np.isfinite(m).all()
