@@ -21,6 +21,7 @@ from .pipeline import (
     cluster,
     dssp,
     hbond_acf,
+    leaflets,
     mdmat,
     msd,
     order_parameters,
@@ -36,7 +37,7 @@ from .pipeline import (
 )
 
 __all__ = ["TrajectoryAnalysis", "cluster", "dssp", "hbond_acf",
-           "mdmat", "msd",
+           "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "potential_profile", "ramachandran", "rmsd_matrix",
            "rmsf", "rotacf", "run_many",

@@ -2035,6 +2035,63 @@ def dssp(system, trajectory, group: str, *, batch_size: int = 32):
     return {"resids": resids, "resnames": resnames, "ss": ss, "frac": frac}
 
 
+def leaflets(system, trajectory, heads: str, *, axis: str = "z",
+             batch_size: int = 32):
+    """Per-frame membrane leaflet assignment + thickness (surpass — the
+    classification step of the reference author's own downstream
+    membrane tools (gorder / FATSLiM workflows); groan_rs itself has no
+    leaflet analysis).
+
+    `heads` is a group naming ONE head atom per lipid (e.g. created
+    from "name P").  Per frame, the membrane center along `axis` is the
+    Bai-Breen circular mean of the head coordinates (PBC-robust: a
+    bilayer wrapped across the box face still classifies correctly);
+    each head's minimum-image displacement from that center signs its
+    leaflet.  Thickness is the axis distance between the two leaflets'
+    mean head positions.  Everything evaluates batched on the
+    device-resident trajectory.
+
+    Returns a dict: 'indices' [L] (head atom indices), 'leaflet'
+    [F, L] (+1 upper / -1 lower), 'thickness' [F] (nm), 'center' [F]
+    (nm, wrapped into [0, box_axis)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ax = {"x": 0, "y": 1, "z": 2}.get(axis)
+    if ax is None:
+        raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
+                         code="InvalidAxis")
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, heads, batch_size, require_ortho="leaflets")
+    if gsel.shape[0] < 2:
+        raise GroupError(
+            f"group '{heads}' must name at least 2 head atoms",
+            code="EmptyGroup")
+
+    @jax.jit
+    def _assign(pos, boxes):
+        z = pos[..., ax]                              # [F, L]
+        lz = boxes[:, ax]                             # [F]
+        theta = (z % lz[:, None]) * (2 * jnp.pi / lz[:, None])
+        xi = jnp.mean(jnp.cos(theta), axis=1)
+        zeta = jnp.mean(jnp.sin(theta), axis=1)
+        center = (jnp.arctan2(-zeta, -xi) + jnp.pi) * lz / (2 * jnp.pi)
+        d = z - center[:, None]
+        d = d - lz[:, None] * jnp.round(d / lz[:, None])   # min image
+        leaf = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
+        up = leaf > 0
+        n_up = jnp.maximum(jnp.sum(up, axis=1), 1)
+        n_dn = jnp.maximum(jnp.sum(~up, axis=1), 1)
+        mean_up = jnp.sum(jnp.where(up, d, 0.0), axis=1) / n_up
+        mean_dn = jnp.sum(jnp.where(up, 0.0, d), axis=1) / n_dn
+        return leaf, mean_up - mean_dn, center % lz
+
+    leaf, thick, center = (np.asarray(a) for a in _assign(pos, boxes))
+    return {"indices": gsel, "leaflet": leaf,
+            "thickness": thick, "center": center}
+
+
 def hbond_acf(system, trajectory, chains, pairs, *,
               max_distance: float = 0.35, min_angle: float = 120.0,
               continuous: bool = False, batch_size: int = 16):
