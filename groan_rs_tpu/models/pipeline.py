@@ -534,6 +534,26 @@ class TrajectoryAnalysis:
         self._specs.append((nm, fn))
         return self
 
+    def add_box_volume(self, name: str = "box_volume"):
+        """Per-frame simulation-box volume -> [F] nm^3 (the per-frame
+        `SimBox` volume the reference computes host-side per System
+        update, `src/structures/simbox.rs`; here a device observable so
+        volume-normalized quantities — dielectric constants, densities —
+        ride the same batched pass).  Exact for triclinic boxes via the
+        determinant; orthorhombic boxes reduce to Lx*Ly*Lz."""
+        import jax.numpy as jnp
+
+        if self.triclinic:
+            def fn(pos, boxes):                     # boxes [B, 3, 3]
+                return jnp.abs(jnp.linalg.det(boxes))
+        else:
+            def fn(pos, boxes):                     # boxes [B, 3]
+                return jnp.prod(boxes, axis=-1)
+
+        self._decls.append({"kind": "volume", "name": name})
+        self._specs.append((name, fn))
+        return self
+
     def add_order(self, group: str, axis="z", name: str | None = None):
         """Per-frame bond orientational order parameters -> [F, P]
         (surpass — the membrane deuterium order parameter of

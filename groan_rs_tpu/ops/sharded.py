@@ -296,6 +296,13 @@ def _eval_dipole(pos, box, static, arrays):
     return jax.lax.psum(jnp.sum(q[None, :, None] * d, axis=1), "atoms")
 
 
+def _eval_volume(pos, box, static, arrays):
+    """Box volume: replicated sidecar math, no atom data touched."""
+    import jax.numpy as jnp
+
+    return jnp.prod(box, axis=-1)
+
+
 _EVAL = {
     "center": _eval_center,
     "gyration": _eval_gyration,
@@ -307,11 +314,12 @@ _EVAL = {
     "density": _eval_density,
     "density_profile": _eval_density_profile,
     "dipole": _eval_dipole,
+    "volume": _eval_volume,
 }
 
 _OUT_RANK = {"center": 2, "gyration": 1, "distance": 1, "rmsd": 1,
              "min_distance": 1, "contacts": 1, "rdf": 2, "density": 3,
-             "density_profile": 2, "dipole": 2}
+             "density_profile": 2, "dipole": 2, "volume": 1}
 
 
 def compile_decl(decl, system) -> CompiledSpec:
@@ -451,6 +459,9 @@ def compile_decl(decl, system) -> CompiledSpec:
             decl["name"], "dipole",
             [(_ROLE_ATOM_VEC, q), (_ROLE_ATOM_VEC, wm)],
         )
+
+    if kind == "volume":
+        return CompiledSpec(decl["name"], "volume", [])
 
     raise ParallelError(
         f"observable '{decl.get('name', kind)}' ({kind}) has no atoms-sharded "

@@ -347,3 +347,38 @@ def test_order_parameters_convenience(membrane_xtc):
     # S is bounded in [-0.5, 1]
     assert (res["s_pairs"] >= -0.5 - 1e-6).all()
     assert (res["s_pairs"] <= 1.0 + 1e-6).all()
+
+
+def test_box_volume_fixture_parity(tpr_system):
+    """add_box_volume matches a float64 host product of the per-frame box
+    lengths (the reference computes SimBox volume host-side per frame,
+    simbox.rs; here a device observable)."""
+    s = tpr_system
+    xtc = os.path.join(TF, "short_trajectory.xtc")
+    out = (TrajectoryAnalysis(s)
+           .add_box_volume(name="vol")
+           .add_com("Protein", name="com")   # volume rides a mixed pass
+           .run(xtc, batch_size=4))
+    _, b9 = _frames(xtc)
+    want = np.prod(b9[:, [0, 4, 8]].astype(np.float64), axis=1)
+    np.testing.assert_allclose(out["vol"], want, rtol=1e-5)
+
+
+def test_box_volume_triclinic_determinant():
+    import jax
+    import jax.numpy as jnp
+
+    h = np.array([[5.0, 0.0, 0.0],
+                  [2.5, 4.33, 0.0],
+                  [1.0, 0.8, 4.0]], np.float32)
+    n = 4
+    topo = Topology(n)
+    topo.atomnum = np.arange(1, n + 1, dtype=np.int64)
+    topo.resnum = np.arange(n, dtype=np.int64) + 1
+    pos = np.zeros((n, 3), np.float32)
+    s = System("tric", topo, simbox=SimBox.from_matrix(h), positions=pos)
+    fn = jax.jit(TrajectoryAnalysis(s, triclinic=True)
+                 .add_box_volume(name="vol").step_fn(None))
+    res = fn(jnp.asarray(pos)[None], jnp.asarray(h)[None], jnp.ones(1, bool))
+    want = abs(np.linalg.det(h.astype(np.float64)))
+    np.testing.assert_allclose(np.asarray(res["vol"][0]), want, rtol=1e-5)
