@@ -19,6 +19,7 @@ from .convert import (
 from .pipeline import (
     TrajectoryAnalysis,
     cluster,
+    dielectric,
     dssp,
     hbond_acf,
     leaflets,
@@ -36,7 +37,8 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "dssp", "hbond_acf",
+__all__ = ["TrajectoryAnalysis", "cluster", "dielectric", "dssp",
+           "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "potential_profile", "ramachandran", "rmsd_matrix",

@@ -554,6 +554,47 @@ class TrajectoryAnalysis:
         self._specs.append((name, fn))
         return self
 
+    def add_total_dipole(self, group: str, name: str | None = None):
+        """Per-frame total dipole moment M of a group -> [F, 3] e*nm
+        (surpass — the `gmx dipoles` M_tot workload; absent from the
+        reference).  M = sum over molecules of the molecular dipole
+        mu_m = sum_{i in m} q_i d_i, with d_i the minimum-image
+        displacement of atom i from its molecule's first group atom —
+        algebraically identical to summing q_i r_i over WHOLE molecules
+        (modifying.rs:338 make_molecules_whole semantics) for any
+        molecule smaller than half the box, and exactly
+        origin-independent per neutral molecule.  Molecules come from
+        the bond graph (`Topology.molecule_ids`, iterating.rs:399);
+        charged molecules make M origin-dependent (same caveat as gmx
+        dipoles).  Requires bonds and charges (TPR)."""
+        import jax.numpy as jnp
+
+        idx_np = self._indices(group)
+        q_np = np.asarray(self._charges(group), np.float32)
+        mol = self.system.topology.molecule_ids()[idx_np]
+        uniq, first = np.unique(mol, return_index=True)
+        ref_local = first[np.searchsorted(uniq, mol)]     # [n] local index
+
+        idx = self._register(idx_np)
+        q = jnp.asarray(q_np)
+        ref = jnp.asarray(ref_local)
+        triclinic = self.triclinic
+
+        def fn(pos, boxes):
+            g = idx.take(pos)                       # [B, n, 3]
+            d = g - jnp.take(g, ref, axis=1)        # atom - its mol origin
+            if triclinic:
+                d = pbc.min_image_triclinic_frames(d, boxes)
+            else:
+                d = pbc.min_image(d, boxes[:, None, :])
+            return jnp.sum(q[None, :, None] * d, axis=1)
+
+        nm = name or f"total_dipole_{group}"
+        self._decls.append({"kind": "total_dipole", "name": nm,
+                            "group": group})
+        self._specs.append((nm, fn))
+        return self
+
     def add_order(self, group: str, axis="z", name: str | None = None):
         """Per-frame bond orientational order parameters -> [F, P]
         (surpass — the membrane deuterium order parameter of
@@ -2302,6 +2343,52 @@ def potential_profile(system, trajectory, group: str, *, axis: str = "z",
     centers = (np.arange(n_bins) + 0.5) / n_bins * lz.mean()
     return {"centers": centers, "rho": rho.mean(0),
             "field": field.mean(0), "psi": psi.mean(0)}
+
+
+_EPSILON0 = 5.727657e-4     # vacuum permittivity, e^2 mol / (kJ nm)
+_BOLTZ = 8.3144626e-3       # Boltzmann constant, kJ / (mol K)
+
+
+def dielectric(system, trajectory, group: str = "all", *,
+               temperature: float = 300.0, batch_size: int = 32,
+               triclinic: bool = False):
+    """Static dielectric constant from total-dipole fluctuations (surpass
+    — `gmx dipoles -epsilon`; absent from the reference).
+
+    eps = 1 + (<M^2> - <M>^2) / (3 eps0 V kB T)   (Neumann, conducting
+    boundary — the gmx dipoles formula), with M the per-frame total
+    dipole of `group` (e*nm, `add_total_dipole` — per-molecule
+    minimum-image origins, exact for whole neutral molecules) and V the
+    per-frame box volume (`add_box_volume`).  Both observables evaluate
+    on device in ONE batched pass; the O(F) fluctuation statistics run
+    host-side in float64.
+
+    Returns a dict: 'epsilon' (float), 'M' [F, 3] (e*nm), 'M_mean' [3],
+    'fluct' (<M^2>-<M>^2, e^2 nm^2), 'volume' (mean nm^3),
+    'n_charged_molecules' (molecules in `group` with |net charge| >
+    1e-3 e — nonzero means M is origin-dependent, the same warning gmx
+    dipoles prints).
+    """
+    pipe = (TrajectoryAnalysis(system, triclinic=triclinic)
+            .add_total_dipole(group, name="M")
+            .add_box_volume(name="vol"))
+    out = pipe.runner(group=None, ship="all").run(
+        trajectory, batch_size=batch_size)
+
+    M = np.asarray(out["M"], np.float64)                  # [F, 3]
+    vol = float(np.asarray(out["vol"], np.float64).mean())
+    m_mean = M.mean(axis=0)
+    fluct = float((M * M).sum(axis=1).mean() - (m_mean * m_mean).sum())
+    eps = 1.0 + fluct / (3.0 * _EPSILON0 * vol * _BOLTZ * float(temperature))
+
+    idx = np.asarray(system.group_indices(group))
+    mol = system.topology.molecule_ids()[idx]
+    qm = np.zeros(int(mol.max()) + 1 if mol.size else 0, np.float64)
+    np.add.at(qm, mol, np.asarray(system.topology.charge[idx], np.float64))
+    n_charged = int((np.abs(qm) > 1e-3).sum())
+
+    return {"epsilon": eps, "M": M, "M_mean": m_mean, "fluct": fluct,
+            "volume": vol, "n_charged_molecules": n_charged}
 
 
 def ramachandran(system, trajectory, group: str, *, batch_size: int = 32,
