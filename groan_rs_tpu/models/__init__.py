@@ -20,6 +20,8 @@ from .pipeline import (
     TrajectoryAnalysis,
     cluster,
     dielectric,
+    diffusion,
+    dos,
     dssp,
     hbond_acf,
     leaflets,
@@ -37,8 +39,8 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "dielectric", "dssp",
-           "hbond_acf",
+__all__ = ["TrajectoryAnalysis", "cluster", "dielectric", "diffusion",
+           "dos", "dssp", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "potential_profile", "ramachandran", "rmsd_matrix",

@@ -1608,6 +1608,114 @@ def _fit_inputs(system, dt, cols, group, gsel, reference, what: str):
     return pos, boxes, w, fit_frames
 
 
+def diffusion(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
+              batch_size: int = 32):
+    """Self-diffusion coefficient from the Einstein relation (surpass —
+    the `gmx msd` -beginfit/-endfit workflow; absent from the
+    reference).  MSD(t) evaluates on device (`models.msd`); D is the
+    float64 least-squares slope over the fit window divided by 6
+    (3-D), with `fit_range` the (begin, end) fractions of the maximum
+    lag time — gmx msd's default restricted-window fit.
+
+    Returns a dict: 'D' (cm^2/s), 'D_1e5' (the 1e-5 cm^2/s unit gmx
+    prints), 'slope' (nm^2/ps), 'intercept' (nm^2), 'lag_times' [L]
+    (ps), 'msd' [L] (nm^2), 'fit_mask' [L] (bool).
+    """
+    lo, hi = float(fit_range[0]), float(fit_range[1])
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ParallelError(
+            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
+    lag_times, curve = msd(system, trajectory, group, batch_size=batch_size)
+    t = np.asarray(lag_times, np.float64)
+    y = np.asarray(curve, np.float64)
+    tmax = t[-1] if len(t) else 0.0
+    mask = (t >= lo * tmax) & (t <= hi * tmax)
+    if int(mask.sum()) < 2:
+        raise ParallelError(
+            "fit window selects fewer than 2 MSD points; widen fit_range "
+            "or use a longer trajectory")
+    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
+    (slope, intercept), *_ = np.linalg.lstsq(a, y[mask], rcond=None)
+    d_nm2_ps = slope / 6.0
+    return {"D": d_nm2_ps * 1e-2, "D_1e5": d_nm2_ps * 1e3,
+            "slope": float(slope), "intercept": float(intercept),
+            "lag_times": t, "msd": y, "fit_mask": mask}
+
+
+def dos(system, trajectory, group: str, *, temperature: float | None = None,
+        batch_size: int = 32):
+    """Vibrational density of states from the mass-weighted VACF
+    (surpass — the `gmx dos` workload; absent from the reference).
+
+    S(nu) = (2/(kB T)) FT[ C ](nu) with C(t) = sum_i m_i
+    <v_i(0).v_i(t)> the mass-weighted total VACF (amu (nm/ps)^2 ==
+    kJ/mol, so kB T in kJ/mol divides it directly).  The VACF evaluates
+    on device (`models.vacf`, one lax.map dispatch); the transform is a
+    float64 rFFT of the even extension on the uniform frame grid, so
+    the discrete Parseval identity integral(S dnu) == 3N holds EXACTLY
+    when T is measured from C(0) = 3 N kB T — the default
+    (`temperature=None`).  Also computes the Green-Kubo self-diffusion
+    coefficient D = (1/3) integral of the unweighted atom-mean VACF
+    (trapezoid over the available lags — truncation is the caller's
+    sampling choice, as in gmx dos).
+
+    Returns a dict: 'nu' [Lf] (1/ps), 'dos' [Lf] (ps, one-sided),
+    'vacf_times' [L] (ps), 'vacf' [L] (amu (nm/ps)^2, mass-weighted
+    total), 'T' (K), 'D' (cm^2/s), 'dof' (= integral(S dnu)), 'n_atoms'.
+    """
+    gsel = np.asarray(system.group_indices(group))
+    n = int(gsel.size)
+    if n == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    if not system.topology.has_mass[gsel].all():
+        raise GroupError(f"group '{group}' has atoms without mass",
+                         code="InvalidMass")
+    m_total = float(np.asarray(system.topology.mass,
+                               np.float64)[gsel].sum())
+
+    from ..parallel.engine import DeviceTrajectory
+
+    dt_obj = trajectory
+    if not isinstance(dt_obj, DeviceTrajectory):
+        runner = TrajectoryAnalysis(system).runner(group=group,
+                                                   velocities=True)
+        dt_obj = runner.load_device(trajectory, batch_size=batch_size)
+    times, c_w = vacf(system, dt_obj, group, mass_weighted=True)
+    _, c_u = vacf(system, dt_obj, group, mass_weighted=False)
+
+    t = np.asarray(times, np.float64)
+    c_total = np.asarray(c_w, np.float64) * m_total   # sum_i m_i <v.v>
+    length = len(t)
+    if length < 3:
+        raise ParallelError("dos needs at least 3 frames of velocities")
+    dt_ps = float(t[1] - t[0])
+    if dt_ps <= 0 or not np.allclose(np.diff(t), dt_ps, rtol=1e-3):
+        raise ParallelError(
+            "dos requires a uniform frame-time grid; resample the "
+            "trajectory with with_step/with_range first")
+
+    kb = _BOLTZ                                       # kJ/(mol K) == amu nm^2/ps^2 / K
+    if temperature is None:
+        temperature = c_total[0] / (3.0 * n * kb)     # equipartition
+    temperature = float(temperature)
+    if temperature <= 0:
+        raise ParallelError("temperature must be positive")
+
+    ext = np.concatenate([c_total, c_total[-2:0:-1]])  # even extension
+    m_ext = len(ext)                                   # 2L - 2
+    spec = np.fft.rfft(ext).real * dt_ps               # FT approximation
+    s_nu = (2.0 / (kb * temperature)) * spec           # one-sided S(nu)
+    nu = np.fft.rfftfreq(m_ext, d=dt_ps)               # [Lf] 1/ps
+    dnu = 1.0 / (m_ext * dt_ps)
+    # one-sided half of the full DFT sum: DC and Nyquist bins count once
+    dof = float((s_nu.sum() - 0.5 * (s_nu[0] + s_nu[-1])) * dnu)
+
+    d_nm2_ps = float(np.trapezoid(np.asarray(c_u, np.float64), t) / 3.0)
+    return {"nu": nu, "dos": s_nu, "vacf_times": t, "vacf": c_total,
+            "T": temperature, "D": d_nm2_ps * 1e-2, "dof": dof,
+            "n_atoms": n}
+
+
 def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
          batch_size: int = 32):
     """Per-atom root-mean-square fluctuation of a selection (surpass —
