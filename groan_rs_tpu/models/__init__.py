@@ -8,10 +8,13 @@ replacement for the reference's per-frame `TrajAnalyzer` plug-ins
 """
 
 from .convert import (
+    CenterConverter,
     FitConverter,
     FrameAnalyze,
     FrameConvert,
+    MakeWholeConverter,
     TranslateConverter,
+    UnwrapConverter,
     WrapConverter,
     analyze_iter,
     convert_iter,

@@ -20,7 +20,8 @@ path (trajectory writers, custom mutations).
 from __future__ import annotations
 
 __all__ = ["FrameConvert", "FrameAnalyze", "convert_iter", "analyze_iter",
-           "TranslateConverter", "WrapConverter", "FitConverter"]
+           "TranslateConverter", "WrapConverter", "FitConverter",
+           "MakeWholeConverter", "CenterConverter", "UnwrapConverter"]
 
 
 class FrameConvert:
@@ -88,3 +89,72 @@ class FitConverter(FrameConvert):
 
     def convert(self, system) -> None:
         system.calc_rmsd_and_fit(self.reference, self.group)
+
+
+class MakeWholeConverter(FrameConvert):
+    """Fix molecules broken across PBC each frame (`gmx trjconv -pbc whole`;
+    per-frame form of `System.make_molecules_whole`, modifying.rs:338)."""
+
+    def convert(self, system) -> None:
+        system.make_molecules_whole()
+
+
+class CenterConverter(FrameConvert):
+    """Center a group in the box each frame (`gmx trjconv -center`;
+    per-frame form of `System.atoms_center[_mass]`, utility.rs:109,168)."""
+
+    def __init__(self, group: str, dimension=None, mass_weighted: bool = False):
+        from ..core.dimension import Dimension
+
+        self.group = group
+        self.dimension = Dimension.XYZ if dimension is None else dimension
+        self.mass_weighted = mass_weighted
+
+    def convert(self, system) -> None:
+        if self.mass_weighted:
+            system.atoms_center_mass(self.group, self.dimension)
+        else:
+            system.atoms_center(self.group, self.dimension)
+
+
+class UnwrapConverter(FrameConvert):
+    """Remove box jumps between consecutive frames
+    (`gmx trjconv -pbc nojump`; surpass — the reference has no unwrapper).
+
+    Stateful: the first converted frame is taken as-is; every later frame's
+    raw displacement from the previous raw frame is taken through the
+    minimum image (fractional-space rounding, so any triclinic box is exact)
+    and accumulated onto the unwrapped path — the same
+    displacement-accumulation semantics as `ops.msd.unwrap_orthorhombic`
+    (each step min-imaged with ITS OWN box, so NPT box changes are handled),
+    whose output this matches on orthorhombic boxes.  Assumes frame-to-frame
+    motion < half a box vector — the standard MSD sampling assumption.
+    """
+
+    def __init__(self):
+        self._prev_raw = None
+        self._prev_unwrapped = None
+
+    def convert(self, system) -> None:
+        import numpy as np
+
+        from ..errors import SimBoxError
+
+        sb = system.simbox
+        if sb is None or sb.is_zero():
+            raise SimBoxError("system has no simulation box",
+                              code="DoesNotExist")
+        if not sb.is_valid():
+            raise SimBoxError("simulation box is not valid", code="Invalid")
+        h = sb.to_matrix().astype(np.float64)
+        # rows of `h` are the box vectors: cartesian = fractional @ h
+        raw = system.positions.astype(np.float64)
+        if self._prev_raw is not None:
+            d = raw - self._prev_raw
+            d -= np.round(d @ np.linalg.inv(h)) @ h
+            self._prev_unwrapped = self._prev_unwrapped + d
+            self._prev_raw = raw
+            system.positions = self._prev_unwrapped.astype(np.float32)
+        else:
+            self._prev_raw = raw
+            self._prev_unwrapped = raw
