@@ -32,6 +32,7 @@ from .pipeline import (
     msd,
     order_parameters,
     pca,
+    polystat,
     potential_profile,
     ramachandran,
     rmsd_matrix,
@@ -46,6 +47,7 @@ __all__ = ["TrajectoryAnalysis", "cluster", "dielectric", "diffusion",
            "dos", "dssp", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
-           "pca", "potential_profile", "ramachandran", "rmsd_matrix",
+           "pca", "polystat", "potential_profile", "ramachandran",
+           "rmsd_matrix",
            "rmsf", "rotacf", "run_many",
            "sasa", "vacf"]
