@@ -26,6 +26,7 @@ from .pipeline import (
     diffusion,
     dos,
     dssp,
+    entropy,
     hbond_acf,
     leaflets,
     mdmat,
@@ -44,7 +45,7 @@ from .pipeline import (
 )
 
 __all__ = ["TrajectoryAnalysis", "cluster", "dielectric", "diffusion",
-           "dos", "dssp", "hbond_acf",
+           "dos", "dssp", "entropy", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",

@@ -2723,3 +2723,56 @@ def polystat(system, trajectory, group: str, *, mass_weighted: bool = False,
             "bond_corr": bond_corr, "persistence_length": float(lp),
             "mean_bond_length": mean_bl, "n_chains": m,
             "chain_lengths": lens}
+
+
+def entropy(system, trajectory, group: str, *, temperature: float = 300.0,
+            reference=None, fit: bool = True, batch_size: int = 32):
+    """Configurational entropy from positional covariance (surpass — the
+    `gmx anaeig -entropy` workload; absent from the reference).
+
+    Runs the mass-weighted positional PCA (`models.pca`: batched fit +
+    one MXU covariance matmul + device `eigh`) and evaluates both
+    standard estimates over the eigenvalues lambda_i (amu nm^2):
+
+    - Schlitter's upper bound:
+      S = (kB/2) sum ln(1 + kB T e^2 lambda_i / hbar^2)
+    - quasi-harmonic (Andricioaei & Karplus): per mode
+      alpha_i = hbar omega_i / kB T with omega_i = sqrt(kB T / lambda_i),
+      S = kB sum [alpha/(e^alpha - 1) - ln(1 - e^-alpha)]
+
+    Near-zero modes (the six rigid-body directions removed by the fit)
+    contribute nothing to either formula and are clamped at 0.  In the
+    classical limit (large lambda) the two estimates agree mode-for-mode
+    at kB (1 - ln alpha) — property-tested.
+
+    Returns a dict: 'schlitter' and 'quasiharmonic' in kJ/(mol K),
+    'eigenvalues' [3K] (amu nm^2, descending), 'alphas' [3K]
+    (dimensionless hbar omega / kB T of the kept modes, inf for
+    clamped ones).
+    """
+    if not temperature > 0:
+        raise ParallelError("temperature must be positive")
+    res = pca(system, trajectory, group, reference=reference, fit=fit,
+              mass_weighted=True, batch_size=batch_size)
+    lam = np.asarray(res["eigenvalues"], np.float64)
+
+    kb_j = 1.380649e-23            # J/K, per molecule
+    hbar = 1.0545718176e-34        # J s
+    amu_nm2 = 1.66053906660e-27 * 1e-18   # amu nm^2 -> kg m^2
+    kb_kj = 8.31446261815324e-3    # kJ/(mol K)
+
+    lam_si = np.clip(lam, 0.0, None) * amu_nm2
+    kbt = kb_j * float(temperature)
+    arg = kbt * lam_si * np.e ** 2 / hbar ** 2
+    s_schlitter = 0.5 * kb_kj * float(np.log1p(arg).sum())
+
+    with np.errstate(divide="ignore"):
+        alpha = hbar / np.sqrt(kbt * lam_si)   # = hbar omega / kB T
+    pos_mask = lam_si > 0
+    a = alpha[pos_mask]
+    with np.errstate(over="ignore"):
+        s_qh = kb_kj * float(
+            (a / np.expm1(a) - np.log1p(-np.exp(-a))).sum())
+
+    return {"schlitter": s_schlitter, "quasiharmonic": s_qh,
+            "eigenvalues": lam, "alphas": alpha}
