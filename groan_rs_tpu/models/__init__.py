@@ -22,6 +22,7 @@ from .convert import (
 from .pipeline import (
     TrajectoryAnalysis,
     cluster,
+    current,
     dielectric,
     diffusion,
     dos,
@@ -44,7 +45,8 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "dielectric", "diffusion",
+__all__ = ["TrajectoryAnalysis", "cluster", "current", "dielectric",
+           "diffusion",
            "dos", "dssp", "entropy", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
