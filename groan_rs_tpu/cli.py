@@ -1,0 +1,566 @@
+"""gmx-style command-line interface over the analysis suite (surpass —
+the reference is a library only; this exposes the device-batched
+toolbox as familiar `gmx`-shaped tools).
+
+    python -m groan_rs_tpu <tool> -s conf.tpr -f traj.xtc [options]
+
+Tools mirror their gmx namesakes (rms, rmsf, gyrate, msd, rdf, density,
+order, sasa, hbond, dssp, dipoles, potential, velacc, dos, current,
+polystat, entropy, covar, cluster, rama, mindist, principal).  Outputs
+are .xvg curves (`io.xvg`) or plain text; selections are GSL queries —
+or ndx group names once `-n index.ndx` is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .errors import GroanError
+
+TOOLS = {}
+
+
+def _tool(name, help_):
+    def deco(fn):
+        TOOLS[name] = (fn, help_)
+        return fn
+    return deco
+
+
+def _common(sp, *, out, traj=True, windowed=False):
+    sp.add_argument("-s", "--structure", required=True,
+                    help="structure/topology file (tpr/gro/pdb/pqr)")
+    if traj:
+        sp.add_argument("-f", "--trajectory", required=True, nargs="+",
+                        help="trajectory file(s) (xtc/trr/gro/tng/dcd/...)")
+    sp.add_argument("-n", "--index", default=None, help="ndx index file")
+    sp.add_argument("--sel", default="all",
+                    help="selection query or group name (default: all)")
+    sp.add_argument("-o", "--output", default=out)
+    sp.add_argument("--batch-size", type=int, default=32)
+    if windowed:
+        sp.add_argument("-b", "--begin", type=float, default=None,
+                        help="first time to use (ps)")
+        sp.add_argument("-e", "--end", type=float, default=None,
+                        help="last time to use (ps)")
+        sp.add_argument("--step", type=int, default=None,
+                        help="use every Nth frame")
+
+
+def _system(args):
+    from .system import System
+
+    s = System.from_file(args.structure)
+    if args.index:
+        s.read_ndx(args.index)
+    return s
+
+
+def _group(s, query, name="__cli_sel"):
+    """A group name: `query` verbatim if it already names a group, else a
+    fresh group compiled from it as a GSL query."""
+    from .errors import GroupError
+
+    try:
+        s.group_indices(query)
+        return query
+    except GroupError:
+        pass
+    # quoted-name semantics for ndx groups with spaces happen in GSL
+    n = name
+    while n in getattr(s, "groups", {}):
+        n += "_"
+    s.group_create(n, query)
+    return n
+
+
+def _traj(args):
+    t = args.trajectory
+    return t[0] if len(t) == 1 else list(t)
+
+
+def _window(args):
+    return {"start_time": getattr(args, "begin", None),
+            "end_time": getattr(args, "end", None),
+            "step": getattr(args, "step", None),
+            "batch_size": args.batch_size}
+
+
+def _pipe_run(args, build):
+    """Build observables on a TrajectoryAnalysis and run the window."""
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    pipe = models.TrajectoryAnalysis(s)
+    extra = build(s, g, pipe)
+    out = pipe.run(_traj(args), **_window(args))
+    return s, g, out, extra
+
+
+def _xvg(args, columns, *, title, xlabel, ylabel, legends=()):
+    from .io.xvg import write_xvg
+
+    write_xvg(args.output, columns, title=title, xlabel=xlabel,
+              ylabel=ylabel, legends=legends)
+    print(f"wrote {args.output}")
+
+
+# --------------------------------------------------------------- tools
+
+@_tool("rms", "RMSD of a selection vs the structure over time (gmx rms)")
+def _rms(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rmsd.xvg", windowed=True)
+        return
+    _, _, out, _ = _pipe_run(
+        args, lambda s, g, p: p.add_rmsd(g, s, name="r"))
+    _xvg(args, [out["times"], out["r"]], title="RMSD", xlabel="time (ps)",
+         ylabel="RMSD (nm)", legends=["rmsd"])
+
+
+@_tool("rmsf", "per-atom RMS fluctuation (gmx rmsf)")
+def _rmsf(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rmsf.xvg")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    indices, fluct = models.rmsf(s, _traj(args), g,
+                                 batch_size=args.batch_size)
+    _xvg(args, [np.asarray(indices, np.float64) + 1, fluct],
+         title="RMS fluctuation", xlabel="atom", ylabel="RMSF (nm)",
+         legends=["rmsf"])
+
+
+@_tool("gyrate", "radius of gyration over time (gmx gyrate)")
+def _gyrate(sp=None, args=None):
+    if args is None:
+        _common(sp, out="gyrate.xvg", windowed=True)
+        return
+    _, _, out, _ = _pipe_run(
+        args, lambda s, g, p: p.add_gyration(g, name="rg"))
+    _xvg(args, [out["times"], out["rg"]], title="Radius of gyration",
+         xlabel="time (ps)", ylabel="Rg (nm)", legends=["Rg"])
+
+
+@_tool("msd", "mean-squared displacement + diffusion fit (gmx msd)")
+def _msd(sp=None, args=None):
+    if args is None:
+        _common(sp, out="msd.xvg")
+        sp.add_argument("--beginfit", type=float, default=0.1,
+                        help="fit window start (fraction of max lag)")
+        sp.add_argument("--endfit", type=float, default=0.9)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.diffusion(s, _traj(args), g,
+                           fit_range=(args.beginfit, args.endfit),
+                           batch_size=args.batch_size)
+    _xvg(args, [out["lag_times"], out["msd"]], title="MSD",
+         xlabel="lag time (ps)", ylabel="MSD (nm^2)", legends=["msd"])
+    print(f"D = {out['D_1e5']:.6g} 1e-5 cm^2/s")
+
+
+@_tool("rdf", "radial distribution function g(r) (gmx rdf)")
+def _rdf(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rdf.xvg", windowed=True)
+        sp.add_argument("--ref", default=None,
+                        help="reference selection (default: --sel)")
+        sp.add_argument("--rmax", type=float, default=2.0)
+        sp.add_argument("--bins", type=int, default=200)
+        return
+    def build(s, g, p):
+        r = _group(s, args.ref, "__cli_ref") if args.ref else g
+        p.add_rdf(r, g, r_max=args.rmax, n_bins=args.bins, name="g")
+    _, _, out, _ = _pipe_run(args, build)
+    r = (np.arange(args.bins) + 0.5) * args.rmax / args.bins
+    _xvg(args, [r, np.asarray(out["g"], np.float64).mean(0)],
+         title="Radial distribution", xlabel="r (nm)", ylabel="g(r)",
+         legends=["g(r)"])
+
+
+@_tool("density", "partial density profile along an axis (gmx density)")
+def _density(sp=None, args=None):
+    if args is None:
+        _common(sp, out="density.xvg", windowed=True)
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        sp.add_argument("--mode", default="number",
+                        choices=["number", "mass", "charge"])
+        sp.add_argument("--bins", type=int, default=100)
+        return
+    def build(s, g, p):
+        p.add_density_profile(g, axis=args.axis, mode=args.mode,
+                              n_bins=args.bins, name="d")
+    _, _, out, _ = _pipe_run(args, build)
+    prof = np.asarray(out["d"], np.float64).mean(0)
+    x = (np.arange(args.bins) + 0.5) / args.bins   # box fractions
+    _xvg(args, [x, prof], title=f"{args.mode} density",
+         xlabel=f"{args.axis} (box fraction)", ylabel="density",
+         legends=[args.mode])
+
+
+@_tool("order", "bond orientational order parameters (gmx order)")
+def _order(sp=None, args=None):
+    if args is None:
+        _common(sp, out="order.xvg")
+        sp.add_argument("--axis", default="z")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.order_parameters(s, _traj(args), g, axis=args.axis,
+                                  batch_size=args.batch_size)
+    _xvg(args, [out["heavy"] + 1, -out["s"]], title="Order parameters",
+         xlabel="heavy atom", ylabel="-S_CH", legends=["-S"])
+
+
+@_tool("sasa", "solvent-accessible surface area over time (gmx sasa)")
+def _sasa(sp=None, args=None):
+    if args is None:
+        _common(sp, out="sasa.xvg")
+        sp.add_argument("--probe", type=float, default=0.14)
+        sp.add_argument("--ndots", type=int, default=192)
+        return
+    from . import models
+
+    s = _system(args)
+    if not np.asarray(s.topology.has_vdw).any():
+        s.guess_elements()
+    g = _group(s, args.sel)
+    out = models.sasa(s, _traj(args), g, probe=args.probe,
+                      n_points=args.ndots, batch_size=args.batch_size)
+    t = np.arange(out["total"].shape[0], dtype=np.float64)
+    _xvg(args, [t, out["total"]], title="Solvent-accessible surface",
+         xlabel="frame", ylabel="area (nm^2)", legends=["total"])
+
+
+@_tool("hbond", "hydrogen-bond counts over time (gmx hbond)")
+def _hbond(sp=None, args=None):
+    if args is None:
+        _common(sp, out="hbnum.xvg", windowed=True)
+        sp.add_argument("--acceptors", required=True,
+                        help="acceptor selection (GSL), chain 1")
+        sp.add_argument("--donors", required=True,
+                        help="donor heavy-atom selection, chain 1")
+        sp.add_argument("--hydrogens", required=True,
+                        help="donor hydrogen selection, chain 1")
+        sp.add_argument("--acceptors2", default=None,
+                        help="chain 2 (bonds counted 1->2; default: "
+                             "within chain 1)")
+        sp.add_argument("--donors2", default=None)
+        sp.add_argument("--hydrogens2", default=None)
+        sp.add_argument("--cutoff", type=float, default=0.35,
+                        help="donor-acceptor distance cutoff (nm)")
+        sp.add_argument("--angle", type=float, default=120.0,
+                        help="minimum D-H...A angle (deg)")
+        return
+    from .system.hbonds import HBondChain
+
+    def build(s, g, p):
+        chains = [HBondChain(args.acceptors, args.donors, args.hydrogens)]
+        if args.acceptors2 or args.donors2 or args.hydrogens2:
+            if not (args.acceptors2 and args.donors2 and args.hydrogens2):
+                raise GroanError(
+                    "--acceptors2/--donors2/--hydrogens2 must be given "
+                    "together")
+            chains.append(HBondChain(args.acceptors2, args.donors2,
+                                     args.hydrogens2))
+            p.add_hbonds(chains, [(0, 1)], args.cutoff, args.angle,
+                         name="hb")
+            return "hb_0_1"
+        p.add_hbonds(chains, [(0, 0)], args.cutoff, args.angle, name="hb")
+        return "hb_0_0"
+    _, _, out, key = _pipe_run(args, build)
+    _xvg(args, [out["times"], out[key]], title="Hydrogen bonds",
+         xlabel="time (ps)", ylabel="count", legends=["hbonds"])
+
+
+@_tool("dssp", "secondary-structure populations over time (gmx do_dssp)")
+def _dssp(sp=None, args=None):
+    if args is None:
+        _common(sp, out="ss.xvg")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.dssp(s, _traj(args), g, batch_size=args.batch_size)
+    ss = out["ss"]
+    t = np.arange(ss.shape[0], dtype=np.float64)
+    counts = [np.asarray((ss == c).sum(1), np.float64)
+              for c in ("H", "E", "-")]
+    _xvg(args, [t] + counts, title="Secondary structure",
+         xlabel="frame", ylabel="residues",
+         legends=["helix", "strand", "loop"])
+    print("fractions:", {k: round(v, 4) for k, v in out["frac"].items()})
+
+
+@_tool("dipoles", "total dipole moment over time (+epsilon) (gmx dipoles)")
+def _dipoles(sp=None, args=None):
+    if args is None:
+        _common(sp, out="Mtot.xvg", windowed=True)
+        sp.add_argument("--temperature", type=float, default=None,
+                        help="also print the static dielectric constant")
+        return
+    _, _, out, _ = _pipe_run(
+        args, lambda s, g, p: (p.add_total_dipole(g, name="m"),
+                               p.add_box_volume(name="v")))
+    m = np.asarray(out["m"], np.float64)
+    _xvg(args, [out["times"], m[:, 0], m[:, 1], m[:, 2],
+                np.linalg.norm(m, axis=1)],
+         title="Total dipole moment", xlabel="time (ps)",
+         ylabel="M (e nm)", legends=["Mx", "My", "Mz", "|M|"])
+    if args.temperature is not None:
+        from . import models
+
+        s2 = _system(args)
+        g2 = _group(s2, args.sel)
+        eps = models.dielectric(s2, _traj(args), g2,
+                                temperature=args.temperature,
+                                batch_size=args.batch_size)
+        print(f"epsilon = {eps['epsilon']:.6g}")
+
+
+@_tool("potential", "electrostatic potential profile (gmx potential)")
+def _potential(sp=None, args=None):
+    if args is None:
+        _common(sp, out="potential.xvg")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        sp.add_argument("--bins", type=int, default=100)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.potential_profile(s, _traj(args), g, axis=args.axis,
+                                   n_bins=args.bins,
+                                   batch_size=args.batch_size)
+    _xvg(args, [out["centers"], out["psi"]], title="Potential profile",
+         xlabel=f"{args.axis} (nm)", ylabel="psi (V)", legends=["psi"])
+
+
+@_tool("velacc", "velocity autocorrelation (gmx velacc; needs TRR)")
+def _velacc(sp=None, args=None):
+    if args is None:
+        _common(sp, out="vac.xvg")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    times, c = models.vacf(s, _traj(args), g, batch_size=args.batch_size)
+    _xvg(args, [times, c], title="Velocity autocorrelation",
+         xlabel="lag (ps)", ylabel="C(t) (nm^2/ps^2)", legends=["vacf"])
+
+
+@_tool("dos", "vibrational density of states (gmx dos; needs TRR)")
+def _dos(sp=None, args=None):
+    if args is None:
+        _common(sp, out="dos.xvg")
+        sp.add_argument("--temperature", type=float, default=None)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.dos(s, _traj(args), g, temperature=args.temperature,
+                     batch_size=args.batch_size)
+    _xvg(args, [out["nu"], out["dos"]], title="Density of states",
+         xlabel="nu (1/ps)", ylabel="S (ps)", legends=["S"])
+    print(f"T = {out['T']:.4g} K, D = {out['D']:.6g} cm^2/s, "
+          f"dof integral = {out['dof']:.6g}")
+
+
+@_tool("current", "ionic conductivity, Einstein-Helfand (gmx current)")
+def _current(sp=None, args=None):
+    if args is None:
+        _common(sp, out="current.xvg")
+        sp.add_argument("--temperature", type=float, default=300.0)
+        sp.add_argument("--beginfit", type=float, default=0.1)
+        sp.add_argument("--endfit", type=float, default=0.5)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.current(s, _traj(args), g, temperature=args.temperature,
+                         fit_range=(args.beginfit, args.endfit),
+                         batch_size=args.batch_size)
+    _xvg(args, [out["lag_times"], out["mj2"]],
+         title="Translational dipole MSD", xlabel="lag (ps)",
+         ylabel="<|dM|^2> (e^2 nm^2)", legends=["mj2"])
+    print(f"sigma = {out['conductivity']:.6g} S/m")
+
+
+@_tool("polystat", "polymer chain statistics (gmx polystat)")
+def _polystat(sp=None, args=None):
+    if args is None:
+        _common(sp, out="polystat.xvg")
+        sp.add_argument("--mw", action="store_true",
+                        help="mass-weighted radii of gyration")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.polystat(s, _traj(args), g, mass_weighted=args.mw,
+                          batch_size=args.batch_size)
+    t = np.arange(len(out["ete"]), dtype=np.float64)
+    _xvg(args, [t, out["ete"], np.sqrt(out["rg2"])],
+         title="Polymer statistics", xlabel="frame", ylabel="nm",
+         legends=["end-to-end", "Rg"])
+    print(f"{out['n_chains']} chains, <l_b> = "
+          f"{out['mean_bond_length']:.4g} nm, l_p = "
+          f"{out['persistence_length']:.4g} nm")
+
+
+@_tool("entropy", "configurational entropy (gmx anaeig -entropy)")
+def _entropy(sp=None, args=None):
+    if args is None:
+        _common(sp, out="entropy.txt")
+        sp.add_argument("--temperature", type=float, default=300.0)
+        sp.add_argument("--nofit", action="store_true")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.entropy(s, _traj(args), g, temperature=args.temperature,
+                         fit=not args.nofit, batch_size=args.batch_size)
+    lines = [f"Schlitter      S = {out['schlitter']:.8g} kJ/(mol K)",
+             f"quasiharmonic  S = {out['quasiharmonic']:.8g} kJ/(mol K)"]
+    with open(args.output, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+@_tool("covar", "covariance eigenvalues / PCA (gmx covar)")
+def _covar(sp=None, args=None):
+    if args is None:
+        _common(sp, out="eigenval.xvg")
+        sp.add_argument("--proj", default=None,
+                        help="also write first-2-PC projections here")
+        sp.add_argument("--ncomp", type=int, default=None)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.pca(s, _traj(args), g, n_components=args.ncomp,
+                     batch_size=args.batch_size)
+    lam = out["eigenvalues"]
+    _xvg(args, [np.arange(1, len(lam) + 1, dtype=np.float64), lam],
+         title="Covariance eigenvalues", xlabel="index",
+         ylabel="eigenvalue (amu nm^2)", legends=["lambda"])
+    print(f"trace = {out['trace']:.6g} amu nm^2")
+    if args.proj:
+        pr = out["projections"]
+        t = np.arange(pr.shape[0], dtype=np.float64)
+        from .io.xvg import write_xvg
+
+        write_xvg(args.proj, [t, pr[:, 0], pr[:, 1]],
+                  title="PC projections", xlabel="frame",
+                  ylabel="proj (amu^1/2 nm)", legends=["PC1", "PC2"])
+        print(f"wrote {args.proj}")
+
+
+@_tool("cluster", "GROMOS conformational clustering (gmx cluster)")
+def _cluster(sp=None, args=None):
+    if args is None:
+        _common(sp, out="clusters.txt")
+        sp.add_argument("--cutoff", type=float, default=0.1,
+                        help="RMSD cutoff (nm)")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.cluster(s, _traj(args), g, cutoff=args.cutoff,
+                         batch_size=args.batch_size)
+    labels = np.asarray(out["labels"])
+    n_cl = len(out["centers"])
+    with open(args.output, "w") as fh:
+        fh.write(f"# {n_cl} clusters, cutoff {args.cutoff} nm\n")
+        for i, (center, size) in enumerate(
+                zip(out["centers"], out["sizes"])):
+            members = np.nonzero(labels == i)[0]
+            fh.write(f"cluster {i}: center frame {center}, "
+                     f"{size} members: "
+                     + " ".join(map(str, members.tolist())) + "\n")
+    print(f"{n_cl} clusters; wrote {args.output}")
+
+
+@_tool("rama", "Ramachandran phi/psi angles (gmx rama)")
+def _rama(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rama.xvg")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.ramachandran(s, _traj(args), g,
+                              batch_size=args.batch_size)
+    phi = np.asarray(out["phi"], np.float64).ravel()
+    psi = np.asarray(out["psi"], np.float64).ravel()
+    _xvg(args, [phi, psi], title="Ramachandran", xlabel="phi (deg)",
+         ylabel="psi (deg)", legends=["psi"])
+
+
+@_tool("mindist", "minimum distance between selections (gmx mindist)")
+def _mindist(sp=None, args=None):
+    if args is None:
+        _common(sp, out="mindist.xvg", windowed=True)
+        sp.add_argument("--ref", required=True, help="second selection")
+        return
+    def build(s, g, p):
+        r = _group(s, args.ref, "__cli_ref")
+        p.add_min_distance(g, r, name="d")
+    _, _, out, _ = _pipe_run(args, build)
+    _xvg(args, [out["times"], out["d"]], title="Minimum distance",
+         xlabel="time (ps)", ylabel="distance (nm)", legends=["dmin"])
+
+
+@_tool("principal", "principal moments of inertia (gmx principal)")
+def _principal(sp=None, args=None):
+    if args is None:
+        _common(sp, out="moi.xvg", windowed=True)
+        return
+    _, _, out, _ = _pipe_run(
+        args, lambda s, g, p: p.add_principal(g, name="i"))
+    moi = np.asarray(out["i"], np.float64)
+    _xvg(args, [out["times"], moi[:, 0], moi[:, 1], moi[:, 2]],
+         title="Principal moments", xlabel="time (ps)",
+         ylabel="I (amu nm^2)", legends=["I1", "I2", "I3"])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="groan-tpu",
+        description="TPU-native MD analysis tools (gmx-style CLI)")
+    sub = p.add_subparsers(dest="tool", required=True, metavar="<tool>")
+    for name, (fn, help_) in sorted(TOOLS.items()):
+        sp = sub.add_parser(name, help=help_)
+        fn(sp)                       # register options
+        sp.set_defaults(_run=fn)
+    args = p.parse_args(argv)
+    try:
+        args._run(args=args)
+    except GroanError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,185 @@
+"""gmx-style CLI (surpass — the reference is a library only).
+
+Drives `cli.main` in-process on the reference fixture corpus and pins
+the outputs against the direct API / known parity anchors (rmsd.rs
+doc values, the hbonds fixture counts).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from groan_rs_tpu import cli
+from groan_rs_tpu.io.xvg import read_xvg
+
+TF = "/root/reference/test_files"
+TPR = os.path.join(TF, "example.tpr")
+XTC = os.path.join(TF, "short_trajectory.xtc")
+TRR = os.path.join(TF, "short_trajectory.trr")
+AATPR = os.path.join(TF, "aa_membrane_peptide.tpr")
+AAXTC = os.path.join(TF, "aa_membrane_peptide.xtc")
+
+
+def _run(argv):
+    assert cli.main(argv) == 0
+
+
+def test_rms_matches_reference_anchor(tmp_path):
+    out = str(tmp_path / "rms.xvg")
+    _run(["rms", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", out])
+    data = read_xvg(out)
+    assert data.shape == (11, 2)
+    # rmsd.rs doc-test series anchor
+    assert data[0, 1] == pytest.approx(0.23669721, abs=1e-5)
+    assert data[0, 0] == 0.0 and data[-1, 0] == 1000.0
+
+
+def test_gyrate_and_principal(tmp_path):
+    gy = str(tmp_path / "gy.xvg")
+    _run(["gyrate", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", gy])
+    d = read_xvg(gy)
+    assert d.shape == (11, 2) and (d[:, 1] > 0).all()
+
+    pr = str(tmp_path / "pr.xvg")
+    _run(["principal", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-o", pr])
+    p = read_xvg(pr)
+    assert p.shape == (11, 4)
+    # I1 <= I2 <= I3 per frame
+    assert (np.diff(p[:, 1:], axis=1) >= -1e-6).all()
+
+
+def test_msd_prints_diffusion(tmp_path, capsys):
+    out = str(tmp_path / "msd.xvg")
+    _run(["msd", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", out])
+    txt = capsys.readouterr().out
+    assert "1e-5 cm^2/s" in txt
+    d = read_xvg(out)
+    assert d.shape == (11, 2) and d[0, 1] == 0.0
+
+    from groan_rs_tpu import models
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(TPR)
+    s.group_create("P", "@protein")
+    want = models.diffusion(s, XTC, "P")
+    # .xvg stores 6 significant digits
+    np.testing.assert_allclose(d[:, 1], want["msd"], rtol=2e-6, atol=1e-6)
+
+
+def test_rdf_small_selection(tmp_path):
+    out = str(tmp_path / "rdf.xvg")
+    _run(["rdf", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--rmax", "1.0", "--bins", "40", "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (40, 2)
+    assert d[0, 0] == pytest.approx(0.5 / 40)
+    assert (d[:, 1] >= 0).all()
+
+
+def test_window_flags(tmp_path):
+    out = str(tmp_path / "gy.xvg")
+    _run(["gyrate", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-b", "200", "-e", "600", "-o", out])
+    d = read_xvg(out)
+    assert d[0, 0] == 400.0 or d[0, 0] == 200.0  # first kept frame time
+    assert d[-1, 0] <= 600.0 and d.shape[0] < 11
+
+
+def test_hbond_fixture_counts(tmp_path):
+    out = str(tmp_path / "hb.xvg")
+    _run(["hbond", "-s", AATPR, "-f", AAXTC,
+          "--acceptors", "resname SOL and name OW",
+          "--donors", "resname SOL and name OW",
+          "--hydrogens", "resname SOL and name HW1 HW2",
+          "--cutoff", "0.3", "--angle", "150", "-o", out])
+    d = read_xvg(out)
+    assert d[:3, 1].astype(int).tolist() == [4675, 4644, 4629]
+
+
+def test_velacc_trr(tmp_path):
+    out = str(tmp_path / "vac.xvg")
+    _run(["velacc", "-s", TPR, "-f", TRR, "--sel", "@protein", "-o", out])
+    d = read_xvg(out)
+    assert d.shape[1] == 2 and d[0, 1] > 0  # C(0) = <v^2> > 0
+
+
+def test_covar_and_entropy(tmp_path, capsys):
+    ev = str(tmp_path / "ev.xvg")
+    proj = str(tmp_path / "proj.xvg")
+    _run(["covar", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", ev,
+          "--proj", proj, "--ncomp", "5"])
+    d = read_xvg(ev)
+    assert d.shape == (5, 2)
+    assert (np.diff(d[:, 1]) <= 1e-6).all()  # descending
+    assert read_xvg(proj).shape == (11, 3)
+
+    ent = str(tmp_path / "ent.txt")
+    _run(["entropy", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-o", ent, "--temperature", "310"])
+    txt = capsys.readouterr().out
+    assert "Schlitter" in txt and os.path.exists(ent)
+
+
+def test_cluster_tool(tmp_path, capsys):
+    out = str(tmp_path / "cl.txt")
+    _run(["cluster", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--cutoff", "0.12", "-o", out])
+    txt = open(out).read()
+    assert txt.startswith("#") and "cluster 0:" in txt
+
+
+def test_errors(tmp_path):
+    # a bad selection exits 1 with an error message, not a traceback
+    assert cli.main(["gyrate", "-s", TPR, "-f", XTC,
+                     "--sel", "resname NOSUCH",
+                     "-o", str(tmp_path / "x.xvg")]) == 1
+    # unknown tool: argparse exits 2
+    with pytest.raises(SystemExit):
+        cli.main(["nosuchtool"])
+
+
+def test_density_tool(tmp_path):
+    out = str(tmp_path / "dens.xvg")
+    _run(["density", "-s", TPR, "-f", XTC, "--sel", "@water",
+          "--axis", "z", "--mode", "number", "--bins", "24", "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (24, 2) and (d[:, 1] >= 0).all()
+    assert d[0, 0] == pytest.approx(0.5 / 24)
+
+
+def test_aa_tools(tmp_path, capsys):
+    """rama / polystat / current / order handlers on the all-atom
+    fixture (each model is deep-tested; this pins the CLI wiring)."""
+    rama = str(tmp_path / "rama.xvg")
+    _run(["rama", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "-o", rama])
+    d = read_xvg(rama)
+    assert d.shape[1] == 2 and (np.abs(d) <= 180.0).all()
+
+    poly = str(tmp_path / "poly.xvg")
+    _run(["polystat", "-s", AATPR, "-f", AAXTC, "--sel", "@water",
+          "-o", poly])
+    assert "chains" in capsys.readouterr().out
+    d = read_xvg(poly)
+    assert d.shape[1] == 3 and (d[:, 1] > 0).all()
+
+    cur = str(tmp_path / "cur.xvg")
+    _run(["current", "-s", AATPR, "-f", AAXTC, "--sel", "@water",
+          "--temperature", "310", "-o", cur])
+    assert "S/m" in capsys.readouterr().out
+    assert read_xvg(cur)[0, 1] == 0.0
+
+    order = str(tmp_path / "order.xvg")
+    _run(["order", "-s", AATPR, "-f", AAXTC,
+          "--sel", "resname POPC and name C32 C33 C34", "-o", order])
+    d = read_xvg(order)
+    assert d.shape[1] == 2 and (np.abs(d[:, 1]) <= 1.0 + 1e-6).all()
+
+
+def test_dos_refuses_nonuniform_grid(tmp_path):
+    # every reference TRR is irregularly subsampled: the dos tool must
+    # surface the typed error as exit 1, not a traceback
+    assert cli.main(["dos", "-s", TPR, "-f", TRR, "--sel", "@protein",
+                     "-o", str(tmp_path / "dos.xvg")]) == 1
