@@ -6,9 +6,10 @@ toolbox as familiar `gmx`-shaped tools).
 
 Tools mirror their gmx namesakes (rms, rmsf, gyrate, msd, rdf, density,
 order, sasa, hbond, dssp, dipoles, potential, velacc, dos, current,
-polystat, entropy, covar, cluster, rama, mindist, principal).  Outputs
-are .xvg curves (`io.xvg`) or plain text; selections are GSL queries —
-or ndx group names once `-n index.ndx` is given.
+polystat, entropy, covar, cluster, rama, mindist, principal, trjconv,
+trjcat).  Outputs are .xvg curves (`io.xvg`), trajectories (trjconv/
+trjcat), or plain text; selections are GSL queries — or ndx group names
+once `-n index.ndx` is given.
 """
 
 from __future__ import annotations
@@ -542,6 +543,86 @@ def _principal(sp=None, args=None):
     _xvg(args, [out["times"], moi[:, 0], moi[:, 1], moi[:, 2]],
          title="Principal moments", xlabel="time (ps)",
          ylabel="I (amu nm^2)", legends=["I1", "I2", "I3"])
+
+
+@_tool("trjconv", "convert/transform trajectories (gmx trjconv)")
+def _trjconv(sp=None, args=None):
+    if args is None:
+        _common(sp, out="trajout.xtc", windowed=True)
+        sp.add_argument("--pbc", default="none",
+                        choices=["none", "whole", "nojump"],
+                        help="whole = rejoin molecules; nojump = unwrap")
+        sp.add_argument("--center", default=None,
+                        help="selection to center in the box each frame")
+        sp.add_argument("--fit", default=None,
+                        help="selection to RMSD-fit each frame onto the "
+                             "structure")
+        sp.add_argument("--trans", type=float, nargs=3, default=None,
+                        metavar=("DX", "DY", "DZ"),
+                        help="translate all atoms each frame (nm)")
+        sp.add_argument("--wrap", action="store_true",
+                        help="wrap atoms into the box (after transforms)")
+        sp.add_argument("--outfmt", default=None,
+                        help="output format override (xtc/trr/gro/tng)")
+        return
+    from .models.convert import (CenterConverter, FitConverter,
+                                 MakeWholeConverter, TranslateConverter,
+                                 UnwrapConverter, WrapConverter)
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    convs = []
+    if args.pbc == "whole":
+        convs.append(MakeWholeConverter())
+    elif args.pbc == "nojump":
+        convs.append(UnwrapConverter())
+    if args.trans is not None:
+        convs.append(TranslateConverter(np.asarray(args.trans, np.float32)))
+    if args.center:
+        convs.append(CenterConverter(_group(s, args.center, "__cli_center")))
+    if args.fit:
+        convs.append(FitConverter(s.copy(), _group(s, args.fit, "__cli_fit")))
+    if args.wrap:
+        convs.append(WrapConverter())
+
+    from .models.convert import convert_iter
+
+    w = _window(args)
+    files = _traj(args)
+    reader = (s.traj_cat_iter(files, **w) if isinstance(files, list)
+              else s.traj_iter(files, **w))
+    s.group_traj_writer_init(g, args.output, fmt=args.outfmt)
+    n = 0
+    try:
+        for _ in convert_iter(reader, convs):
+            s.traj_write_frame()
+            n += 1
+    finally:
+        s.traj_writers_close()
+    print(f"wrote {n} frames to {args.output}")
+
+
+@_tool("trjcat", "concatenate trajectories, dedup boundaries (gmx trjcat)")
+def _trjcat(sp=None, args=None):
+    if args is None:
+        _common(sp, out="trajcat.xtc", windowed=True)
+        sp.add_argument("--outfmt", default=None,
+                        help="output format override (xtc/trr/gro/tng)")
+        return
+    s = _system(args)
+    g = _group(s, args.sel)
+    files = _traj(args)
+    reader = s.traj_cat_iter(files if isinstance(files, list) else [files],
+                             **_window(args))
+    s.group_traj_writer_init(g, args.output, fmt=args.outfmt)
+    n = 0
+    try:
+        for _ in reader:
+            s.traj_write_frame()
+            n += 1
+    finally:
+        s.traj_writers_close()
+    print(f"wrote {n} frames to {args.output}")
 
 
 def main(argv=None):

@@ -178,6 +178,76 @@ def test_aa_tools(tmp_path, capsys):
     assert d.shape[1] == 2 and (np.abs(d[:, 1]) <= 1.0 + 1e-6).all()
 
 
+def _read_xtc_frames(structure, path, indices=None):
+    """All (time, positions) of an xtc via the library reader."""
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(structure)
+    out = []
+    for f in s.xtc_iter(path):
+        p = f.positions if indices is None else f.positions[indices]
+        out.append((f.get_time(), p.copy()))
+    return out
+
+
+def test_trjconv_subset_roundtrip(tmp_path):
+    """trjconv with a selection writes exactly the group's coordinates."""
+    from groan_rs_tpu.system import System
+
+    out = str(tmp_path / "prot.xtc")
+    _run(["trjconv", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-o", out])
+    s = System.from_file(TPR)
+    s.group_create("P", "@protein")
+    idx = s.group_indices("P")
+    want = _read_xtc_frames(TPR, XTC, idx)
+
+    sub = System.from_file(TPR)
+    sub.group_create("P", "@protein")
+    sub = sub.group_extract("P")
+    got = [(f.get_time(), f.positions.copy()) for f in sub.xtc_iter(out)]
+    assert len(got) == len(want) == 11
+    for (tg, pg), (tw, pw) in zip(got, want):
+        assert tg == tw
+        # re-quantization at the same 1000/nm precision: one grid cell
+        np.testing.assert_allclose(pg, pw, atol=1.5e-3)
+
+
+def test_trjconv_pbc_whole_and_windows(tmp_path):
+    from groan_rs_tpu.models.convert import MakeWholeConverter, convert_iter
+    from groan_rs_tpu.system import System
+
+    out = str(tmp_path / "whole.xtc")
+    _run(["trjconv", "-s", TPR, "-f", XTC, "--pbc", "whole",
+          "-b", "200", "-e", "600", "-o", out])
+    s = System.from_file(TPR)
+    want = [(f.get_time(), f.positions.copy())
+            for f in convert_iter(
+                s.xtc_iter(XTC, start_time=200, end_time=600),
+                [MakeWholeConverter()])]
+    got = _read_xtc_frames(TPR, out)
+    assert len(got) == len(want) > 0
+    for (tg, pg), (tw, pw) in zip(got, want):
+        assert tg == tw
+        # the fixture's xtc precision is 100/nm: whole-box shifts land
+        # off-grid, so re-quantization costs up to half a 0.01 nm cell
+        np.testing.assert_allclose(pg, pw, atol=5.1e-3)
+
+
+def test_trjcat_matches_unsplit(tmp_path):
+    """trjcat over the reference split fixtures reproduces the unsplit
+    trajectory (boundary time dedup, traj_cat.rs semantics)."""
+    split = os.path.join(TF, "split")
+    files = [os.path.join(split, f"traj{i}.xtc") for i in (1, 2, 3, 4, 5, 6)]
+    out = str(tmp_path / "cat.xtc")
+    _run(["trjcat", "-s", TPR, "-f", *files, "-o", out])
+    got = _read_xtc_frames(TPR, out)
+    want = _read_xtc_frames(TPR, XTC)
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (_, pg), (_, pw) in zip(got, want):
+        np.testing.assert_allclose(pg, pw, atol=1.5e-3)
+
+
 def test_dos_refuses_nonuniform_grid(tmp_path):
     # every reference TRR is irregularly subsampled: the dos tool must
     # surface the typed error as exit 1, not a traceback
