@@ -7,9 +7,10 @@ toolbox as familiar `gmx`-shaped tools).
 Tools mirror their gmx namesakes (rms, rmsf, gyrate, msd, rdf, density,
 order, sasa, hbond, dssp, dipoles, potential, velacc, dos, current,
 polystat, entropy, covar, cluster, rama, mindist, principal, trjconv,
-trjcat).  Outputs are .xvg curves (`io.xvg`), trajectories (trjconv/
-trjcat), or plain text; selections are GSL queries — or ndx group names
-once `-n index.ndx` is given.
+trjcat, make_ndx, editconf, check).  Outputs are .xvg curves (`io.xvg`),
+trajectories (trjconv/trjcat), structures (editconf), index files
+(make_ndx), or plain text; selections are GSL queries — or ndx group
+names once `-n index.ndx` is given.
 """
 
 from __future__ import annotations
@@ -623,6 +624,105 @@ def _trjcat(sp=None, args=None):
     finally:
         s.traj_writers_close()
     print(f"wrote {n} frames to {args.output}")
+
+
+@_tool("make_ndx", "create index groups from selections (gmx make_ndx)")
+def _make_ndx(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-s", "--structure", required=True)
+        sp.add_argument("-n", "--index", default=None,
+                        help="existing ndx to extend")
+        sp.add_argument("--group", action="append", default=[],
+                        metavar="NAME=QUERY", required=True,
+                        help="group to create (repeatable)")
+        sp.add_argument("-o", "--output", default="index.ndx")
+        return
+    s = _system(args)
+    for spec in args.group:
+        name, sep, query = spec.partition("=")
+        if not sep or not name or not query:
+            raise GroanError(f"--group expects NAME=QUERY, got '{spec}'")
+        s.group_create(name.strip(), query)
+    s.write_ndx(args.output)
+    print(f"wrote {len(args.group)} new group(s) to {args.output}")
+
+
+@_tool("editconf", "convert/transform structure files (gmx editconf)")
+def _editconf(sp=None, args=None):
+    if args is None:
+        _common(sp, out="out.gro", traj=False)
+        sp.add_argument("--whole", action="store_true",
+                        help="make molecules whole first")
+        sp.add_argument("--trans", type=float, nargs=3, default=None,
+                        metavar=("DX", "DY", "DZ"))
+        sp.add_argument("--center", default=None,
+                        help="selection to center in the box")
+        sp.add_argument("--wrap", action="store_true")
+        sp.add_argument("--velocities", action="store_true",
+                        help="write velocities (gro output)")
+        sp.add_argument("--conect", action="store_true",
+                        help="write CONECT records (pdb output)")
+        return
+    from .files import FileType
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    if args.whole:
+        s.make_molecules_whole()
+    if args.trans is not None:
+        s.atoms_translate(np.asarray(args.trans, np.float32))
+    if args.center:
+        from .core.dimension import Dimension
+
+        s.atoms_center(_group(s, args.center, "__cli_center"), Dimension.XYZ)
+    if args.wrap:
+        s.atoms_wrap()
+    fmt = FileType.from_name(args.output)
+    if fmt is FileType.GRO:
+        s.group_write_gro(g, args.output, write_velocities=args.velocities)
+    elif fmt is FileType.PDB:
+        s.group_write_pdb(g, args.output, write_conect=args.conect)
+    elif fmt is FileType.PQR:
+        s.group_write_pqr(g, args.output)
+    else:
+        raise GroanError(
+            f"unsupported structure output format '{args.output}' "
+            "(gro/pdb/pqr)")
+    print(f"wrote {args.output}")
+
+
+@_tool("check", "print trajectory/structure info (gmx check)")
+def _check(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-s", "--structure", required=True)
+        sp.add_argument("-f", "--trajectory", nargs="*", default=[])
+        sp.add_argument("-n", "--index", default=None)
+        return
+    s = _system(args)
+    box = s.get_box()
+    print(f"structure: {args.structure}")
+    print(f"  atoms:    {s.get_n_atoms()}")
+    print(f"  residues: {len(np.unique(np.asarray(s.topology.resnum)))}")
+    if box is not None and not box.is_zero():
+        lx, ly, lz = (float(v) for v in box.lengths())
+        print(f"  box:      {lx:.5g} x {ly:.5g} x {lz:.5g} nm"
+              + ("" if box.is_orthogonal() else " (triclinic)"))
+    for path in args.trajectory:
+        reader = s.traj_iter(path)
+        times = reader.times
+        n = len(times)
+        print(f"trajectory: {path}")
+        print(f"  frames: {n}")
+        if n:
+            t0, t1 = float(times[0]), float(times[-1])
+            print(f"  time:   {t0:g} .. {t1:g} ps")
+        if n > 1:
+            dts = np.diff(np.asarray(times, np.float64))
+            if np.allclose(dts, dts[0]):
+                print(f"  dt:     {dts[0]:g} ps")
+            else:
+                print(f"  dt:     non-uniform ({dts.min():g} .. "
+                      f"{dts.max():g} ps)")
 
 
 def main(argv=None):

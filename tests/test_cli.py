@@ -248,6 +248,54 @@ def test_trjcat_matches_unsplit(tmp_path):
         np.testing.assert_allclose(pg, pw, atol=1.5e-3)
 
 
+def test_make_ndx(tmp_path):
+    out = str(tmp_path / "index.ndx")
+    _run(["make_ndx", "-s", TPR,
+          "--group", "Prot=@protein", "--group", "Wat=@water",
+          "-o", out])
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(TPR)
+    s.read_ndx(out)
+    s2 = System.from_file(TPR)
+    s2.group_create("P", "@protein")
+    assert (s.group_indices("Prot") == s2.group_indices("P")).all()
+    assert s.group_exists("Wat")
+    # malformed spec is a clean error
+    assert cli.main(["make_ndx", "-s", TPR, "--group", "noequals",
+                     "-o", out]) == 1
+
+
+def test_editconf_subset_gro_pdb(tmp_path):
+    from groan_rs_tpu.system import System
+
+    gro = str(tmp_path / "prot.gro")
+    _run(["editconf", "-s", TPR, "--sel", "@protein", "-o", gro])
+    pdb = str(tmp_path / "prot.pdb")
+    _run(["editconf", "-s", TPR, "--sel", "@protein", "-o", pdb])
+
+    s = System.from_file(TPR)
+    s.group_create("P", "@protein")
+    n = len(s.group_indices("P"))
+    g = System.from_file(gro)
+    assert g.get_n_atoms() == n
+    p = System.from_file(pdb)
+    assert p.get_n_atoms() == n
+    np.testing.assert_allclose(g.positions, p.positions, atol=1.5e-3)
+
+    bad = cli.main(["editconf", "-s", TPR, "-o", str(tmp_path / "x.xtc")])
+    assert bad == 1
+
+
+def test_check_tool(capsys):
+    _run(["check", "-s", TPR, "-f", XTC])
+    out = capsys.readouterr().out
+    assert "atoms:    16844" in out
+    assert "frames: 11" in out
+    assert "0 .. 1000 ps" in out
+    assert "dt:     100 ps" in out
+
+
 def test_dos_refuses_nonuniform_grid(tmp_path):
     # every reference TRR is irregularly subsampled: the dos tool must
     # surface the typed error as exit 1, not a traceback
