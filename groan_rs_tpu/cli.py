@@ -6,11 +6,11 @@ toolbox as familiar `gmx`-shaped tools).
 
 Tools mirror their gmx namesakes (rms, rmsf, gyrate, msd, rdf, density,
 order, sasa, hbond, dssp, dipoles, potential, velacc, dos, current,
-polystat, entropy, covar, cluster, rama, mindist, principal, trjconv,
-trjcat, make_ndx, editconf, check).  Outputs are .xvg curves (`io.xvg`),
-trajectories (trjconv/trjcat), structures (editconf), index files
-(make_ndx), or plain text; selections are GSL queries — or ndx group
-names once `-n index.ndx` is given.
+polystat, entropy, covar, cluster, rama, mindist, principal, distance,
+angle, traj, trjconv, trjcat, make_ndx, editconf, check).  Outputs are
+.xvg curves (`io.xvg`), trajectories (trjconv/trjcat), structures
+(editconf), index files (make_ndx), or plain text; selections are GSL
+queries — or ndx group names once `-n index.ndx` is given.
 """
 
 from __future__ import annotations
@@ -723,6 +723,77 @@ def _check(sp=None, args=None):
             else:
                 print(f"  dt:     non-uniform ({dts.min():g} .. "
                       f"{dts.max():g} ps)")
+
+
+@_tool("distance", "COM-COM distance between two selections (gmx distance)")
+def _distance(sp=None, args=None):
+    if args is None:
+        _common(sp, out="dist.xvg", windowed=True)
+        sp.add_argument("--ref", required=True, help="second selection")
+        sp.add_argument("--dim", default="xyz",
+                        help="dimensions to use (subset of xyz)")
+        return
+    from .core.dimension import Dimension
+
+    dim = Dimension.from_string(args.dim)
+
+    def build(s, g, p):
+        r = _group(s, args.ref, "__cli_ref")
+        p.add_distance(g, r, dim=dim, name="d")
+    _, _, out, _ = _pipe_run(args, build)
+    _xvg(args, [out["times"], out["d"]], title="COM distance",
+         xlabel="time (ps)", ylabel="distance (nm)", legends=["d"])
+
+
+@_tool("angle", "angles/dihedrals over sites from a selection (gmx angle)")
+def _angle(sp=None, args=None):
+    if args is None:
+        _common(sp, out="angle.xvg", windowed=True)
+        sp.add_argument("--type", default="angle", dest="atype",
+                        choices=["angle", "dihedral"])
+        sp.add_argument("--all", action="store_true",
+                        help="write every site (default: per-frame mean)")
+        return
+    width = 3 if args.atype == "angle" else 4
+
+    def build(s, g, p):
+        idx = np.asarray(s.group_indices(g))
+        if len(idx) == 0 or len(idx) % width:
+            raise GroanError(
+                f"selection yields {len(idx)} atoms — {args.atype}s need "
+                f"consecutive groups of {width} (gmx angle convention)")
+        sites = idx.reshape(-1, width)
+        if args.atype == "angle":
+            p.add_angles(sites, name="a")
+        else:
+            p.add_dihedrals(sites, name="a")
+        return sites.shape[0]
+    _, _, out, n_sites = _pipe_run(args, build)
+    a = np.asarray(out["a"], np.float64).reshape(len(out["times"]), n_sites)
+    if args.all:
+        cols = [out["times"]] + [a[:, k] for k in range(n_sites)]
+        legends = [f"site{k}" for k in range(n_sites)]
+    else:
+        cols = [out["times"], a.mean(1)]
+        legends = ["mean"]
+    _xvg(args, cols, title=args.atype, xlabel="time (ps)",
+         ylabel=f"{args.atype} (deg)", legends=legends)
+
+
+@_tool("traj", "COM coordinates of a selection over time (gmx traj -com)")
+def _trajtool(sp=None, args=None):
+    if args is None:
+        _common(sp, out="comx.xvg", windowed=True)
+        sp.add_argument("--nomass", action="store_true",
+                        help="geometric center instead of COM")
+        return
+    _, _, out, _ = _pipe_run(
+        args, lambda s, g, p: (p.add_center(g, name="c") if args.nomass
+                               else p.add_com(g, name="c")))
+    c = np.asarray(out["c"], np.float64)
+    _xvg(args, [out["times"], c[:, 0], c[:, 1], c[:, 2]],
+         title="Center of mass", xlabel="time (ps)", ylabel="COM (nm)",
+         legends=["x", "y", "z"])
 
 
 def main(argv=None):

@@ -296,6 +296,47 @@ def test_check_tool(capsys):
     assert "dt:     100 ps" in out
 
 
+def test_distance_and_traj_tools(tmp_path):
+    from groan_rs_tpu import models
+    from groan_rs_tpu.system import System
+
+    out = str(tmp_path / "d.xvg")
+    _run(["distance", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--ref", "@water", "-o", out])
+    d = read_xvg(out)
+    s = System.from_file(TPR)
+    s.group_create("P", "@protein")
+    s.group_create("W", "@water")
+    pipe = models.TrajectoryAnalysis(s)
+    pipe.add_distance("P", "W", name="d")
+    want = pipe.run(XTC)
+    np.testing.assert_allclose(d[:, 1], want["d"], rtol=1e-6, atol=1e-6)
+
+    com = str(tmp_path / "com.xvg")
+    _run(["traj", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", com])
+    c = read_xvg(com)
+    assert c.shape == (11, 4)
+    pipe2 = models.TrajectoryAnalysis(System.from_file(TPR))
+    pipe2.system.group_create("P", "@protein")
+    pipe2.add_com("P", name="c")
+    want2 = np.asarray(pipe2.run(XTC)["c"], np.float64)
+    np.testing.assert_allclose(c[:, 1:], want2, rtol=1e-6, atol=1e-6)
+
+
+def test_angle_tool(tmp_path):
+    out = str(tmp_path / "ang.xvg")
+    # three consecutive water atoms per molecule: OW HW1 HW2 -> HOH-ish
+    # site triples in index order; just pin wiring + ranges here (the
+    # geometry op itself is oracle-tested in test_geometry)
+    _run(["angle", "-s", AATPR, "-f", AAXTC,
+          "--sel", "resname SOL and name OW HW1 HW2", "-o", out])
+    d = read_xvg(out)
+    assert d.shape[1] == 2 and (d[:, 1] > 0).all() and (d[:, 1] < 180).all()
+    # non-multiple-of-3 selection is a clean error
+    assert cli.main(["angle", "-s", TPR, "-f", XTC, "--sel", "serial 1 2",
+                     "-o", out]) == 1
+
+
 def test_dos_refuses_nonuniform_grid(tmp_path):
     # every reference TRR is irregularly subsampled: the dos tool must
     # surface the typed error as exit 1, not a traceback
