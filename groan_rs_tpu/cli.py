@@ -582,7 +582,9 @@ def _trjconv(sp=None, args=None):
     if args.center:
         convs.append(CenterConverter(_group(s, args.center, "__cli_center")))
     if args.fit:
-        convs.append(FitConverter(s.copy(), _group(s, args.fit, "__cli_fit")))
+        # create the group BEFORE copying: the reference copy must carry it
+        fit_g = _group(s, args.fit, "__cli_fit")
+        convs.append(FitConverter(s.copy(), fit_g))
     if args.wrap:
         convs.append(WrapConverter())
 

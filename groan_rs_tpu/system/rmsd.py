@@ -86,4 +86,6 @@ class RMSDMixin:
                 self.positions, box, group_com, rotation,
                 np.asarray(ref_group_com, np.float32),
             )
-        self.positions = np.asarray(new_pos, dtype=np.float32)
+        # np.array (not asarray): a view of a jax buffer is read-only and
+        # the next frame's _update_system writes in place
+        self.positions = np.array(new_pos, dtype=np.float32)

@@ -234,6 +234,33 @@ def test_trjconv_pbc_whole_and_windows(tmp_path):
         np.testing.assert_allclose(pg, pw, atol=5.1e-3)
 
 
+def test_trjconv_fit(tmp_path):
+    """--fit RMSD-fits every frame onto the structure: read-back frames
+    carry the reference COM and the fit-invariant RMSD anchor."""
+    from groan_rs_tpu.system import System
+
+    out = str(tmp_path / "fit.xtc")
+    _run(["trjconv", "-s", TPR, "-f", XTC, "--fit", "@protein",
+          "-o", out])
+    ref = System.from_file(TPR)
+    ref.group_create("P", "@protein")
+    ref_com = np.asarray(ref.group_get_com("P"))
+
+    check = System.from_file(TPR)
+    check.group_create("P", "@protein")
+    n = 0
+    for f in check.xtc_iter(out):
+        com = np.asarray(f.group_get_com("P"))
+        np.testing.assert_allclose(com, ref_com, atol=0.01)
+        if n == 0:
+            # optimal-rotation RMSD is invariant under the applied fit;
+            # re-quantization at the fixture's 100/nm grid adds ~2e-3
+            assert f.calc_rmsd(ref, "P") == pytest.approx(0.23669721,
+                                                          abs=2e-3)
+        n += 1
+    assert n == 11
+
+
 def test_trjcat_matches_unsplit(tmp_path):
     """trjcat over the reference split fixtures reproduces the unsplit
     trajectory (boundary time dedup, traj_cat.rs semantics)."""
