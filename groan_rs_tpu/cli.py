@@ -7,7 +7,8 @@ toolbox as familiar `gmx`-shaped tools).
 Tools mirror their gmx namesakes (rms, rmsf, gyrate, msd, rdf, density,
 order, sasa, hbond, dssp, dipoles, potential, velacc, dos, current,
 polystat, entropy, covar, cluster, rama, mindist, principal, distance,
-angle, traj, trjconv, trjcat, make_ndx, editconf, check).  Outputs are
+angle, traj, trjconv, trjcat, make_ndx, editconf, check, analyze).
+Outputs are
 .xvg curves (`io.xvg`), trajectories (trjconv/trjcat), structures
 (editconf), index files (make_ndx), or plain text; selections are GSL
 queries — or ndx group names once `-n index.ndx` is given.
@@ -796,6 +797,51 @@ def _trajtool(sp=None, args=None):
     _xvg(args, [out["times"], c[:, 0], c[:, 1], c[:, 2]],
          title="Center of mass", xlabel="time (ps)", ylabel="COM (nm)",
          legends=["x", "y", "z"])
+
+
+@_tool("analyze", "statistics/ACF/error estimate of .xvg data (gmx analyze)")
+def _analyze(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--file", required=True, help=".xvg input")
+        sp.add_argument("--ac", default=None,
+                        help="write normalized autocorrelations here (.xvg)")
+        sp.add_argument("--nblocks", type=int, default=5,
+                        help="blocks for the error estimate (gmx -ee style)")
+        return
+    from .io.xvg import read_xvg, write_xvg
+
+    data = read_xvg(args.file)
+    if data.ndim != 2 or data.shape[1] < 2:
+        raise GroanError(f"'{args.file}' has no data columns")
+    x, ys = data[:, 0], data[:, 1:]
+    n = ys.shape[0]
+    print(f"{n} points, {ys.shape[1]} data set(s)")
+    for j in range(ys.shape[1]):
+        y = ys[:, j]
+        mean, std = y.mean(), y.std(ddof=1) if n > 1 else 0.0
+        # block-averaged standard error (the classic Flyvbjerg-Petersen
+        # estimate at a fixed block count, what gmx analyze -ee bounds)
+        nb = max(2, min(args.nblocks, n))
+        blocks = np.array([b.mean() for b in np.array_split(y, nb)])
+        err = blocks.std(ddof=1) / np.sqrt(nb) if nb > 1 else 0.0
+        print(f"set {j}: mean {mean:.8g}  std {std:.8g}  "
+              f"error est. {err:.3g}  min {y.min():.8g}  max {y.max():.8g}")
+    if args.ac:
+        nlag = n // 2 if n >= 4 else n
+        acs = []
+        for j in range(ys.shape[1]):
+            d = ys[:, j] - ys[:, j].mean()
+            denom = float(d @ d)
+            if denom == 0.0:
+                acs.append(np.ones(nlag))
+                continue
+            full = np.correlate(d, d, mode="full")[n - 1:n - 1 + nlag]
+            acs.append(full / denom)
+        lags = x[:nlag] - x[0]
+        write_xvg(args.ac, [lags] + acs, title="Autocorrelation",
+                  xlabel="lag", ylabel="C(t)",
+                  legends=[f"s{j}" for j in range(len(acs))])
+        print(f"wrote {args.ac}")
 
 
 def main(argv=None):

@@ -364,6 +364,34 @@ def test_angle_tool(tmp_path):
                      "-o", out]) == 1
 
 
+def test_analyze_tool(tmp_path, capsys):
+    from groan_rs_tpu.io.xvg import write_xvg
+
+    # AR(0) white noise + a constant column
+    rng = np.random.default_rng(7)
+    t = np.arange(400, dtype=np.float64)
+    y = rng.normal(3.0, 0.5, 400)
+    path = str(tmp_path / "in.xvg")
+    write_xvg(path, [t, y, np.full(400, 2.5)])
+    ac = str(tmp_path / "ac.xvg")
+    _run(["analyze", "-f", path, "--ac", ac])
+    out = capsys.readouterr().out
+    assert "400 points, 2 data set(s)" in out
+    # mean/std close to the generating distribution
+    line = [ln for ln in out.splitlines() if ln.startswith("set 0")][0]
+    mean = float(line.split("mean")[1].split()[0])
+    assert mean == pytest.approx(3.0, abs=0.1)
+    const = [ln for ln in out.splitlines() if ln.startswith("set 1")][0]
+    assert "std 0 " in const
+
+    d = read_xvg(ac)
+    assert d.shape == (200, 3)
+    assert d[0, 1] == pytest.approx(1.0)      # C(0) = 1
+    assert d[0, 2] == pytest.approx(1.0)      # constant column: defined as 1
+    # white noise decorrelates immediately
+    assert abs(d[1:, 1]).max() < 0.25
+
+
 def test_dos_refuses_nonuniform_grid(tmp_path):
     # every reference TRR is irregularly subsampled: the dos tool must
     # surface the typed error as exit 1, not a traceback
