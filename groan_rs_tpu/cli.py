@@ -477,6 +477,45 @@ def _covar(sp=None, args=None):
         print(f"wrote {args.proj}")
 
 
+@_tool("rotmat", "least-squares fit rotation matrices (gmx rotmat)")
+def _rotmat(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rotmat.xvg")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.rotmat(s, _traj(args), g, batch_size=args.batch_size)
+    m = np.asarray(out["matrices"], np.float64)   # [F, 3, 3]
+    t = np.arange(m.shape[0], dtype=np.float64)
+    cols = [t] + [m[:, i, j] for i in range(3) for j in range(3)]
+    _xvg(args, cols, title="Fit rotation matrix", xlabel="frame",
+         ylabel="matrix element",
+         legends=[f"{a}{b}" for a in "xyz" for b in "xyz"])
+
+
+@_tool("dccm", "dynamic cross-correlation matrix of fluctuations")
+def _dccm(sp=None, args=None):
+    if args is None:
+        _common(sp, out="dccm.dat")
+        sp.add_argument("--no-fit", action="store_true",
+                        help="translate only, skip the rotational fit")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.dccm(s, _traj(args), g, fit=not args.no_fit,
+                      batch_size=args.batch_size)
+    m = out["dccm"]
+    np.savetxt(args.output, m, fmt="%.6f",
+               header=f"DCCM [{m.shape[0]} x {m.shape[1]}] of selection "
+                      f"'{args.sel}'; row/col order = "
+                      "group atom order (see indices)")
+    print(f"wrote {args.output} ({m.shape[0]}x{m.shape[1]})")
+
+
 @_tool("cluster", "GROMOS conformational clustering (gmx cluster)")
 def _cluster(sp=None, args=None):
     if args is None:

@@ -23,6 +23,7 @@ from .pipeline import (
     TrajectoryAnalysis,
     cluster,
     current,
+    dccm,
     dielectric,
     diffusion,
     dos,
@@ -40,17 +41,18 @@ from .pipeline import (
     rmsd_matrix,
     rmsf,
     rotacf,
+    rotmat,
     run_many,
     sasa,
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "current", "dielectric",
+__all__ = ["TrajectoryAnalysis", "cluster", "current", "dccm", "dielectric",
            "diffusion",
            "dos", "dssp", "entropy", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",
            "rmsd_matrix",
-           "rmsf", "rotacf", "run_many",
+           "rmsf", "rotacf", "rotmat", "run_many",
            "sasa", "vacf"]

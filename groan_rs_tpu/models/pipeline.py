@@ -2856,3 +2856,107 @@ def current(system, trajectory, group: str = "all", *,
     return {"conductivity": sigma, "slope": float(slope),
             "lag_times": t, "mj2": curve, "fit_mask": mask,
             "volume": vol, "net_charge": float(q.sum())}
+
+
+def rotmat(system, trajectory, group: str, *, reference=None,
+           batch_size: int = 32):
+    """Per-frame least-squares rotation matrices onto a reference
+    structure (surpass — the `gmx rotmat` workload; the reference
+    applies the fit, rmsd.rs:508-533, but never exposes the matrix).
+
+    Every frame's group is fitted onto the reference with EXACTLY the
+    `calc_rmsd` convention (mass-weighted centroids, unweighted
+    covariance, batched QCP on device); `matrices[f]` is the proper
+    rotation R with `x_ref ≈ R @ (x_frame - com_frame) + com_ref` —
+    the matrix gmx rotmat prints, suitable for `trjconv -fit` style
+    post-processing or box-alignment diagnostics.
+
+    Returns a dict: 'indices' [K], 'matrices' [F, 3, 3], 'rmsd' [F]
+    (nm, the fitted RMSD of each frame — same numbers as `add_rmsd`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..system.rmsd import _extract, _masses
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="rotmat")
+
+    ref_sys = system if reference is None else reference
+    ref_coords, ref_center, ref_idx = _extract(ref_sys, group)
+    if ref_coords.shape[0] != gsel.shape[0]:
+        raise RMSDError(
+            f"group '{group}' has {ref_coords.shape[0]} atoms in reference "
+            f"but {gsel.shape[0]} in target", code="InconsistentGroup")
+    w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
+
+    @jax.jit
+    def _rm(pos, boxes):
+        return rmsd_ops.rmsd_frames(
+            jnp.asarray(ref_coords), jnp.asarray(ref_center), pos, boxes,
+            jnp.asarray(w))
+
+    rot, r = _rm(pos, boxes)
+    return {"indices": gsel, "matrices": np.asarray(rot),
+            "rmsd": np.asarray(r)}
+
+
+def dccm(system, trajectory, group: str, *, reference=None, fit: bool = True,
+         batch_size: int = 32):
+    """Dynamic cross-correlation matrix of atomic fluctuations (surpass —
+    the classic DCCM analysis, Ichiye & Karplus 1991; neither the
+    reference nor gmx ships it, though it is the standard companion to
+    `gmx covar`).
+
+    Every frame is least-squares fitted onto the reference structure
+    (same mass-weighted convention as `rmsf`/`pca`; `fit=False`
+    translates group COM only), then with dr_i(f) = x_i(f) - <x_i> the
+    atom-pair covariance C_ij = <dr_i . dr_j> evaluates as ONE
+    `[F,K,3] x [F,K,3] -> [K,K]` HIGHEST-precision einsum on device and
+    is normalized to the correlation matrix
+    DCCM_ij = C_ij / sqrt(C_ii C_jj) in [-1, 1].
+
+    Returns a dict: 'indices' [K], 'dccm' [K, K] (unitless, diagonal
+    exactly 1), 'covariance' [K, K] (nm^2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+
+    pos, boxes, _, fit_frames = _fit_inputs(system, dt, cols, group, gsel,
+                                            reference, what="dccm")
+    f = int(pos.shape[0])
+    if f < 2:
+        raise ParallelError(
+            f"dccm needs at least 2 frames (trajectory has {f})")
+
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def _dccm(pos, boxes):
+        fitted = fit_frames(pos, boxes, fit)
+        d = fitted - jnp.mean(fitted, axis=0)[None]
+        c = jnp.einsum("fid,fjd->ij", d, d, precision=hi) / f
+        var = jnp.diagonal(c)
+        denom = jnp.sqrt(jnp.maximum(var[:, None] * var[None, :], 1e-30))
+        m = c / denom
+        # exact unit diagonal regardless of rounding
+        m = m - jnp.diag(jnp.diagonal(m)) + jnp.eye(m.shape[0], dtype=m.dtype)
+        return m, c
+
+    m, c = _dccm(pos, boxes)
+    return {"indices": gsel, "dccm": np.asarray(m),
+            "covariance": np.asarray(c)}

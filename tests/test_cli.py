@@ -397,3 +397,23 @@ def test_dos_refuses_nonuniform_grid(tmp_path):
     # surface the typed error as exit 1, not a traceback
     assert cli.main(["dos", "-s", TPR, "-f", TRR, "--sel", "@protein",
                      "-o", str(tmp_path / "dos.xvg")]) == 1
+
+
+def test_rotmat_and_dccm_tools(tmp_path, capsys):
+    rm = str(tmp_path / "rotmat.xvg")
+    _run(["rotmat", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", rm])
+    d = read_xvg(rm)
+    assert d.shape == (11, 10)
+    # each row is a proper rotation: orthonormal columns, det +1
+    for f in range(d.shape[0]):
+        r = d[f, 1:].reshape(3, 3)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-4)
+
+    dc = str(tmp_path / "dccm.dat")
+    _run(["dccm", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", dc])
+    assert "61x61" in capsys.readouterr().out
+    m = np.loadtxt(dc)
+    assert m.shape == (61, 61)
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=0)
+    np.testing.assert_allclose(m, m.T, atol=1e-5)
