@@ -542,6 +542,43 @@ def _cluster(sp=None, args=None):
     print(f"{n_cl} clusters; wrote {args.output}")
 
 
+@_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")
+def _clustsize(sp=None, args=None):
+    if args is None:
+        _common(sp, out="clustsize.xvg")
+        sp.add_argument("--cutoff", type=float, default=0.35,
+                        help="contact cutoff (nm)")
+        sp.add_argument("--mode", choices=["molecule", "atom"],
+                        default="molecule")
+        sp.add_argument("--hist", default=None,
+                        help="also write the cluster-size histogram here")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.clustsize(s, _traj(args), g, cutoff=args.cutoff,
+                           mode=args.mode, batch_size=args.batch_size)
+    _xvg(args, [out["times"],
+                out["n_clusters"].astype(np.float64),
+                out["max_size"].astype(np.float64),
+                out["mean_size"], out["mean_size_w"]],
+         title=f"Cluster sizes ({args.mode}s, cutoff {args.cutoff} nm)",
+         xlabel="time (ps)", ylabel="count / size",
+         legends=["N clusters", "max size", "<S>", "<S^2>/<S>"])
+    print(f"{out['n_entities']} {args.mode} entities; "
+          f"largest cluster {int(out['max_size'].max())}")
+    if args.hist:
+        from .io.xvg import write_xvg
+
+        h = out["size_hist"]
+        sz = np.arange(len(h), dtype=np.float64)
+        write_xvg(args.hist, [sz, h.astype(np.float64)],
+                  title="Cluster size distribution", xlabel="size",
+                  ylabel="count", legends=["clusters"])
+        print(f"wrote {args.hist}")
+
+
 @_tool("rama", "Ramachandran phi/psi angles (gmx rama)")
 def _rama(sp=None, args=None):
     if args is None:

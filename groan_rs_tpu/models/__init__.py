@@ -22,6 +22,7 @@ from .convert import (
 from .pipeline import (
     TrajectoryAnalysis,
     cluster,
+    clustsize,
     current,
     dccm,
     dielectric,
@@ -47,7 +48,8 @@ from .pipeline import (
     vacf,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "current", "dccm", "dielectric",
+__all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
+           "dielectric",
            "diffusion",
            "dos", "dssp", "entropy", "hbond_acf",
            "leaflets", "mdmat", "msd",

@@ -2960,3 +2960,107 @@ def dccm(system, trajectory, group: str, *, reference=None, fit: bool = True,
     m, c = _dccm(pos, boxes)
     return {"indices": gsel, "dccm": np.asarray(m),
             "covariance": np.asarray(c)}
+
+
+def _connected_components(adj):
+    """Union-find over a boolean [M, M] adjacency -> labels [M] (0-based,
+    numbered by first appearance)."""
+    m = adj.shape[0]
+    parent = np.arange(m)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in np.argwhere(np.triu(adj, 1)):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+    roots = np.fromiter((find(i) for i in range(m)), np.int64, m)
+    _, labels = np.unique(roots, return_inverse=True)
+    # renumber by first appearance
+    first = np.full(labels.max() + 1 if m else 0, -1, np.int64)
+    order = []
+    for lab in labels:
+        if first[lab] < 0:
+            first[lab] = len(order)
+            order.append(lab)
+    return first[labels]
+
+
+def clustsize(system, trajectory, group: str = "all", *,
+              cutoff: float = 0.35, mode: str = "molecule",
+              batch_size: int = 32, chunk: int = 16):
+    """Aggregate / cluster-size analysis (surpass — the `gmx clustsize`
+    workload; absent from the reference).
+
+    Entities — the molecules of `group` from the bond graph
+    (`Topology.molecule_ids`, iterating.rs:399), or single atoms with
+    `mode="atom"` — are connected when their smallest minimum-image
+    atom-atom distance is below `cutoff` (nm); connected components per
+    frame are the clusters.  The contact matrix evaluates as chunked
+    dense tensor tiles on device (the mdmat kernel,
+    `ops.distances.residue_min_matrix`); component labeling is a host
+    union-find over the [M, M] boolean adjacency.
+
+    Returns a dict:
+    - 'mode', 'n_entities' M, 'times' [F] (ps)
+    - 'labels' [F, M]: cluster id per entity (0-based, numbered by
+      first member)
+    - 'n_clusters' [F], 'max_size' [F]
+    - 'mean_size' [F]: number-averaged cluster size M / n_clusters
+    - 'mean_size_w' [F]: weight-averaged size sum(s^2)/sum(s) (gmx
+      clustsize's second moment)
+    - 'size_hist' [M + 1]: size_hist[s] = number of (frame, cluster)
+      pairs with exactly s entities
+    """
+    if mode not in ("molecule", "atom"):
+        raise ParallelError(
+            f"clustsize mode must be 'molecule' or 'atom', got {mode!r}")
+    gsel, pos, boxes, dt = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="clustsize")
+
+    if mode == "molecule":
+        mol = np.asarray(system.topology.molecule_ids())[gsel]
+        order, blocks = [], {}
+        for local, mid in enumerate(mol):
+            mid = int(mid)
+            if mid not in blocks:
+                blocks[mid] = []
+                order.append(mid)
+            blocks[mid].append(local)
+        blocks = [blocks[mid] for mid in order]
+    else:
+        blocks = [[i] for i in range(len(gsel))]
+    m = len(blocks)
+    p = max(len(b) for b in blocks)
+    block_idx = np.zeros((m, p), np.int32)
+    block_mask = np.zeros((m, p), bool)
+    for i, b in enumerate(blocks):
+        block_idx[i, : len(b)] = b
+        block_mask[i, : len(b)] = True
+
+    dmin = np.asarray(distance_ops.residue_min_matrix(
+        pos, boxes, block_idx, block_mask, chunk=chunk))   # [F, M, M]
+    f = dmin.shape[0]
+    labels = np.empty((f, m), np.int64)
+    n_clusters = np.empty(f, np.int64)
+    max_size = np.empty(f, np.int64)
+    mean_w = np.empty(f, np.float64)
+    hist = np.zeros(m + 1, np.int64)
+    for fi in range(f):
+        lab = _connected_components(dmin[fi] < cutoff)
+        labels[fi] = lab
+        sizes = np.bincount(lab)
+        n_clusters[fi] = len(sizes)
+        max_size[fi] = sizes.max()
+        mean_w[fi] = (sizes.astype(np.float64) ** 2).sum() / sizes.sum()
+        hist[: sizes.max() + 1] += np.bincount(sizes)[: sizes.max() + 1]
+    return {"mode": mode, "n_entities": m,
+            "times": np.asarray(dt.times, np.float64),
+            "labels": labels, "n_clusters": n_clusters,
+            "max_size": max_size,
+            "mean_size": m / n_clusters.astype(np.float64),
+            "mean_size_w": mean_w, "size_hist": hist}

@@ -417,3 +417,19 @@ def test_rotmat_and_dccm_tools(tmp_path, capsys):
     assert m.shape == (61, 61)
     np.testing.assert_allclose(np.diag(m), 1.0, atol=0)
     np.testing.assert_allclose(m, m.T, atol=1e-5)
+
+
+def test_clustsize_tool(tmp_path, capsys):
+    out = str(tmp_path / "cs.xvg")
+    hist = str(tmp_path / "hist.xvg")
+    _run(["clustsize", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--mode", "atom", "--hist", hist, "-o", out])
+    txt = capsys.readouterr().out
+    assert "entities" in txt
+    d = read_xvg(out)
+    assert d.shape[1] == 5
+    # a bonded peptide is one contact cluster per frame
+    assert (d[:, 1] == 1).all()
+    assert (d[:, 2] == d[0, 2]).all() and d[0, 2] > 100
+    h = read_xvg(hist)
+    assert h[:, 1].sum() == d.shape[0]
