@@ -542,6 +542,34 @@ def _cluster(sp=None, args=None):
     print(f"{n_cl} clusters; wrote {args.output}")
 
 
+@_tool("freevolume", "free volume by MC probe insertion (gmx freevolume)")
+def _freevolume(sp=None, args=None):
+    if args is None:
+        _common(sp, out="freevolume.xvg")
+        sp.add_argument("--probe", type=float, default=0.0,
+                        help="probe radius (nm)")
+        sp.add_argument("--samples", type=int, default=8192,
+                        help="insertion points per frame")
+        sp.add_argument("--seed", type=int, default=0)
+        return
+    from . import models
+
+    s = _system(args)
+    if not np.asarray(s.topology.has_vdw).any():
+        s.guess_elements()
+    g = _group(s, args.sel)
+    out = models.freevolume(s, _traj(args), g, probe=args.probe,
+                            n_samples=args.samples, seed=args.seed,
+                            batch_size=args.batch_size)
+    t = np.arange(out["fraction"].shape[0], dtype=np.float64)
+    _xvg(args, [t, out["fraction"], out["free_volume"]],
+         title=f"Free volume (probe {args.probe} nm)", xlabel="frame",
+         ylabel="fraction / nm^3", legends=["fraction", "free volume"])
+    print(f"mean free-volume fraction {out['mean_fraction']:.4f} "
+          f"+- {out['stderr_fraction']:.4f} "
+          f"({out['n_samples']} samples/frame)")
+
+
 @_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")
 def _clustsize(sp=None, args=None):
     if args is None:

@@ -30,6 +30,7 @@ from .pipeline import (
     dos,
     dssp,
     entropy,
+    freevolume,
     hbond_acf,
     leaflets,
     mdmat,
@@ -51,7 +52,7 @@ from .pipeline import (
 __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "dielectric",
            "diffusion",
-           "dos", "dssp", "entropy", "hbond_acf",
+           "dos", "dssp", "entropy", "freevolume", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",

@@ -3064,3 +3064,90 @@ def clustsize(system, trajectory, group: str = "all", *,
             "max_size": max_size,
             "mean_size": m / n_clusters.astype(np.float64),
             "mean_size_w": mean_w, "size_hist": hist}
+
+
+def freevolume(system, trajectory, group: str = "all", *,
+               probe: float = 0.0, n_samples: int = 8192, seed: int = 0,
+               radii=None, points=None, batch_size: int = 32,
+               chunk: int = 1024):
+    """Free-volume fraction by Monte Carlo probe insertion (surpass —
+    the `gmx freevolume` workload; absent from the reference).
+
+    Per frame, `n_samples` uniform points are drawn in the box (seeded
+    `jax.random`, deterministic); a point is FREE when its minimum-image
+    distance to every atom of `group` exceeds that atom's vdW radius +
+    `probe` (nm).  The [points x atoms] occlusion test evaluates as
+    dense device tiles (`chunk` points at a time under `lax.map`, all
+    frames in one jitted dispatch).  Radii come from the topology
+    (`guess_elements()`, the same vdwradii.dat-derived table the
+    reference's guessing uses) or the `radii=` override; `points=`
+    ([F, P, 3] in box units) replaces the random draw for exact
+    oracle testing.
+
+    Returns a dict: 'fraction' [F], 'free_volume' [F] (nm^3),
+    'box_volume' [F] (nm^3), 'mean_fraction', 'stderr_fraction'
+    (binomial MC error of the mean, NOT the frame-to-frame physical
+    variance), 'n_samples'.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="freevolume")
+
+    if radii is None:
+        if not np.asarray(system.topology.has_vdw)[gsel].all():
+            raise GroupError(
+                f"group '{group}' has atoms without a vdW radius; run "
+                "guess_elements() / guess_properties() or pass radii=",
+                code="InvalidVdW")
+        radii = np.asarray(system.topology.vdw, np.float32)[gsel]
+    else:
+        radii = np.asarray(radii, np.float32)
+        if radii.shape != (gsel.shape[0],):
+            raise GroupError(
+                f"radii must have shape [{gsel.shape[0]}] to match group "
+                f"'{group}'", code="InvalidVdW")
+    r2 = jnp.asarray((radii + np.float32(probe)) ** 2)
+
+    f = int(pos.shape[0])
+    if points is None:
+        pts = jax.random.uniform(jax.random.PRNGKey(seed),
+                                 (f, int(n_samples), 3), jnp.float32)
+    else:
+        pts = jnp.asarray(points, jnp.float32)
+        if pts.shape[0] != f or pts.ndim != 3 or pts.shape[2] != 3:
+            raise ParallelError(
+                f"points must be [F={f}, P, 3], got {pts.shape}")
+    p = int(pts.shape[1])
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+
+    @jax.jit
+    def _free(pos, boxes, pts):
+        def one_frame(args):
+            pf, box, u = args
+            xyz = u * box[None, :]                    # [P, 3]
+            if pad:
+                xyz = jnp.concatenate(
+                    [xyz, jnp.zeros((pad, 3), xyz.dtype)])
+
+            def rows(start):
+                c = jax.lax.dynamic_slice_in_dim(xyz, start, chunk)
+                d = c[:, None, :] - pf[None, :, :]
+                d = pbc.min_image(d, box)
+                d2 = jnp.sum(d * d, axis=-1)          # [C, K]
+                return jnp.all(d2 > r2[None, :], axis=1)
+
+            free = jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
+            return jnp.sum(free.reshape(-1)[:p].astype(jnp.float32)) / p
+
+        return jax.lax.map(one_frame, (pos, boxes, pts))
+
+    frac = np.asarray(_free(pos, boxes, pts), np.float64)
+    bvol = np.prod(np.asarray(boxes, np.float64), axis=1)
+    mean = float(frac.mean())
+    stderr = float(np.sqrt(max(mean * (1.0 - mean), 0.0) / (f * p)))
+    return {"fraction": frac, "free_volume": frac * bvol,
+            "box_volume": bvol, "mean_fraction": mean,
+            "stderr_fraction": stderr, "n_samples": p}

@@ -433,3 +433,14 @@ def test_clustsize_tool(tmp_path, capsys):
     assert (d[:, 2] == d[0, 2]).all() and d[0, 2] > 100
     h = read_xvg(hist)
     assert h[:, 1].sum() == d.shape[0]
+
+
+def test_freevolume_tool(tmp_path, capsys):
+    out = str(tmp_path / "fv.xvg")
+    _run(["freevolume", "-s", AATPR, "-f", AAXTC,
+          "--sel", "not resname NA CL", "--samples", "512", "-o", out])
+    txt = capsys.readouterr().out
+    assert "mean free-volume fraction" in txt
+    d = read_xvg(out)
+    assert d.shape == (21, 3)
+    assert ((d[:, 1] > 0.05) & (d[:, 1] < 0.9)).all()
