@@ -570,6 +570,102 @@ def _freevolume(sp=None, args=None):
           f"({out['n_samples']} samples/frame)")
 
 
+@_tool("densmap", "2D density map (gmx densmap)")
+def _densmap(sp=None, args=None):
+    if args is None:
+        _common(sp, out="densmap.dat")
+        sp.add_argument("--axes", default="xy",
+                        help="map plane: xy, xz, or yz (default xy)")
+        sp.add_argument("--bins", type=int, nargs=2, default=[100, 100],
+                        metavar=("NX", "NY"))
+        sp.add_argument("--weights", default="number",
+                        choices=["number", "mass", "charge"])
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.densmap(s, _traj(args), g, axes=args.axes,
+                         bins=tuple(args.bins), weights=args.weights,
+                         batch_size=args.batch_size)
+    out["map"].save(args.output)
+    print(f"{args.bins[0]}x{args.bins[1]} {args.axes} map "
+          f"({args.weights} density, nm^-3); wrote {args.output}")
+
+
+@_tool("vanhove", "Van Hove self-correlation Gs(r,t) (gmx vanhove)")
+def _vanhove(sp=None, args=None):
+    if args is None:
+        _common(sp, out="vanhove.xvg")
+        sp.add_argument("--lags", type=int, nargs="+", default=None,
+                        help="frame lags (default 1..min(F-1,50))")
+        sp.add_argument("--rmax", type=float, default=2.0)
+        sp.add_argument("--bins", type=int, default=100)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.vanhove(s, _traj(args), g, lags=args.lags,
+                         r_max=args.rmax, bins=args.bins,
+                         batch_size=args.batch_size)
+    cols = [out["r"]] + [out["gs"][i] for i in range(len(out["lags"]))]
+    _xvg(args, cols, title="Van Hove self-correlation",
+         xlabel="r (nm)", ylabel="Gs(r,t) (1/nm)",
+         legends=[f"lag {int(lg)}" for lg in out["lags"]])
+    print(f"{len(out['lags'])} lags; max overflow fraction "
+          f"{float(out['overflow'].max()):.4f}")
+
+
+@_tool("rmsdist", "RMS deviation of atom-pair distances (gmx rmsdist)")
+def _rmsdist(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rmsdist.xvg")
+        sp.add_argument("--mean-matrix", default=None,
+                        help="also write the mean |deviation| matrix "
+                        "(whitespace text) to this path")
+        sp.add_argument("--pbc", action="store_true",
+                        help="min-image distances (surpass option)")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.rmsdist(s, _traj(args), g, pbc_aware=args.pbc,
+                         batch_size=args.batch_size)
+    t = np.arange(out["rmsdist"].shape[0], dtype=np.float64)
+    _xvg(args, [t, out["rmsdist"]], title="RMS distance deviation",
+         xlabel="frame", ylabel="RMSdist (nm)", legends=["rmsdist"])
+    if args.mean_matrix:
+        np.savetxt(args.mean_matrix, out["mean_deviation"], fmt="%.6f")
+        print(f"wrote mean-deviation matrix to {args.mean_matrix}")
+    print(f"mean RMSdist {float(out['rmsdist'].mean()):.6f} nm")
+
+
+@_tool("saxs", "SAXS intensity by the Debye formula (gmx saxs)")
+def _saxs(sp=None, args=None):
+    if args is None:
+        _common(sp, out="saxs.xvg")
+        sp.add_argument("--qmin", type=float, default=0.06)
+        sp.add_argument("--qmax", type=float, default=6.0)
+        sp.add_argument("--nq", type=int, default=60)
+        return
+    from . import models
+
+    s = _system(args)
+    if not any(s.topology.element_symbol[i]
+               for i in range(min(10, s.topology.n_atoms))):
+        s.guess_elements()
+    g = _group(s, args.sel)
+    q = np.linspace(args.qmin, args.qmax, args.nq)
+    out = models.saxs(s, _traj(args), g, q=q,
+                      batch_size=args.batch_size)
+    _xvg(args, [out["q"], out["intensity"]], title="SAXS (Debye)",
+         xlabel="q (1/nm)", ylabel="I(q) (e^2)", legends=["I(q)"])
+    print(f"I(0) bound {out['i0']:.1f} e^2; "
+          f"I(qmin) {float(out['intensity'][0]):.1f} e^2")
+
+
 @_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")
 def _clustsize(sp=None, args=None):
     if args is None:

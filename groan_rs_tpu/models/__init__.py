@@ -25,6 +25,7 @@ from .pipeline import (
     clustsize,
     current,
     dccm,
+    densmap,
     dielectric,
     diffusion,
     dos,
@@ -41,21 +42,25 @@ from .pipeline import (
     potential_profile,
     ramachandran,
     rmsd_matrix,
+    rmsdist,
     rmsf,
     rotacf,
     rotmat,
     run_many,
     sasa,
+    saxs,
     vacf,
+    vanhove,
 )
 
 __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
+           "densmap",
            "dielectric",
            "diffusion",
            "dos", "dssp", "entropy", "freevolume", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",
-           "rmsd_matrix",
+           "rmsd_matrix", "rmsdist",
            "rmsf", "rotacf", "rotmat", "run_many",
-           "sasa", "vacf"]
+           "sasa", "saxs", "vacf", "vanhove"]

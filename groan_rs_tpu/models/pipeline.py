@@ -3151,3 +3151,384 @@ def freevolume(system, trajectory, group: str = "all", *,
     return {"fraction": frac, "free_volume": frac * bvol,
             "box_volume": bvol, "mean_fraction": mean,
             "stderr_fraction": stderr, "n_samples": p}
+
+
+_AXIS = {"x": 0, "y": 1, "z": 2}
+
+
+def densmap(system, trajectory, group: str = "all", *, axes: str = "xy",
+            bins=(100, 100), weights: str = "number",
+            batch_size: int = 32):
+    """2D partial-density map averaged over a trajectory (surpass — the
+    `gmx densmap` workload; absent from the reference).
+
+    The box is divided into `bins` fractional tiles along the two `axes`
+    ("xy"/"xz"/"yz"); each frame scatter-adds its atoms' weights
+    ("number", "mass", or "charge") into the grid, scaled by that
+    frame's bin volume (box volume / nx / ny — exact under NPT box
+    fluctuation), in ONE jitted dispatch for the whole pass.
+
+    Returns a dict: 'map' — a `GridMap` (tile centers in nm of the MEAN
+    box) holding the time-averaged density (nm^-3, weight units per
+    nm^3), 'counts' [nx, ny] raw weighted counts, 'x'/'y' bin centers,
+    'mean_box' [3].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.gridmap import GridMap
+
+    if len(axes) != 2 or axes[0] not in _AXIS or axes[1] not in _AXIS \
+            or axes[0] == axes[1]:
+        raise ParallelError(f"axes must be two distinct of 'xyz', got "
+                            f"'{axes}'")
+    i1, i2 = _AXIS[axes[0]], _AXIS[axes[1]]
+    nx, ny = int(bins[0]), int(bins[1])
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="densmap")
+
+    if weights == "number":
+        w = np.ones(gsel.shape[0], np.float32)
+    elif weights == "mass":
+        w = np.asarray(system.topology.mass, np.float32)[gsel]
+    elif weights == "charge":
+        w = np.asarray(system.topology.charge, np.float32)[gsel]
+    else:
+        raise ParallelError(
+            f"weights must be 'number', 'mass', or 'charge', got "
+            f"'{weights}'")
+    f, k = int(pos.shape[0]), int(pos.shape[1])
+
+    @jax.jit
+    def _hist(pos, boxes, w):
+        frac = pos / boxes[:, None, :]
+        frac = frac - jnp.floor(frac)
+        ix = jnp.clip((frac[..., i1] * nx).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip((frac[..., i2] * ny).astype(jnp.int32), 0, ny - 1)
+        flat = (ix * ny + iy).reshape(-1)
+        vol = jnp.prod(boxes, axis=1)                      # [F]
+        ww = jnp.broadcast_to(w[None, :], (f, k))
+        dens_w = (ww * ((nx * ny) / vol)[:, None]).reshape(-1)
+        counts = jnp.zeros((nx * ny,), jnp.float32).at[flat].add(
+            ww.reshape(-1))
+        dens = jnp.zeros((nx * ny,), jnp.float32).at[flat].add(dens_w)
+        return counts.reshape(nx, ny), dens.reshape(nx, ny) / f
+
+    counts, dens = _hist(pos, boxes, jnp.asarray(w))
+    counts = np.asarray(counts, np.float64)
+    dens = np.asarray(dens, np.float64)
+    mean_box = np.asarray(boxes, np.float64).mean(axis=0)
+    bwx = mean_box[i1] / nx
+    bwy = mean_box[i2] / ny
+    xs = (np.arange(nx) + 0.5) * bwx
+    ys = (np.arange(ny) + 0.5) * bwy
+    gm = GridMap.from_vec((xs[0], xs[-1]), (ys[0], ys[-1]), (bwx, bwy),
+                          dens.reshape(-1), data_order="row")
+    return {"map": gm, "density": dens, "counts": counts, "x": xs, "y": ys,
+            "mean_box": mean_box}
+
+
+def rmsdist(system, trajectory, group: str, *, reference=None,
+            pbc_aware: bool = False, batch_size: int = 32,
+            chunk: int = 256):
+    """RMS deviation of intra-group atom-pair distances per frame vs a
+    reference structure (surpass — the `gmx rmsdist` workload; absent
+    from the reference).
+
+    RMSdist(t) = sqrt(mean over i<j of (d_ij(t) - d_ij(ref))^2), the
+    fit-free alternative to RMSD.  Distances are plain Euclidean (the
+    gmx convention: molecules are assumed whole) unless `pbc_aware=True`
+    (min-image with each frame's box — a surpass option).  The [K, K]
+    pair matrices evaluate as device row tiles (`chunk` rows per step
+    under `lax.map`, frames batched in one dispatch).
+
+    `reference`: a System (defaults to `system`'s own coordinates).
+
+    Returns a dict: 'rmsdist' [F] (nm), 'ref_distances' [K, K],
+    'mean_deviation' [K, K] (mean |d_ij(t) - d_ij(ref)| over frames,
+    the gmx `-mean` matrix).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size,
+        require_ortho="rmsdist" if pbc_aware else None)
+
+    ref = system if reference is None else reference
+    rp = np.asarray(ref.positions, np.float32)
+    if rp.shape[0] != system.topology.n_atoms:
+        raise RMSDError(
+            "reference system has a different atom count",
+            code="InconsistentGroup")
+    rp = rp[gsel]
+    k = int(gsel.shape[0])
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    if pad:
+        rp = np.concatenate([rp, np.zeros((pad, 3), np.float32)])
+    rbox = None
+    if pbc_aware:
+        if ref.simbox is None:
+            raise RMSDError("pbc_aware rmsdist needs a reference box",
+                            code="InvalidSimBox")
+        rbox = np.asarray(
+            [ref.simbox.x, ref.simbox.y, ref.simbox.z], np.float32)
+
+    # mask for valid (i, j) pairs, i != j, padded rows dead
+    valid = np.ones(k + pad, bool)
+    valid[k:] = False
+    n_pairs = k * (k - 1)
+
+    @jax.jit
+    def _dref(rp):
+        def rows(start):
+            c = jax.lax.dynamic_slice_in_dim(rp, start, chunk)
+            d = c[:, None, :] - rp[None, :k, :]
+            if rbox is not None:
+                d = pbc.min_image(d, jnp.asarray(rbox))
+            return jnp.sqrt(jnp.sum(d * d, axis=-1))
+        return jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
+
+    dref = _dref(jnp.asarray(rp))                  # [n_chunks, chunk, K]
+
+    @jax.jit
+    def _pass(pos, boxes, dref):
+        vmask = jnp.asarray(valid)
+        posp = jnp.concatenate(
+            [pos, jnp.zeros((pos.shape[0], pad, 3), pos.dtype)],
+            axis=1) if pad else pos
+
+        # chunks outer (stacked by lax.map), frames inner (scan carry):
+        # each chunk owns its own |deviation| accumulator rows, so the
+        # [K, K] mean matrix reassembles exactly for any chunk count.
+        def one_chunk(args):
+            start, dr = args                         # dr [chunk, K]
+            rm = jax.lax.dynamic_slice_in_dim(vmask, start, chunk)
+            diag = (start + jnp.arange(chunk))[:, None] \
+                == jnp.arange(k)[None, :]
+            m = (rm[:, None] & ~diag).astype(jnp.float32)
+
+            def frames(sad, fargs):
+                pf, box = fargs                      # pf [K+pad, 3]
+                c = jax.lax.dynamic_slice_in_dim(pf, start, chunk)
+                d = c[:, None, :] - pf[None, :k, :]
+                if pbc_aware:
+                    d = pbc.min_image(d, box)
+                dist = jnp.sqrt(jnp.sum(d * d, axis=-1))   # [C, K]
+                dev = (dist - dr) * m
+                return sad + jnp.abs(dev), jnp.sum(dev * dev)
+
+            sad, sse_f = jax.lax.scan(
+                frames, jnp.zeros((chunk, k), jnp.float32), (posp, boxes))
+            return sad, sse_f                        # [C, K], [F]
+
+        sad, sse = jax.lax.map(
+            one_chunk, (jnp.arange(n_chunks) * chunk, dref))
+        return jnp.sum(sse, axis=0), sad
+
+    sse, sad = _pass(pos, boxes, dref)
+    rms = np.sqrt(np.asarray(sse, np.float64) / n_pairs)
+    f = int(pos.shape[0])
+    mean_dev = np.asarray(sad, np.float64).reshape(-1, k)[:k] / f
+    dref_full = np.asarray(dref, np.float64).reshape(-1, k)[:k]
+    return {"rmsdist": rms, "ref_distances": dref_full,
+            "mean_deviation": mean_dev}
+
+
+def vanhove(system, trajectory, group: str, *, lags=None, r_max: float = 2.0,
+            bins: int = 100, batch_size: int = 32):
+    """Self part of the Van Hove correlation function Gs(r, t)
+    (surpass — the `gmx vanhove -or` workload; absent from the
+    reference).
+
+    Positions are unwrapped on device (`ops.msd.unwrap_orthorhombic`);
+    for each lag t the displacement magnitudes |r_i(t0+t) - r_i(t0)|
+    over ALL time origins and atoms are histogrammed into `bins` shells
+    of width r_max/bins, in one jitted `lax.map` over lags.  Gs is
+    normalized as a probability density in r: integral Gs(r,t) dr = 1
+    when no displacement exceeds r_max (the clipped fraction is
+    reported per lag).
+
+    `lags`: iterable of frame lags (default: 1..F-1 capped at 50).
+
+    Returns a dict: 'r' [bins] shell centers (nm), 'lags' [L],
+    'gs' [L, bins], 'counts' [L, bins], 'overflow' [L] (fraction of
+    displacements beyond r_max).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="vanhove")
+    f, k = int(pos.shape[0]), int(pos.shape[1])
+    if f < 2:
+        raise ParallelError("vanhove needs at least 2 frames")
+    if lags is None:
+        lags = range(1, min(f, 51))
+    lags = np.asarray(sorted(set(int(x) for x in lags)), np.int32)
+    if lags.size == 0 or lags[0] < 1 or lags[-1] >= f:
+        raise ParallelError(
+            f"lags must be within [1, {f - 1}], got {lags.tolist()}")
+    dr = float(r_max) / bins
+
+    @jax.jit
+    def _gs(pos, boxes):
+        u = msd_ops.unwrap_orthorhombic(pos, boxes)
+
+        def one_lag(lag):
+            # displacement norms over every origin, masked past F-lag;
+            # static shapes: roll + mask instead of data-dependent slice
+            d = jnp.roll(u, -lag, axis=0) - u                # [F, K, 3]
+            norm = jnp.sqrt(jnp.sum(d * d, axis=-1))         # [F, K]
+            om = (jnp.arange(f) < f - lag)[:, None]
+            idx = jnp.clip((norm / dr).astype(jnp.int32), 0, bins)
+            idx = jnp.where(norm >= r_max, bins, idx)        # overflow bin
+            w = jnp.broadcast_to(om, (f, k)).astype(jnp.float32)
+            return jnp.zeros((bins + 1,), jnp.float32).at[
+                idx.reshape(-1)].add(w.reshape(-1))
+
+        return jax.lax.map(one_lag, jnp.asarray(lags))
+
+    h = np.asarray(_gs(pos, boxes), np.float64)              # [L, bins+1]
+    counts = h[:, :bins]
+    overflow = h[:, bins]
+    total = counts.sum(axis=1) + overflow
+    gs = counts / (total[:, None] * dr)
+    r = (np.arange(bins) + 0.5) * dr
+    return {"r": r, "lags": lags, "gs": gs, "counts": counts,
+            "overflow": overflow / np.maximum(total, 1.0)}
+
+
+# Cromer-Mann 4-Gaussian X-ray form-factor coefficients (International
+# Tables for Crystallography Vol. C, table 6.1.1.4): f(q) =
+# sum_k a_k exp(-b_k (q/4pi)^2) + c, q in 1/Angstrom inside the formula.
+# Self-consistency f(0) ~= Z is asserted by tests for every row.
+_CROMER_MANN = {
+    "H": ([0.489918, 0.262003, 0.196767, 0.049879],
+          [20.6593, 7.74039, 49.5519, 2.20159], 0.001305),
+    "C": ([2.31000, 1.02000, 1.58860, 0.865000],
+          [20.8439, 10.2075, 0.568700, 51.6512], 0.215600),
+    "N": ([12.2126, 3.13220, 2.01250, 1.16630],
+          [0.005700, 9.89330, 28.9975, 0.582600], -11.529),
+    "O": ([3.04850, 2.28680, 1.54630, 0.867000],
+          [13.2771, 5.70110, 0.323900, 32.9089], 0.250800),
+    "P": ([6.43450, 4.17910, 1.78000, 1.49080],
+          [1.90670, 27.1570, 0.526000, 68.1645], 1.11490),
+    "S": ([6.90530, 5.20340, 1.43790, 1.58630],
+          [1.46790, 22.2151, 0.253600, 56.1720], 0.866900),
+    "NA": ([4.76260, 3.17360, 1.26740, 1.11280],
+           [3.28500, 8.84220, 0.313600, 129.424], 0.676000),
+    "MG": ([5.42040, 2.17350, 1.22690, 2.30730],
+           [2.82750, 79.2611, 0.380800, 7.19370], 0.858400),
+    "CL": ([11.4604, 7.19640, 6.25560, 1.64550],
+           [0.010400, 1.16620, 18.5194, 47.7784], -9.5574),
+    "K": ([8.21860, 7.43980, 1.05190, 0.865900],
+          [12.7949, 0.774800, 213.187, 41.6841], 1.42280),
+    "CA": ([8.62660, 7.38730, 1.58990, 1.02110],
+           [10.4421, 0.659900, 85.7484, 178.437], 1.37510),
+    "FE": ([11.7695, 7.35730, 3.52220, 2.30450],
+           [4.76110, 0.307200, 15.3535, 76.8805], 1.03690),
+    "ZN": ([14.0743, 7.03180, 5.16520, 2.41000],
+           [3.26550, 0.233300, 10.3163, 58.7097], 1.30410),
+}
+_CM_Z = {"H": 1, "C": 6, "N": 7, "O": 8, "P": 15, "S": 16, "NA": 11,
+         "MG": 12, "CL": 17, "K": 19, "CA": 20, "FE": 26, "ZN": 30}
+
+
+def _cm_form_factors(symbols, q_nm):
+    """[K, Q] X-ray form factors for element `symbols` at scattering
+    vectors `q_nm` (1/nm).  Raises GroupError on unknown elements."""
+    q_a = np.asarray(q_nm, np.float64) / 10.0        # 1/nm -> 1/Angstrom
+    s2 = (q_a / (4.0 * np.pi)) ** 2
+    uniq = sorted(set(symbols))
+    missing = [u for u in uniq if u.upper() not in _CROMER_MANN]
+    if missing:
+        raise GroupError(
+            f"no Cromer-Mann form factors for element(s) {missing}; run "
+            "guess_elements() or restrict the group", code="InvalidElement")
+    table = {}
+    for u in uniq:
+        a, b, c = _CROMER_MANN[u.upper()]
+        table[u] = (np.exp(-np.outer(b, s2)) * np.asarray(a)[:, None]
+                    ).sum(axis=0) + c
+    return np.stack([table[s] for s in symbols])
+
+
+def saxs(system, trajectory, group: str, *, q=None, batch_size: int = 32,
+         chunk: int = 256):
+    """Small-angle X-ray scattering intensity by the Debye formula
+    (surpass — the `gmx saxs` workload; absent from the reference).
+
+    I(q) = sum_ij f_i(q) f_j(q) sinc(q d_ij) with Cromer-Mann atomic
+    form factors, averaged over frames.  Distances are plain Euclidean
+    (in-vacuo convention — make the group whole first); the O(K^2 Q)
+    sum evaluates on device as row tiles: per q and row chunk, one
+    [C, K] sinc matrix contracted against the form-factor vectors
+    (`lax.map` over q, `lax.scan` over chunks and frames — frames
+    batched in one dispatch).
+
+    `q`: scattering vectors in 1/nm (default 60 points on [0.06, 6]).
+    Elements must be assigned (`guess_elements()`).
+
+    Returns a dict: 'q' [Q] (1/nm), 'intensity' [Q] frame-averaged,
+    'per_frame' [F, Q], 'i0' = (sum f_i(0))^2 per frame 0 sanity value.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size)
+
+    if q is None:
+        q = np.linspace(0.06, 6.0, 60)
+    q = np.asarray(q, np.float64)
+    if (q <= 0).any():
+        raise ParallelError("q values must be positive (1/nm)")
+
+    symbols = [system.topology.element_symbol[int(i)] for i in gsel]
+    if any(not s for s in symbols):
+        raise GroupError(
+            f"group '{group}' has atoms without an element symbol; run "
+            "guess_elements()", code="InvalidElement")
+    ff = _cm_form_factors(symbols, q)                # [K, Q]
+
+    f, k = int(pos.shape[0]), int(pos.shape[1])
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    ffp = np.concatenate([ff, np.zeros((pad, ff.shape[1]))]) if pad else ff
+
+    @jax.jit
+    def _debye(pos, ffq, qv):
+        posp = jnp.concatenate(
+            [pos, jnp.zeros((f, pad, 3), pos.dtype)], axis=1) if pad else pos
+
+        def one_q(args):
+            qs, fq = args                            # scalar, [K+pad]
+
+            def frames(_, pf):                       # pf [K+pad, 3]
+                def rows(acc, start):
+                    c = jax.lax.dynamic_slice_in_dim(pf, start, chunk)
+                    fc = jax.lax.dynamic_slice_in_dim(fq, start, chunk)
+                    d = c[:, None, :] - pf[None, :k, :]
+                    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))   # [C, K]
+                    s = jnp.sinc(qs * dist / jnp.pi)
+                    return acc + jnp.dot(fc, jnp.dot(s, fq[:k])), None
+
+                acc, _ = jax.lax.scan(
+                    rows, jnp.float32(0.0), jnp.arange(n_chunks) * chunk)
+                return None, acc
+
+            _, i_f = jax.lax.scan(frames, None, posp)
+            return i_f                               # [F]
+
+        return jax.lax.map(one_q, (qv, ffq))         # [Q, F]
+
+    iq = np.asarray(
+        _debye(pos, jnp.asarray(ffp.T, jnp.float32),
+               jnp.asarray(q, jnp.float32)), np.float64).T   # [F, Q]
+    return {"q": q, "intensity": iq.mean(axis=0), "per_frame": iq,
+            "i0": float(ff[:, 0].sum() ** 2)}

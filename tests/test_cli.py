@@ -444,3 +444,51 @@ def test_freevolume_tool(tmp_path, capsys):
     d = read_xvg(out)
     assert d.shape == (21, 3)
     assert ((d[:, 1] > 0.05) & (d[:, 1] < 0.9)).all()
+
+
+def test_densmap_tool(tmp_path, capsys):
+    out = str(tmp_path / "dm.dat")
+    _run(["densmap", "-s", AATPR, "-f", AAXTC, "--sel", "name P",
+          "--axes", "xz", "--bins", "8", "16", "-o", out])
+    assert "8x16 xz map" in capsys.readouterr().out
+    from groan_rs_tpu.core.gridmap import GridMap
+    gm = GridMap.from_file(out)
+    assert gm.n_tiles_x() == 8 and gm.n_tiles_y() == 16
+    assert gm.values.sum() > 0
+
+
+def test_vanhove_tool(tmp_path, capsys):
+    out = str(tmp_path / "vh.xvg")
+    _run(["vanhove", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--lags", "1", "5", "--bins", "25", "--rmax", "3.0",
+          "-o", out])
+    assert "2 lags" in capsys.readouterr().out
+    d = read_xvg(out)
+    assert d.shape == (25, 3)
+    # each lag's Gs integrates to <= 1 (== 1 minus overflow)
+    dr = 3.0 / 25
+    assert d[:, 1].sum() * dr <= 1.0 + 1e-6
+    assert d[:, 1].sum() * dr > 0.5
+
+
+def test_rmsdist_tool(tmp_path, capsys):
+    out = str(tmp_path / "rd.xvg")
+    mm = str(tmp_path / "mean.dat")
+    _run(["rmsdist", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-o", out, "--mean-matrix", mm])
+    txt = capsys.readouterr().out
+    assert "mean RMSdist" in txt
+    d = read_xvg(out)
+    assert d.shape == (11, 2) and (d[1:, 1] > 0).all()
+    m = np.loadtxt(mm)
+    k = m.shape[0]
+    assert m.shape == (k, k) and (np.diag(m) == 0).all()
+
+
+def test_saxs_tool(tmp_path, capsys):
+    out = str(tmp_path / "sx.xvg")
+    _run(["saxs", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--qmin", "0.5", "--qmax", "8", "--nq", "10", "-o", out])
+    assert "I(0) bound" in capsys.readouterr().out
+    d = read_xvg(out)
+    assert d.shape == (10, 2) and (d[:, 1] > 0).all()
