@@ -666,6 +666,80 @@ def _saxs(sp=None, args=None):
           f"I(qmin) {float(out['intensity'][0]):.1f} e^2")
 
 
+@_tool("sans", "SANS intensity by the Debye formula (gmx sans)")
+def _sans(sp=None, args=None):
+    if args is None:
+        _common(sp, out="sans.xvg")
+        sp.add_argument("--qmin", type=float, default=0.06)
+        sp.add_argument("--qmax", type=float, default=6.0)
+        sp.add_argument("--nq", type=int, default=60)
+        sp.add_argument("--deuterate", action="store_true",
+                        help="swap H scattering lengths for D")
+        return
+    from . import models
+
+    s = _system(args)
+    if not any(s.topology.element_symbol[i]
+               for i in range(min(10, s.topology.n_atoms))):
+        s.guess_elements()
+    g = _group(s, args.sel)
+    q = np.linspace(args.qmin, args.qmax, args.nq)
+    out = models.sans(s, _traj(args), g, q=q, deuterate=args.deuterate,
+                      batch_size=args.batch_size)
+    _xvg(args, [out["q"], out["intensity"]], title="SANS (Debye)",
+         xlabel="q (1/nm)", ylabel="I(q) (fm^2)", legends=["I(q)"])
+    print(f"I(0) bound {out['i0']:.1f} fm^2")
+
+
+@_tool("wham", "umbrella-sampling PMF by WHAM (gmx wham)")
+def _wham(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--files", required=True, nargs="+",
+                        help="pullx-style .xvg files (time, coordinate)")
+        sp.add_argument("--centers", required=True, type=float, nargs="+",
+                        help="umbrella centers (nm), one per file")
+        sp.add_argument("--k", required=True, type=float, nargs="+",
+                        help="force constants (kJ/mol/nm^2), one per "
+                        "file or a single shared value")
+        sp.add_argument("--bins", type=int, default=200)
+        sp.add_argument("--temp", type=float, default=300.0)
+        sp.add_argument("--min", dest="xmin", type=float, default=None)
+        sp.add_argument("--max", dest="xmax", type=float, default=None)
+        sp.add_argument("--col", type=int, default=1,
+                        help="data column holding the coordinate")
+        sp.add_argument("-o", "--output", default="pmf.xvg")
+        return
+    from . import models
+    from .io.xvg import read_xvg
+
+    if len(args.centers) != len(args.files):
+        raise GroanError("need one --centers value per file")
+    ks = args.k if len(args.k) > 1 else args.k * len(args.files)
+    if len(ks) != len(args.files):
+        raise GroanError("--k takes one value per file or one shared")
+    windows = []
+    for path, x0, k in zip(args.files, args.centers, ks):
+        data = read_xvg(path)
+        if data.ndim != 2 or data.shape[1] <= args.col:
+            raise GroanError(f"'{path}' has no column {args.col}")
+        windows.append({"samples": data[:, args.col], "center": x0,
+                        "k": k})
+    span = None
+    if args.xmin is not None or args.xmax is not None:
+        if args.xmin is None or args.xmax is None:
+            raise GroanError("--min and --max must be given together")
+        span = (args.xmin, args.xmax)
+    out = models.wham(windows, bins=args.bins, span=span,
+                      temperature=args.temp)
+    ok = np.isfinite(out["pmf"])
+    _xvg(args, [out["x"][ok], out["pmf"][ok]], title="WHAM PMF",
+         xlabel="coordinate (nm)", ylabel="PMF (kJ/mol)",
+         legends=["PMF"])
+    print(f"{'converged' if out['converged'] else 'NOT converged'} in "
+          f"{out['n_iter']} iterations; {int(ok.sum())}/{args.bins} "
+          "bins sampled")
+
+
 @_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")
 def _clustsize(sp=None, args=None):
     if args is None:

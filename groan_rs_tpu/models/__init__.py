@@ -47,10 +47,12 @@ from .pipeline import (
     rotacf,
     rotmat,
     run_many,
+    sans,
     sasa,
     saxs,
     vacf,
     vanhove,
+    wham,
 )
 
 __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
@@ -63,4 +65,4 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "pca", "polystat", "potential_profile", "ramachandran",
            "rmsd_matrix", "rmsdist",
            "rmsf", "rotacf", "rotmat", "run_many",
-           "sasa", "saxs", "vacf", "vanhove"]
+           "sans", "sasa", "saxs", "vacf", "vanhove", "wham"]

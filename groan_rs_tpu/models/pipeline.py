@@ -3489,12 +3489,28 @@ def saxs(system, trajectory, group: str, *, q=None, batch_size: int = 32,
     if (q <= 0).any():
         raise ParallelError("q values must be positive (1/nm)")
 
+    symbols = _group_elements(system, gsel, group)
+    ff = _cm_form_factors(symbols, q)                # [K, Q]
+    iq = _debye_curve(pos, ff, q, chunk)             # [F, Q]
+    return {"q": q, "intensity": iq.mean(axis=0), "per_frame": iq,
+            "i0": float(ff[:, 0].sum() ** 2)}
+
+
+def _group_elements(system, gsel, group):
     symbols = [system.topology.element_symbol[int(i)] for i in gsel]
     if any(not s for s in symbols):
         raise GroupError(
             f"group '{group}' has atoms without an element symbol; run "
             "guess_elements()", code="InvalidElement")
-    ff = _cm_form_factors(symbols, q)                # [K, Q]
+    return symbols
+
+
+def _debye_curve(pos, ff, q, chunk):
+    """Debye sum on device: pos [F,K,3] (device), ff [K,Q] scattering
+    amplitudes, q [Q] (1/nm) -> per-frame intensities [F, Q].  Row tiles
+    of `chunk` atoms; lax.map over q, scan over frames and chunks."""
+    import jax
+    import jax.numpy as jnp
 
     f, k = int(pos.shape[0]), int(pos.shape[1])
     n_chunks = -(-k // chunk)
@@ -3527,8 +3543,145 @@ def saxs(system, trajectory, group: str, *, q=None, batch_size: int = 32,
 
         return jax.lax.map(one_q, (qv, ffq))         # [Q, F]
 
-    iq = np.asarray(
+    return np.asarray(
         _debye(pos, jnp.asarray(ffp.T, jnp.float32),
                jnp.asarray(q, jnp.float32)), np.float64).T   # [F, Q]
+
+
+# Coherent neutron scattering lengths b (fm), Sears, Neutron News 3(3)
+# 1992 table 1 — q-independent, unlike X-ray form factors.  Negative b
+# (hydrogen) is the physical contrast-matching sign.
+_NEUTRON_B = {
+    "H": -3.7406, "D": 6.671, "C": 6.6511, "N": 9.37, "O": 5.803,
+    "P": 5.13, "S": 2.847, "NA": 3.63, "MG": 5.375, "CL": 9.577,
+    "K": 3.67, "CA": 4.70, "FE": 9.45, "ZN": 5.680,
+}
+
+
+def sans(system, trajectory, group: str, *, q=None, deuterate: bool = False,
+         batch_size: int = 32, chunk: int = 256):
+    """Small-angle neutron scattering by the Debye formula (surpass —
+    the `gmx sans` workload; absent from the reference).
+
+    Identical machinery to `saxs` but with q-independent coherent
+    neutron scattering lengths b_i (fm; Sears 1992): I(q) =
+    sum_ij b_i b_j sinc(q d_ij), frame-averaged.  `deuterate=True`
+    swaps every hydrogen's b for deuterium's (contrast variation).
+
+    Returns a dict: 'q' [Q] (1/nm), 'intensity' [Q] (fm^2),
+    'per_frame' [F, Q], 'i0' = (sum b_i)^2.
+    """
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size)
+
+    if q is None:
+        q = np.linspace(0.06, 6.0, 60)
+    q = np.asarray(q, np.float64)
+    if (q <= 0).any():
+        raise ParallelError("q values must be positive (1/nm)")
+
+    symbols = _group_elements(system, gsel, group)
+    missing = sorted({s for s in symbols if s.upper() not in _NEUTRON_B})
+    if missing:
+        raise GroupError(
+            f"no neutron scattering length for element(s) {missing}",
+            code="InvalidElement")
+    b = np.array([_NEUTRON_B["D" if deuterate and s.upper() == "H"
+                             else s.upper()] for s in symbols])
+    ff = np.repeat(b[:, None], q.size, axis=1)       # [K, Q]
+    iq = _debye_curve(pos, ff, q, chunk)
     return {"q": q, "intensity": iq.mean(axis=0), "per_frame": iq,
-            "i0": float(ff[:, 0].sum() ** 2)}
+            "i0": float(b.sum() ** 2)}
+
+
+_KB_KJ = 0.00831446261815324        # kJ/mol/K (CODATA)
+
+
+def wham(windows, *, bins: int = 200, span=None,
+         temperature: float = 300.0, tol: float = 1e-10,
+         max_iter: int = 100000):
+    """1D WHAM over umbrella-sampling windows (surpass — the `gmx wham`
+    workload; absent from the reference).
+
+    `windows`: iterable of dicts with 'samples' (reaction-coordinate
+    values, nm), 'center' (umbrella center x0, nm), and 'k' (harmonic
+    force constant, kJ/mol/nm^2: bias = k/2 (x - x0)^2, the GROMACS
+    pull-code convention).  Samples are histogrammed into `bins` shared
+    bins over `span` (default: data min/max), then the standard
+    self-consistent WHAM equations (Kumar et al. 1992) iterate in
+    float64 to `tol` on the window free energies.  The [W, L] problem
+    is tiny — this is deliberately exact host math, like the
+    closed-form fits in `diffusion`/`current`.
+
+    Returns a dict: 'x' [L] bin centers, 'pmf' [L] (kJ/mol,
+    min-shifted; NaN where no window sampled), 'prob' [L] unbiased
+    probability density, 'f' [W] window free energies (kJ/mol),
+    'n_iter', 'converged'.
+    """
+    windows = list(windows)
+    if not windows:
+        raise ParallelError("wham needs at least one window")
+    samples = [np.asarray(w["samples"], np.float64).ravel()
+               for w in windows]
+    centers = np.array([float(w["center"]) for w in windows])
+    ks = np.array([float(w["k"]) for w in windows])
+    if any(s.size == 0 for s in samples):
+        raise ParallelError("wham windows must contain samples")
+    if (ks <= 0).any():
+        raise ParallelError("wham force constants must be positive")
+    kt = _KB_KJ * float(temperature)
+
+    lo, hi = (min(s.min() for s in samples),
+              max(s.max() for s in samples)) if span is None else span
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        raise ParallelError(f"invalid span ({lo}, {hi})")
+    edges = np.linspace(lo, hi, bins + 1)
+    x = 0.5 * (edges[:-1] + edges[1:])
+
+    n_il = np.stack([np.histogram(s, bins=edges)[0].astype(np.float64)
+                     for s in samples])              # [W, L]
+    n_i = np.array([s.size for s in samples], np.float64)
+    # bias Boltzmann factors per window/bin: the EXACT bin average
+    # integral exp(-k/2 (x-x0)^2 / kT) dx / dx via erf, not the
+    # bin-center value — the harmonic bias varies by several kT across
+    # a bin at practical force constants, and the center-point rule
+    # biases the PMF by O(k sigma dx) in every overlap region
+    from math import erf, pi, sqrt
+    dx_bin = edges[1] - edges[0]
+    a = 0.5 * ks / kt                                # [W]
+    c_il = np.empty((len(windows), bins))
+    for i in range(len(windows)):
+        sa = sqrt(a[i])
+        e = np.array([erf(sa * (ed - centers[i])) for ed in edges])
+        c_il[i] = (e[1:] - e[:-1]) * (sqrt(pi / a[i]) / (2.0 * dx_bin))
+
+    num = n_il.sum(axis=0)                           # [L]
+    f = np.ones(len(windows))                        # exp(f_i / kT) terms
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        denom = (n_i * f) @ c_il                     # [L]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = np.where(denom > 0, num / denom, 0.0)
+        f_new = 1.0 / np.maximum(c_il @ p, 1e-300)
+        f_new /= f_new[0]
+        if np.abs(np.log(f_new) - np.log(f)).max() < tol:
+            f = f_new
+            converged = True
+            break
+        f = f_new
+
+    denom = (n_i * f) @ c_il
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = np.where(denom > 0, num / denom, np.nan)
+    # normalize to a probability density over the sampled bins
+    dx = (hi - lo) / bins
+    norm = np.nansum(p) * dx
+    p = p / norm if norm > 0 else p
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pmf = -kt * np.log(p)
+    pmf -= np.nanmin(pmf)
+    # exp(-f_i/kT) = sum_l c_il P_l and we iterate on exp(+f_i/kT)
+    return {"x": x, "pmf": pmf, "prob": p,
+            "f": kt * np.log(f), "n_iter": it, "converged": converged}

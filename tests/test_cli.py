@@ -492,3 +492,41 @@ def test_saxs_tool(tmp_path, capsys):
     assert "I(0) bound" in capsys.readouterr().out
     d = read_xvg(out)
     assert d.shape == (10, 2) and (d[:, 1] > 0).all()
+
+
+def test_sans_tool(tmp_path, capsys):
+    out = str(tmp_path / "sn.xvg")
+    _run(["sans", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--qmin", "0.5", "--qmax", "8", "--nq", "6", "-o", out])
+    assert "fm^2" in capsys.readouterr().out
+    d = read_xvg(out)
+    assert d.shape == (6, 2)
+    dd = str(tmp_path / "snd.xvg")
+    _run(["sans", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--qmin", "0.5", "--qmax", "8", "--nq", "6", "--deuterate",
+          "-o", dd])
+    # deuteration raises the protein contrast (b_H < 0 -> b_D > 0)
+    assert read_xvg(dd)[0, 1] > d[0, 1]
+
+
+def test_wham_tool(tmp_path, capsys):
+    from groan_rs_tpu.io.xvg import write_xvg
+
+    rng = np.random.default_rng(53)
+    kt = 0.00831446261815324 * 300.0
+    files, centers = [], np.linspace(-0.5, 0.5, 7)
+    for i, x0 in enumerate(centers):
+        t = np.arange(20000, dtype=np.float64)
+        xs = rng.normal(x0, np.sqrt(kt / 700.0), 20000)
+        p = str(tmp_path / f"w{i}.xvg")
+        write_xvg(p, [t, xs])
+        files.append(p)
+    out = str(tmp_path / "pmf.xvg")
+    _run(["wham", "-f", *files,
+          "--centers", *[f"{c:.6f}" for c in centers],
+          "--k", "700", "--bins", "40", "-o", out])
+    assert "converged" in capsys.readouterr().out
+    d = read_xvg(out)
+    # flat PMF recovered within noise over the well-sampled middle
+    mid = np.abs(d[:, 0]) < 0.4
+    assert d[mid, 1].max() < 0.4 * kt
