@@ -740,6 +740,57 @@ def _wham(sp=None, args=None):
           "bins sampled")
 
 
+@_tool("sorient", "solvent orientation around a group (gmx sorient)")
+def _sorient(sp=None, args=None):
+    if args is None:
+        _common(sp, out="sorient.xvg")
+        sp.add_argument("--oxygen", default="name OW")
+        sp.add_argument("--hydrogens", default="name HW1 HW2")
+        sp.add_argument("--rmin", type=float, default=0.0)
+        sp.add_argument("--rmax", type=float, default=0.5)
+        sp.add_argument("--bins", type=int, default=40)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.sorient(s, _traj(args), g, oxygen=args.oxygen,
+                         hydrogens=args.hydrogens, rmin=args.rmin,
+                         rmax=args.rmax, bins=args.bins,
+                         batch_size=args.batch_size)
+    c = 0.5 * (out["cos1_edges"][:-1] + out["cos1_edges"][1:])
+    _xvg(args, [c, out["cos1_hist"], out["cos2_hist"]],
+         title="Solvent orientation", xlabel="cos theta",
+         ylabel="probability density",
+         legends=["dipole (theta1)", "O-H (theta2)"])
+    print(f"{int(out['n_selected'])} water-frames in "
+          f"({args.rmin}, {args.rmax}] nm; <cos1> "
+          f"{out['mean_cos1']:.4f}, <cos2> {out['mean_cos2']:.4f}")
+
+
+@_tool("h2order", "water dipole orientation per slab (gmx h2order)")
+def _h2order(sp=None, args=None):
+    if args is None:
+        _common(sp, out="order.xvg")
+        sp.add_argument("--oxygen", default="name OW")
+        sp.add_argument("--hydrogens", default="name HW1 HW2")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        sp.add_argument("--bins", type=int, default=50)
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.h2order(s, _traj(args), oxygen=args.oxygen,
+                         hydrogens=args.hydrogens, axis=args.axis,
+                         bins=args.bins, batch_size=args.batch_size)
+    ok = out["count"] > 0
+    _xvg(args, [out["z"][ok], out["cos"][ok], out["count"][ok]],
+         title="Water dipole orientation",
+         xlabel=f"{args.axis} (nm)", ylabel="<cos(dipole, axis)>",
+         legends=["cos", "count"])
+    print(f"{int(ok.sum())}/{args.bins} slabs occupied")
+
+
 @_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")
 def _clustsize(sp=None, args=None):
     if args is None:

@@ -32,6 +32,7 @@ from .pipeline import (
     dssp,
     entropy,
     freevolume,
+    h2order,
     hbond_acf,
     leaflets,
     mdmat,
@@ -50,6 +51,7 @@ from .pipeline import (
     sans,
     sasa,
     saxs,
+    sorient,
     vacf,
     vanhove,
     wham,
@@ -59,10 +61,10 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "densmap",
            "dielectric",
            "diffusion",
-           "dos", "dssp", "entropy", "freevolume", "hbond_acf",
+           "dos", "dssp", "entropy", "freevolume", "h2order", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",
            "rmsd_matrix", "rmsdist",
            "rmsf", "rotacf", "rotmat", "run_many",
-           "sans", "sasa", "saxs", "vacf", "vanhove", "wham"]
+           "sans", "sasa", "saxs", "sorient", "vacf", "vanhove", "wham"]

@@ -530,3 +530,27 @@ def test_wham_tool(tmp_path, capsys):
     # flat PMF recovered within noise over the well-sampled middle
     mid = np.abs(d[:, 0]) < 0.4
     assert d[mid, 1].max() < 0.4 * kt
+
+
+def test_sorient_and_h2order_tools(tmp_path, capsys):
+    so = str(tmp_path / "so.xvg")
+    _run(["sorient", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--oxygen", "resname SOL and name OW",
+          "--hydrogens", "resname SOL and name HW1 HW2",
+          "--rmax", "0.6", "--bins", "20", "-o", so])
+    assert "water-frames" in capsys.readouterr().out
+    d = read_xvg(so)
+    assert d.shape == (20, 3)
+    # both histograms are probability densities over cos in [-1, 1]
+    dc = 2.0 / 20
+    assert d[:, 1].sum() * dc == pytest.approx(1.0, rel=1e-4)
+    assert d[:, 2].sum() * dc == pytest.approx(1.0, rel=1e-4)
+
+    h2 = str(tmp_path / "h2.xvg")
+    _run(["h2order", "-s", AATPR, "-f", AAXTC,
+          "--oxygen", "resname SOL and name OW",
+          "--hydrogens", "resname SOL and name HW1 HW2",
+          "--bins", "16", "-o", h2])
+    assert "slabs occupied" in capsys.readouterr().out
+    d = read_xvg(h2)
+    assert (np.abs(d[:, 1]) <= 1.0 + 1e-6).all()
