@@ -266,6 +266,13 @@ def _hbond(sp=None, args=None):
                         help="donor-acceptor distance cutoff (nm)")
         sp.add_argument("--angle", type=float, default=120.0,
                         help="minimum D-H...A angle (deg)")
+        sp.add_argument("--dist", default=None,
+                        help="write the D-A distance distribution of "
+                        "found bonds here (.xvg, gmx hbond -dist)")
+        sp.add_argument("--ang", default=None,
+                        help="write the D-H...A angle distribution "
+                        "here (.xvg, gmx hbond -ang)")
+        sp.add_argument("--hist-bins", type=int, default=50)
         return
     from .system.hbonds import HBondChain
 
@@ -286,6 +293,42 @@ def _hbond(sp=None, args=None):
     _, _, out, key = _pipe_run(args, build)
     _xvg(args, [out["times"], out[key]], title="Hydrogen bonds",
          xlabel="time (ps)", ylabel="count", legends=["hbonds"])
+
+    if args.dist or args.ang:
+        from .io.xvg import write_xvg
+
+        s = _system(args)
+        chains = [HBondChain(args.acceptors, args.donors, args.hydrogens)]
+        pairs = [(0, 0)]
+        if args.acceptors2:
+            chains.append(HBondChain(args.acceptors2, args.donors2,
+                                     args.hydrogens2))
+            pairs = [(0, 1)]
+        dists, angs = [], []
+        w = _window(args)
+        w.pop("batch_size", None)
+        for _, hmap in s.hbonds_analyze_batched(
+                _traj(args), chains, pairs, args.cutoff, args.angle,
+                batch_size=args.batch_size, **w):
+            for bonds in hmap.values():
+                dists.extend(b.distance for b in bonds)
+                angs.extend(b.angle for b in bonds)
+        nb = args.hist_bins
+        if args.dist:
+            h, e = np.histogram(dists, bins=nb, range=(0.0, args.cutoff),
+                                density=True)
+            write_xvg(args.dist, [0.5 * (e[:-1] + e[1:]), h],
+                      title="H-bond D-A distance distribution",
+                      xlabel="distance (nm)", ylabel="density (1/nm)",
+                      legends=["p(d)"])
+        if args.ang:
+            h, e = np.histogram(angs, bins=nb, range=(args.angle, 180.0),
+                                density=True)
+            write_xvg(args.ang, [0.5 * (e[:-1] + e[1:]), h],
+                      title="H-bond D-H...A angle distribution",
+                      xlabel="angle (deg)", ylabel="density (1/deg)",
+                      legends=["p(theta)"])
+        print(f"{len(dists)} bonds histogrammed")
 
 
 @_tool("dssp", "secondary-structure populations over time (gmx do_dssp)")
@@ -789,6 +832,84 @@ def _h2order(sp=None, args=None):
          xlabel=f"{args.axis} (nm)", ylabel="<cos(dipole, axis)>",
          legends=["cos", "count"])
     print(f"{int(ok.sum())}/{args.bins} slabs occupied")
+
+
+@_tool("spatial", "3D spatial distribution function (gmx spatial)")
+def _spatial(sp=None, args=None):
+    if args is None:
+        _common(sp, out="sdf.cube")
+        sp.add_argument("--ref", required=True,
+                        help="reference group/selection (cube center)")
+        sp.add_argument("--side", type=float, default=2.0,
+                        help="cube side (nm)")
+        sp.add_argument("--bins", type=int, default=32)
+        sp.add_argument("--fit", action="store_true",
+                        help="rotational fit of the reference")
+        sp.add_argument("--weights", default="number",
+                        choices=["number", "mass"])
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    r = _group(s, args.ref, "__cli_ref")
+    out = models.sdf(s, _traj(args), g, r, side=args.side,
+                     bins=args.bins, fit=args.fit, weights=args.weights,
+                     batch_size=args.batch_size)
+    models.write_cube(args.output, out["grid"], out["origin"],
+                      out["voxel"])
+    print(f"{args.bins}^3 voxels, occupancy {out['occupancy']:.3f}; "
+          f"wrote {args.output}")
+
+
+@_tool("confrms", "fit one structure onto another (gmx confrms)")
+def _confrms(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f1", "--reference", required=True,
+                        help="reference structure (tpr/gro/pdb/pqr)")
+        sp.add_argument("-f2", "--structure", required=True,
+                        help="structure to fit")
+        sp.add_argument("-n", "--index", default=None,
+                        help="ndx file (read into BOTH systems)")
+        sp.add_argument("--sel", default="all",
+                        help="fit selection (GSL or group name)")
+        sp.add_argument("-o", "--output", default="fit.gro",
+                        help="fitted structure (gro/pdb/pqr)")
+        return
+    from .system import System
+
+    ref = System.from_file(args.reference)
+    s = System.from_file(args.structure)
+    if args.index:
+        ref.read_ndx(args.index)
+        s.read_ndx(args.index)
+    gr = _group(ref, args.sel)
+    gs = _group(s, args.sel)
+    # gro/pdb structures carry no masses: guess them for the fit
+    for sys_ in (ref, s):
+        if not np.asarray(sys_.topology.has_mass).all():
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                sys_.guess_elements()
+                sys_.guess_properties()
+    if len(ref.group_indices(gr)) != len(s.group_indices(gs)):
+        raise GroanError(
+            f"selection '{args.sel}' matches {len(ref.group_indices(gr))}"
+            f" atoms in {args.reference} but {len(s.group_indices(gs))} "
+            f"in {args.structure}")
+    rmsd = s.calc_rmsd_and_fit(ref, gr)
+    import os
+
+    ext = os.path.splitext(args.output)[1].lower()
+    if ext == ".pdb":
+        s.write_pdb(args.output)
+    elif ext == ".pqr":
+        s.write_pqr(args.output)
+    else:
+        s.write_gro(args.output)
+    print(f"RMSD after fit: {rmsd:.6f} nm; wrote {args.output}")
 
 
 @_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")

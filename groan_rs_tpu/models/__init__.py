@@ -51,10 +51,12 @@ from .pipeline import (
     sans,
     sasa,
     saxs,
+    sdf,
     sorient,
     vacf,
     vanhove,
     wham,
+    write_cube,
 )
 
 __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
@@ -67,4 +69,4 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "pca", "polystat", "potential_profile", "ramachandran",
            "rmsd_matrix", "rmsdist",
            "rmsf", "rotacf", "rotmat", "run_many",
-           "sans", "sasa", "saxs", "sorient", "vacf", "vanhove", "wham"]
+           "sans", "sasa", "saxs", "sdf", "sorient", "vacf", "vanhove", "wham", "write_cube"]

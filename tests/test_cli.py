@@ -554,3 +554,65 @@ def test_sorient_and_h2order_tools(tmp_path, capsys):
     assert "slabs occupied" in capsys.readouterr().out
     d = read_xvg(h2)
     assert (np.abs(d[:, 1]) <= 1.0 + 1e-6).all()
+
+
+def test_hbond_distributions(tmp_path):
+    out = str(tmp_path / "hb.xvg")
+    dist = str(tmp_path / "dist.xvg")
+    ang = str(tmp_path / "ang.xvg")
+    _run(["hbond", "-s", AATPR, "-f", AAXTC,
+          "--acceptors", "resname SOL and name OW",
+          "--donors", "resname SOL and name OW",
+          "--hydrogens", "resname SOL and name HW1 HW2",
+          "--cutoff", "0.3", "--angle", "150",
+          "--step", "10",
+          "--dist", dist, "--ang", ang, "-o", out])
+    d = read_xvg(dist)
+    a = read_xvg(ang)
+    assert d.shape == (50, 2) and a.shape == (50, 2)
+    # densities integrate to 1 over their ranges
+    assert d[:, 1].sum() * (0.3 / 50) == pytest.approx(1.0, rel=1e-4)
+    assert a[:, 1].sum() * (30.0 / 50) == pytest.approx(1.0, rel=1e-4)
+    # water O-O hbonds peak near 0.28 nm, well inside the range
+    assert d[np.argmax(d[:, 1]), 0] == pytest.approx(0.28, abs=0.02)
+    # all angles within the criterion
+    assert (a[:, 0] >= 150.0).all() and (a[:, 0] <= 180.0).all()
+
+
+def test_spatial_tool(tmp_path, capsys):
+    out = str(tmp_path / "sdf.cube")
+    _run(["spatial", "-s", AATPR, "-f", AAXTC,
+          "--sel", "resname SOL and name OW", "--ref", "@protein",
+          "--side", "3.0", "--bins", "12", "-o", out])
+    assert "occupancy" in capsys.readouterr().out
+    lines = open(out).read().splitlines()
+    assert int(lines[3].split()[0]) == 12
+    vals = [float(x) for ln in lines[7:] for x in ln.split()]
+    assert len(vals) == 12 ** 3 and max(vals) > 0
+
+
+def test_confrms_tool(tmp_path, capsys):
+    from groan_rs_tpu.system import System
+
+    # translate+perturb a copy of the fixture, fit it back
+    src = System.from_file(os.path.join(TF, "example.gro"))
+    moved = System.from_file(os.path.join(TF, "example.gro"))
+    moved.group_create("P", "@protein")
+    moved.atoms_translate(np.array([1.0, -0.5, 0.7], np.float32))
+    f2 = str(tmp_path / "moved.gro")
+    moved.write_gro(f2)
+
+    out = str(tmp_path / "fit.gro")
+    _run(["confrms", "-f1", os.path.join(TF, "example.gro"), "-f2", f2,
+          "--sel", "@protein", "-o", out])
+    txt = capsys.readouterr().out
+    assert "RMSD after fit:" in txt
+    rmsd = float(txt.split("RMSD after fit:")[1].split()[0])
+    # a rigid translation fits back to ~write-precision zero
+    assert rmsd < 2e-3
+    fit = System.from_file(out)
+    src.group_create("P", "@protein")
+    fit.group_create("P", "@protein")
+    a = np.asarray(src.positions)[src.group_indices("P")]
+    b = np.asarray(fit.positions)[fit.group_indices("P")]
+    np.testing.assert_allclose(a, b, atol=5e-3)
