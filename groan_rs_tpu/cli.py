@@ -912,6 +912,91 @@ def _confrms(sp=None, args=None):
     print(f"RMSD after fit: {rmsd:.6f} nm; wrote {args.output}")
 
 
+@_tool("insert-molecules", "insert molecules without clashes "
+       "(gmx insert-molecules)")
+def _insert_molecules(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--structure", required=True,
+                        help="host structure (box taken from here)")
+        sp.add_argument("--ci", required=True,
+                        help="molecule structure to insert")
+        sp.add_argument("--nmol", type=int, required=True)
+        sp.add_argument("--radius", type=float, default=0.21)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--tries", type=int, default=1000)
+        sp.add_argument("-o", "--output", default="out.gro")
+        return
+    from . import models
+    from .system import System
+
+    s = System.from_file(args.structure)
+    mol = System.from_file(args.ci)
+    out, n = models.insert_molecules(s, mol, args.nmol,
+                                     radius=args.radius, seed=args.seed,
+                                     tries=args.tries)
+    _write_structure(out, args.output)
+    print(f"inserted {n} molecules ({out.get_n_atoms()} atoms total); "
+          f"wrote {args.output}")
+
+
+@_tool("solvate", "fill the box with solvent (gmx solvate)")
+def _solvate(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--structure", required=True,
+                        help="solute structure (box taken from here)")
+        sp.add_argument("--cs", required=True,
+                        help="pre-equilibrated solvent box structure")
+        sp.add_argument("--radius", type=float, default=0.24)
+        sp.add_argument("-o", "--output", default="solvated.gro")
+        return
+    from . import models
+    from .system import System
+
+    s = System.from_file(args.structure)
+    solvent = System.from_file(args.cs)
+    out, n = models.solvate(s, solvent, radius=args.radius)
+    _write_structure(out, args.output)
+    print(f"added {n} solvent molecules ({out.get_n_atoms()} atoms "
+          f"total); wrote {args.output}")
+
+
+@_tool("genion", "replace solvent with ions (gmx genion)")
+def _genion(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--structure", required=True)
+        sp.add_argument("--np", dest="n_pos", type=int, default=0)
+        sp.add_argument("--nn", dest="n_neg", type=int, default=0)
+        sp.add_argument("--pname", default="NA")
+        sp.add_argument("--nname", default="CL")
+        sp.add_argument("--solvent", default="resname SOL")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("-o", "--output", default="ions.gro")
+        return
+    from . import models
+    from .system import System
+
+    s = System.from_file(args.structure)
+    out, ions = models.genion(s, args.n_pos, args.n_neg,
+                              solvent=args.solvent, positive=args.pname,
+                              negative=args.nname, seed=args.seed)
+    _write_structure(out, args.output)
+    print(f"replaced {len(ions)} solvent molecules with "
+          f"{args.n_pos} {args.pname} + {args.n_neg} {args.nname}; "
+          f"wrote {args.output}")
+
+
+def _write_structure(system, path):
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".pdb":
+        system.write_pdb(path)
+    elif ext == ".pqr":
+        system.write_pqr(path)
+    else:
+        system.write_gro(path)
+
+
 @_tool("clustsize", "aggregate cluster sizes over time (gmx clustsize)")
 def _clustsize(sp=None, args=None):
     if args is None:

@@ -284,6 +284,41 @@ class Topology:
         t._invalidate_bonds()
         return t
 
+    @classmethod
+    def concat(cls, topos) -> "Topology":
+        """New topology concatenating `topos` in order (bond graphs
+        offset; atom numbers renumbered 1..N).  Used by system-
+        preparation tools (insert-molecules / solvate / genion —
+        surpass; the reference has no topology assembly)."""
+        topos = list(topos)
+        if not topos:
+            return cls(0)
+        t = cls.__new__(cls)
+        t.n_atoms = sum(x.n_atoms for x in topos)
+        t.atomnum = np.arange(1, t.n_atoms + 1, dtype=np.int64)
+        t.resnum = np.concatenate([x.resnum for x in topos])
+        for f in ("resname", "atomname", "chain", "element_name",
+                  "element_symbol"):
+            t_col = StrColumn(values=np.concatenate(
+                [getattr(x, f).values() for x in topos])) \
+                if t.n_atoms else StrColumn(categories=[""],
+                                            codes=np.zeros(0, np.int32))
+            setattr(t, f, t_col)
+        for f in ("charge", "mass", "vdw", "expected_min_bonds",
+                  "expected_max_bonds"):
+            setattr(t, f, np.concatenate(
+                [getattr(x, f) for x in topos]))
+            setattr(t, "has_" + f, np.concatenate(
+                [getattr(x, "has_" + f) for x in topos]))
+        bonded = []
+        off = 0
+        for x in topos:
+            bonded.extend([j + off for j in row] for row in x.bonded)
+            off += x.n_atoms
+        t.bonded = bonded
+        t._invalidate_bonds()
+        return t
+
     def subset(self, indices) -> "Topology":
         """New topology of the selected atoms (bond graph restricted to the
         subset and remapped; reference analogue: `Vec<Atom>` extraction,

@@ -616,3 +616,66 @@ def test_confrms_tool(tmp_path, capsys):
     a = np.asarray(src.positions)[src.group_indices("P")]
     b = np.asarray(fit.positions)[fit.group_indices("P")]
     np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_prep_tools(tmp_path, capsys):
+    from groan_rs_tpu.core.simbox import SimBox
+    from groan_rs_tpu.core.topology import StrColumn, Topology
+    from groan_rs_tpu.system import System
+
+    # a tiny host box + a 2-atom molecule + a water tile, via gro files
+    def mono(name, pos, box, resname=None):
+        pos = np.asarray(pos, np.float32).reshape(-1, 3)
+        n = pos.shape[0]
+        topo = Topology(n)
+        topo.atomnum = np.arange(1, n + 1, dtype=np.int64)
+        topo.resnum = np.ones(n, np.int64)
+        topo.atomname = StrColumn(values=np.asarray([name] * n))
+        topo.resname = StrColumn(values=np.asarray([resname or name] * n))
+        return System(name, topo,
+                      simbox=SimBox.from_lengths(*map(float, box)),
+                      positions=pos)
+
+    host = str(tmp_path / "host.gro")
+    mono("BIG", [[2.0, 2.0, 2.0]], (4, 4, 4)).write_gro(host)
+    ci = str(tmp_path / "mol.gro")
+    mono("INS", [[0, 0, 0], [0.15, 0, 0]], (1, 1, 1)).write_gro(ci)
+
+    ins = str(tmp_path / "ins.gro")
+    _run(["insert-molecules", "-f", host, "--ci", ci, "--nmol", "4",
+          "--radius", "0.3", "-o", ins])
+    assert "inserted 4 molecules" in capsys.readouterr().out
+    assert System.from_file(ins).get_n_atoms() == 9
+
+    # water tile: 8 waters on a grid
+    coords, resnums, names = [], [], []
+    for i in range(2):
+        for j in range(2):
+            for k in range(2):
+                o = np.array([i, j, k], np.float64) + 0.3
+                coords.extend([o, o + [0.1, 0, 0], o + [0, 0.1, 0]])
+                resnums.extend([i * 4 + j * 2 + k + 1] * 3)
+                names.extend(["OW", "HW1", "HW2"])
+    n = len(coords)
+    topo = Topology(n)
+    topo.atomnum = np.arange(1, n + 1, dtype=np.int64)
+    topo.resnum = np.asarray(resnums, np.int64)
+    topo.atomname = StrColumn(values=np.asarray(names))
+    topo.resname = StrColumn(values=np.asarray(["SOL"] * n))
+    tile = System("w", topo, simbox=SimBox.from_lengths(2, 2, 2),
+                  positions=np.asarray(coords, np.float32))
+    cs = str(tmp_path / "tile.gro")
+    tile.write_gro(cs)
+
+    solv = str(tmp_path / "solv.gro")
+    _run(["solvate", "-f", host, "--cs", cs, "--radius", "0.35",
+          "-o", solv])
+    out = capsys.readouterr().out
+    assert "solvent molecules" in out
+
+    ionized = str(tmp_path / "ions.gro")
+    _run(["genion", "-f", solv, "--np", "2", "--nn", "2", "-o", ionized])
+    assert "replaced 4 solvent molecules" in capsys.readouterr().out
+    back = System.from_file(ionized)
+    back.group_create("I", "resname NA CL")
+    assert len(back.group_indices("I")) == 4
