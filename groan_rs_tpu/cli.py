@@ -145,9 +145,20 @@ def _rmsf(sp=None, args=None):
 def _gyrate(sp=None, args=None):
     if args is None:
         _common(sp, out="gyrate.xvg", windowed=True)
+        sp.add_argument("--components", action="store_true",
+                        help="add Rg about the x/y/z axes "
+                        "(gmx gyrate's Rg_X/Y/Z columns)")
         return
     _, _, out, _ = _pipe_run(
-        args, lambda s, g, p: p.add_gyration(g, name="rg"))
+        args, lambda s, g, p: p.add_gyration(
+            g, name="rg", components=args.components))
+    if args.components:
+        rg = np.asarray(out["rg"], np.float64)
+        _xvg(args, [out["times"], rg[:, 0], rg[:, 1], rg[:, 2],
+                    rg[:, 3]],
+             title="Radius of gyration", xlabel="time (ps)",
+             ylabel="Rg (nm)", legends=["Rg", "RgX", "RgY", "RgZ"])
+        return
     _xvg(args, [out["times"], out["rg"]], title="Radius of gyration",
          xlabel="time (ps)", ylabel="Rg (nm)", legends=["Rg"])
 
@@ -180,15 +191,32 @@ def _rdf(sp=None, args=None):
                         help="reference selection (default: --sel)")
         sp.add_argument("--rmax", type=float, default=2.0)
         sp.add_argument("--bins", type=int, default=200)
+        sp.add_argument("--cn", action="store_true",
+                        help="add the cumulative coordination number "
+                        "column (gmx rdf -cn)")
         return
+    sel_holder = {}
+
     def build(s, g, p):
         r = _group(s, args.ref, "__cli_ref") if args.ref else g
         p.add_rdf(r, g, r_max=args.rmax, n_bins=args.bins, name="g")
+        sel_holder["system"], sel_holder["g"] = s, g
     _, _, out, _ = _pipe_run(args, build)
     r = (np.arange(args.bins) + 0.5) * args.rmax / args.bins
-    _xvg(args, [r, np.asarray(out["g"], np.float64).mean(0)],
-         title="Radial distribution", xlabel="r (nm)", ylabel="g(r)",
-         legends=["g(r)"])
+    g_mean = np.asarray(out["g"], np.float64).mean(0)
+    cols = [r, g_mean]
+    legends = ["g(r)"]
+    if args.cn:
+        # cn(r) = rho_sel * integral 4 pi r'^2 g(r') dr' to r
+        s_, gname = sel_holder["system"], sel_holder["g"]
+        n_sel = len(s_.group_indices(gname))
+        vol = s_.simbox.x * s_.simbox.y * s_.simbox.z
+        dr = args.rmax / args.bins
+        shell = 4.0 * np.pi * r ** 2 * dr
+        cols.append(np.cumsum(g_mean * shell) * (n_sel / vol))
+        legends.append("cn(r)")
+    _xvg(args, cols, title="Radial distribution", xlabel="r (nm)",
+         ylabel="g(r)", legends=legends)
 
 
 @_tool("density", "partial density profile along an axis (gmx density)")

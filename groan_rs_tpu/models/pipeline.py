@@ -242,12 +242,17 @@ class TrajectoryAnalysis:
         return self
 
     def add_gyration(self, group: str, name: str | None = None,
-                     mass_weighted: bool = True):
+                     mass_weighted: bool = True,
+                     components: bool = False):
         """Radius of gyration of a group per frame -> [F] nm (surpass —
         the reference has no gyration analysis; `gmx gyrate` semantics:
         Rg = sqrt(sum_i w_i |r_i - center|^2 / sum_i w_i), minimum-image
         displacements to the group's refined Bai-Breen center,
-        mass-weighted by default)."""
+        mass-weighted by default).
+
+        `components=True` -> [F, 4]: Rg plus the gyration radii ABOUT
+        the x/y/z axes (gmx gyrate's Rg_X/Y/Z columns: RgA =
+        sqrt(sum w (|d|^2 - d_A^2) / sum w))."""
         import jax.numpy as jnp
 
         idx = self._register(self._indices(group))
@@ -264,13 +269,24 @@ class TrajectoryAnalysis:
             else:
                 d = pbc.min_image(d, boxes[:, None, :])
             r2 = jnp.sum(d * d, axis=-1)           # [B, n]
-            if w is None:
-                return jnp.sqrt(jnp.mean(r2, axis=-1))
-            return jnp.sqrt(jnp.sum(w[None, :] * r2, axis=-1) / jnp.sum(w))
+
+            def wmean(x):                          # [B, n] -> [B]
+                if w is None:
+                    return jnp.mean(x, axis=-1)
+                return jnp.sum(w[None, :] * x, axis=-1) / jnp.sum(w)
+
+            rg = jnp.sqrt(wmean(r2))
+            if not components:
+                return rg
+            about = jnp.stack(
+                [jnp.sqrt(wmean(r2 - d[..., a] ** 2)) for a in range(3)],
+                axis=-1)                           # [B, 3]
+            return jnp.concatenate([rg[:, None], about], axis=-1)
 
         nm = name or f"gyration_{group}"
         self._decls.append({"kind": "gyration", "name": nm, "group": group,
-                            "com": bool(mass_weighted)})
+                            "com": bool(mass_weighted),
+                            "components": bool(components)})
         self._specs.append((nm, fn))
         return self
 
@@ -1970,22 +1986,42 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
 def _resident_group_pos(system, trajectory, group, batch_size,
                         require_ortho: str | None = None):
     """Shared loader: the group's device-resident float32 positions
-    `[F, K, 3]`, boxes, global indices, and the DeviceTrajectory."""
+    `[F, K, 3]`, boxes, global indices, and the DeviceTrajectory.
+
+    `group` is an existing group name OR a GSL query (compiled into a
+    transient group for the duration of the load)."""
     import jax.numpy as jnp
 
     from ..parallel.engine import DeviceTrajectory
 
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    tmp = None
+    try:
+        system.group_indices(group)
+    except GroupError:
+        # not a group name: compile it as a GSL query
+        tmp = "__resident_sel"
+        import warnings
 
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(system).runner(group=group)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            system.group_create(tmp, group)
+        group = tmp
+    try:
+        gsel = np.asarray(system.group_indices(group))
+        if gsel.size == 0:
+            raise GroupError(f"group '{group}' is empty",
+                             code="EmptyGroup")
+
+        if isinstance(trajectory, DeviceTrajectory):
+            dt = trajectory
+            cols = _resident_group_cols(system, dt, group, gsel)
+        else:
+            runner = TrajectoryAnalysis(system).runner(group=group)
+            dt = runner.load_device(trajectory, batch_size=batch_size)
+            cols = np.arange(len(gsel))
+    finally:
+        if tmp is not None:
+            system.group_remove(tmp)
 
     pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
     if dt.kind == "q16":

@@ -100,6 +100,27 @@ def _eval_gyration(pos, box, static, arrays):
     return jnp.sqrt(num / den)
 
 
+def _eval_gyration_axes(pos, box, static, arrays):
+    """Rg plus gyration radii about x/y/z (gmx gyrate columns),
+    atoms-sharded like _eval_gyration."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pbc import min_image
+
+    (w,) = arrays
+    c, den = _masked_bai_breen_center(pos, box, w)
+    d = min_image(pos - c[:, None, :], box[:, None, :])
+    r2 = jnp.sum(d * d, axis=-1)  # [b, n_local]
+    num = jax.lax.psum(jnp.sum(w[None, :] * r2, axis=-1), "atoms")
+    cols = [jnp.sqrt(num / den)]
+    for a in range(3):
+        na = jax.lax.psum(
+            jnp.sum(w[None, :] * (r2 - d[..., a] ** 2), axis=-1), "atoms")
+        cols.append(jnp.sqrt(na / den))
+    return jnp.stack(cols, axis=-1)
+
+
 def _eval_distance(pos, box, static, arrays):
     import jax.numpy as jnp
 
@@ -306,6 +327,7 @@ def _eval_volume(pos, box, static, arrays):
 _EVAL = {
     "center": _eval_center,
     "gyration": _eval_gyration,
+    "gyration_axes": _eval_gyration_axes,
     "distance": _eval_distance,
     "rmsd": _eval_rmsd,
     "min_distance": _eval_min_distance,
@@ -317,7 +339,7 @@ _EVAL = {
     "volume": _eval_volume,
 }
 
-_OUT_RANK = {"center": 2, "gyration": 1, "distance": 1, "rmsd": 1,
+_OUT_RANK = {"center": 2, "gyration": 1, "gyration_axes": 2, "distance": 1, "rmsd": 1,
              "min_distance": 1, "contacts": 1, "rdf": 2, "density": 3,
              "density_profile": 2, "dipole": 2, "volume": 1}
 
@@ -349,7 +371,8 @@ def compile_decl(decl, system) -> CompiledSpec:
 
     if kind == "gyration":
         w = group_w(decl["group"], decl["com"])
-        return CompiledSpec(decl["name"], "gyration", [(_ROLE_ATOM_VEC, w)])
+        k = "gyration_axes" if decl.get("components") else "gyration"
+        return CompiledSpec(decl["name"], k, [(_ROLE_ATOM_VEC, w)])
 
     if kind == "distance":
         w1 = group_w(decl["g1"], decl["com1"])

@@ -679,3 +679,27 @@ def test_prep_tools(tmp_path, capsys):
     back = System.from_file(ionized)
     back.group_create("I", "resname NA CL")
     assert len(back.group_indices("I")) == 4
+
+
+def test_gyrate_components_and_rdf_cn(tmp_path):
+    gy = str(tmp_path / "gyc.xvg")
+    _run(["gyrate", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--components", "-o", gy])
+    d = read_xvg(gy)
+    assert d.shape == (11, 5)
+    # Rg^2 = (RgX^2 + RgY^2 + RgZ^2) / 2 identity
+    np.testing.assert_allclose(
+        (d[:, 2] ** 2 + d[:, 3] ** 2 + d[:, 4] ** 2) / 2.0,
+        d[:, 1] ** 2, rtol=1e-4)
+
+    rdf = str(tmp_path / "cn.xvg")
+    _run(["rdf", "-s", AATPR, "-f", AAXTC,
+          "--sel", "resname SOL and name OW",
+          "--rmax", "1.0", "--bins", "50", "--cn", "-o", rdf])
+    d = read_xvg(rdf)
+    assert d.shape == (50, 3)
+    # cn is nonnegative and monotone; first water shell coordination
+    # reaches a few molecules by r = 0.35 nm
+    assert (np.diff(d[:, 2]) >= -1e-9).all()
+    i35 = int(0.35 / (1.0 / 50))
+    assert 2.0 < d[i35, 2] < 8.0

@@ -60,6 +60,7 @@ def _pipeline(system):
     pipe.add_rdf("A", "A", r_max=2.0, n_bins=40, name="rdf")
     pipe.add_density_map("A", plane="xy", tile=0.5, name="dens")
     pipe.add_gyration("A", name="gyr")
+    pipe.add_gyration("A", name="gyr4", components=True)
     pipe.add_density_profile("A", axis="z", n_bins=16, mode="mass",
                              name="prof")
     pipe.add_dipole("A", name="dip")
@@ -98,7 +99,7 @@ def test_sharded_matches_unsharded_and_across_meshes():
     eight = _run_sharded(pipe, make_mesh(2, 4), positions, boxes)
 
     for key in ("com", "distance", "rmsd", "mindist", "contacts", "rdf",
-                "dens", "gyr", "prof", "dip", "vol"):
+                "dens", "gyr", "gyr4", "prof", "dip", "vol"):
         np.testing.assert_allclose(one[key], eight[key], rtol=2e-5, atol=2e-5,
                                    err_msg=f"1-dev vs 8-dev '{key}'")
         if key == "rdf":
