@@ -170,6 +170,9 @@ def _msd(sp=None, args=None):
         sp.add_argument("--beginfit", type=float, default=0.1,
                         help="fit window start (fraction of max lag)")
         sp.add_argument("--endfit", type=float, default=0.9)
+        sp.add_argument("--dims", default="xyz",
+                        help="displacement axes, e.g. xy = lateral "
+                        "(gmx msd -lateral z)")
         return
     from . import models
 
@@ -177,7 +180,7 @@ def _msd(sp=None, args=None):
     g = _group(s, args.sel)
     out = models.diffusion(s, _traj(args), g,
                            fit_range=(args.beginfit, args.endfit),
-                           batch_size=args.batch_size)
+                           dims=args.dims, batch_size=args.batch_size)
     _xvg(args, [out["lag_times"], out["msd"]], title="MSD",
          xlabel="lag time (ps)", ylabel="MSD (nm^2)", legends=["msd"])
     print(f"D = {out['D_1e5']:.6g} 1e-5 cm^2/s")

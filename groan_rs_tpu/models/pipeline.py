@@ -1432,10 +1432,13 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
     return results
 
 
-def msd(system, trajectory, group: str, *, lags=None, batch_size: int = 32):
+def msd(system, trajectory, group: str, *, lags=None, dims: str = "xyz",
+        batch_size: int = 32):
     """Mean-squared displacement of a selection over frame lags
     (surpass feature — the reference has no MSD; `gmx msd` semantics:
-    atom-averaged, all time origins).
+    atom-averaged, all time origins).  `dims` restricts the
+    displacement to a subset of axes ("xy" = gmx msd -lateral z,
+    "z" = -type z, ...).
 
     `trajectory` is a filename (loaded device-resident once via
     `load_device`, shipping ONLY the group's atoms) or an existing
@@ -1488,8 +1491,14 @@ def msd(system, trajectory, group: str, *, lags=None, batch_size: int = 32):
     pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
     if dt.kind == "q16":
         pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    if (not dims or any(c not in "xyz" for c in dims)
+            or len(set(dims)) != len(dims)):
+        raise ParallelError(
+            f"dims must be a non-empty subset of 'xyz', got '{dims}'")
+    am = None if set(dims) == set("xyz") else np.array(
+        [float(c in dims) for c in "xyz"], np.float32)
     u = msd_ops.unwrap_orthorhombic(pos, jnp.asarray(dt.boxes))
-    curve = np.asarray(msd_ops.msd_lags(u, lags))
+    curve = np.asarray(msd_ops.msd_lags(u, lags, axis_mask=am))
     times = np.asarray(dt.times, np.float64)
     lag_times = times[lags] - times[0]
     return lag_times, curve
@@ -1625,13 +1634,15 @@ def _fit_inputs(system, dt, cols, group, gsel, reference, what: str):
 
 
 def diffusion(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
-              batch_size: int = 32):
+              dims: str = "xyz", batch_size: int = 32):
     """Self-diffusion coefficient from the Einstein relation (surpass —
     the `gmx msd` -beginfit/-endfit workflow; absent from the
     reference).  MSD(t) evaluates on device (`models.msd`); D is the
-    float64 least-squares slope over the fit window divided by 6
-    (3-D), with `fit_range` the (begin, end) fractions of the maximum
-    lag time — gmx msd's default restricted-window fit.
+    float64 least-squares slope over the fit window divided by
+    2 * len(dims) (6 in 3-D; `dims="xy"` gives the lateral D the gmx
+    -lateral workflow reports), with `fit_range` the (begin, end)
+    fractions of the maximum lag time — gmx msd's default
+    restricted-window fit.
 
     Returns a dict: 'D' (cm^2/s), 'D_1e5' (the 1e-5 cm^2/s unit gmx
     prints), 'slope' (nm^2/ps), 'intercept' (nm^2), 'lag_times' [L]
@@ -1641,7 +1652,8 @@ def diffusion(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
     if not (0.0 <= lo < hi <= 1.0):
         raise ParallelError(
             f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
-    lag_times, curve = msd(system, trajectory, group, batch_size=batch_size)
+    lag_times, curve = msd(system, trajectory, group, dims=dims,
+                           batch_size=batch_size)
     t = np.asarray(lag_times, np.float64)
     y = np.asarray(curve, np.float64)
     tmax = t[-1] if len(t) else 0.0
@@ -1652,7 +1664,7 @@ def diffusion(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
             "or use a longer trajectory")
     a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
     (slope, intercept), *_ = np.linalg.lstsq(a, y[mask], rcond=None)
-    d_nm2_ps = slope / 6.0
+    d_nm2_ps = slope / (2.0 * len(set(dims)))
     return {"D": d_nm2_ps * 1e-2, "D_1e5": d_nm2_ps * 1e3,
             "slope": float(slope), "intercept": float(intercept),
             "lag_times": t, "msd": y, "fit_mask": mask}

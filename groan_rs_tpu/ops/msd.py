@@ -40,13 +40,16 @@ def unwrap_orthorhombic(pos, boxes):
     return jnp.concatenate([pos[:1], pos[:1] + jnp.cumsum(d, axis=0)], axis=0)
 
 
-def msd_lags(unwrapped, lags):
+def msd_lags(unwrapped, lags, axis_mask=None):
     """MSD over the given frame lags.
 
     unwrapped [F, K, 3] f32 (from `unwrap_orthorhombic`), lags [L] int32
     -> [L] f32: mean over the F-lag time origins and K atoms of the
     squared displacement.  Evaluated as one `lax.map` over lags — a
     single device dispatch for the whole curve.
+
+    `axis_mask` [3] (optional) restricts the displacement to selected
+    axes — the `gmx msd -lateral/-type` dimension filter.
     """
     import jax
     import jax.numpy as jnp
@@ -55,9 +58,12 @@ def msd_lags(unwrapped, lags):
     f = u.shape[0]
     k = max(1, u.shape[1])
     t = jnp.arange(f)
+    am = None if axis_mask is None else jnp.asarray(axis_mask, u.dtype)
 
     def one(lag):
         disp = jnp.roll(u, -lag, axis=0) - u
+        if am is not None:
+            disp = disp * am
         sq = jnp.sum(disp * disp, axis=-1)  # [F, K]
         valid = (t < f - lag)[:, None]
         n = jnp.maximum(f - lag, 1)

@@ -147,3 +147,32 @@ def test_msd_fixture_protein():
                                   [0, 1, 2, 5, 10])
     np.testing.assert_allclose(curve, expect, rtol=2e-3, atol=1e-4)
     assert np.all(np.diff(lag_times) > 0)
+
+
+def test_msd_dims_lateral(walk_xtc):
+    """dims='xy' + dims='z' decompose the full MSD exactly; the
+    diffusion fit divides by 2*len(dims)."""
+    path, wrapped, boxes = walk_xtc
+    n_atoms = wrapped.shape[1]
+    s = _walk_system(n_atoms, boxes[0])
+    _, full = models.msd(s, path, "Half")
+    _, lat = models.msd(s, path, "Half", dims="xy")
+    _, z = models.msd(s, path, "Half", dims="z")
+    np.testing.assert_allclose(lat + z, full, rtol=1e-5, atol=1e-6)
+    assert (lat[1:] <= full[1:] + 1e-9).all()
+
+    # the slopes decompose like the curves: 6 D3 = 4 D_xy + 2 D_z
+    d3 = models.diffusion(s, path, "Half")
+    d2 = models.diffusion(s, path, "Half", dims="xy")
+    dz = models.diffusion(s, path, "Half", dims="z")
+    assert 6 * d3["D_1e5"] == pytest.approx(
+        4 * d2["D_1e5"] + 2 * dz["D_1e5"], rel=1e-6)
+    assert d2["D_1e5"] > 0 and dz["D_1e5"] > 0
+
+    from groan_rs_tpu.errors import ParallelError
+    with pytest.raises(ParallelError):
+        models.msd(s, path, "Half", dims="xq")
+    with pytest.raises(ParallelError):
+        models.msd(s, path, "Half", dims="")
+    with pytest.raises(ParallelError):
+        models.msd(s, path, "Half", dims="xx")
