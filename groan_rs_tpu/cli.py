@@ -528,6 +528,12 @@ def _covar(sp=None, args=None):
         sp.add_argument("--proj", default=None,
                         help="also write first-2-PC projections here")
         sp.add_argument("--ncomp", type=int, default=None)
+        sp.add_argument("--extr", default=None,
+                        help="write the min/max-projection extreme "
+                        "structures along --extr-pc here (2-frame gro, "
+                        "gmx anaeig -extr)")
+        sp.add_argument("--extr-pc", type=int, default=1,
+                        help="1-based principal component for --extr")
         return
     from . import models
 
@@ -549,6 +555,44 @@ def _covar(sp=None, args=None):
                   title="PC projections", xlabel="frame",
                   ylabel="proj (amu^1/2 nm)", legends=["PC1", "PC2"])
         print(f"wrote {args.proj}")
+    if args.extr:
+        pc = args.extr_pc - 1
+        if pc < 0 or pc >= out["eigenvalues"].shape[0]:
+            raise GroanError(f"--extr-pc {args.extr_pc} out of range")
+        gsel = out["indices"]
+        sw = np.sqrt(np.asarray(s.topology.mass, np.float64)[gsel])
+        pr = out["projections"][:, pc]
+        ev = out["eigenvectors"][pc]                  # [K, 3]
+        sub = s.group_extract(g)
+        from .io.gro import write_gro_frame
+
+        with open(args.extr, "w") as fh:
+            for p in (pr.min(), pr.max()):
+                sub.positions[:] = (
+                    out["mean"] + p * ev / sw[:, None]).astype(np.float32)
+                sub.set_time(0.0)
+                write_gro_frame(sub, fh, "all", False, True)
+        print(f"wrote extremes along PC{args.extr_pc} "
+              f"(proj {pr.min():.3f} .. {pr.max():.3f}) to {args.extr}")
+
+
+@_tool("filter", "low-pass filter a trajectory (gmx filter)")
+def _filter(sp=None, args=None):
+    if args is None:
+        _common(sp, out="filtered.xtc")
+        sp.add_argument("--window", type=int, default=5,
+                        help="odd cosine-window width in frames")
+        sp.add_argument("--wrap", action="store_true",
+                        help="rewrap smoothed coordinates into the box")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    n = models.filter_traj(s, _traj(args), args.output, window=args.window,
+                           group=g, wrap=args.wrap,
+                           batch_size=args.batch_size)
+    print(f"wrote {n} filtered frames to {args.output}")
 
 
 @_tool("rotmat", "least-squares fit rotation matrices (gmx rotmat)")

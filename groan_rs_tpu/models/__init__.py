@@ -32,6 +32,7 @@ from .pipeline import (
     dos,
     dssp,
     entropy,
+    filter_traj,
     freevolume,
     h2order,
     hbond_acf,
@@ -64,7 +65,7 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "densmap",
            "dielectric",
            "diffusion",
-           "dos", "dssp", "entropy", "freevolume", "h2order", "hbond_acf",
+           "dos", "dssp", "entropy", "filter_traj", "freevolume", "h2order", "hbond_acf",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",

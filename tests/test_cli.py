@@ -703,3 +703,31 @@ def test_gyrate_components_and_rdf_cn(tmp_path):
     assert (np.diff(d[:, 2]) >= -1e-9).all()
     i35 = int(0.35 / (1.0 / 50))
     assert 2.0 < d[i35, 2] < 8.0
+
+
+def test_filter_and_covar_extr(tmp_path, capsys):
+    from groan_rs_tpu.system import System
+
+    out = str(tmp_path / "filt.xtc")
+    _run(["filter", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--window", "3", "-o", out])
+    assert "wrote 11 filtered frames" in capsys.readouterr().out
+    s = System.from_file(TPR)
+    s.group_create("P", "@protein")
+    sub = s.group_extract("P")
+    frames = [f.positions.copy() for f in sub.xtc_iter(out)]
+    assert len(frames) == 11
+
+    ev = str(tmp_path / "ev.xvg")
+    extr = str(tmp_path / "extr.gro")
+    _run(["covar", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", ev,
+          "--extr", extr, "--extr-pc", "1", "--ncomp", "3"])
+    assert "extremes along PC1" in capsys.readouterr().out
+    es = System.from_file(TPR)
+    es.group_create("P", "@protein")
+    esub = es.group_extract("P")
+    ext_frames = [f.positions.copy() for f in esub.gro_iter(extr)]
+    assert len(ext_frames) == 2
+    # the two extremes differ along PC1 but have the same atom count
+    d = np.linalg.norm(ext_frames[0] - ext_frames[1], axis=-1)
+    assert d.max() > 0.01
