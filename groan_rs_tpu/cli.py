@@ -366,19 +366,26 @@ def _hbond(sp=None, args=None):
 def _dssp(sp=None, args=None):
     if args is None:
         _common(sp, out="ss.xvg")
+        sp.add_argument("--states", type=int, default=3,
+                        choices=[3, 8],
+                        help="3 = H/E/- (pydssp), 8 = full DSSP codes")
         return
     from . import models
 
     s = _system(args)
     g = _group(s, args.sel)
-    out = models.dssp(s, _traj(args), g, batch_size=args.batch_size)
+    out = models.dssp(s, _traj(args), g, states=args.states,
+                      batch_size=args.batch_size)
     ss = out["ss"]
     t = np.arange(ss.shape[0], dtype=np.float64)
-    counts = [np.asarray((ss == c).sum(1), np.float64)
-              for c in ("H", "E", "-")]
+    codes = (("H", "E", "-") if args.states == 3
+             else ("H", "G", "I", "E", "B", "T", "S", "-"))
+    counts = [np.asarray((ss == c).sum(1), np.float64) for c in codes]
     _xvg(args, [t] + counts, title="Secondary structure",
          xlabel="frame", ylabel="residues",
-         legends=["helix", "strand", "loop"])
+         legends=[{"H": "helix", "E": "strand", "-": "loop",
+                   "G": "3-10", "I": "pi", "B": "bridge", "T": "turn",
+                   "S": "bend"}[c] for c in codes])
     print("fractions:", {k: round(v, 4) for k, v in out["frac"].items()})
 
 

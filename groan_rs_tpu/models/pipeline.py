@@ -2173,11 +2173,13 @@ def mdmat(system, trajectory, group: str, *, per_frame: bool = False,
     return out
 
 
-def dssp(system, trajectory, group: str, *, batch_size: int = 32):
+def dssp(system, trajectory, group: str, *, states: int = 3,
+         batch_size: int = 32):
     """Secondary-structure assignment per residue per frame (surpass —
-    Kabsch-Sander criteria with the 3-state simplification, as pydssp;
-    the reference has none and gmx shells out to an external dssp
-    binary).
+    Kabsch-Sander criteria; the reference has none and gmx shells out
+    to an external dssp binary).  `states=3` (default) gives the
+    pydssp-style H/E/- simplification; `states=8` the full DSSP codes
+    H/G/I/E/B/T/S/- (`ops.dssp.assign_8state`).
 
     Backbone N/CA/C/O atoms are collected per residue from `group`
     (amide H estimated from the backbone, the pydssp convention, so
@@ -2189,7 +2191,7 @@ def dssp(system, trajectory, group: str, *, batch_size: int = 32):
     starts/gaps are never donors; patterns never span chain breaks.
 
     Returns a dict: 'resids' [R], 'resnames' [R], 'ss' [F, R]
-    ('H' helix / 'E' strand / '-' loop), 'frac' {'H','E','-'} -> float.
+    (state codes), 'frac' {code} -> float.
     """
     from ..ops import dssp as dssp_ops
 
@@ -2243,12 +2245,21 @@ def dssp(system, trajectory, group: str, *, batch_size: int = 32):
     donor_ok[1:] = consec[:-1]          # needs C/O of the previous residue
     donor_ok &= np.asarray([rn != "PRO" for rn in resnames])
 
+    if states not in (3, 8):
+        raise ParallelError(f"states must be 3 or 8, got {states}")
     e = np.asarray(dssp_ops.hbond_energy(
         pos[:, cols["N"]], pos[:, cols["CA"]], pos[:, cols["C"]],
         pos[:, cols["O"]], boxes, donor_ok))
-    ss = dssp_ops.assign_3state(e, consec)
+    if states == 8:
+        ss = dssp_ops.assign_8state(
+            e, consec, ca=np.asarray(pos[:, cols["CA"]]),
+            boxes=np.asarray(boxes))
+        codes = ("H", "G", "I", "E", "B", "T", "S", "-")
+    else:
+        ss = dssp_ops.assign_3state(e, consec)
+        codes = ("H", "E", "-")
     flat = ss.ravel()
-    frac = {c: float((flat == c).mean()) for c in ("H", "E", "-")}
+    frac = {c: float((flat == c).mean()) for c in codes}
     return {"resids": resids, "resnames": resnames, "ss": ss, "frac": frac}
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hbond_energy", "assign_3state", "KS_CUTOFF"]
+__all__ = ["hbond_energy", "assign_3state", "assign_8state", "KS_CUTOFF"]
 
 KS_CUTOFF = -0.5          # kcal/mol
 _Q1Q2F = 0.084 * 332.0    # Kabsch-Sander electrostatic factor
@@ -130,4 +130,108 @@ def assign_3state(energies, consec, cutoff: float = KS_CUTOFF):
     ss = np.full((f, r), "-", dtype="U1")
     ss[helix] = "H"
     ss[strand] = "E"                                   # strand overrides
+    return ss
+
+
+def assign_8state(energies, consec, ca=None, boxes=None,
+                  cutoff: float = KS_CUTOFF):
+    """Full 8-state DSSP assignment (Kabsch-Sander 1983 structure
+    codes) from the energy matrices.
+
+    States and priority (high to low): 'H' 4-helix, 'E' extended
+    strand (bridge in a ladder — an adjacent bridge continues it),
+    'B' isolated bridge, 'G' 3-10 helix, 'I' pi helix, 'T' n-turn,
+    'S' bend (CA curvature > 70 deg; needs `ca` [F, R, 3] nm and
+    `boxes` [F, 3]), '-' otherwise.  Minimal-helix spans use the same
+    convention as `assign_3state`; beta bulges are not merged into
+    ladders (documented simplification).
+    """
+    e = np.asarray(energies)
+    f, r, _ = e.shape
+    consec = np.asarray(consec, bool)
+    ks = (e < cutoff).transpose(0, 2, 1)      # ks[f, i, j]: CO(i)<-NH(j)
+
+    def run_ok(nres):
+        out = np.zeros(r, bool)
+        for i in range(max(0, r - nres)):
+            out[i] = consec[i: i + nres].all()
+        return out
+
+    def minimal_helix(nres):
+        turn = np.zeros((f, r), bool)
+        idx = np.arange(max(0, r - nres))
+        turn[:, : r - nres] = ks[:, idx, idx + nres] & run_ok(nres)[: r - nres]
+        start = turn[:, :-1] & turn[:, 1:]
+        span = np.zeros((f, r), bool)
+        for k in range(2, nres + 2):
+            span[:, k:] |= start[:, : r - k]
+        return span, turn
+
+    h4, t4 = minimal_helix(4)
+    h3, t3 = minimal_helix(3)
+    h5, t5 = minimal_helix(5)
+
+    # bridges, split by type for ladder detection
+    pad = np.zeros((f, r + 2, r + 2), bool)
+    pad[:, 1:-1, 1:-1] = ks
+    kp = pad
+    i = np.arange(r)
+    far = np.abs(i[:, None] - i[None, :]) >= 3
+    p = ((kp[:, :-2, 1:-1] & kp[:, 1:-1, 2:].transpose(0, 2, 1))
+         | (kp[:, :-2, 1:-1].transpose(0, 2, 1) & kp[:, 1:-1, 2:])) \
+        & far[None]
+    a = ((ks & ks.transpose(0, 2, 1))
+         | (kp[:, :-2, 2:] & kp[:, :-2, 2:].transpose(0, 2, 1))) \
+        & far[None]
+
+    def ladder(b, anti):
+        """bridge (i, j) extended by an adjacent bridge of its type:
+        parallel continues at (i+-1, j+-1), antiparallel at
+        (i+-1, j-+1)."""
+        bp = np.zeros((f, r + 2, r + 2), bool)
+        bp[:, 1:-1, 1:-1] = b
+        if anti:
+            adj = bp[:, :-2, 2:] | bp[:, 2:, :-2]
+        else:
+            adj = bp[:, :-2, :-2] | bp[:, 2:, 2:]
+        return b & adj
+
+    ext = ladder(p, False) | ladder(a, True)
+    strand = ext.any(axis=2)                        # E
+    bridge_any = (p | a).any(axis=2)
+    isolated = bridge_any & ~strand                 # B
+
+    # T: residues strictly inside any n-turn
+    t_mask = np.zeros((f, r), bool)
+    for nres, turn in ((3, t3), (4, t4), (5, t5)):
+        for k in range(1, nres):
+            t_mask[:, k:] |= turn[:, : r - k]
+
+    # S: CA curvature > 70 degrees over i-2 .. i+2
+    s_mask = np.zeros((f, r), bool)
+    if ca is not None and r >= 5:
+        from .pbc import min_image as _mi
+        import jax.numpy as jnp
+
+        cca = np.asarray(ca, np.float64)
+        bx = np.asarray(boxes, np.float64)
+        u = np.asarray(_mi(jnp.asarray(cca[:, 2:] - cca[:, :-2]),
+                           jnp.asarray(bx)[:, None, :]), np.float64)
+        # u[f, i] = CA(i+2) - CA(i); kappa at residue i+2 uses
+        # (CA(i+2)-CA(i), CA(i+4)-CA(i+2))
+        v1 = u[:, :-2]
+        v2 = u[:, 2:]
+        cosk = np.sum(v1 * v2, axis=-1) / np.maximum(
+            np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1),
+            1e-12)
+        bend = np.degrees(np.arccos(np.clip(cosk, -1, 1))) > 70.0
+        ok = np.array([consec[max(0, j - 2): j + 2].all()
+                       for j in range(2, r - 2)])
+        s_mask[:, 2: r - 2] = bend & ok[None, :]
+
+    ss = np.full((f, r), "-", dtype="U1")
+    for mask, code in ((s_mask, "S"), (t_mask, "T"), (h5, "I"),
+                       (h3, "G"), (isolated, "B"), (strand, "E"),
+                       (h4, "H")):
+        ss[mask] = code
     return ss

@@ -731,3 +731,16 @@ def test_filter_and_covar_extr(tmp_path, capsys):
     # the two extremes differ along PC1 but have the same atom count
     d = np.linalg.norm(ext_frames[0] - ext_frames[1], axis=-1)
     assert d.max() > 0.01
+
+
+def test_dssp_8state_tool(tmp_path, capsys):
+    out = str(tmp_path / "ss8.xvg")
+    _run(["dssp", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--states", "8", "-o", out])
+    txt = capsys.readouterr().out
+    assert "'G'" in txt and "'T'" in txt
+    d = read_xvg(out)
+    assert d.shape[1] == 9
+    # per-frame counts over all 8 codes sum to the residue count
+    totals = d[:, 1:].sum(axis=1)
+    assert (totals == totals[0]).all()

@@ -219,3 +219,88 @@ def test_dssp_requires_backbone(tmp_path):
     s.group_create("Protein", "@protein")
     with pytest.raises(GroupError, match="backbone"):
         models.dssp(s, os.path.join(TF, "short_trajectory.xtc"), "Protein")
+
+
+def test_assign_8state_helix_priorities():
+    r = 14
+    # perfect alpha helix: H interior; flanking turn residues get T
+    bonds = [(i, i + 4) for i in range(r - 4)]
+    ss = dssp_ops.assign_8state(_energies(r, bonds), np.ones(r, bool))[0]
+    assert (ss[2: r] == "H").all()
+    assert ss[1] == "T"                      # inside the first 4-turn
+    # an isolated 3-10 pattern (two consecutive 3-turns)
+    ss3 = dssp_ops.assign_8state(
+        _energies(10, [(2, 5), (3, 6)]), np.ones(10, bool))[0]
+    assert set(np.nonzero(ss3 == "G")[0]) == {4, 5, 6}
+    assert ss3[3] == "T"
+    # an isolated pi pattern
+    ss5 = dssp_ops.assign_8state(
+        _energies(12, [(1, 6), (2, 7)]), np.ones(12, bool))[0]
+    assert set(np.nonzero(ss5 == "I")[0]) == {3, 4, 5, 6, 7}
+
+
+def test_assign_8state_bridge_vs_ladder():
+    r = 14
+    # a single isolated antiparallel bridge -> B on both residues
+    ss = dssp_ops.assign_8state(
+        _energies(r, [(2, 9), (9, 2)]), np.ones(r, bool))[0]
+    assert ss[2] == "B" and ss[9] == "B"
+    assert not (ss == "E").any()
+    # two adjacent antiparallel bridges (i,j) and (i+1,j-1) -> ladder E
+    bonds = [(2, 9), (9, 2), (3, 8), (8, 3)]
+    ss2 = dssp_ops.assign_8state(_energies(r, bonds), np.ones(r, bool))[0]
+    for i in (2, 3, 8, 9):
+        assert ss2[i] == "E", (i, ss2[i])
+    # parallel ladder: bridges at (3,8) and (4,9)
+    bonds_p = [(2, 8), (8, 4), (3, 9), (9, 5)]
+    ss3 = dssp_ops.assign_8state(_energies(r, bonds_p),
+                                 np.ones(r, bool))[0]
+    assert ss3[3] == "E" and ss3[4] == "E"
+    assert ss3[8] == "E" and ss3[9] == "E"
+
+
+def test_assign_8state_bend():
+    # a 90-degree kink in the CA trace with no hbonds -> S at the kink
+    r = 9
+    e = np.full((1, r, r), np.inf)
+    ca = np.zeros((1, r, 3))
+    for i in range(r):
+        if i <= 4:
+            ca[0, i] = [0.4 * i, 0.0, 0.0]
+        else:
+            ca[0, i] = [1.6, 0.4 * (i - 4), 0.0]
+    boxes = np.full((1, 3), 50.0)
+    ss = dssp_ops.assign_8state(e, np.ones(r, bool), ca=ca, boxes=boxes)[0]
+    assert ss[4] == "S"
+    assert ss[1] == "-" and ss[7] == "-"
+
+
+def test_dssp_8state_end_to_end(tmp_path):
+    from groan_rs_tpu.io import native
+
+    nres = 14
+    n, ca, c, o = _build_backbone(nres, -57.0, -47.0)
+    pts = np.stack([n, ca, c, o], axis=1).reshape(-1, 3) + 10.0
+    natoms = pts.shape[0]
+    topo = Topology(natoms)
+    topo.atomnum = np.arange(1, natoms + 1, dtype=np.int64)
+    topo.resnum = np.repeat(np.arange(1, nres + 1), 4)
+    topo.resname = StrColumn(values=["ALA"] * natoms)
+    topo.atomname = StrColumn(values=["N", "CA", "C", "O"] * nres)
+    s = System("helix", topo, simbox=SimBox.from_lengths(20.0, 20.0, 20.0),
+               positions=pts.astype(np.float32))
+    s.group_create_from_ranges("All", [(0, natoms - 1)])
+    path = str(tmp_path / "helix8.xtc")
+    b9 = np.diag([20.0, 20.0, 20.0]).astype(np.float32).reshape(9)
+    native.xtc_write_frame(path, natoms, 0, 0.0, b9,
+                           pts.astype(np.float32), 10000.0)
+
+    out = models.dssp(s, path, "All", states=8)
+    ss = out["ss"][0]
+    # ideal alpha helix: interior is H under the full code set too
+    assert (ss[3: nres - 2] == "H").all()
+    assert set(out["frac"]) == {"H", "G", "I", "E", "B", "T", "S", "-"}
+    assert out["frac"]["E"] == 0.0
+    from groan_rs_tpu.errors import ParallelError
+    with pytest.raises(ParallelError):
+        models.dssp(s, path, "All", states=4)
