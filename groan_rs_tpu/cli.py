@@ -1042,6 +1042,27 @@ def _solvate(sp=None, args=None):
           f"total); wrote {args.output}")
 
 
+@_tool("genconf", "replicate a structure on a grid (gmx genconf)")
+def _genconf(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--structure", required=True)
+        sp.add_argument("--nbox", type=int, nargs=3, required=True,
+                        metavar=("NX", "NY", "NZ"))
+        sp.add_argument("--dist", type=float, nargs=3, default=None,
+                        metavar=("DX", "DY", "DZ"),
+                        help="extra spacing between copies (nm)")
+        sp.add_argument("-o", "--output", default="out.gro")
+        return
+    from . import models
+    from .system import System
+
+    s = System.from_file(args.structure)
+    out = models.genconf(s, args.nbox, dist=args.dist)
+    _write_structure(out, args.output)
+    print(f"{int(np.prod(args.nbox))} copies, {out.get_n_atoms()} atoms; "
+          f"wrote {args.output}")
+
+
 @_tool("genion", "replace solvent with ions (gmx genion)")
 def _genion(sp=None, args=None):
     if args is None:

@@ -19,7 +19,7 @@ from .convert import (
     analyze_iter,
     convert_iter,
 )
-from .prep import genion, insert_molecules, solvate
+from .prep import genconf, genion, insert_molecules, solvate
 from .pipeline import (
     TrajectoryAnalysis,
     cluster,
@@ -71,5 +71,5 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "pca", "polystat", "potential_profile", "ramachandran",
            "rmsd_matrix", "rmsdist",
            "rmsf", "rotacf", "rotmat", "run_many",
-           "genion", "insert_molecules", "solvate",
+           "genconf", "genion", "insert_molecules", "solvate",
            "sans", "sasa", "saxs", "sdf", "sorient", "vacf", "vanhove", "wham", "write_cube"]

@@ -313,3 +313,45 @@ def genion(system, n_positive: int, n_negative: int, *,
                     f"{system.get_name()} +ions")
     ion_idx = np.arange(keep.size, keep.size + n_total)
     return out, ion_idx
+
+
+def genconf(system, nbox, *, dist=None):
+    """Replicate a structure on an nx x ny x nz grid (surpass — the
+    `gmx genconf -nbox` workload).
+
+    Each copy is shifted by the box vectors (+ optional extra `dist`
+    [3] nm spacing); the result's box scales accordingly.  Residues
+    renumber uniquely (gmx-compatible behavior).
+
+    Returns the replicated System.
+    """
+    from ..core.simbox import SimBox
+    from ..system import System
+
+    nbox = np.asarray(nbox, np.int64).reshape(3)
+    if (nbox < 1).any():
+        raise ParallelError(f"nbox must be >= 1 per axis, got {nbox}")
+    box = _require_box(system, "genconf")
+    extra = np.zeros(3) if dist is None else np.asarray(dist, np.float64)
+    cell = box + extra
+    pos = np.asarray(system.positions, np.float64)
+
+    parts = []
+    first = True
+    base = None
+    for ix in range(int(nbox[0])):
+        for iy in range(int(nbox[1])):
+            for iz in range(int(nbox[2])):
+                shift = np.array([ix, iy, iz], np.float64) * cell
+                p = (pos + shift[None, :]).astype(np.float32)
+                if first:
+                    base = System(
+                        system.get_name(), system.topology.copy(),
+                        simbox=None, positions=p)
+                    first = False
+                else:
+                    parts.append((system.topology.copy(), p))
+    out = _assemble(base, base.positions, parts,
+                    f"{system.get_name()} x{int(nbox.prod())}")
+    out.simbox = SimBox.from_lengths(*(cell * nbox))
+    return out

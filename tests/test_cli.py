@@ -744,3 +744,16 @@ def test_dssp_8state_tool(tmp_path, capsys):
     # per-frame counts over all 8 codes sum to the residue count
     totals = d[:, 1:].sum(axis=1)
     assert (totals == totals[0]).all()
+
+
+def test_genconf_tool(tmp_path, capsys):
+    from groan_rs_tpu.system import System
+
+    out = str(tmp_path / "rep.gro")
+    _run(["genconf", "-f", os.path.join(TF, "example.gro"),
+          "--nbox", "1", "2", "1", "-o", out])
+    assert "2 copies" in capsys.readouterr().out
+    src = System.from_file(os.path.join(TF, "example.gro"))
+    rep = System.from_file(out)
+    assert rep.get_n_atoms() == 2 * src.get_n_atoms()
+    assert rep.simbox.y == pytest.approx(2 * src.simbox.y, rel=1e-5)

@@ -167,3 +167,26 @@ def test_prep_pipeline_roundtrip(tmp_path):
                                np.asarray(withions.positions), atol=1e-3)
     back.group_create("Ions", "resname NA CL")
     assert len(back.group_indices("Ions")) == 2
+
+
+def test_genconf_replicates():
+    w = _water_box(2, 2, 2, 1.0)            # 8 waters, box 2x2x2
+    out = models.genconf(w, (2, 1, 3))
+    assert out.get_n_atoms() == 24 * 6
+    assert out.simbox.x == pytest.approx(4.0)
+    assert out.simbox.y == pytest.approx(2.0)
+    assert out.simbox.z == pytest.approx(6.0)
+    p = np.asarray(out.positions, np.float64)
+    w0 = np.asarray(w.positions, np.float64)
+    # copy order: ix, iy, iz loops; second copy shifted +2 in z
+    np.testing.assert_allclose(p[24:48], w0 + [0, 0, 2.0], atol=1e-6)
+    # last copy shifted +2x +4z
+    np.testing.assert_allclose(p[-24:], w0 + [2.0, 0, 4.0], atol=1e-6)
+    # residues unique across copies
+    res = np.asarray(out.topology.resnum)
+    assert len(np.unique(res)) == 8 * 6
+    # spacing option grows the cell
+    out2 = models.genconf(w, (1, 1, 2), dist=(0.5, 0.5, 0.5))
+    assert out2.simbox.z == pytest.approx(5.0)
+    with pytest.raises(ParallelError):
+        models.genconf(w, (0, 1, 1))
