@@ -583,6 +583,37 @@ def _covar(sp=None, args=None):
               f"(proj {pr.min():.3f} .. {pr.max():.3f}) to {args.extr}")
 
 
+@_tool("tcaf", "shear viscosity from transverse currents (gmx tcaf)")
+def _tcaf(sp=None, args=None):
+    if args is None:
+        _common(sp, out="tcaf.xvg")
+        sp.add_argument("--nk", type=int, default=4,
+                        help="k modes per axis")
+        sp.add_argument("--fit-floor", type=float, default=0.3,
+                        help="fit ln C while C > floor * C(0)")
+        return
+    from . import models
+
+    s = _system(args)
+    if not np.asarray(s.topology.has_mass).all():
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            s.guess_elements()
+            s.guess_properties()
+    g = _group(s, args.sel)
+    out = models.tcaf(s, _traj(args), g, n_k=args.nk,
+                      fit_floor=args.fit_floor,
+                      batch_size=args.batch_size)
+    cols = [out["lag_times"]] + [out["tcaf"][m] for m in range(args.nk)]
+    _xvg(args, cols, title="Transverse current ACF",
+         xlabel="time (ps)", ylabel="C(k,t)/C(k,0)",
+         legends=[f"k={kv:.3f}" for kv in out["k"]])
+    print(f"eta(k): {np.array2string(out['eta_k'], precision=6)} Pa s; "
+          f"eta0 = {out['eta0']:.6g} Pa s")
+
+
 @_tool("filter", "low-pass filter a trajectory (gmx filter)")
 def _filter(sp=None, args=None):
     if args is None:

@@ -55,6 +55,7 @@ from .pipeline import (
     saxs,
     sdf,
     sorient,
+    tcaf,
     vacf,
     vanhove,
     wham,
@@ -72,4 +73,4 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "rmsd_matrix", "rmsdist",
            "rmsf", "rotacf", "rotmat", "run_many",
            "genconf", "genion", "insert_molecules", "solvate",
-           "sans", "sasa", "saxs", "sdf", "sorient", "vacf", "vanhove", "wham", "write_cube"]
+           "sans", "sasa", "saxs", "sdf", "sorient", "tcaf", "vacf", "vanhove", "wham", "write_cube"]

@@ -4131,3 +4131,151 @@ def filter_traj(system, trajectory, output, *, window: int = 5,
         sub.traj_write_frame()
     sub.traj_writers_close()
     return f
+
+
+_AMU_NM_PS_TO_PAS = 1.66053906660e-6   # amu/(nm ps) -> Pa s
+
+
+def tcaf(system, trajectory, group: str = "all", *, n_k: int = 4,
+         fit_floor: float = 0.3, batch_size: int = 32):
+    """Shear viscosity from transverse-current autocorrelation
+    functions (surpass — the `gmx tcaf` workload; absent from the
+    reference).
+
+    For each axis a and mode m = 1..n_k, k = 2 pi m / L_a; the
+    mass-weighted transverse current j_b(k, t) = sum_i m_i v_ib
+    exp(i k x_ia) (b != a) evaluates per frame as matmuls on device,
+    its all-origin autocorrelation in one `lax.map` over lags, and the
+    curves average over the 2 transverse components and the 3 axes
+    (cubic isotropy; non-cubic boxes keep per-axis k but still average
+    per mode m).  nu(k) fits ln C(k,t) over the prefix where
+    C > `fit_floor` * C(0) (float64 host fit); eta(k) = rho nu(k), and
+    eta_0 extrapolates eta(k) = eta_0 (1 - a k^2) — the gmx tcaf
+    workflow.  Requires velocities on a UNIFORM time grid and a
+    constant box.
+
+    Returns a dict: 'k' [n_k] (1/nm, per-mode mean), 'lag_times' [L]
+    (ps), 'tcaf' [n_k, L] normalized, 'nu' [n_k] (nm^2/ps),
+    'eta_k' [n_k] (Pa s), 'eta0' (Pa s), 'rho' (amu/nm^3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(_sel_indices(system, group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(system).runner(group=group,
+                                                   velocities=True)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+    if "vel" not in dt.aux_names:
+        raise ParallelError(
+            "tcaf needs a velocity channel; load the trajectory with "
+            "runner(velocities=True).load_device(...)")
+    if not system.topology.has_mass[gsel].all():
+        raise GroupError(f"group '{group}' has atoms without mass",
+                         code="InvalidMass")
+
+    boxes = np.asarray(dt.boxes, np.float64)
+    if boxes.ndim != 2:
+        raise ParallelError("tcaf supports orthorhombic boxes")
+    box = boxes[0]
+    if not np.allclose(boxes, box[None, :], rtol=1e-5):
+        raise ParallelError(
+            "tcaf needs a constant box (k vectors are box-fixed); "
+            "this trajectory's box fluctuates")
+    t = np.asarray(dt.times, np.float64)
+    f = len(t)
+    if f < 4:
+        raise ParallelError("tcaf needs at least 4 frames")
+    dt_ps = float(t[1] - t[0])
+    if dt_ps <= 0 or not np.allclose(np.diff(t), dt_ps, rtol=1e-3):
+        raise ParallelError(
+            "tcaf requires a uniform frame-time grid; resample with "
+            "with_step/with_range first")
+
+    jcols = jnp.asarray(cols)
+    pos = jnp.asarray(dt.pos)[:, jcols, :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    vel = jnp.asarray(dt.aux[dt.aux_names.index("vel")])[:, jcols, :]
+    mass = np.asarray(system.topology.mass, np.float64)[gsel]
+    w = jnp.asarray(mass, jnp.float32)
+
+    ks = np.stack([2.0 * np.pi * np.arange(1, n_k + 1) / box[a]
+                   for a in range(3)])                 # [3, n_k]
+
+    @jax.jit
+    def _currents(pos, vel, w, kmat):
+        # series [F, 3 axes, n_k, 2 transverse, 2 (re, im)]
+        outs = []
+        for a in range(3):
+            phase = pos[:, :, a][:, :, None] * kmat[a][None, None, :]
+            cosp = jnp.cos(phase) * w[None, :, None]   # [F, K, n_k]
+            sinp = jnp.sin(phase) * w[None, :, None]
+            tr = [b for b in range(3) if b != a]
+            per_axis = []
+            for b in tr:
+                vb = vel[:, :, b]                      # [F, K]
+                re = jnp.einsum("fk,fkm->fm", vb, cosp)
+                im = jnp.einsum("fk,fkm->fm", vb, sinp)
+                per_axis.append(jnp.stack([re, im], axis=-1))
+            outs.append(jnp.stack(per_axis, axis=2))   # [F, n_k, 2, 2]
+        return jnp.stack(outs, axis=1)                 # [F, 3, n_k, 2, 2]
+
+    j = _currents(pos, vel, w, jnp.asarray(ks, jnp.float32))
+    fdim = int(j.shape[0])
+    series = j.reshape(fdim, -1)                       # [F, S]
+
+    @jax.jit
+    def _acf(series):
+        tt = jnp.arange(fdim)
+
+        def one(lag):
+            prod = jnp.roll(series, -lag, axis=0) * series   # [F, S]
+            valid = (tt < fdim - lag)[:, None]
+            n = jnp.maximum(fdim - lag, 1)
+            return jnp.sum(jnp.where(valid, prod, 0.0), axis=0) / n
+
+        return jax.lax.map(one, jnp.arange(fdim))      # [L, S]
+
+    acf = np.asarray(_acf(series), np.float64).reshape(
+        fdim, 3, n_k, 2, 2)
+    # Re(j j*) = re.re + im.im: sum the (re, im) channel, average the
+    # 2 transverse components and 3 axes
+    c = acf.sum(axis=-1).mean(axis=(1, 3)).T           # [n_k, L]
+
+    c0 = c[:, 0]
+    if (c0 <= 0).any():
+        raise ParallelError("tcaf found a zero-power mode; more frames "
+                            "or a smaller n_k needed")
+    cn = c / c0[:, None]
+    lag_times = t - t[0]
+    kmean = ks.mean(axis=0)
+    k2 = kmean ** 2
+
+    nu = np.empty(n_k)
+    for m in range(n_k):
+        good = cn[m] > fit_floor
+        stop = int(np.argmin(good)) if not good.all() else fdim
+        stop = max(stop, 3)
+        x = lag_times[:stop]
+        y = np.log(np.maximum(cn[m, :stop], 1e-12))
+        a = np.stack([x, np.ones_like(x)], axis=1)
+        (slope, _), *_ = np.linalg.lstsq(a, y, rcond=None)
+        nu[m] = -slope / k2[m]
+
+    rho = float(mass.sum() / box.prod())               # amu / nm^3
+    eta_k = rho * nu * _AMU_NM_PS_TO_PAS               # Pa s
+    # eta(k) = eta0 (1 - a k^2) -> linear fit vs k^2
+    a = np.stack([np.ones(n_k), k2], axis=1)
+    (eta0, _), *_ = np.linalg.lstsq(a, eta_k, rcond=None)
+    return {"k": kmean, "lag_times": lag_times, "tcaf": cn, "nu": nu,
+            "eta_k": eta_k, "eta0": float(eta0), "rho": rho}

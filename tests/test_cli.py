@@ -757,3 +757,40 @@ def test_genconf_tool(tmp_path, capsys):
     rep = System.from_file(out)
     assert rep.get_n_atoms() == 2 * src.get_n_atoms()
     assert rep.simbox.y == pytest.approx(2 * src.simbox.y, rel=1e-5)
+
+
+def test_tcaf_tool(tmp_path, capsys):
+    from groan_rs_tpu.io import native
+
+    rng = np.random.default_rng(89)
+    f, k_atoms = 8, 20
+    pos = rng.uniform(0, 2, size=(f, k_atoms, 3)).astype(np.float32)
+    vel = rng.normal(size=(f, k_atoms, 3)).astype(np.float32)
+    b9 = np.diag([2.0, 2.0, 2.0]).astype(np.float32).reshape(9)
+    trr = str(tmp_path / "v.trr")
+    for i in range(f):
+        native.trr_write_frame(trr, k_atoms, i, float(i), 0.0, b9,
+                               x=pos[i], v=vel[i])
+    # a matching structure file
+    from groan_rs_tpu.core.simbox import SimBox
+    from groan_rs_tpu.core.topology import Topology
+    from groan_rs_tpu.system import System
+
+    from groan_rs_tpu.core.topology import StrColumn
+
+    topo = Topology(k_atoms)
+    topo.atomnum = np.arange(1, k_atoms + 1, dtype=np.int64)
+    topo.resnum = np.arange(k_atoms, dtype=np.int64) + 1
+    topo.resname = StrColumn(values=np.asarray(["ALA"] * k_atoms))
+    topo.atomname = StrColumn(values=np.asarray(["C"] * k_atoms))
+    s = System("t", topo, simbox=SimBox.from_lengths(2, 2, 2),
+               positions=pos[0])
+    gro = str(tmp_path / "t.gro")
+    s.write_gro(gro)
+
+    out = str(tmp_path / "tc.xvg")
+    _run(["tcaf", "-s", gro, "-f", trr, "--nk", "2", "-o", out])
+    assert "eta0" in capsys.readouterr().out
+    d = read_xvg(out)
+    assert d.shape == (f, 3)
+    np.testing.assert_allclose(d[0, 1:], 1.0)
