@@ -672,23 +672,30 @@ def _dccm(sp=None, args=None):
     print(f"wrote {args.output} ({m.shape[0]}x{m.shape[1]})")
 
 
-@_tool("cluster", "GROMOS conformational clustering (gmx cluster)")
+@_tool("cluster", "conformational clustering (gmx cluster)")
 def _cluster(sp=None, args=None):
     if args is None:
         _common(sp, out="clusters.txt")
         sp.add_argument("--cutoff", type=float, default=0.1,
                         help="RMSD cutoff (nm)")
+        sp.add_argument("--method", default="gromos",
+                        choices=["gromos", "linkage", "jarvis-patrick"])
+        sp.add_argument("--jp-m", type=int, default=10,
+                        help="jarvis-patrick nearest-neighbour count")
+        sp.add_argument("--jp-p", type=int, default=3,
+                        help="jarvis-patrick shared-neighbour minimum")
         return
     from . import models
 
     s = _system(args)
     g = _group(s, args.sel)
     out = models.cluster(s, _traj(args), g, cutoff=args.cutoff,
-                         batch_size=args.batch_size)
+                         method=args.method, jp_m=args.jp_m,
+                         jp_p=args.jp_p, batch_size=args.batch_size)
     labels = np.asarray(out["labels"])
     n_cl = len(out["centers"])
     with open(args.output, "w") as fh:
-        fh.write(f"# {n_cl} clusters, cutoff {args.cutoff} nm\n")
+        fh.write(f"# {n_cl} clusters, method {args.method}, cutoff {args.cutoff} nm\n")
         for i, (center, size) in enumerate(
                 zip(out["centers"], out["sizes"])):
             members = np.nonzero(labels == i)[0]
@@ -845,6 +852,45 @@ def _sans(sp=None, args=None):
     _xvg(args, [out["q"], out["intensity"]], title="SANS (Debye)",
          xlabel="q (1/nm)", ylabel="I(q) (fm^2)", legends=["I(q)"])
     print(f"I(0) bound {out['i0']:.1f} fm^2")
+
+
+@_tool("sham", "free-energy landscape from 2D projections (gmx sham)")
+def _sham(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--file", required=True,
+                        help=".xvg with the two reaction coordinates "
+                        "(e.g. covar --proj output)")
+        sp.add_argument("--cols", type=int, nargs=2, default=[1, 2],
+                        help="data columns holding the coordinates")
+        sp.add_argument("--bins", type=int, nargs=2, default=[32, 32])
+        sp.add_argument("--temp", type=float, default=300.0)
+        sp.add_argument("-o", "--output", default="gibbs.dat",
+                        help="GridMap text output of G (kJ/mol)")
+        return
+    from .io.xvg import read_xvg
+    from .core.gridmap import GridMap
+    from .models.pipeline import _KB_KJ
+
+    data = read_xvg(args.file)
+    c1, c2 = args.cols
+    if data.ndim != 2 or data.shape[1] <= max(c1, c2):
+        raise GroanError(f"'{args.file}' lacks columns {c1}/{c2}")
+    x, y = data[:, c1], data[:, c2]
+    nx, ny = args.bins
+    h, ex, ey = np.histogram2d(x, y, bins=(nx, ny))
+    kt = _KB_KJ * args.temp
+    with np.errstate(divide="ignore"):
+        g = -kt * np.log(h / h.max())
+    g[h == 0] = g[h > 0].max() + kt       # empty bins: above the max
+    bwx, bwy = ex[1] - ex[0], ey[1] - ey[0]
+    gm = GridMap.from_vec(
+        (ex[0] + bwx / 2, ex[-1] - bwx / 2),
+        (ey[0] + bwy / 2, ey[-1] - bwy / 2),
+        (bwx, bwy), g.reshape(-1), data_order="row")
+    gm.save(args.output)
+    print(f"{int((h > 0).sum())}/{nx * ny} bins sampled, "
+          f"G range 0..{float(g[h > 0].max()):.3f} kJ/mol; "
+          f"wrote {args.output}")
 
 
 @_tool("wham", "umbrella-sampling PMF by WHAM (gmx wham)")

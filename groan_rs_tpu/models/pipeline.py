@@ -2070,21 +2070,34 @@ def rmsd_matrix(system, trajectory, group: str, *, batch_size: int = 32,
 
 
 def cluster(system, trajectory=None, group: str | None = None, *,
-            cutoff: float = 0.1, matrix=None, batch_size: int = 32,
-            chunk: int = 8):
-    """GROMOS conformational clustering (surpass — `gmx cluster -method
-    gromos`, Daura et al. 1999; absent from the reference).
+            cutoff: float = 0.1, method: str = "gromos",
+            jp_m: int = 10, jp_p: int = 3, matrix=None,
+            batch_size: int = 32, chunk: int = 8):
+    """Conformational clustering (surpass — the `gmx cluster` methods;
+    absent from the reference).
 
     Builds the all-pairs fitted RMSD matrix on device (`rmsd_matrix`),
-    then iteratively: take the frame with the most neighbours within
-    `cutoff` (nm) as a cluster centre, assign it and its neighbours to
-    the cluster, remove them, repeat.  Ties break to the lowest frame
-    index (gmx behaviour).  Pass a precomputed `matrix` ([F, F]) to skip
-    the device pass (e.g. to sweep cutoffs).
+    then clusters with `method`:
+
+    - 'gromos' (Daura et al. 1999): iteratively take the frame with the
+      most neighbours within `cutoff` (nm) as a centre, assign it and
+      its neighbours, remove, repeat; ties break to the lowest index
+      (gmx behaviour).
+    - 'linkage': single-linkage — clusters are the connected components
+      of the d < cutoff graph (gmx cluster -method linkage).
+    - 'jarvis-patrick': frames cluster together when each is in the
+      other's `jp_m` nearest-neighbour list AND they share at least
+      `jp_p` of those neighbours (gmx -method jarvis-patrick with
+      M=jp_m, P=jp_p; `cutoff` is ignored, as in gmx with -nonn 0...
+      connected components of the acceptance graph).
+
+    Pass a precomputed `matrix` ([F, F]) to skip the device pass (e.g.
+    to sweep cutoffs).
 
     Returns a dict:
-    - 'labels' [F]: cluster id per frame (0 = largest-first order)
-    - 'centers' [C]: the medoid frame index of each cluster
+    - 'labels' [F]: cluster id per frame (0 = largest cluster)
+    - 'centers' [C]: the representative frame of each cluster (gromos:
+      the centre; others: the medoid — min summed intra-cluster RMSD)
     - 'sizes' [C]: frames per cluster
     - 'matrix' [F, F]: the RMSD matrix used
     """
@@ -2099,20 +2112,57 @@ def cluster(system, trajectory=None, group: str | None = None, *,
     if matrix.shape != (f, f):
         raise ParallelError(f"matrix must be square, got {matrix.shape}")
 
-    neigh = matrix < float(cutoff)
-    np.fill_diagonal(neigh, True)          # a frame is its own neighbour
-    alive = np.ones(f, bool)
+    if method == "gromos":
+        neigh = matrix < float(cutoff)
+        np.fill_diagonal(neigh, True)      # a frame is its own neighbour
+        alive = np.ones(f, bool)
+        labels = np.full(f, -1, np.int64)
+        centers, sizes = [], []
+        while alive.any():
+            counts = (neigh & alive[None, :]).sum(axis=1)
+            counts[~alive] = -1
+            c = int(np.argmax(counts))     # ties -> lowest index
+            members = neigh[c] & alive
+            labels[members] = len(centers)
+            centers.append(c)
+            sizes.append(int(members.sum()))
+            alive &= ~members
+        return {"labels": labels, "centers": np.asarray(centers, np.int64),
+                "sizes": np.asarray(sizes, np.int64), "matrix": matrix}
+
+    if method == "linkage":
+        adj = matrix < float(cutoff)
+        np.fill_diagonal(adj, False)
+    elif method == "jarvis-patrick":
+        if jp_m < 1 or jp_m >= f:
+            raise ParallelError(
+                f"jp_m must be in [1, {f - 1}], got {jp_m}")
+        # nearest-neighbour lists exclude self
+        order = np.argsort(matrix + np.diag(np.full(f, np.inf)),
+                           axis=1, kind="stable")[:, :jp_m]
+        nn = np.zeros((f, f), bool)
+        nn[np.repeat(np.arange(f), jp_m), order.reshape(-1)] = True
+        mutual = nn & nn.T
+        shared = (nn.astype(np.int32) @ nn.T.astype(np.int32)) >= jp_p
+        adj = mutual & shared
+        np.fill_diagonal(adj, False)
+    else:
+        raise ParallelError(
+            f"method must be 'gromos', 'linkage', or 'jarvis-patrick', "
+            f"got '{method}'")
+
+    # connected components of adj, clusters ordered largest-first
+    comp = _connected_components(adj)
+    uniq, counts = np.unique(comp, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
     labels = np.full(f, -1, np.int64)
     centers, sizes = [], []
-    while alive.any():
-        counts = (neigh & alive[None, :]).sum(axis=1)
-        counts[~alive] = -1
-        c = int(np.argmax(counts))         # ties -> lowest index
-        members = neigh[c] & alive
-        labels[members] = len(centers)
-        centers.append(c)
-        sizes.append(int(members.sum()))
-        alive &= ~members
+    for new_id, ci in enumerate(order):
+        members = np.flatnonzero(comp == uniq[ci])
+        labels[members] = new_id
+        sub = matrix[np.ix_(members, members)]
+        centers.append(int(members[np.argmin(sub.sum(axis=1))]))
+        sizes.append(len(members))
     return {"labels": labels, "centers": np.asarray(centers, np.int64),
             "sizes": np.asarray(sizes, np.int64), "matrix": matrix}
 

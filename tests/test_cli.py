@@ -794,3 +794,35 @@ def test_tcaf_tool(tmp_path, capsys):
     d = read_xvg(out)
     assert d.shape == (f, 3)
     np.testing.assert_allclose(d[0, 1:], 1.0)
+
+
+def test_cluster_methods_and_sham(tmp_path, capsys):
+    out = str(tmp_path / "cl.txt")
+    _run(["cluster", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--cutoff", "0.15", "--method", "linkage", "-o", out])
+    assert "method linkage" in open(out).read()
+    _run(["cluster", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--method", "jarvis-patrick", "--jp-m", "4", "--jp-p", "2",
+          "-o", out])
+    assert "jarvis-patrick" in open(out).read()
+
+    # sham on a known two-well sample: G difference = kT ln(n1/n2)
+    from groan_rs_tpu.io.xvg import write_xvg
+    from groan_rs_tpu.core.gridmap import GridMap
+
+    xy = np.concatenate([
+        np.tile([[0.25, 0.25]], (400, 1)),
+        np.tile([[0.75, 0.75]], (100, 1)),
+    ])
+    t = np.arange(xy.shape[0], dtype=np.float64)
+    proj = str(tmp_path / "proj.xvg")
+    write_xvg(proj, [t, xy[:, 0], xy[:, 1]])
+    gdat = str(tmp_path / "g.dat")
+    _run(["sham", "-f", proj, "--bins", "2", "2", "--temp", "300",
+          "-o", gdat])
+    assert "2/4 bins sampled" in capsys.readouterr().out
+    gm = GridMap.from_file(gdat)
+    kt = 0.00831446261815324 * 300.0
+    vals = np.sort(gm.values.reshape(-1))
+    assert vals[0] == pytest.approx(0.0)
+    assert vals[1] == pytest.approx(kt * np.log(4.0), rel=1e-6)

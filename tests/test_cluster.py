@@ -166,3 +166,40 @@ def test_rmsd_matrix_fixture_row_vs_calc_rmsd():
         pj = prep(fb.positions[j][idx], boxes[j])
         assert abs(m[0, j] - _pair_rmsd_f64(p0, pj, masses)) < 5e-4
     assert m.shape == (f, f)
+
+
+def test_linkage_chains_where_gromos_splits():
+    # frames on a line, spacing 0.09 nm, cutoff 0.1: single linkage
+    # chains everything into ONE cluster; gromos splits it
+    f = 9
+    x = np.arange(f) * 0.09
+    m = np.abs(x[:, None] - x[None, :])
+    link = models.cluster(None, matrix=m, cutoff=0.1, method="linkage")
+    assert len(link["sizes"]) == 1 and link["sizes"][0] == f
+    assert (link["labels"] == 0).all()
+    # medoid of the chain is its middle
+    assert link["centers"][0] == f // 2
+    grom = models.cluster(None, matrix=m, cutoff=0.1, method="gromos")
+    assert len(grom["sizes"]) > 1
+
+
+def test_jarvis_patrick_two_groups():
+    # two tight 4-frame groups far apart + one outlier
+    pts = np.r_[np.arange(4) * 0.01,
+                5.0 + np.arange(4) * 0.01,
+                20.0]
+    m = np.abs(pts[:, None] - pts[None, :])
+    out = models.cluster(None, matrix=m, method="jarvis-patrick",
+                         jp_m=3, jp_p=2)
+    assert out["sizes"].tolist() == [4, 4, 1]
+    assert len(set(out["labels"][:4])) == 1
+    assert len(set(out["labels"][4:8])) == 1
+    assert out["labels"][8] not in out["labels"][:8]
+
+
+def test_cluster_method_errors():
+    m = np.zeros((3, 3))
+    with pytest.raises(ParallelError):
+        models.cluster(None, matrix=m, method="kmeans")
+    with pytest.raises(ParallelError):
+        models.cluster(None, matrix=m, method="jarvis-patrick", jp_m=5)
