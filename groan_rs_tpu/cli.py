@@ -614,6 +614,29 @@ def _tcaf(sp=None, args=None):
           f"eta0 = {out['eta0']:.6g} Pa s")
 
 
+@_tool("helixorient", "local helix axes / rise / twist (gmx helixorient)")
+def _helixorient(sp=None, args=None):
+    if args is None:
+        _common(sp, out="helix.xvg")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.helixorient(s, _traj(args), g, axis=args.axis,
+                             batch_size=args.batch_size)
+    t = np.arange(out["tilt"].shape[0], dtype=np.float64)
+    _xvg(args, [t, out["tilt"], out["rise"], out["twist"],
+                out["radius"]],
+         title="Helix geometry", xlabel="frame",
+         ylabel="tilt (deg) / rise (nm) / twist (deg) / radius (nm)",
+         legends=["tilt", "rise", "twist", "radius"])
+    print(f"mean tilt {out['tilt'].mean():.2f} deg, rise "
+          f"{out['rise'].mean():.4f} nm, twist {out['twist'].mean():.2f}"
+          f" deg, radius {out['radius'].mean():.4f} nm")
+
+
 @_tool("filter", "low-pass filter a trajectory (gmx filter)")
 def _filter(sp=None, args=None):
     if args is None:

@@ -36,6 +36,7 @@ from .pipeline import (
     freevolume,
     h2order,
     hbond_acf,
+    helixorient,
     leaflets,
     mdmat,
     msd,
@@ -66,7 +67,7 @@ __all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
            "densmap",
            "dielectric",
            "diffusion",
-           "dos", "dssp", "entropy", "filter_traj", "freevolume", "h2order", "hbond_acf",
+           "dos", "dssp", "entropy", "filter_traj", "freevolume", "h2order", "hbond_acf", "helixorient",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",

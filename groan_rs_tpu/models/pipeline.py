@@ -4329,3 +4329,97 @@ def tcaf(system, trajectory, group: str = "all", *, n_k: int = 4,
     (eta0, _), *_ = np.linalg.lstsq(a, eta_k, rcond=None)
     return {"k": kmean, "lag_times": lag_times, "tcaf": cn, "nu": nu,
             "eta_k": eta_k, "eta0": float(eta0), "rho": rho}
+
+
+def helixorient(system, trajectory, group: str, *, axis: str = "z",
+                batch_size: int = 32):
+    """Local helix geometry from CA positions (surpass — the
+    `gmx helixorient` / `gmx helix` workload; absent from the
+    reference).
+
+    The group's CA atoms (residue order) are rebuilt whole on device by
+    min-image accumulation, then the Sugeta-Miyazawa construction
+    gives, per residue window: the radial bisector b_i =
+    unit(u_{i-1} - u_i) (u = consecutive CA bonds; for an ideal helix
+    b points at the axis), the local axis a_i = unit(b_i x b_{i+1})
+    (sign along the chain), local rise = u_i . a_i, local twist =
+    angle(b_i, b_{i+1}), and local radius = |u_i|^2-ish from the exact
+    circle relation r = rise-free chord / (2 sin(twist/2)) using the
+    axis-perpendicular chord component.  All frames in one jitted
+    dispatch.
+
+    Returns a dict: 'axis_vec' [F, 3] (mean local axis, unit),
+    'tilt' [F] (deg vs +`axis`), 'rise' [F] / 'twist' [F] /
+    'radius' [F] (per-frame means; nm, deg, nm),
+    'rise_per_residue' [F, W], 'twist_per_residue' [F, W],
+    'local_axes' [F, W, 3] (W = R - 3 windows), 'resids' [R].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if axis not in _AXIS:
+        raise ParallelError(f"axis must be one of xyz, got '{axis}'")
+    ax_ref = np.zeros(3, np.float32)
+    ax_ref[_AXIS[axis]] = 1.0
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size, require_ortho="helixorient")
+    # CA atoms in residue order
+    names = system.topology.atomname
+    ca_cols = [i for i in range(len(gsel))
+               if names.get(int(gsel[i])) == "CA"]
+    if len(ca_cols) < 5:
+        raise GroupError(
+            f"group '{group}' has {len(ca_cols)} CA atoms; helixorient "
+            "needs at least 5", code="InvalidSelection")
+    resids = np.asarray(system.topology.resnum)[gsel[ca_cols]]
+    order = np.argsort(resids, kind="stable")
+    ca_cols = np.asarray(ca_cols)[order]
+    resids = resids[order]
+
+    cac = jnp.asarray(ca_cols)
+
+    @jax.jit
+    def _geom(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+            ca = pf[cac]                                  # [R, 3]
+            d = pbc.min_image(ca[1:] - ca[:-1], box)      # [R-1, 3] bonds
+            whole = jnp.concatenate(
+                [ca[:1], ca[:1] + jnp.cumsum(d, axis=0)])
+            u = whole[1:] - whole[:-1]                    # [R-1, 3]
+            b = u[:-1] - u[1:]                            # [R-2, 3]
+            b = b / jnp.maximum(
+                jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+            a = jnp.cross(b[:-1], b[1:])                  # [R-3, 3]
+            a = a / jnp.maximum(
+                jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+            # sign: along the chain (positive projection on the chord)
+            chord = u[1:-1]
+            sgn = jnp.sign(jnp.sum(a * chord, axis=-1))
+            a = a * jnp.where(sgn == 0, 1.0, sgn)[:, None]
+            rise = jnp.sum(u[1:-1] * a, axis=-1)          # [R-3]
+            cosw = jnp.clip(jnp.sum(b[:-1] * b[1:], axis=-1), -1.0, 1.0)
+            twist = jnp.arccos(cosw)                      # [R-3] rad
+            # circle radius from the axis-perpendicular chord
+            perp = u[1:-1] - rise[:, None] * a
+            radius = jnp.linalg.norm(perp, axis=-1) / jnp.maximum(
+                2.0 * jnp.sin(twist / 2.0), 1e-12)
+            mean_axis = jnp.mean(a, axis=0)
+            mean_axis = mean_axis / jnp.maximum(
+                jnp.linalg.norm(mean_axis), 1e-12)
+            tilt = jnp.degrees(jnp.arccos(jnp.clip(
+                jnp.dot(mean_axis, jnp.asarray(ax_ref)), -1.0, 1.0)))
+            return (mean_axis, tilt, jnp.mean(rise),
+                    jnp.degrees(jnp.mean(twist)),
+                    jnp.mean(radius), rise,
+                    jnp.degrees(twist), a)
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    (axv, tilt, rise, twist, radius, rise_pr, twist_pr, axes) = (
+        np.asarray(x, np.float64) for x in _geom(pos, boxes))
+    return {"axis_vec": axv, "tilt": tilt, "rise": rise, "twist": twist,
+            "radius": radius, "rise_per_residue": rise_pr,
+            "twist_per_residue": twist_pr, "local_axes": axes,
+            "resids": resids}

@@ -826,3 +826,16 @@ def test_cluster_methods_and_sham(tmp_path, capsys):
     vals = np.sort(gm.values.reshape(-1))
     assert vals[0] == pytest.approx(0.0)
     assert vals[1] == pytest.approx(kt * np.log(4.0), rel=1e-6)
+
+
+def test_helixorient_tool(tmp_path, capsys):
+    out = str(tmp_path / "hx.xvg")
+    _run(["helixorient", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "-o", out])
+    txt = capsys.readouterr().out
+    assert "mean tilt" in txt
+    d = read_xvg(out)
+    assert d.shape[1] == 5
+    # a WALP-like TM helix: alpha rise ~0.15 nm, twist ~100 deg
+    assert 0.10 < d[:, 2].mean() < 0.20
+    assert 85.0 < d[:, 3].mean() < 115.0
