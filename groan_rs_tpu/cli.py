@@ -1578,6 +1578,141 @@ def _analyze(sp=None, args=None):
         print(f"wrote {args.ac}")
 
 
+@_tool("bar", "Bennett acceptance ratio free energy (gmx bar)")
+def _bar(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-F", "--forward", required=True, nargs="+",
+                        help=".xvg files of forward work samples "
+                        "(one per lambda interval)")
+        sp.add_argument("-R", "--reverse", required=True, nargs="+",
+                        help=".xvg files of reverse work samples")
+        sp.add_argument("--temp", type=float, default=300.0)
+        sp.add_argument("--col", type=int, default=1,
+                        help="data column holding the work (kJ/mol)")
+        sp.add_argument("-o", "--output", default="bar.xvg")
+        return
+    from . import models
+    from .io.xvg import read_xvg, write_xvg
+
+    if len(args.forward) != len(args.reverse):
+        raise GroanError("need one --reverse file per --forward file")
+
+    def _work(path):
+        data = read_xvg(path)
+        if data.ndim != 2 or data.shape[1] <= args.col:
+            raise GroanError(f"'{path}' has no column {args.col}")
+        return data[:, args.col]
+
+    out = models.bar_intervals(
+        [(_work(f), _work(r))
+         for f, r in zip(args.forward, args.reverse)],
+        temperature=args.temp)
+    iv = np.arange(len(args.forward), dtype=np.float64)
+    write_xvg(args.output, [iv, out["delta_f"], out["error"]],
+              title="BAR free energy", xlabel="interval",
+              ylabel="DeltaF (kJ/mol)", legends=["DeltaF", "error"])
+    print(f"wrote {args.output}")
+    for i, (df, err) in enumerate(zip(out["delta_f"], out["error"])):
+        print(f"interval {i}: DeltaF {df:+.4f} +- {err:.4f} kJ/mol")
+    print(f"total: {out['total']:+.4f} +- {out['total_error']:.4f} kJ/mol")
+
+
+@_tool("bundle", "helix-bundle axis length/dist/tilt (gmx bundle)")
+def _bundle(sp=None, args=None):
+    if args is None:
+        _common(sp, out="bundle.xvg")
+        sp.add_argument("--tops", required=True,
+                        help="top-end group/query (split into --na parts)")
+        sp.add_argument("--bottoms", required=True,
+                        help="bottom-end group/query")
+        sp.add_argument("--na", type=int, required=True,
+                        help="number of axes")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        sp.add_argument("--cog", action="store_true",
+                        help="geometric centers instead of mass-weighted")
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.bundle(s, _traj(args), args.tops, args.bottoms,
+                        n_axes=args.na, axis=args.axis,
+                        mass_weighted=not args.cog,
+                        batch_size=args.batch_size)
+    t = np.arange(out["length"].shape[0], dtype=np.float64)
+    cols = [t]
+    legends = []
+    for key in ("length", "distance", "zshift", "tilt", "tiltr", "tiltl"):
+        for a in range(out[key].shape[1]):
+            cols.append(out[key][:, a])
+            legends.append(f"{key}{a}")
+    _xvg(args, cols, title="Bundle axes", xlabel="frame",
+         ylabel="nm / deg", legends=legends)
+    print(f"mean length {out['length'].mean():.4f} nm, tilt "
+          f"{out['tilt'].mean():.2f} deg, distance "
+          f"{out['distance'].mean():.4f} nm")
+
+
+@_tool("dyecoupl", "FRET dye-pair distance and kappa^2 (gmx dyecoupl)")
+def _dyecoupl(sp=None, args=None):
+    if args is None:
+        _common(sp, out="dyecoupl.xvg")
+        sp.add_argument("--donor", required=True,
+                        help="2-atom donor dipole selection")
+        sp.add_argument("--acceptor", required=True,
+                        help="2-atom acceptor dipole selection")
+        sp.add_argument("--r0", type=float, default=None,
+                        help="isotropic Foerster radius (nm) for E")
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.dyecoupl(s, _traj(args), args.donor, args.acceptor,
+                          r0=args.r0, batch_size=args.batch_size)
+    t = np.arange(out["r"].shape[0], dtype=np.float64)
+    cols = [t, out["r"], out["kappa2"]]
+    legends = ["R", "kappa2"]
+    if "efficiency" in out:
+        cols.append(out["efficiency"])
+        legends.append("E")
+    _xvg(args, cols, title="Dye coupling", xlabel="frame",
+         ylabel="R (nm) / kappa^2", legends=legends)
+    msg = (f"mean R {out['r'].mean():.4f} nm, <kappa^2> "
+           f"{out['kappa2'].mean():.4f}")
+    if "efficiency" in out:
+        msg += f", <E> {out['efficiency'].mean():.4f}"
+    print(msg)
+
+
+@_tool("chi", "side-chain chi dihedrals and rotamers (gmx chi)")
+def _chi(sp=None, args=None):
+    if args is None:
+        _common(sp, out="chi.xvg")
+        sp.add_argument("--max-chi", type=int, default=2,
+                        help="highest chi order to compute (1-4)")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.chi(s, _traj(args), g, max_chi=args.max_chi,
+                     batch_size=args.batch_size)
+    t = np.arange(out["chi1"].shape[0], dtype=np.float64)
+    cols, legends = [t], []
+    for k in range(1, args.max_chi + 1):
+        key = f"chi{k}"
+        if key not in out:
+            continue
+        for j, rid in enumerate(out[f"{key}_resids"]):
+            cols.append(out[key][:, j])
+            legends.append(f"{key}-{out[f'{key}_resnames'][j]}{rid}")
+    _xvg(args, cols, title="Chi dihedrals", xlabel="frame",
+         ylabel="chi (deg)", legends=legends)
+    rot = out["rotamers"]
+    for j, rid in enumerate(out["chi1_resids"]):
+        print(f"{out['chi1_resnames'][j]}{rid}: g+ {rot['g+'][j]:.3f}  "
+              f"t {rot['t'][j]:.3f}  g- {rot['g-'][j]:.3f}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="groan-tpu",

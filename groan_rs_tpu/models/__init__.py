@@ -22,6 +22,10 @@ from .convert import (
 from .prep import genconf, genion, insert_molecules, solvate
 from .pipeline import (
     TrajectoryAnalysis,
+    bar,
+    bar_intervals,
+    bundle,
+    chi,
     cluster,
     clustsize,
     current,
@@ -31,6 +35,7 @@ from .pipeline import (
     diffusion,
     dos,
     dssp,
+    dyecoupl,
     entropy,
     filter_traj,
     freevolume,
@@ -63,11 +68,12 @@ from .pipeline import (
     write_cube,
 )
 
-__all__ = ["TrajectoryAnalysis", "cluster", "clustsize", "current", "dccm",
+__all__ = ["TrajectoryAnalysis", "bar", "bar_intervals", "bundle", "chi",
+           "cluster", "clustsize", "current", "dccm",
            "densmap",
            "dielectric",
            "diffusion",
-           "dos", "dssp", "entropy", "filter_traj", "freevolume", "h2order", "hbond_acf", "helixorient",
+           "dos", "dssp", "dyecoupl", "entropy", "filter_traj", "freevolume", "h2order", "hbond_acf", "helixorient",
            "leaflets", "mdmat", "msd",
            "order_parameters",
            "pca", "polystat", "potential_profile", "ramachandran",

@@ -4423,3 +4423,439 @@ def helixorient(system, trajectory, group: str, *, axis: str = "z",
             "radius": radius, "rise_per_residue": rise_pr,
             "twist_per_residue": twist_pr, "local_axes": axes,
             "resids": resids}
+
+
+def _part_tables(system, specs, n_axes, kind):
+    """Split `specs` (one group name/query, split into `n_axes` equal
+    consecutive parts, or an explicit list of one name/query per axis)
+    into per-axis global index arrays."""
+    if isinstance(specs, str):
+        idx = _transient_indices(system, specs)
+        if n_axes is None:
+            raise ParallelError("bundle needs n_axes when "
+                                f"{kind} is a single group")
+        if idx.size % n_axes:
+            raise GroupError(
+                f"{kind} group has {idx.size} atoms, not divisible into "
+                f"{n_axes} axes", code="InvalidSelection")
+        return np.split(idx, n_axes)
+    parts = [_transient_indices(system, s) for s in specs]
+    if n_axes is not None and len(parts) != n_axes:
+        raise ParallelError(
+            f"{kind} lists {len(parts)} groups but n_axes={n_axes}")
+    return parts
+
+
+def _transient_indices(system, spec: str) -> np.ndarray:
+    """Global atom indices of a group name or GSL query."""
+    try:
+        return np.asarray(system.group_indices(spec))
+    except GroupError:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            system.group_create("__transient_sel", spec)
+        try:
+            return np.asarray(system.group_indices("__transient_sel"))
+        finally:
+            system.group_remove("__transient_sel")
+
+
+def bundle(system, trajectory, tops, bottoms, *, n_axes: int | None = None,
+           axis: str = "z", mass_weighted: bool = True,
+           batch_size: int = 32):
+    """Helix-bundle axis geometry (surpass — the `gmx bundle` workload;
+    absent from the reference).
+
+    Each bundle axis runs from the center of a "bottom" part to the
+    center of a "top" part.  `tops` / `bottoms` are either ONE group
+    name/GSL query split into `n_axes` equal consecutive parts (index
+    order — gmx's -na split) or explicit per-axis lists of names/queries.
+    Centers are mass-weighted by default (`mass_weighted=False` uses
+    geometric centers) and PBC-robust: each part is rebuilt whole by
+    minimum image around its first atom, and the top anchor is
+    min-imaged to the bottom anchor — exact whenever each helix fits in
+    half the box.
+
+    Per frame and axis (e = unit vector of `axis`, default z; v = unit
+    axis vector; m = axis midpoint; c = bundle center = mean of
+    midpoints, min-imaged to the first axis):
+
+    - 'length'  [F, A]: |top − bottom| (nm)
+    - 'distance' [F, A]: |(m − c) ⊥ e| — midpoint offset from the
+      bundle center in the plane perpendicular to e (gmx -od)
+    - 'zshift'  [F, A]: (m − c) · e (gmx -oz)
+    - 'tilt'    [F, A]: angle(v, e), degrees (gmx -ot)
+    - 'tiltr'   [F, A]: degrees(asin(v · r̂)) — tilt component in the
+      radial direction r̂ = unit((m − c) ⊥ e) (gmx -otr)
+    - 'tiltl'   [F, A]: degrees(asin(v · l̂)), l̂ = e × r̂ (gmx -otl)
+    - 'axes'    [F, A, 3]: unit axis vectors; 'center' [F, 3]
+
+    All frames evaluate in one jitted `lax.map` over the device-resident
+    trajectory.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if axis not in _AXIS:
+        raise ParallelError(f"axis must be one of xyz, got '{axis}'")
+    e = np.zeros(3, np.float32)
+    e[_AXIS[axis]] = 1.0
+
+    top_parts = _part_tables(system, tops, n_axes, "tops")
+    bot_parts = _part_tables(system, bottoms, n_axes, "bottoms")
+    if len(top_parts) != len(bot_parts):
+        raise ParallelError(
+            f"{len(top_parts)} top parts vs {len(bot_parts)} bottom parts")
+    n_ax = len(top_parts)
+    if n_ax < 1:
+        raise ParallelError("bundle needs at least one axis")
+    for p in (*top_parts, *bot_parts):
+        if p.size == 0:
+            raise GroupError("empty bundle part", code="EmptyGroup")
+
+    union = np.unique(np.concatenate(top_parts + bot_parts))
+    name = "__bundle_union"
+    system.group_create_from_indices(name, union)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size, require_ortho="bundle")
+    finally:
+        system.group_remove(name)
+
+    def _padded(parts):
+        width = max(p.size for p in parts)
+        cols = np.zeros((n_ax, width), np.int64)
+        w = np.zeros((n_ax, width), np.float32)
+        for i, p in enumerate(parts):
+            cols[i, :p.size] = np.searchsorted(gsel, p)
+            if mass_weighted:
+                from ..system.rmsd import _masses
+
+                w[i, :p.size] = _masses(system, "bundle part", p)
+            else:
+                w[i, :p.size] = 1.0
+            w[i] /= w[i].sum()
+        return jnp.asarray(cols), jnp.asarray(w)
+
+    tcols, tw = _padded(top_parts)
+    bcols, bw = _padded(bot_parts)
+    ej = jnp.asarray(e)
+
+    @jax.jit
+    def _geom(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+
+            def part_com(cols, w):
+                x = pf[cols]                             # [A, P, 3]
+                x0 = x[:, :1]
+                rel = pbc.min_image(x - x0, box)
+                return x0[:, 0] + jnp.sum(w[..., None] * rel, axis=1)
+
+            bcom = part_com(bcols, bw)                   # [A, 3]
+            t0 = pf[tcols][:, 0]
+            b0 = pf[bcols][:, 0]
+            # top part re-anchored into the bottom anchor's image
+            tx = pf[tcols]
+            trel = pbc.min_image(tx - tx[:, :1], box)
+            t0b = b0 + pbc.min_image(t0 - b0, box)
+            tcom = t0b + jnp.sum(tw[..., None] * trel, axis=1)
+
+            vec = tcom - bcom                            # [A, 3]
+            length = jnp.linalg.norm(vec, axis=-1)
+            v = vec / jnp.maximum(length[:, None], 1e-12)
+            mid = bcom + 0.5 * vec
+            dmid = pbc.min_image(mid - mid[:1], box)
+            center = mid[0] + jnp.mean(dmid, axis=0)
+            off = pbc.min_image(mid - center, box)       # [A, 3]
+            zshift = off @ ej
+            perp = off - zshift[:, None] * ej
+            dist = jnp.linalg.norm(perp, axis=-1)
+            r_hat = perp / jnp.maximum(dist[:, None], 1e-12)
+            l_hat = jnp.cross(ej, r_hat)
+            tilt = jnp.degrees(jnp.arccos(jnp.clip(v @ ej, -1.0, 1.0)))
+            safe = (dist > 1e-9)[:, None]
+            tiltr = jnp.degrees(jnp.arcsin(jnp.clip(
+                jnp.sum(v * jnp.where(safe, r_hat, 0.0), axis=-1),
+                -1.0, 1.0)))
+            tiltl = jnp.degrees(jnp.arcsin(jnp.clip(
+                jnp.sum(v * jnp.where(safe, l_hat, 0.0), axis=-1),
+                -1.0, 1.0)))
+            return length, dist, zshift, tilt, tiltr, tiltl, v, center
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    (length, dist, zshift, tilt, tiltr, tiltl, axes_v, centers) = (
+        np.asarray(x, np.float64) for x in _geom(pos, boxes))
+    return {"length": length, "distance": dist, "zshift": zshift,
+            "tilt": tilt, "tiltr": tiltr, "tiltl": tiltl,
+            "axes": axes_v, "center": centers}
+
+
+def dyecoupl(system, trajectory, donor, acceptor, *, r0: float | None = None,
+             batch_size: int = 32):
+    """FRET dye-pair coupling (surpass — the `gmx dyecoupl` workload;
+    absent from the reference).
+
+    `donor` and `acceptor` each name a group/GSL query with EXACTLY two
+    atoms — the endpoints of the dye's transition-dipole vector.  Per
+    frame, with u_D/u_A the unit dipole vectors and r̂ the unit vector
+    between the dipole midpoints (all minimum-image):
+
+    - 'r'      [F]: donor-acceptor midpoint distance R (nm)
+    - 'kappa2' [F]: κ² = (u_D·u_A − 3 (u_D·r̂)(u_A·r̂))²
+    - 'efficiency' [F] (when `r0` is given): the κ²-corrected Förster
+      efficiency E = 1 / (1 + (2/(3κ²)) (R/R0)⁶), where `r0` is the
+      isotropic (κ² = 2/3) Förster radius in nm.
+
+    One jitted dispatch over the device-resident trajectory.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d_idx = _transient_indices(system, donor)
+    a_idx = _transient_indices(system, acceptor)
+    for nm, ix in (("donor", d_idx), ("acceptor", a_idx)):
+        if ix.size != 2:
+            raise GroupError(
+                f"{nm} must select exactly 2 atoms (dipole endpoints), "
+                f"got {ix.size}", code="InvalidSelection")
+
+    union = np.unique(np.concatenate([d_idx, a_idx]))
+    name = "__dye_union"
+    system.group_create_from_indices(name, union)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size, require_ortho="dyecoupl")
+    finally:
+        system.group_remove(name)
+    dc = jnp.asarray(np.searchsorted(gsel, d_idx))
+    ac = jnp.asarray(np.searchsorted(gsel, a_idx))
+
+    @jax.jit
+    def _coupl(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+            dvec = pbc.min_image(pf[dc[1]] - pf[dc[0]], box)
+            avec = pbc.min_image(pf[ac[1]] - pf[ac[0]], box)
+            dmid = pf[dc[0]] + 0.5 * dvec
+            amid = pf[ac[0]] + 0.5 * avec
+            rvec = pbc.min_image(amid - dmid, box)
+            r = jnp.linalg.norm(rvec)
+            ud = dvec / jnp.maximum(jnp.linalg.norm(dvec), 1e-12)
+            ua = avec / jnp.maximum(jnp.linalg.norm(avec), 1e-12)
+            ur = rvec / jnp.maximum(r, 1e-12)
+            kappa = ud @ ua - 3.0 * (ud @ ur) * (ua @ ur)
+            return r, kappa * kappa
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    r, k2 = (np.asarray(x, np.float64) for x in _coupl(pos, boxes))
+    out = {"r": r, "kappa2": k2}
+    if r0 is not None:
+        if r0 <= 0:
+            raise ParallelError(f"r0 must be positive, got {r0}")
+        with np.errstate(divide="ignore"):
+            out["efficiency"] = 1.0 / (
+                1.0 + (2.0 / (3.0 * k2)) * (r / float(r0)) ** 6)
+    return out
+
+
+_CHI_SITES = [
+    # chi_k: 4 atom names; alternatives per slot, first present wins
+    (("N",), ("CA",), ("CB",), ("CG", "CG1", "OG", "OG1", "SG")),
+    (("CA",), ("CB",), ("CG", "CG1"), ("CD", "CD1", "OD1", "ND1", "SD")),
+    (("CB",), ("CG",), ("CD", "SD"), ("CE", "OE1", "NE")),
+    (("CG",), ("CD",), ("CE", "NE"), ("NZ", "CZ")),
+]
+
+
+def chi(system, trajectory, group: str = "@protein", *, max_chi: int = 2,
+        batch_size: int = 32, triclinic: bool = False):
+    """Side-chain χ dihedrals and χ₁ rotamer occupancies (surpass — the
+    `gmx chi` workload; absent from the reference).
+
+    Builds χ₁..χ_`max_chi` (≤ 4) site tables per residue from standard
+    atom names (χ₁ = N-CA-CB-{CG|CG1|OG|OG1|SG}, χ₂ =
+    CA-CB-{CG|CG1}-{CD|CD1|OD1|ND1|SD}, ...; first present name wins,
+    residues lacking an atom are skipped for that χ) and evaluates the
+    whole table as batched `add_dihedrals` passes on device.
+
+    Rotamer wells for χ₁ follow the standard convention: gauche+ =
+    (0°, 120°), trans = |χ| ≥ 120°, gauche− = (−120°, 0°).
+
+    Returns a dict with, per χ order k present: 'chi{k}' [F, R_k]
+    (signed degrees), 'chi{k}_resids' [R_k], 'chi{k}_resnames' [R_k];
+    plus 'rotamers': {'g+','t','g-'} → occupancy fraction [R_1] over
+    frames (from χ₁).
+    """
+    if not 1 <= max_chi <= 4:
+        raise ParallelError(f"max_chi must be 1..4, got {max_chi}")
+    idx = _transient_indices(system, group)
+    if idx.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    topo = system.topology
+    names = topo.atomname
+    resnum = np.asarray(topo.resnum)
+    chains = topo.chain
+
+    residues: dict[tuple, dict] = {}
+    order = []
+    for a in idx:
+        key = (chains.get(a), int(resnum[a]))
+        if key not in residues:
+            residues[key] = {}
+            order.append(key)
+        nm = names.get(a)
+        if nm not in residues[key]:
+            residues[key][nm] = int(a)
+
+    pipe = TrajectoryAnalysis(system, triclinic=triclinic)
+    meta = {}
+    for k in range(max_chi):
+        sites, keys = [], []
+        for key in order:
+            r = residues[key]
+            picked = []
+            for alts in _CHI_SITES[k]:
+                hit = next((r[nm] for nm in alts if nm in r), None)
+                if hit is None:
+                    break
+                picked.append(hit)
+            if len(picked) == 4:
+                sites.append(picked)
+                keys.append(key)
+        if sites:
+            nm = f"chi{k + 1}"
+            pipe.add_dihedrals(np.asarray(sites), name=nm)
+            meta[nm] = keys
+    if not meta:
+        raise GroupError(
+            f"group '{group}' has no residue with χ-angle atoms",
+            code="InvalidSelection")
+
+    res = pipe.run(trajectory, batch_size=batch_size)
+    out = {}
+    for nm, keys in meta.items():
+        out[nm] = np.asarray(res[nm])
+        out[f"{nm}_resids"] = np.asarray([k[1] for k in keys], np.int64)
+        out[f"{nm}_resnames"] = np.asarray(
+            [topo.resname.get(next(iter(
+                [residues[k][n] for n in ("CA", "CB")
+                 if n in residues[k]]))) for k in keys], object)
+    if "chi1" in out:
+        c1 = out["chi1"]
+        out["rotamers"] = {
+            "g+": np.mean((c1 > 0) & (c1 < 120), axis=0),
+            "t": np.mean(np.abs(c1) >= 120, axis=0),
+            "g-": np.mean((c1 > -120) & (c1 < 0), axis=0),
+        }
+    return out
+
+
+def bar(w_forward, w_reverse, *, temperature: float = 300.0,
+        tol: float = 1e-12, max_iter: int = 200):
+    """Bennett acceptance ratio free-energy difference (surpass — the
+    `gmx bar` estimator; absent from the reference).
+
+    `w_forward`: work samples W_F = U_B − U_A evaluated on configurations
+    sampled from state A; `w_reverse`: W_R = U_A − U_B on configurations
+    from state B (both kJ/mol).  Solves Bennett's self-consistent
+    equation (Bennett 1976; the gmx bar / pymbar estimator) in float64
+    by Newton iteration with a bisection fallback — the objective
+
+        g(x) = Σ_F fermi(β(M + W_F − x)) − Σ_R fermi(β(−M + W_R + x)),
+        M = kT ln(n_F / n_R),  fermi(u) = 1/(1 + e^u)
+
+    is strictly increasing in x, so the root ΔF is unique.  The error
+    estimate is Bennett's asymptotic variance.
+
+    Returns a dict: 'delta_f' (kJ/mol), 'error' (kJ/mol, asymptotic
+    std. err.), 'n_iter', 'converged'.
+    """
+    wf = np.asarray(w_forward, np.float64).ravel()
+    wr = np.asarray(w_reverse, np.float64).ravel()
+    if wf.size == 0 or wr.size == 0:
+        raise ParallelError("bar needs samples in both directions")
+    if temperature <= 0:
+        raise ParallelError(f"temperature must be positive, got "
+                            f"{temperature}")
+    kt = _KB_KJ * float(temperature)
+    beta = 1.0 / kt
+    m = kt * np.log(wf.size / wr.size)
+
+    def fermi(u):
+        # overflow-safe 1/(1+e^u)
+        out = np.empty_like(u)
+        pos = u > 0
+        out[pos] = np.exp(-u[pos]) / (1.0 + np.exp(-u[pos]))
+        out[~pos] = 1.0 / (1.0 + np.exp(u[~pos]))
+        return out
+
+    def g(x):
+        return (fermi(beta * (m + wf - x)).sum()
+                - fermi(beta * (-m + wr + x)).sum())
+
+    # bracket the root: g is increasing in x
+    lo = min(wf.min(), -wr.max()) - abs(m) - 10.0 * kt
+    hi = max(wf.max(), -wr.min()) + abs(m) + 10.0 * kt
+    x = 0.5 * (lo + hi)
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        gx = g(x)
+        if gx < 0:
+            lo = x
+        else:
+            hi = x
+        # Newton step from the analytic derivative
+        ff = fermi(beta * (m + wf - x))
+        fr = fermi(beta * (-m + wr + x))
+        dg = beta * (np.sum(ff * (1.0 - ff)) + np.sum(fr * (1.0 - fr)))
+        if dg != 0.0:
+            xn = x - gx / dg
+            if not (lo < xn < hi):
+                xn = 0.5 * (lo + hi)
+        else:
+            xn = 0.5 * (lo + hi)
+        if abs(xn - x) <= tol * max(1.0, abs(x)):
+            x = xn
+            converged = True
+            break
+        x = xn
+
+    # Bennett's asymptotic variance (Bennett 1976 eq. 10)
+    ff = fermi(beta * (m + wf - x))
+    fr = fermi(beta * (-m + wr + x))
+    nf, nr = wf.size, wr.size
+    mean_sq = (np.sum(ff * ff) + np.sum(fr * fr)) / (nf + nr)
+    mean = (ff.sum() + fr.sum()) / (nf + nr)
+    denom = mean * mean
+    if denom > 0:
+        var = (mean_sq / denom - 1.0) * (1.0 / nf + 1.0 / nr) * kt * kt
+        err = float(np.sqrt(max(var, 0.0)))
+    else:
+        err = float("nan")
+    return {"delta_f": float(x), "error": err, "n_iter": it,
+            "converged": bool(converged)}
+
+
+def bar_intervals(intervals, *, temperature: float = 300.0):
+    """Chain `bar` over adjacent lambda intervals (the multi-interval
+    `gmx bar` output): `intervals` is an iterable of (w_forward,
+    w_reverse) pairs.  Returns a dict with per-interval 'delta_f'/
+    'error' arrays and the 'total' / 'total_error' (errors add in
+    quadrature, like gmx bar)."""
+    dfs, errs = [], []
+    for wf, wr in intervals:
+        out = bar(wf, wr, temperature=temperature)
+        dfs.append(out["delta_f"])
+        errs.append(out["error"])
+    if not dfs:
+        raise ParallelError("bar_intervals needs at least one interval")
+    dfs = np.asarray(dfs)
+    errs = np.asarray(errs)
+    return {"delta_f": dfs, "error": errs, "total": float(dfs.sum()),
+            "total_error": float(np.sqrt(np.sum(errs * errs)))}

@@ -839,3 +839,93 @@ def test_helixorient_tool(tmp_path, capsys):
     # a WALP-like TM helix: alpha rise ~0.15 nm, twist ~100 deg
     assert 0.10 < d[:, 2].mean() < 0.20
     assert 85.0 < d[:, 3].mean() < 115.0
+
+
+def _bundle_gro(tmp_path):
+    import numpy as np
+
+    from groan_rs_tpu.core.simbox import SimBox
+    from groan_rs_tpu.core.topology import StrColumn, Topology
+    from groan_rs_tpu.io import native
+    from groan_rs_tpu.system import System
+
+    pos = []
+    for k in range(4):
+        ang = np.pi / 2 * k
+        base = np.array([5.0 + np.cos(ang), 5.0 + np.sin(ang), 0.0])
+        pos.extend([base + [0, 0, 2.0], base + [0, 0, 5.0]])
+    pos = np.asarray(pos, np.float32)
+    topo = Topology(8)
+    topo.atomnum = np.arange(1, 9, dtype=np.int64)
+    topo.resnum = np.arange(1, 9, dtype=np.int64)
+    topo.atomname = StrColumn(values=np.asarray(["B", "T"] * 4))
+    topo.resname = StrColumn(values=np.asarray(["HLX"] * 8))
+    s = System("bundle", topo, simbox=SimBox.from_lengths(10, 10, 10),
+               positions=pos)
+    gro = str(tmp_path / "bundle.gro")
+    s.write_gro(gro)
+    xtc = str(tmp_path / "bundle.xtc")
+    b9 = np.diag([10.0, 10.0, 10.0]).astype(np.float32).reshape(9)
+    for i in range(3):
+        native.xtc_write_frame(xtc, 8, i, float(i), b9, pos, 100000.0)
+    return gro, xtc
+
+
+def test_bundle_tool(tmp_path, capsys):
+    gro, xtc = _bundle_gro(tmp_path)
+    out = str(tmp_path / "bundle.xvg")
+    _run(["bundle", "-s", gro, "-f", xtc, "--tops", "name T",
+          "--bottoms", "name B", "--na", "4", "--cog", "-o", out])
+    txt = capsys.readouterr().out
+    assert "mean length 3.0000 nm" in txt
+    d = read_xvg(out)
+    assert d.shape == (3, 25)            # frame + 6 quantities x 4 axes
+    assert np.allclose(d[:, 1:5], 3.0, atol=1e-4)     # lengths
+    assert np.allclose(d[:, 5:9], 1.0, atol=1e-4)     # distances
+
+
+def test_dyecoupl_tool(tmp_path, capsys):
+    gro, xtc = _bundle_gro(tmp_path)
+    out = str(tmp_path / "dye.xvg")
+    _run(["dyecoupl", "-s", gro, "-f", xtc, "--donor", "serial 1 2",
+          "--acceptor", "serial 3 4", "--r0", "1.5", "-o", out])
+    txt = capsys.readouterr().out
+    assert "<kappa^2>" in txt and "<E>" in txt
+    d = read_xvg(out)
+    assert d.shape == (3, 4)             # frame, R, kappa2, E
+    assert np.all((d[:, 3] > 0) & (d[:, 3] < 1))
+
+
+def test_chi_tool(tmp_path, capsys):
+    out = str(tmp_path / "chi.xvg")
+    _run(["chi", "-s", AATPR, "-f", AAXTC, "--sel", "@protein",
+          "--max-chi", "2", "-o", out])
+    txt = capsys.readouterr().out
+    assert "g+" in txt and "t " in txt
+    d = read_xvg(out)
+    assert d.shape[0] == 21 and d.shape[1] > 10   # 21-frame fixture
+    assert np.nanmax(np.abs(d[:, 1:])) <= 180.0
+
+
+def test_bar_tool(tmp_path, capsys):
+    import numpy as np
+
+    from groan_rs_tpu.io.xvg import write_xvg
+
+    kt = 0.00831446261815324 * 300.0
+    rng = np.random.default_rng(23)
+    df, sigma = 2.5, 1.0
+    wf = rng.normal(df + sigma**2 / (2 * kt), sigma, 20000)
+    wr = rng.normal(-df + sigma**2 / (2 * kt), sigma, 20000)
+    f1 = str(tmp_path / "fwd.xvg")
+    r1 = str(tmp_path / "rev.xvg")
+    t = np.arange(wf.size, dtype=np.float64)
+    write_xvg(f1, [t, wf], title="w", xlabel="t", ylabel="W")
+    write_xvg(r1, [t, wr], title="w", xlabel="t", ylabel="W")
+    out = str(tmp_path / "bar.xvg")
+    _run(["bar", "-F", f1, "-R", r1, "-o", out])
+    txt = capsys.readouterr().out
+    assert "total:" in txt
+    d = read_xvg(out)
+    assert d.shape == (1, 3)
+    assert abs(d[0, 1] - df) < 0.1
