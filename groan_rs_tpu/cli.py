@@ -1683,6 +1683,66 @@ def _dyecoupl(sp=None, args=None):
     print(msg)
 
 
+@_tool("gangle", "angles of selection vectors/planes (gmx gangle)")
+def _gangle(sp=None, args=None):
+    if args is None:
+        _common(sp, out="gangle.xvg")
+        sp.add_argument("--g1", default="vector",
+                        choices=["vector", "plane"],
+                        help="site type from --sel (pairs / triples)")
+        sp.add_argument("--g2", default="z",
+                        choices=["x", "y", "z", "t0", "vector", "plane"],
+                        help="reference: box axis, first frame, or "
+                        "--ref sites")
+        sp.add_argument("--ref", default=None,
+                        help="second selection for --g2 vector/plane")
+        sp.add_argument("--all", action="store_true",
+                        help="write every site (default: per-frame mean)")
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.gangle(s, _traj(args), args.sel, g1=args.g1, g2=args.g2,
+                        group2=args.ref, batch_size=args.batch_size)
+    t = np.arange(out["mean"].shape[0], dtype=np.float64)
+    if args.all:
+        cols = [t] + [out["angles"][:, j]
+                      for j in range(out["angles"].shape[1])]
+        legends = [f"site{j}" for j in range(out["angles"].shape[1])]
+    else:
+        cols, legends = [t, out["mean"]], ["mean"]
+    _xvg(args, cols, title="Angles", xlabel="frame",
+         ylabel="angle (deg)", legends=legends)
+    print(f"mean angle {out['mean'].mean():.3f} deg over "
+          f"{out['angles'].shape[1]} sites")
+
+
+@_tool("pairdist", "per-frame unit distance matrices (gmx pairdist)")
+def _pairdist(sp=None, args=None):
+    if args is None:
+        _common(sp, out="pairdist.xvg")
+        sp.add_argument("--ref", required=True, help="second selection")
+        sp.add_argument("--split", default="res",
+                        choices=["res", "atom", "group"])
+        sp.add_argument("--mode", default="min", choices=["min", "com"])
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.pairdist(s, _traj(args), args.sel, args.ref,
+                          split=args.split, mode=args.mode,
+                          batch_size=args.batch_size)
+    d = out["dist"]
+    f, k1, k2 = d.shape
+    t = np.arange(f, dtype=np.float64)
+    cols = [t] + [d[:, i, j] for i in range(k1) for j in range(k2)]
+    legends = [f"{i}-{j}" for i in range(k1) for j in range(k2)]
+    _xvg(args, cols, title="Pair distances", xlabel="frame",
+         ylabel="distance (nm)", legends=legends)
+    print(f"{k1}x{k2} unit pairs, grand mean {d.mean():.4f} nm, "
+          f"min {d.min():.4f} nm")
+
+
 @_tool("chi", "side-chain chi dihedrals and rotamers (gmx chi)")
 def _chi(sp=None, args=None):
     if args is None:

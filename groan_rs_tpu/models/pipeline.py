@@ -4859,3 +4859,227 @@ def bar_intervals(intervals, *, temperature: float = 300.0):
     errs = np.asarray(errs)
     return {"delta_f": dfs, "error": errs, "total": float(dfs.sum()),
             "total_error": float(np.sqrt(np.sum(errs * errs)))}
+
+
+_G1_SITE_WIDTH = {"vector": 2, "plane": 3}
+
+
+def gangle(system, trajectory, group1, *, g1: str = "vector",
+           g2: str = "z", group2=None, batch_size: int = 32):
+    """Angles between selection-defined vectors/planes and a reference
+    (surpass — the `gmx gangle` workload; absent from the reference).
+
+    `group1` (name or GSL query) supplies sites in index order: with
+    `g1="vector"` consecutive atom PAIRS define vectors (atom0 → atom1,
+    minimum image); with `g1="plane"` consecutive TRIPLES define planes
+    whose normals are used.  The reference `g2` is one of:
+
+    - "x" / "y" / "z": a fixed box axis
+    - "t0": each site's own orientation in the FIRST frame
+    - "vector" / "plane": sites from `group2`, paired 1:1 with the
+      `group1` sites (or one single site broadcast to all)
+
+    Returns a dict: 'angles' [F, K] (degrees, 0-180), 'mean' [F]
+    (per-frame mean over sites).  All frames evaluate in one jitted
+    `lax.map` over the device-resident trajectory.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if g1 not in _G1_SITE_WIDTH:
+        raise ParallelError(f"g1 must be 'vector' or 'plane', got '{g1}'")
+    fixed_axis = g2 in _AXIS
+    if not fixed_axis and g2 not in ("t0", "vector", "plane"):
+        raise ParallelError(
+            f"g2 must be x/y/z/t0/vector/plane, got '{g2}'")
+    if g2 in ("vector", "plane") and group2 is None:
+        raise ParallelError(f"g2='{g2}' needs group2")
+
+    idx1 = _transient_indices(system, group1)
+    w1 = _G1_SITE_WIDTH[g1]
+    if idx1.size == 0 or idx1.size % w1:
+        raise GroupError(
+            f"group1 has {idx1.size} atoms, not a multiple of {w1} "
+            f"({g1} sites)", code="InvalidSelection")
+    k = idx1.size // w1
+
+    idx2 = np.empty(0, np.int64)
+    w2 = 0
+    if g2 in ("vector", "plane"):
+        w2 = _G1_SITE_WIDTH[g2]
+        idx2 = _transient_indices(system, group2)
+        if idx2.size == 0 or idx2.size % w2:
+            raise GroupError(
+                f"group2 has {idx2.size} atoms, not a multiple of {w2}",
+                code="InvalidSelection")
+        k2 = idx2.size // w2
+        if k2 not in (1, k):
+            raise ParallelError(
+                f"group2 defines {k2} sites; need 1 or {k}")
+
+    union = np.unique(np.concatenate([idx1, idx2]))
+    name = "__gangle_union"
+    system.group_create_from_indices(name, union)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size, require_ortho="gangle")
+    finally:
+        system.group_remove(name)
+
+    s1 = jnp.asarray(np.searchsorted(gsel, idx1).reshape(k, w1))
+    s2 = None
+    if w2:
+        k2 = idx2.size // w2
+        cols2 = np.searchsorted(gsel, idx2).reshape(k2, w2)
+        if k2 == 1:
+            cols2 = np.repeat(cols2, k, axis=0)
+        s2 = jnp.asarray(cols2)
+
+    def site_dirs(pf, box, cols, width):
+        a = pf[cols[:, 0]]
+        d1 = pbc.min_image(pf[cols[:, 1]] - a, box)
+        if width == 2:
+            v = d1
+        else:
+            d2 = pbc.min_image(pf[cols[:, 2]] - a, box)
+            v = jnp.cross(d1, d2)
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+    if fixed_axis:
+        ref_const = np.zeros(3, np.float32)
+        ref_const[_AXIS[g2]] = 1.0
+        ref_const = jnp.asarray(np.repeat(ref_const[None], k, axis=0))
+    elif g2 == "t0":
+        import jax as _jax
+
+        first = _jax.jit(
+            lambda p, b: site_dirs(p, b, s1, w1))(pos[0], boxes[0])
+        ref_const = first
+    else:
+        ref_const = None
+
+    @jax.jit
+    def _angles(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+            v1 = site_dirs(pf, box, s1, w1)
+            ref = (site_dirs(pf, box, s2, w2) if ref_const is None
+                   else ref_const)
+            cosang = jnp.clip(jnp.sum(v1 * ref, axis=-1), -1.0, 1.0)
+            return jnp.degrees(jnp.arccos(cosang))
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    ang = np.asarray(_angles(pos, boxes), np.float64)
+    return {"angles": ang, "mean": ang.mean(axis=1)}
+
+
+def pairdist(system, trajectory, group1, group2, *, split: str = "res",
+             mode: str = "min", batch_size: int = 32, chunk: int = 16):
+    """Per-frame distance matrices between two selections' units
+    (surpass — the `gmx pairdist` workload; the reference has only
+    whole-group atom matrices, analysis.rs:401).
+
+    Each selection resolves to units per `split`: "res" = (chain,
+    resnum) blocks in order of appearance, "atom" = one unit per atom,
+    "group" = the whole selection as one unit.  `mode="min"` gives the
+    smallest minimum-image atom-atom distance between the units
+    (`ops.distances.residue_min_matrix` tiles); `mode="com"` the
+    minimum-image distance between mass-weighted unit centers (each
+    unit rebuilt whole around its first atom, like `bundle`).
+
+    Returns a dict: 'dist' [F, K1, K2] nm, plus per-side 'resids1/2'
+    and 'resnames1/2' (for split="res").
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if split not in ("res", "atom", "group"):
+        raise ParallelError(f"split must be res/atom/group, got '{split}'")
+    if mode not in ("min", "com"):
+        raise ParallelError(f"mode must be min/com, got '{mode}'")
+
+    idx1 = _transient_indices(system, group1)
+    idx2 = _transient_indices(system, group2)
+    for nm, ix in (("group1", idx1), ("group2", idx2)):
+        if ix.size == 0:
+            raise GroupError(f"{nm} is empty", code="EmptyGroup")
+
+    union = np.unique(np.concatenate([idx1, idx2]))
+    name = "__pairdist_union"
+    system.group_create_from_indices(name, union)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size,
+            require_ortho="pairdist")
+    finally:
+        system.group_remove(name)
+
+    out = {}
+
+    def units(idx, tag):
+        cols = np.searchsorted(gsel, idx)
+        if split == "res":
+            resids, resnames, blocks = _residue_blocks(system, idx)
+            out[f"resids{tag}"] = resids
+            out[f"resnames{tag}"] = resnames
+            return [[int(cols[j]) for j in b] for b in blocks]
+        if split == "atom":
+            return [[int(c)] for c in cols]
+        return [[int(c) for c in cols]]
+
+    u1 = units(idx1, 1)
+    u2 = units(idx2, 2)
+    k1, k2 = len(u1), len(u2)
+
+    if mode == "min":
+        blocks = u1 + u2
+        p = max(len(b) for b in blocks)
+        block_idx = np.zeros((k1 + k2, p), np.int32)
+        block_mask = np.zeros((k1 + k2, p), bool)
+        for i, b in enumerate(blocks):
+            block_idx[i, : len(b)] = b
+            block_mask[i, : len(b)] = True
+        m = np.asarray(distance_ops.residue_min_matrix(
+            pos, boxes, block_idx, block_mask, chunk=chunk))
+        out["dist"] = m[:, :k1, k1:]
+        return out
+
+    from ..system.rmsd import _masses
+
+    def com_table(ulist, idx):
+        p = max(len(b) for b in ulist)
+        cols = np.zeros((len(ulist), p), np.int64)
+        w = np.zeros((len(ulist), p), np.float32)
+        gmass = _masses(system, "pairdist unit", idx)
+        local = {int(c): float(mq)
+                 for c, mq in zip(np.searchsorted(gsel, idx), gmass)}
+        for i, b in enumerate(ulist):
+            cols[i, : len(b)] = b
+            w[i, : len(b)] = [local[j] for j in b]
+            w[i] /= w[i].sum()
+        return jnp.asarray(cols), jnp.asarray(w)
+
+    c1, w1 = com_table(u1, idx1)
+    c2, w2 = com_table(u2, idx2)
+
+    @jax.jit
+    def _dist(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+
+            def coms(cols, w):
+                x = pf[cols]
+                rel = pbc.min_image(x - x[:, :1], box)
+                return x[:, 0] + jnp.sum(w[..., None] * rel, axis=1)
+
+            a = coms(c1, w1)
+            b = coms(c2, w2)
+            d = pbc.min_image(a[:, None, :] - b[None, :, :], box)
+            return jnp.linalg.norm(d, axis=-1)
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    out["dist"] = np.asarray(_dist(pos, boxes), np.float64)
+    return out

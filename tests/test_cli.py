@@ -929,3 +929,22 @@ def test_bar_tool(tmp_path, capsys):
     d = read_xvg(out)
     assert d.shape == (1, 3)
     assert abs(d[0, 1] - df) < 0.1
+
+
+def test_gangle_and_pairdist_tools(tmp_path, capsys):
+    gro, xtc = _bundle_gro(tmp_path)       # 4 vertical 2-atom "axes"
+    out = str(tmp_path / "ga.xvg")
+    _run(["gangle", "-s", gro, "-f", xtc, "--sel", "name B T",
+          "--g1", "vector", "--g2", "z", "--all", "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (3, 5)
+    assert np.allclose(d[:, 1:], 0.0, atol=1e-3)   # all along +z
+
+    out2 = str(tmp_path / "pd.xvg")
+    _run(["pairdist", "-s", gro, "-f", xtc, "--sel", "resid 1 2",
+          "--ref", "resid 3 4", "--split", "group", "--mode", "min",
+          "-o", out2])
+    txt = capsys.readouterr().out
+    assert "1x1 unit pairs" in txt
+    d2 = read_xvg(out2)
+    assert d2.shape == (3, 2) and (d2[:, 1] > 0).all()
