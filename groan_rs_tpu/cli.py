@@ -1773,6 +1773,58 @@ def _chi(sp=None, args=None):
               f"t {rot['t'][j]:.3f}  g- {rot['g-'][j]:.3f}")
 
 
+@_tool("select", "per-frame dynamic selection sizes/occupancy (gmx select)")
+def _select(sp=None, args=None):
+    if args is None:
+        _common(sp, out="size.xvg")
+        sp.add_argument("--within", type=float, default=None,
+                        help="select atoms within R nm of --of (dynamic)")
+        sp.add_argument("--of", default=None,
+                        help="reference selection for --within")
+        sp.add_argument("--sphere", default=None,
+                        help="x,y,z,r static sphere criterion (nm)")
+        sp.add_argument("--whole-res", action="store_true",
+                        help="extend membership to whole residues")
+        sp.add_argument("--on", default=None,
+                        help="write per-frame index groups to this .ndx")
+        sp.add_argument("--oc", default=None,
+                        help="write per-atom occupancy .xvg")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    shape = None
+    if args.sphere:
+        from .core.shapes import Sphere
+
+        x, y, z, r = (float(v) for v in args.sphere.split(","))
+        shape = Sphere((x, y, z), r)
+    out = models.select_dynamic(
+        s, _traj(args), g, within=args.within, of=args.of, shape=shape,
+        whole_res=args.whole_res, batch_size=args.batch_size)
+    f = np.arange(len(out["sizes"]))
+    _xvg(args, [f, out["sizes"]], title="Selection size", xlabel="frame",
+         ylabel="atoms", legends=["size"])
+    if args.oc:
+        from .io.xvg import write_xvg
+
+        write_xvg(args.oc, [out["indices"] + 1, out["occupancy"]],
+                  title="Occupancy", xlabel="atom", ylabel="fraction",
+                  legends=["occupancy"])
+        print(f"wrote {args.oc}")
+    if args.on:
+        with open(args.on, "w") as fh:
+            for i, row in enumerate(out["masks"]):
+                sel = out["indices"][row] + 1
+                fh.write(f"[ sel_f{i} ]\n")
+                for j in range(0, len(sel), 15):
+                    fh.write(" ".join(str(v) for v in sel[j:j + 15]) + "\n")
+        print(f"wrote {args.on}")
+    print(f"mean size {out['sizes'].mean():.2f} atoms over "
+          f"{len(out['sizes'])} frames")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="groan-tpu",

@@ -5083,3 +5083,126 @@ def pairdist(system, trajectory, group1, group2, *, split: str = "res",
 
     out["dist"] = np.asarray(_dist(pos, boxes), np.float64)
     return out
+
+
+def select_dynamic(system, trajectory, group, *, within: float | None = None,
+                   of: str | None = None, shape=None,
+                   whole_res: bool = False, batch_size: int = 32,
+                   chunk: int = 8192):
+    """Per-frame dynamic selection (surpass — the `gmx select` workload;
+    the reference re-evaluates geometry filters host-side per frame,
+    system/iterating.rs `filter_geometry`).
+
+    Evaluates, for every frame, which atoms of `group` satisfy a
+    geometric criterion — the batched form of gmx's dynamic selections:
+
+    - ``within=r, of=ref``: minimum-image distance to ANY atom of the
+      `ref` selection is `< r` (gmx ``... and within r of ...``); the
+      [F, K] min-distance table is computed as dense device tiles
+      (candidates chunked by `chunk` to bound the [K, M] frame tile).
+    - ``shape=Shape``: inside a `core.shapes` Sphere / Rectangular /
+      Cylinder, with exactly `Shape.inside`'s PBC semantics
+      (`ops.geometry.inside_shape`).
+    - ``whole_res=True``: membership extends to every group atom of any
+      touched (chain, resnum) unit (gmx ``same residue as ...``).
+
+    `group` / `of` accept group names or GSL queries.  Returns a dict:
+
+    - 'indices' [K]: global atom indices of the candidate group
+    - 'masks' [F, K] bool: per-frame membership
+    - 'sizes' [F]: atoms selected per frame (gmx select -os)
+    - 'occupancy' [K]: fraction of frames each atom is selected
+      (gmx select -ofpdb occupancy column)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if (within is None) == (shape is None):
+        raise ParallelError(
+            "select_dynamic needs exactly one criterion: within=r, of=ref "
+            "OR shape=Shape")
+    if within is not None and of is None:
+        raise ParallelError("within=r needs of=<reference selection>")
+
+    idx = _transient_indices(system, group)
+    if idx.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if within is not None:
+        ref_idx = _transient_indices(system, of)
+        if ref_idx.size == 0:
+            raise GroupError(f"reference '{of}' is empty", code="EmptyGroup")
+        union = np.unique(np.concatenate([idx, ref_idx]))
+        name = "__select_union"
+        system.group_create_from_indices(name, union)
+        try:
+            gsel, pos, boxes, _ = _resident_group_pos(
+                system, trajectory, name, batch_size,
+                require_ortho="select_dynamic")
+        finally:
+            system.group_remove(name)
+        cand_cols = jnp.asarray(np.searchsorted(gsel, idx))
+        ref_cols = jnp.asarray(np.searchsorted(gsel, ref_idx))
+
+        @jax.jit
+        def _mask(pos, boxes):
+            def one_frame(args):
+                pf, box = args
+                pr = pf[ref_cols]
+
+                def block(c0):
+                    pc = jax.lax.dynamic_slice_in_dim(
+                        pf_pad, c0, chunk_sz, axis=0)
+                    d = pbc.min_image(
+                        pc[:, None, :] - pr[None, :, :], box)
+                    return jnp.min(jnp.sum(d * d, axis=-1), axis=1)
+
+                pf_pad = jnp.concatenate(
+                    [pf[cand_cols],
+                     jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)
+                d2 = jax.lax.map(block, starts)
+                return d2.reshape(-1)[: cand_cols.shape[0]] \
+                    < jnp.float32(within) ** 2
+
+            return jax.lax.map(one_frame, (pos, boxes))
+
+        k = int(cand_cols.shape[0])
+        chunk_sz = min(chunk, k)
+        n_blocks = -(-k // chunk_sz)
+        pad = n_blocks * chunk_sz - k
+        starts = jnp.arange(n_blocks) * chunk_sz
+        masks = np.asarray(_mask(pos, boxes))
+    else:
+        name = "__select_grp"
+        system.group_create_from_indices(name, idx)
+        try:
+            gsel, pos, boxes, _ = _resident_group_pos(
+                system, trajectory, name, batch_size,
+                require_ortho="select_dynamic")
+        finally:
+            system.group_remove(name)
+        cols = jnp.asarray(np.searchsorted(gsel, idx))
+        # raise on unsupported shapes before the trace
+        geometry.inside_shape(shape, np.zeros((1, 1, 3), np.float32),
+                              np.ones((1, 3), np.float32))
+
+        @jax.jit
+        def _mask(pos, boxes):
+            return geometry.inside_shape(shape, pos[:, cols, :], boxes)
+
+        masks = np.asarray(_mask(pos, boxes))
+
+    if whole_res:
+        masks = np.array(masks)        # np.asarray(jax out) is read-only
+        _, _, blocks = _residue_blocks(system, idx)
+        for b in blocks:
+            b = np.asarray(b)
+            hit = masks[:, b].any(axis=1)
+            masks[:, b] = hit[:, None]
+
+    return {
+        "indices": idx,
+        "masks": masks,
+        "sizes": masks.sum(axis=1).astype(np.int64),
+        "occupancy": masks.mean(axis=0).astype(np.float64),
+    }

@@ -948,3 +948,27 @@ def test_gangle_and_pairdist_tools(tmp_path, capsys):
     assert "1x1 unit pairs" in txt
     d2 = read_xvg(out2)
     assert d2.shape == (3, 2) and (d2[:, 1] > 0).all()
+
+
+def test_select_tool(tmp_path):
+    out = str(tmp_path / "size.xvg")
+    occ = str(tmp_path / "occ.xvg")
+    ndx = str(tmp_path / "sel.ndx")
+    _run(["select", "-s", TPR, "-f", XTC, "--sel", "name W",
+          "--within", "0.7", "--of", "@protein", "-o", out,
+          "--oc", occ, "--on", ndx])
+    d = read_xvg(out)
+    assert d.shape[0] == 11 and (d[:, 1] > 0).all()
+    o = read_xvg(occ)
+    assert 0.0 <= o[:, 1].min() and o[:, 1].max() <= 1.0
+    # per-frame ndx groups parse back and sizes agree
+    txt = open(ndx).read()
+    assert txt.count("[ sel_f") == 11
+    first = txt.split("[ sel_f1 ]")[0].split("]", 1)[1].split()
+    assert len(first) == int(d[0, 1])
+
+    sph = str(tmp_path / "sph.xvg")
+    _run(["select", "-s", TPR, "-f", XTC, "--sel", "name W",
+          "--sphere", "5,5,5,2.0", "-o", sph])
+    ds = read_xvg(sph)
+    assert ds.shape[0] == 11
