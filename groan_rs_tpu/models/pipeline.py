@@ -5141,37 +5141,29 @@ def select_dynamic(system, trajectory, group, *, within: float | None = None,
                 require_ortho="select_dynamic")
         finally:
             system.group_remove(name)
-        cand_cols = jnp.asarray(np.searchsorted(gsel, idx))
+        cand_cols = np.searchsorted(gsel, idx)
         ref_cols = jnp.asarray(np.searchsorted(gsel, ref_idx))
 
         @jax.jit
-        def _mask(pos, boxes):
+        def _mask(pc, pr, boxes):
             def one_frame(args):
-                pf, box = args
-                pr = pf[ref_cols]
-
-                def block(c0):
-                    pc = jax.lax.dynamic_slice_in_dim(
-                        pf_pad, c0, chunk_sz, axis=0)
-                    d = pbc.min_image(
-                        pc[:, None, :] - pr[None, :, :], box)
-                    return jnp.min(jnp.sum(d * d, axis=-1), axis=1)
-
-                pf_pad = jnp.concatenate(
-                    [pf[cand_cols],
-                     jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)
-                d2 = jax.lax.map(block, starts)
-                return d2.reshape(-1)[: cand_cols.shape[0]] \
+                c, r, box = args
+                d = pbc.min_image(c[:, None, :] - r[None, :, :], box)
+                return jnp.min(jnp.sum(d * d, axis=-1), axis=1) \
                     < jnp.float32(within) ** 2
 
-            return jax.lax.map(one_frame, (pos, boxes))
+            return jax.lax.map(one_frame, (pc, pr, boxes))
 
-        k = int(cand_cols.shape[0])
-        chunk_sz = min(chunk, k)
-        n_blocks = -(-k // chunk_sz)
-        pad = n_blocks * chunk_sz - k
-        starts = jnp.arange(n_blocks) * chunk_sz
-        masks = np.asarray(_mask(pos, boxes))
+        # host-side candidate chunking bounds the [chunk, M] frame tile
+        # (a single static-shape kernel per chunk width; no device-side
+        # dynamic slicing, which the tunnel backend compiles poorly)
+        ref_pos = pos[:, ref_cols, :]
+        parts = []
+        for c0 in range(0, len(cand_cols), chunk):
+            cols = jnp.asarray(cand_cols[c0:c0 + chunk])
+            parts.append(np.asarray(_mask(pos[:, cols, :], ref_pos, boxes)))
+        masks = parts[0] if len(parts) == 1 \
+            else np.concatenate(parts, axis=1)
     else:
         name = "__select_grp"
         system.group_create_from_indices(name, idx)
