@@ -1825,6 +1825,193 @@ def _select(sp=None, args=None):
           f"{len(out['sizes'])} frames")
 
 
+
+@_tool("saltbr", "salt-bridge COM distances per charged pair (gmx saltbr)")
+def _saltbr(sp=None, args=None):
+    if args is None:
+        _common(sp, out="saltbr.xvg")
+        sp.add_argument("--min-charge", type=float, default=0.5,
+                        help="|net residue charge| threshold")
+        sp.add_argument("-t", "--trunc", type=float, default=None,
+                        help="keep only pairs that come closer than this")
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.saltbr(s, _traj(args), args.sel,
+                        min_charge=args.min_charge, trunc=args.trunc,
+                        batch_size=args.batch_size)
+    d = out["dist"]
+    t = np.arange(d.shape[0], dtype=np.float64)
+    legends = [f"{out['labels'][i]}:{out['labels'][j]} ({k})"
+               for (i, j), k in zip(out["pairs"], out["kinds"])]
+    _xvg(args, [t] + [d[:, p] for p in range(d.shape[1])],
+         title="Salt bridges", xlabel="frame", ylabel="distance (nm)",
+         legends=legends)
+    print(f"{len(legends)} charged pairs "
+          f"({(out['kinds'] == '+-').sum()} opposite-sign), "
+          f"closest approach {d.min():.4f} nm")
+
+
+@_tool("spol", "solvent dipole orientation vs solute distance (gmx spol)")
+def _spol(sp=None, args=None):
+    if args is None:
+        _common(sp, out="spol.xvg")
+        sp.add_argument("--ref", required=True,
+                        help="solute selection (COM reference)")
+        sp.add_argument("--rmax", type=float, default=1.0)
+        sp.add_argument("--bins", type=int, default=50)
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.spol(s, _traj(args), args.ref, args.sel,
+                      rmax=args.rmax, bins=args.bins,
+                      batch_size=args.batch_size)
+    _xvg(args, [out["r_bins"], out["mean_cos_r"], out["counts"]],
+         title="Solvent polarization", xlabel="r (nm)",
+         ylabel="<cos theta>", legends=["<cos theta>", "count"])
+    print(f"{out['n_selected']:.0f} molecule-frames in range, "
+          f"mean cos {out['mean_cos']:.4f}")
+
+
+@_tool("trjorder", "order solvent by distance to a group (gmx trjorder)")
+def _trjorder(sp=None, args=None):
+    if args is None:
+        _common(sp, out="ordered.xtc")
+        sp.add_argument("--ref", required=True, help="reference selection")
+        sp.add_argument("--mode", default="atom",
+                        choices=["atom", "min", "com"])
+        sp.add_argument("--da", type=int, default=0,
+                        help="distance atom within each molecule")
+        sp.add_argument("--shell", type=float, default=None,
+                        help="count molecules within this radius")
+        sp.add_argument("--nshell-out", default=None,
+                        help="write the shell-count series to this .xvg")
+        sp.add_argument("--no-write", action="store_true",
+                        help="skip the reordered trajectory output")
+        sp.add_argument("--outfmt", default=None)
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.trjorder(s, _traj(args), args.ref, args.sel,
+                          mode=args.mode, da=args.da, shell=args.shell,
+                          output=None if args.no_write else args.output,
+                          outfmt=args.outfmt, batch_size=args.batch_size)
+    if not args.no_write:
+        print(f"wrote {args.output} ({out['dist'].shape[0]} frames, "
+              f"{out['dist'].shape[1]} molecules reordered)")
+    if args.shell is not None and args.nshell_out:
+        from .io.xvg import write_xvg
+
+        t = np.arange(out["nshell"].shape[0], dtype=np.float64)
+        write_xvg(args.nshell_out, [t, out["nshell"].astype(np.float64)],
+                  title="Molecules in shell", xlabel="frame",
+                  ylabel="count", legends=[f"r < {args.shell} nm"])
+        print(f"wrote {args.nshell_out}")
+    print(f"closest molecule {out['dist'].min():.4f} nm")
+
+
+@_tool("hydorder", "tetrahedrality order parameters (gmx hydorder)")
+def _hydorder(sp=None, args=None):
+    if args is None:
+        _common(sp, out="hydorder.xvg")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        sp.add_argument("--slabs", type=int, default=0,
+                        help="fractional slabs along the axis (0 = none)")
+        return
+    from . import models
+
+    s = _system(args)
+    sel = args.sel if args.sel != "all" else "name OW"
+    out = models.hydorder(s, _traj(args), sel, axis=args.axis,
+                          slabs=args.slabs, batch_size=args.batch_size)
+    if args.slabs:
+        _xvg(args, [np.arange(args.slabs, dtype=np.float64),
+                    out["slab_sg"], out["slab_sk"]],
+             title="Tetrahedrality profile", xlabel="slab",
+             ylabel="order parameter", legends=["S_g", "S_k"])
+    else:
+        t = np.arange(out["mean_sg"].shape[0], dtype=np.float64)
+        _xvg(args, [t, out["mean_sg"], out["mean_sk"]],
+             title="Tetrahedrality", xlabel="frame",
+             ylabel="order parameter", legends=["S_g", "S_k"])
+    print(f"mean S_g {out['mean_sg'].mean():.4f}, "
+          f"S_k {out['mean_sk'].mean():.4f}")
+
+
+@_tool("rotacf", "rotational ACF of axis vectors (gmx rotacf)")
+def _rotacf(sp=None, args=None):
+    if args is None:
+        _common(sp, out="rotacf.xvg", windowed=True)
+        sp.add_argument("-P", "--order", type=int, default=2,
+                        choices=[1, 2], help="Legendre order")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    idx = np.asarray(s.group_indices(g))
+    if len(idx) == 0 or len(idx) % 2:
+        raise GroanError(
+            f"selection yields {len(idx)} atoms — vectors need "
+            "consecutive PAIRS (gmx angle-style index convention)")
+    lags, curve = models.rotacf(s, _traj(args), idx.reshape(-1, 2),
+                                order=args.order,
+                                batch_size=args.batch_size)
+    _xvg(args, [lags, curve], title="Rotational ACF",
+         xlabel="time (ps)", ylabel=f"C_{args.order}(t)",
+         legends=[f"P{args.order}"])
+    print(f"C(0) = {curve[0]:.4f}, C(max lag) = {curve[-1]:.4f}")
+
+
+@_tool("mdmat", "residue smallest-distance matrix (gmx mdmat)")
+def _mdmat(sp=None, args=None):
+    if args is None:
+        _common(sp, out="mdmat.dat")
+        sp.add_argument("--per-frame", action="store_true",
+                        help="write one matrix block per frame")
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.mdmat(s, _traj(args), g, per_frame=args.per_frame,
+                       batch_size=args.batch_size)
+    m = out["mean" if not args.per_frame else "frames"]
+    with open(args.output, "w") as fh:
+        fh.write("# residue smallest-distance matrix (nm)\n# residues: "
+                 + " ".join(f"{n}{r}" for n, r in
+                            zip(out["resnames"], out["resids"])) + "\n")
+        for block in (m[None] if not args.per_frame else m):
+            np.savetxt(fh, block, fmt="%.4f")
+            fh.write("\n")
+    print(f"wrote {args.output} ({m.shape[-1]} residues, "
+          f"mean distance {m.mean():.4f} nm)")
+
+
+@_tool("leaflets", "membrane leaflet assignment + thickness")
+def _leaflets(sp=None, args=None):
+    if args is None:
+        _common(sp, out="leaflets.xvg")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.leaflets(s, _traj(args), args.sel, axis=args.axis,
+                          batch_size=args.batch_size)
+    t = np.arange(out["thickness"].shape[0], dtype=np.float64)
+    upper = (out["leaflet"] > 0).sum(axis=1).astype(np.float64)
+    lower = (out["leaflet"] < 0).sum(axis=1).astype(np.float64)
+    _xvg(args, [t, out["thickness"], upper, lower],
+         title="Leaflets", xlabel="frame", ylabel="thickness (nm)",
+         legends=["thickness", "upper", "lower"])
+    print(f"mean thickness {out['thickness'].mean():.4f} nm, "
+          f"{out['leaflet'].shape[1]} heads")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="groan-tpu",

@@ -5198,3 +5198,433 @@ def select_dynamic(system, trajectory, group, *, within: float | None = None,
         "sizes": masks.sum(axis=1).astype(np.int64),
         "occupancy": masks.mean(axis=0).astype(np.float64),
     }
+
+
+def saltbr(system, trajectory, group: str = "all", *,
+           min_charge: float = 0.5, trunc: float | None = None,
+           batch_size: int = 32):
+    """Salt-bridge distance series (surpass — the `gmx saltbr` workload;
+    absent from the reference, whose distance API stops at whole-group
+    matrices, analysis.rs:401).
+
+    Charged units are the residues of `group` whose net topology charge
+    satisfies |q| >= `min_charge` (0.5 by default so force-field charge
+    rounding on neutral residues never spawns units).  Every charged
+    pair's minimum-image mass-weighted COM distance is evaluated per
+    frame on device (the shared `pairdist` COM tiles); pairs are
+    classified by charge signs and, like gmx's `-t`, `trunc` keeps only
+    pairs whose minimum over the pass is below it.
+
+    Returns a dict: 'dist' [F, P] nm, 'pairs' [P, 2] unit indices,
+    'kinds' [P] in {'++', '--', '+-'}, 'labels' [P] "RESNAME-RESID",
+    'charges' [R], 'resids' [R], 'resnames' [R].
+    """
+    idx = _transient_indices(system, group)
+    if idx.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    topo = system.topology
+    if not topo.has_charge[idx].all():
+        raise GroupError(f"group '{group}' has atoms without charge",
+                         code="InvalidCharge")
+
+    resids, resnames, blocks = _residue_blocks(system, idx)
+    q_all = np.asarray(topo.charge, np.float64)
+    q_res = np.asarray([q_all[idx[b]].sum() for b in blocks])
+    keep = np.flatnonzero(np.abs(q_res) >= float(min_charge))
+    if keep.size < 2:
+        raise GroupError(
+            f"need at least 2 residues with |net charge| >= {min_charge}, "
+            f"found {keep.size}", code="EmptyGroup")
+
+    charged = np.concatenate([idx[blocks[u]] for u in keep])
+    name = "__saltbr_units"
+    system.group_create_from_indices(name, np.sort(charged))
+    try:
+        pd = pairdist(system, trajectory, name, name, split="res",
+                      mode="com", batch_size=batch_size)
+    finally:
+        system.group_remove(name)
+
+    dist = pd["dist"]                                  # [F, R, R]
+    r = keep.size
+    iu, ju = np.triu_indices(r, k=1)
+    series = dist[:, iu, ju]                           # [F, P]
+    if trunc is not None:
+        sel = series.min(axis=0) < float(trunc)
+        iu, ju, series = iu[sel], ju[sel], series[:, sel]
+
+    q = q_res[keep]
+    sign = np.sign(q)
+    kinds = np.where(sign[iu] * sign[ju] < 0, "+-",
+                     np.where(sign[iu] > 0, "++", "--"))
+    labels = np.asarray([f"{resnames[u]}-{resids[u]}" for u in keep],
+                        object)
+    return {
+        "dist": series,
+        "pairs": np.stack([iu, ju], axis=1),
+        "kinds": kinds,
+        "labels": labels,
+        "charges": q,
+        "resids": resids[keep],
+        "resnames": resnames[keep],
+    }
+
+
+def _unit_tables(system, idx, blocks, loc, *, charges=False):
+    """Padded per-unit site tables: `blocks` hold local indices into
+    `idx` (as `_residue_blocks` returns), `loc` maps idx order to the
+    shipped group layout.  Returns group-layout columns [U, P], mass
+    weights normalized per unit [U, P], optional raw charges [U, P]
+    (zero-padded), and per-unit net charge [U]."""
+    from ..system.rmsd import _masses
+
+    p = max(len(b) for b in blocks)
+    cols = np.zeros((len(blocks), p), np.int64)
+    w = np.zeros((len(blocks), p), np.float32)
+    qt = np.zeros((len(blocks), p), np.float32)
+    gmass = np.asarray(_masses(system, "unit table", idx), np.float64)
+    q_all = np.asarray(system.topology.charge, np.float64)
+    for i, b in enumerate(blocks):
+        b = np.asarray(b)
+        cols[i, : b.size] = loc[b]
+        w[i, : b.size] = gmass[b]
+        w[i] /= w[i].sum()
+        if charges:
+            qt[i, : b.size] = q_all[idx[b]]
+    return cols, w, qt, qt.sum(axis=1)
+
+
+def spol(system, trajectory, ref_group: str, solvent: str, *,
+         rmax: float = 1.0, bins: int = 50, batch_size: int = 32):
+    """Solvent dipole orientation vs distance to a solute (surpass —
+    the `gmx spol` workload; absent from the reference).
+
+    Solvent molecules are the residues of `solvent` (charges + masses
+    required).  Per frame and molecule, rebuilt whole by minimum image
+    around its first atom: the molecular dipole about the molecule's
+    own COM (origin-independent for any net charge) and the min-image
+    vector from the `ref_group` mass-weighted center to that COM.
+    cos(theta) between them is averaged into `bins` shells of the
+    COM-COM distance over (0, rmax].  One jitted dispatch for all
+    frames.
+
+    Returns a dict: 'r_bins' [bins] shell centers, 'mean_cos_r' [bins]
+    (NaN where empty), 'counts' [bins], 'mean_cos', 'n_selected'.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ridx = _transient_indices(system, ref_group)
+    sidx = _transient_indices(system, solvent)
+    for nm, ix in (("ref_group", ridx), ("solvent", sidx)):
+        if ix.size == 0:
+            raise GroupError(f"{nm} is empty", code="EmptyGroup")
+    topo = system.topology
+    if not topo.has_charge[sidx].all():
+        raise GroupError("solvent has atoms without charge",
+                         code="InvalidCharge")
+
+    union = np.unique(np.concatenate([ridx, sidx]))
+    name = "__spol_union"
+    system.group_create_from_indices(name, union)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size, require_ortho="spol")
+    finally:
+        system.group_remove(name)
+
+    _, _, blocks = _residue_blocks(system, sidx)
+    loc = np.searchsorted(gsel, sidx)
+    cols, w, qt, _ = _unit_tables(system, sidx, blocks, loc, charges=True)
+    cols_j, w_j, qt_j = (jnp.asarray(cols), jnp.asarray(w),
+                         jnp.asarray(qt))
+    ref_l = jnp.asarray(np.searchsorted(gsel, ridx))
+    from ..system.rmsd import _masses
+
+    w_ref = jnp.asarray(np.asarray(
+        _masses(system, "spol ref", ridx), np.float32))
+    nb = int(bins)
+
+    @jax.jit
+    def _spol(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+            ref_com = center_ops.center(pf[ref_l], box, weights=w_ref)
+            x = pf[cols_j]                              # [U, P, 3]
+            rel = pbc.min_image(x - x[:, :1], box)      # whole units
+            com_rel = jnp.sum(w_j[..., None] * rel, axis=1)   # [U, 3]
+            com = x[:, 0] + com_rel
+            # dipole about the unit COM: exact for any net charge
+            dip = jnp.sum(qt_j[..., None] * (rel - com_rel[:, None, :]),
+                          axis=1)                       # [U, 3]
+            rv = pbc.min_image(com - ref_com[None, :], box)
+            r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+            c = jnp.sum(dip * rv, axis=-1) / jnp.maximum(
+                r * jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)
+            sel = ((r > 0) & (r <= rmax)).astype(jnp.float32)
+            ri = jnp.clip((r * (nb / rmax)).astype(jnp.int32), 0, nb - 1)
+            cs = jnp.zeros((nb,), jnp.float32).at[ri].add(c * sel)
+            cn = jnp.zeros((nb,), jnp.float32).at[ri].add(sel)
+            return cs, cn
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    cs, cn = (np.asarray(x, np.float64).sum(axis=0)
+              for x in _spol(pos, boxes))
+    n = float(cn.sum())
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return {
+            "r_bins": (np.arange(nb) + 0.5) * (rmax / nb),
+            "mean_cos_r": np.where(cn > 0, cs / np.maximum(cn, 1), np.nan),
+            "counts": cn,
+            "mean_cos": cs.sum() / n if n else np.nan,
+            "n_selected": n,
+        }
+
+
+def trjorder(system, trajectory, ref_group: str, solvent: str, *,
+             mode: str = "atom", da: int = 0, shell: float | None = None,
+             output: str | None = None, outfmt: str | None = None,
+             out_group: str = "all", batch_size: int = 32,
+             chunk: int = 512):
+    """Order solvent molecules by distance to a reference group
+    (surpass — the `gmx trjorder` workload; absent from the reference).
+
+    Solvent molecules are the residues of `solvent`.  Per frame, each
+    molecule's distance to the CLOSEST `ref_group` atom is evaluated on
+    device (min-image): from its `da`-th atom (`mode="atom"`, gmx -da),
+    from its closest own atom (`mode="min"`), or from its mass-weighted
+    COM rebuilt whole (`mode="com"`, gmx -da 0 semantics with masses).
+    `shell` also counts molecules within that radius per frame
+    (gmx -nshell).  With `output`, a second host pass writes the
+    trajectory with solvent coordinates permuted into sorted order
+    (closest molecule first — gmx trjorder's reordered output),
+    restricted to `out_group`.
+
+    Returns a dict: 'dist' [F, M] nm, 'order' [F, M] molecule
+    permutation (stable argsort), 'nshell' [F] (when `shell`),
+    'molecules' [M] first-atom global indices.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if mode not in ("atom", "min", "com"):
+        raise ParallelError(f"mode must be atom/min/com, got '{mode}'")
+
+    ridx = _transient_indices(system, ref_group)
+    sidx = _transient_indices(system, solvent)
+    for nm, ix in (("ref_group", ridx), ("solvent", sidx)):
+        if ix.size == 0:
+            raise GroupError(f"{nm} is empty", code="EmptyGroup")
+
+    union = np.unique(np.concatenate([ridx, sidx]))
+    name = "__trjorder_union"
+    system.group_create_from_indices(name, union)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size,
+            require_ortho="trjorder")
+    finally:
+        system.group_remove(name)
+
+    _, _, blocks = _residue_blocks(system, sidx)
+    loc = np.searchsorted(gsel, sidx)
+    if mode == "atom":
+        for b in blocks:
+            if da >= len(b):
+                raise GroupError(
+                    f"da={da} out of range for a {len(b)}-atom molecule",
+                    code="InvalidSelection")
+        sites = [[b[da]] for b in blocks]
+    else:
+        sites = blocks
+    cols, w, _, _ = _unit_tables(system, sidx, sites, loc)
+    mask = np.zeros(cols.shape, bool)
+    for i, b in enumerate(sites):
+        mask[i, : len(b)] = True
+    m_units = len(blocks)
+    n_chunks = -(-m_units // chunk)
+    pad = n_chunks * chunk - m_units
+    cols_p = np.concatenate([cols, np.zeros((pad, cols.shape[1]),
+                                            cols.dtype)]) if pad else cols
+    mask_p = np.concatenate([mask, np.zeros((pad, mask.shape[1]),
+                                            bool)]) if pad else mask
+    w_p = np.concatenate([w, np.ones((pad, w.shape[1]), w.dtype)
+                          / w.shape[1]]) if pad else w
+    cols_j, mask_j, w_j = (jnp.asarray(cols_p), jnp.asarray(mask_p),
+                           jnp.asarray(w_p))
+    ref_l = jnp.asarray(np.searchsorted(gsel, ridx))
+    starts = jnp.arange(n_chunks) * chunk
+    big = jnp.float32(1e30)
+
+    @jax.jit
+    def _dist(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+            pr = pf[ref_l]                              # [R, 3]
+
+            def block(c0):
+                c = jax.lax.dynamic_slice_in_dim(cols_j, c0, chunk)
+                mk = jax.lax.dynamic_slice_in_dim(mask_j, c0, chunk)
+                x = pf[c]                               # [C, P, 3]
+                if mode == "com":
+                    wt = jax.lax.dynamic_slice_in_dim(w_j, c0, chunk)
+                    rel = pbc.min_image(x - x[:, :1], box)
+                    x = (x[:, 0] + jnp.sum(wt[..., None] * rel,
+                                           axis=1))[:, None, :]
+                    mk = mk[:, :1]
+                d = pbc.min_image(
+                    x[:, :, None, :] - pr[None, None, :, :], box)
+                d2 = jnp.sum(d * d, axis=-1)            # [C, P, R]
+                d2 = jnp.where(mk[..., None], d2, big)
+                return jnp.min(d2, axis=(1, 2))         # [C]
+
+            return jax.lax.map(block, starts).reshape(-1)[:m_units]
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    d = np.sqrt(np.asarray(_dist(pos, boxes), np.float64))
+    order = np.argsort(d, axis=1, kind="stable")
+    out = {
+        "dist": d,
+        "order": order,
+        "molecules": np.asarray([int(sidx[b[0]]) for b in blocks]),
+    }
+    if shell is not None:
+        out["nshell"] = (d < float(shell)).sum(axis=1).astype(np.int64)
+
+    if output is not None:
+        if not isinstance(trajectory, (str, os.PathLike, list)):
+            raise ParallelError(
+                "trjorder output writing needs the trajectory path(s), "
+                "not a DeviceTrajectory")
+        atom_blocks = [sidx[np.asarray(b)] for b in blocks]
+        slots = np.concatenate(atom_blocks)
+        if len({len(b) for b in atom_blocks}) != 1:
+            raise GroupError(
+                "reordered output requires equal-size solvent molecules",
+                code="InvalidSelection")
+        g = "__trjorder_out"
+        system.group_create_from_indices(
+            g, np.arange(system.topology.n_atoms) if out_group == "all"
+            else _transient_indices(system, out_group))
+        try:
+            files = trajectory if isinstance(trajectory, list) \
+                else [trajectory]
+            reader = system.traj_cat_iter(files)
+            system.group_traj_writer_init(g, output, fmt=outfmt)
+            try:
+                for f, _ in enumerate(reader):
+                    src = np.concatenate(
+                        [atom_blocks[m] for m in order[f]])
+                    system.positions[slots] = \
+                        system.positions[src].copy()
+                    system.traj_write_frame()
+            finally:
+                system.traj_writers_close()
+        finally:
+            system.group_remove(g)
+        out["written"] = output
+    return out
+
+
+def hydorder(system, trajectory, oxygen: str = "name OW", *,
+             axis: str = "z", slabs: int = 0, batch_size: int = 32,
+             chunk: int = 256):
+    """Tetrahedrality order parameters per water oxygen (surpass — the
+    `gmx hydorder` workload; absent from the reference).
+
+    For each atom of `oxygen` and frame, its 4 nearest minimum-image
+    neighbours within the selection define (Errington & Debenedetti,
+    Nature 409:318):
+      angle order  S_g = 1 - 3/8 * sum_{j<k} (cos psi_jk + 1/3)^2
+      distance order S_k = 1 - 1/3 * sum_k (r_k - rbar)^2 / (4 rbar^2)
+    evaluated as chunked dense distance tiles + `top_k` on device.
+    With `slabs` > 0, atoms bin into fractional slabs along `axis` and
+    per-slab means are returned (the interface-profile use).
+
+    Returns a dict: 'sg'/'sk' [F, W], 'mean_sg'/'mean_sk' [F], and with
+    slabs: 'slab_sg'/'slab_sk' [slabs] pass means (NaN where empty),
+    'slab_counts' [slabs].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    oidx = _transient_indices(system, oxygen)
+    if oidx.size < 5:
+        raise GroupError(
+            f"need at least 5 atoms for 4-neighbour order parameters, "
+            f"selection '{oxygen}' has {oidx.size}", code="EmptyGroup")
+    name = "__hydorder_sel"
+    system.group_create_from_indices(name, oidx)
+    try:
+        gsel, pos, boxes, _ = _resident_group_pos(
+            system, trajectory, name, batch_size,
+            require_ortho="hydorder")
+    finally:
+        system.group_remove(name)
+
+    wn = int(gsel.size)
+    ax = {"x": 0, "y": 1, "z": 2}[axis]
+    n_chunks = -(-wn // chunk)
+    padn = n_chunks * chunk - wn
+    starts = jnp.arange(n_chunks) * chunk
+    big = jnp.float32(1e30)
+
+    @jax.jit
+    def _order(pos, boxes):
+        def one_frame(args):
+            pf, box = args
+            if padn:
+                pfp = jnp.concatenate(
+                    [pf, jnp.full((padn, 3), 1e5, jnp.float32)])
+            else:
+                pfp = pf
+
+            def block(c0):
+                pc = jax.lax.dynamic_slice_in_dim(pfp, c0, chunk)
+                d = pbc.min_image(
+                    pc[:, None, :] - pf[None, :, :], box)   # [C, W, 3]
+                d2 = jnp.sum(d * d, axis=-1)
+                row = jnp.arange(chunk) + c0
+                d2 = jnp.where(row[:, None] == jnp.arange(wn)[None, :],
+                               big, d2)
+                nd2, ni = jax.lax.top_k(-d2, 4)              # [C, 4]
+                r = jnp.sqrt(jnp.maximum(-nd2, 0.0))
+                v = jnp.take_along_axis(
+                    d, ni[..., None], axis=1)                # [C, 4, 3]
+                u = v / jnp.maximum(r, 1e-12)[..., None]
+                cs = jnp.einsum("cjd,ckd->cjk", u, u)
+                iu, ju = jnp.triu_indices(4, k=1)
+                sg = 1.0 - (3.0 / 8.0) * jnp.sum(
+                    (cs[:, iu, ju] + 1.0 / 3.0) ** 2, axis=1)
+                rbar = jnp.mean(r, axis=1)
+                sk = 1.0 - jnp.sum((r - rbar[:, None]) ** 2, axis=1) / (
+                    3.0 * 4.0 * jnp.maximum(rbar, 1e-12) ** 2)
+                return sg, sk
+
+            sg, sk = jax.lax.map(block, starts)
+            return sg.reshape(-1)[:wn], sk.reshape(-1)[:wn]
+
+        return jax.lax.map(one_frame, (pos, boxes))
+
+    sg, sk = (np.asarray(x, np.float64) for x in _order(pos, boxes))
+    out = {"sg": sg, "sk": sk,
+           "mean_sg": sg.mean(axis=1), "mean_sk": sk.mean(axis=1)}
+    if slabs:
+        frac = np.asarray(pos)[:, :, ax] / np.asarray(boxes)[:, None, ax]
+        si = np.clip((np.mod(frac, 1.0) * slabs).astype(np.int64),
+                     0, slabs - 1)
+        cnt = np.zeros(slabs)
+        ssg = np.zeros(slabs)
+        ssk = np.zeros(slabs)
+        np.add.at(cnt, si.ravel(), 1.0)
+        np.add.at(ssg, si.ravel(), sg.ravel())
+        np.add.at(ssk, si.ravel(), sk.ravel())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["slab_sg"] = np.where(cnt > 0, ssg / np.maximum(cnt, 1),
+                                      np.nan)
+            out["slab_sk"] = np.where(cnt > 0, ssk / np.maximum(cnt, 1),
+                                      np.nan)
+        out["slab_counts"] = cnt.astype(np.int64)
+    return out

@@ -972,3 +972,93 @@ def test_select_tool(tmp_path):
           "--sphere", "5,5,5,2.0", "-o", sph])
     ds = read_xvg(sph)
     assert ds.shape[0] == 11
+
+
+def test_saltbr_tool(tmp_path):
+    out = str(tmp_path / "sb.xvg")
+    _run(["saltbr", "-s", TPR, "-f", XTC,
+          "--sel", "resname ION or resname LYS ARG GLU ASP", "-o", out])
+    d = read_xvg(out)
+    assert d.shape[0] == 11 and d.shape[1] > 4
+    assert (d[:, 1:] > 0).all()
+
+    from groan_rs_tpu import models
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(TPR)
+    api = models.saltbr(s, XTC, "resname ION or resname LYS ARG GLU ASP")
+    np.testing.assert_allclose(d[:, 1:], api["dist"], atol=1e-4)
+
+
+def test_spol_tool(tmp_path):
+    out = str(tmp_path / "spol.xvg")
+    _run(["spol", "-s", TPR, "-f", XTC, "--ref", "@protein",
+          "--sel", "resname W", "--rmax", "3.0", "--bins", "12",
+          "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (12, 3)
+    assert d[:, 2].sum() > 0                      # counts present
+    got = d[np.isfinite(d[:, 1]), 1]
+    assert (np.abs(got) <= 1.0 + 1e-9).all()
+
+
+def test_trjorder_tool(tmp_path):
+    out = str(tmp_path / "ordered.xtc")
+    ns = str(tmp_path / "nshell.xvg")
+    _run(["trjorder", "-s", TPR, "-f", XTC, "--ref", "@protein",
+          "--sel", "resname W", "--shell", "1.0", "--nshell-out", ns,
+          "-o", out])
+    assert os.path.exists(out)
+    d = read_xvg(ns)
+    assert d.shape == (11, 2) and (d[:, 1] > 0).all()
+
+    # the written trajectory holds the same multiset of coordinates
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(TPR)
+    s2 = System.from_file(TPR)
+    it1, it2 = iter(s.traj_iter(XTC)), iter(s2.traj_iter(out))
+    next(it1), next(it2)
+    assert not np.allclose(s.positions, s2.positions)   # reordered
+    np.testing.assert_allclose(
+        np.sort(s.positions.round(3), axis=0),
+        np.sort(s2.positions.round(3), axis=0), atol=2e-3)
+
+
+def test_hydorder_tool(tmp_path):
+    out = str(tmp_path / "hyd.xvg")
+    _run(["hydorder", "-s", TPR, "-f", XTC, "--sel", "resname W",
+          "--slabs", "4", "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (4, 3)
+    # Martini water beads are NOT tetrahedral: just bounded order params
+    assert (d[np.isfinite(d[:, 1]), 1] <= 1.0 + 1e-6).all()
+
+
+def test_rotacf_tool(tmp_path):
+    out = str(tmp_path / "rotacf.xvg")
+    _run(["rotacf", "-s", TPR, "-f", XTC, "--sel", "serial 1 2 3 4",
+          "-P", "2", "-o", out])
+    d = read_xvg(out)
+    assert d.shape[1] == 2
+    assert d[0, 1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mdmat_tool(tmp_path):
+    out = str(tmp_path / "mdmat.dat")
+    _run(["mdmat", "-s", TPR, "-f", XTC, "--sel", "@protein", "-o", out])
+    m = np.loadtxt(out)
+    assert m.shape[0] == m.shape[1]
+    assert np.allclose(np.diag(m), 0.0, atol=1e-6)
+    assert np.allclose(m, m.T, atol=1e-6)
+
+
+def test_leaflets_tool(tmp_path):
+    out = str(tmp_path / "leaf.xvg")
+    _run(["leaflets", "-s", TPR, "-f", XTC, "--sel", "name PO4",
+          "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (11, 4)
+    assert (d[:, 1] > 2.0).all() and (d[:, 1] < 6.0).all()
+    # balanced bilayer: upper/lower counts within 20%
+    assert abs(d[:, 2].mean() - d[:, 3].mean()) < 0.2 * d[:, 2].mean()
