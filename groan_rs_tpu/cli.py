@@ -395,6 +395,9 @@ def _dipoles(sp=None, args=None):
         _common(sp, out="Mtot.xvg", windowed=True)
         sp.add_argument("--temperature", type=float, default=None,
                         help="also print the static dielectric constant")
+        sp.add_argument("--corr", default=None, choices=["total", "mol"],
+                        help="also write the dipole ACF (gmx dipoles -corr)")
+        sp.add_argument("--corr-out", default="dipcorr.xvg")
         return
     _, _, out, _ = _pipe_run(
         args, lambda s, g, p: (p.add_total_dipole(g, name="m"),
@@ -413,6 +416,19 @@ def _dipoles(sp=None, args=None):
                                 temperature=args.temperature,
                                 batch_size=args.batch_size)
         print(f"epsilon = {eps['epsilon']:.6g}")
+    if args.corr:
+        from . import models
+        from .io.xvg import write_xvg
+
+        s3 = _system(args)
+        g3 = _group(s3, args.sel)
+        ac = models.dipole_corr(s3, _traj(args), g3, mode=args.corr,
+                                batch_size=args.batch_size)
+        write_xvg(args.corr_out, [ac["lag_times"], ac["phi"]],
+                  title="Dipole ACF", xlabel="time (ps)", ylabel="phi",
+                  legends=[f"phi ({args.corr})"])
+        print(f"wrote {args.corr_out} (corr time "
+              f"{ac['corr_time']:.4g} ps)")
 
 
 @_tool("potential", "electrostatic potential profile (gmx potential)")
@@ -2010,6 +2026,57 @@ def _leaflets(sp=None, args=None):
          legends=["thickness", "upper", "lower"])
     print(f"mean thickness {out['thickness'].mean():.4f} nm, "
           f"{out['leaflet'].shape[1]} heads")
+
+
+
+@_tool("dielectric", "frequency-dependent dielectric (gmx dielectric)")
+def _dielectric(sp=None, args=None):
+    if args is None:
+        _common(sp, out="epsw.xvg")
+        sp.add_argument("--temperature", type=float, default=300.0)
+        sp.add_argument("--nfreq", type=int, default=120)
+        return
+    from . import models
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    out = models.dielectric_spectrum(s, _traj(args), g,
+                                     temperature=args.temperature,
+                                     n_freq=args.nfreq,
+                                     batch_size=args.batch_size)
+    _xvg(args, [out["omega"], out["eps_real"], out["eps_imag"]],
+         title="Dielectric spectrum", xlabel="omega (rad/ps)",
+         ylabel="epsilon", legends=["eps'", "eps''"])
+    print(f"eps_static {out['eps_static']:.6g}, "
+          f"corr time {out['corr_time']:.4g} ps")
+
+
+@_tool("densorder", "density-profile interface positions (gmx densorder)")
+def _densorder(sp=None, args=None):
+    if args is None:
+        _common(sp, out="interfaces.xvg")
+        sp.add_argument("--axis", default="z", choices=["x", "y", "z"])
+        sp.add_argument("--bins", type=int, default=100)
+        sp.add_argument("--mode", default="mass",
+                        choices=["number", "mass", "charge"])
+        sp.add_argument("--threshold", type=float, default=0.5,
+                        help="interface level as a fraction of the "
+                             "per-frame profile maximum")
+        return
+    from . import models
+
+    s = _system(args)
+    out = models.densorder(s, _traj(args), args.sel, axis=args.axis,
+                           bins=args.bins, mode=args.mode,
+                           threshold=args.threshold,
+                           batch_size=args.batch_size)
+    t = np.arange(out["lower"].shape[0], dtype=np.float64)
+    _xvg(args, [t, out["lower"], out["upper"], out["thickness"]],
+         title="Interfaces", xlabel="frame", ylabel="position (nm)",
+         legends=["lower", "upper", "thickness"])
+    print(f"mean thickness {np.nanmean(out['thickness']):.4f} nm, "
+          f"sigma lower/upper {out['lower_sigma']:.4f}/"
+          f"{out['upper_sigma']:.4f} nm")
 
 
 def main(argv=None):

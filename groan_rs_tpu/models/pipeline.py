@@ -570,6 +570,25 @@ class TrajectoryAnalysis:
         self._specs.append((name, fn))
         return self
 
+    def add_box_lengths(self, name: str = "box_lengths"):
+        """Per-frame box edge lengths -> [F, 3] nm (the `SimBox`
+        lengths the reference recomputes host-side per frame; a device
+        observable so NPT-aware analyses get the exact per-frame box
+        from the same batched pass).  Triclinic boxes report the three
+        row-vector norms."""
+        import jax.numpy as jnp
+
+        if self.triclinic:
+            def fn(pos, boxes):                     # boxes [B, 3, 3]
+                return jnp.sqrt(jnp.sum(boxes * boxes, axis=-1))
+        else:
+            def fn(pos, boxes):                     # boxes [B, 3]
+                return boxes
+
+        self._decls.append({"kind": "box_lengths", "name": name})
+        self._specs.append((name, fn))
+        return self
+
     def add_total_dipole(self, group: str, name: str | None = None):
         """Per-frame total dipole moment M of a group -> [F, 3] e*nm
         (surpass — the `gmx dipoles` M_tot workload; absent from the
@@ -5628,3 +5647,245 @@ def hydorder(system, trajectory, oxygen: str = "name OW", *,
                                       np.nan)
         out["slab_counts"] = cnt.astype(np.int64)
     return out
+
+
+class _named_group:
+    """Context manager: `group` verbatim if it names an existing group,
+    else a transient group compiled from it as a GSL query."""
+
+    def __init__(self, system, group, tmp):
+        self.system, self.group, self.tmp = system, group, tmp
+
+    def __enter__(self):
+        try:
+            self.system.group_indices(self.group)
+            self.tmp = None
+            return self.group
+        except GroupError:
+            self.system.group_create_from_indices(
+                self.tmp, _transient_indices(self.system, self.group))
+            return self.tmp
+
+    def __exit__(self, *exc):
+        if self.tmp is not None:
+            self.system.group_remove(self.tmp)
+        return False
+
+
+def dipole_corr(system, trajectory, group: str = "all", *,
+                mode: str = "total", lags=None, batch_size: int = 32):
+    """Dipole autocorrelation functions (surpass — the `gmx dipoles
+    -corr tot|mol` workload; absent from the reference).
+
+    mode='total': C(tau) = <M(t) . M(t+tau)> over time origins, with M
+    the per-frame total dipole (`add_total_dipole` — per-molecule
+    minimum-image origins; requires bonds + charges).  mode='mol':
+    molecular dipoles mu_m about each molecule's own mass-weighted COM
+    (origin-independent for any net charge; molecules from the bond
+    graph), C(tau) averaged over molecules and origins.  The whole
+    curve is one `lax.map` dispatch (`ops.msd.lag_correlation`).
+
+    Returns a dict: 'lag_times' [L] ps, 'corr' [L] e^2 nm^2,
+    'phi' [L] (corr / corr[0]), 'corr_time' ps (trapezoid integral of
+    phi up to its first zero crossing — tau_D for a Debye liquid).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    if mode not in ("total", "mol"):
+        raise ParallelError(f"mode must be total/mol, got '{mode}'")
+
+    if mode == "total":
+        with _named_group(system, group, "__dipcorr_tot") as g:
+            pipe = TrajectoryAnalysis(system).add_total_dipole(g, name="M")
+            out = pipe.runner(group=None, ship="all").run(
+                trajectory, batch_size=batch_size)
+        series = jnp.asarray(np.asarray(out["M"], np.float32))[:, None, :]
+        times = np.asarray(out["times"], np.float64)
+    else:
+        idx = _transient_indices(system, group)
+        if idx.size == 0:
+            raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+        topo = system.topology
+        if not topo.has_charge[idx].all():
+            raise GroupError(f"group '{group}' has atoms without charge",
+                             code="InvalidCharge")
+        name = "__dipcorr_sel"
+        system.group_create_from_indices(name, idx)
+        try:
+            gsel, pos, boxes, dt = _resident_group_pos(
+                system, trajectory, name, batch_size,
+                require_ortho="dipole_corr")
+        finally:
+            system.group_remove(name)
+        mol = topo.molecule_ids()[idx]
+        order, blocks = [], {}
+        for local, m in enumerate(mol):
+            key = int(m)
+            if key not in blocks:
+                blocks[key] = []
+                order.append(key)
+            blocks[key].append(local)
+        loc = np.searchsorted(gsel, idx)
+        cols, w, qt, _ = _unit_tables(
+            system, idx, [blocks[k] for k in order], loc, charges=True)
+        import jax
+
+        cols_j, w_j, qt_j = (jnp.asarray(cols), jnp.asarray(w),
+                             jnp.asarray(qt))
+
+        @jax.jit
+        def _mu(pos, boxes):
+            def one_frame(args):
+                pf, box = args
+                x = pf[cols_j]                          # [U, P, 3]
+                rel = pbc.min_image(x - x[:, :1], box)
+                com_rel = jnp.sum(w_j[..., None] * rel, axis=1)
+                return jnp.sum(
+                    qt_j[..., None] * (rel - com_rel[:, None, :]), axis=1)
+
+            return jax.lax.map(one_frame, (pos, boxes))
+
+        series = _mu(pos, boxes)                        # [F, U, 3]
+        times = np.asarray(dt.times, np.float64)
+
+    f = int(series.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+    corr = np.asarray(msd_ops.lag_correlation(series, lags), np.float64)
+    lag_times = times[lags] - times[0]
+    phi = corr / corr[0] if corr[0] else corr
+    # integral correlation time up to the first zero crossing of phi
+    neg = np.flatnonzero(phi < 0)
+    stop = int(neg[0]) if neg.size else len(phi)
+    tau = float(np.trapezoid(phi[:stop], lag_times[:stop])) \
+        if stop >= 2 else 0.0
+    return {"lag_times": lag_times, "corr": corr, "phi": phi,
+            "corr_time": tau}
+
+
+def _debye_eps(phi, t, omega, eps_static):
+    """eps(w) = 1 + (eps_s - 1) * (1 - i w FL[phi](w)) with FL the
+    one-sided Fourier-Laplace transform by float64 trapezoid — the
+    linear-response bridge from the normalized total-dipole ACF to the
+    complex dielectric spectrum (exactly the Debye form for a
+    single-exponential phi in the well-sampled limit)."""
+    ph = np.exp(-1j * np.asarray(omega)[:, None] * np.asarray(t)[None, :])
+    fl = np.trapezoid(ph * np.asarray(phi)[None, :], t, axis=1)
+    return 1.0 + (eps_static - 1.0) * (1.0 - 1j * np.asarray(omega) * fl)
+
+
+def dielectric_spectrum(system, trajectory, group: str = "all", *,
+                        temperature: float = 300.0, omega=None,
+                        n_freq: int = 120, batch_size: int = 32):
+    """Frequency-dependent dielectric constant from the total-dipole
+    ACF (surpass — the `gmx dielectric` workload; absent from the
+    reference).
+
+    With phi(t) the normalized total-dipole ACF (uniform frame grid
+    required) and eps_s the static Neumann fluctuation value
+    (`models.dielectric`):
+        eps(w) = 1 + (eps_s - 1) * (1 - i w FL[phi](w)),
+    where FL is the one-sided Fourier-Laplace transform evaluated by a
+    float64 trapezoid over the sampled curve — so a single-exponential
+    phi reproduces the Debye form (eps_s - 1)/(1 + i w tau) exactly in
+    the well-sampled limit.
+
+    Returns a dict: 'omega' [W] rad/ps, 'eps_real'/'eps_imag' [W]
+    (eps_imag >= 0 is the loss), 'eps_static', 'phi' [L],
+    'lag_times' [L] ps, 'corr_time' ps.
+    """
+    st = dielectric(system, trajectory, group,
+                    temperature=temperature, batch_size=batch_size)
+    ac = dipole_corr(system, trajectory, group, mode="total",
+                     batch_size=batch_size)
+    t = ac["lag_times"]
+    if len(t) < 3:
+        raise ParallelError("dielectric_spectrum needs >= 3 frames")
+    dts = np.diff(t)
+    if not np.allclose(dts, dts[0], rtol=1e-4, atol=1e-9):
+        raise ParallelError(
+            "dielectric_spectrum requires a uniform frame time grid "
+            f"(dt spans {dts.min():.6g}..{dts.max():.6g} ps)")
+    phi = ac["phi"]
+    if omega is None:
+        t_tot = float(t[-1])
+        omega = np.geomspace(2.0 * np.pi / t_tot,
+                             np.pi / float(dts[0]), int(n_freq))
+    omega = np.asarray(omega, np.float64)
+    eps = _debye_eps(phi, t, omega, st["epsilon"])
+    return {"omega": omega, "eps_real": eps.real, "eps_imag": -eps.imag,
+            "eps_static": st["epsilon"], "phi": phi, "lag_times": t,
+            "corr_time": ac["corr_time"]}
+
+
+def densorder(system, trajectory, group: str = "all", *, axis: str = "z",
+              bins: int = 100, mode: str = "mass", threshold: float = 0.5,
+              batch_size: int = 32):
+    """Liquid-slab interface positions from per-frame density profiles
+    (surpass — the `gmx densorder` workload; absent from the
+    reference).
+
+    Per frame: the `group` density profile along `axis`
+    (`add_density_profile`, NPT-exact fractional slabs), then the two
+    positions where it crosses `threshold` x its own maximum — linear
+    interpolation between adjacent slab centers, scanning inward from
+    each box edge (gmx densorder's bulk/interface split).  Positions
+    are reported in nm using the per-frame box length (`add_box_length`
+    rides the same device pass).
+
+    Returns a dict: 'lower'/'upper' [F] nm interface positions,
+    'thickness' [F] nm, 'lower_sigma'/'upper_sigma' (std of each
+    interface over the pass — the fluctuation gmx densorder fits
+    capillary-wave spectra to), 'profiles' [F, bins], 'box_len' [F].
+    """
+    ax = {"x": 0, "y": 1, "z": 2}.get(axis)
+    if ax is None:
+        raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
+                         code="InvalidAxis")
+    with _named_group(system, group, "__densorder_sel") as g:
+        pipe = (TrajectoryAnalysis(system)
+                .add_density_profile(g, axis=axis, n_bins=bins, mode=mode,
+                                     name="prof")
+                .add_box_lengths(name="blen"))
+        out = pipe.runner(group=None, ship="all").run(
+            trajectory, batch_size=batch_size)
+    prof = np.asarray(out["prof"], np.float64)          # [F, bins]
+    box_len = np.asarray(out["blen"], np.float64)[:, ax]  # NPT-exact
+
+    f = prof.shape[0]
+    centers = (np.arange(bins) + 0.5) / bins
+    lower = np.full(f, np.nan)
+    upper = np.full(f, np.nan)
+    for i in range(f):
+        p = prof[i]
+        lvl = float(threshold) * p.max()
+        if p.max() <= 0:
+            continue
+        above = p >= lvl
+        if not above.any():
+            continue
+        j0 = int(np.argmax(above))                     # first slab >= lvl
+        j1 = bins - 1 - int(np.argmax(above[::-1]))    # last slab >= lvl
+        if j0 > 0:
+            a, b = p[j0 - 1], p[j0]
+            frac = centers[j0 - 1] + (lvl - a) / (b - a) / bins
+        else:
+            frac = centers[0]
+        lower[i] = frac * box_len[i]
+        if j1 < bins - 1:
+            a, b = p[j1], p[j1 + 1]
+            frac = centers[j1] + (a - lvl) / (a - b) / bins
+        else:
+            frac = centers[-1]
+        upper[i] = frac * box_len[i]
+    return {"lower": lower, "upper": upper,
+            "thickness": upper - lower,
+            "lower_sigma": float(np.nanstd(lower)),
+            "upper_sigma": float(np.nanstd(upper)),
+            "profiles": prof, "box_len": box_len}

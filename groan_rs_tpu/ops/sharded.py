@@ -324,6 +324,11 @@ def _eval_volume(pos, box, static, arrays):
     return jnp.prod(box, axis=-1)
 
 
+def _eval_box_lengths(pos, box, static, arrays):
+    """Box edge lengths: replicated sidecar math, no atom data touched."""
+    return box
+
+
 _EVAL = {
     "center": _eval_center,
     "gyration": _eval_gyration,
@@ -337,11 +342,13 @@ _EVAL = {
     "density_profile": _eval_density_profile,
     "dipole": _eval_dipole,
     "volume": _eval_volume,
+    "box_lengths": _eval_box_lengths,
 }
 
 _OUT_RANK = {"center": 2, "gyration": 1, "gyration_axes": 2, "distance": 1, "rmsd": 1,
              "min_distance": 1, "contacts": 1, "rdf": 2, "density": 3,
-             "density_profile": 2, "dipole": 2, "volume": 1}
+             "density_profile": 2, "dipole": 2, "volume": 1,
+             "box_lengths": 2}
 
 
 def compile_decl(decl, system) -> CompiledSpec:
@@ -485,6 +492,9 @@ def compile_decl(decl, system) -> CompiledSpec:
 
     if kind == "volume":
         return CompiledSpec(decl["name"], "volume", [])
+
+    if kind == "box_lengths":
+        return CompiledSpec(decl["name"], "box_lengths", [])
 
     raise ParallelError(
         f"observable '{decl.get('name', kind)}' ({kind}) has no atoms-sharded "

@@ -1062,3 +1062,31 @@ def test_leaflets_tool(tmp_path):
     assert (d[:, 1] > 2.0).all() and (d[:, 1] < 6.0).all()
     # balanced bilayer: upper/lower counts within 20%
     assert abs(d[:, 2].mean() - d[:, 3].mean()) < 0.2 * d[:, 2].mean()
+
+
+def test_dipoles_corr_and_dielectric_tools(tmp_path):
+    # dipole ACF rides the dipoles tool; uses the charged TPR fixture
+    out = str(tmp_path / "m.xvg")
+    co = str(tmp_path / "corr.xvg")
+    _run(["dipoles", "-s", TPR, "-f", XTC, "--sel", "resname POPC",
+          "-o", out, "--corr", "mol", "--corr-out", co])
+    d = read_xvg(co)
+    assert d.shape == (11, 2)
+    assert d[0, 1] == pytest.approx(1.0, abs=1e-6)
+
+    eo = str(tmp_path / "eps.xvg")
+    _run(["dielectric", "-s", TPR, "-f", XTC, "--sel", "resname POPC",
+          "--nfreq", "24", "-o", eo])
+    e = read_xvg(eo)
+    assert e.shape == (24, 3)
+    assert np.isfinite(e).all()
+
+
+def test_densorder_tool(tmp_path):
+    out = str(tmp_path / "if.xvg")
+    _run(["densorder", "-s", TPR, "-f", XTC, "--sel", "@membrane",
+          "--bins", "50", "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (11, 4)
+    assert (d[:, 2] > d[:, 1]).all()
+    assert (d[:, 3] > 2.0).all() and (d[:, 3] < 8.0).all()
