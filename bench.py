@@ -188,9 +188,28 @@ def main():
     n_mem = min(300_000, N_ATOMS // 3)
 
     xtc = os.path.join(CACHE, f"bench_v4_{N_ATOMS}_{N_FRAMES}.xtc")
-    if not os.path.exists(xtc):
+    # validate any cached file: an interrupted build leaves a truncated
+    # trajectory behind (seen in the wild: 4 of 24 frames) — rebuild
+    # atomically (tmp + rename) so that can never recur
+    cache_ok = False
+    if os.path.exists(xtc):
+        try:
+            from groan_rs_tpu.io import native as _nat
+
+            offs, _, _, nat = _nat.xtc_scan(xtc)
+            cache_ok = len(offs) == N_FRAMES and nat == N_ATOMS
+        except Exception:
+            cache_ok = False
+        if not cache_ok:
+            log(f"cached trajectory invalid ({xtc}); rebuilding")
+            os.unlink(xtc)
+    if not cache_ok:
         log(f"building {N_ATOMS}-atom x {N_FRAMES}-frame trajectory...")
-        build_trajectory(xtc, n_prot, n_mem)
+        tmp = xtc + ".tmp"
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        build_trajectory(tmp, n_prot, n_mem)
+        os.replace(tmp, xtc)
     # warm the page cache (cold disk reads on this host run at ~5 MB/s and
     # would otherwise dominate the first timed pass)
     with open(xtc, "rb") as fh:

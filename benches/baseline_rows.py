@@ -149,7 +149,17 @@ def run(n_frames=5000, reps=3, quiet=False):
 
     os.makedirs(CACHE, exist_ok=True)
     xtc = os.path.join(CACHE, f"baseline_rows_{N_ATOMS}_{n_frames}.xtc")
-    if not os.path.exists(xtc):
+    cache_ok = False
+    if os.path.exists(xtc):
+        try:
+            offs, _, _, nat = native.xtc_scan(xtc)
+            cache_ok = len(offs) == n_frames and nat == N_ATOMS
+        except Exception:
+            cache_ok = False
+        if not cache_ok:
+            log(f"cached study trajectory invalid ({xtc}); rebuilding")
+            os.unlink(xtc)
+    if not cache_ok:
         log(f"building {N_ATOMS}-atom x {n_frames}-frame study trajectory...")
         tmp = xtc + f".tmp{os.getpid()}"
         build_trajectory(tmp, n_frames)

@@ -2079,6 +2079,79 @@ def _densorder(sp=None, args=None):
           f"{out['upper_sigma']:.4f} nm")
 
 
+
+@_tool("morph", "interpolate between two conformations (gmx morph)")
+def _morph(sp=None, args=None):
+    if args is None:
+        _common(sp, out="morph.xtc", traj=False)
+        sp.add_argument("--f2", required=True,
+                        help="second conformation (structure file)")
+        sp.add_argument("--ninterm", type=int, default=30)
+        sp.add_argument("--first", type=float, default=0.0)
+        sp.add_argument("--last", type=float, default=1.0)
+        sp.add_argument("--nofit", action="store_true",
+                        help="skip the least-squares fit of B onto A")
+        sp.add_argument("--rmsd-out", default=None,
+                        help="write per-frame RMSD to both endpoints")
+        sp.add_argument("--outfmt", default=None)
+        return
+    from . import models
+    from .system import System
+
+    s = _system(args)
+    b = System.from_file(args.f2)
+    # gro/pdb structures carry no masses: guess them for the fit
+    for sys_ in (s, b):
+        if not np.asarray(sys_.topology.has_mass).all():
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                sys_.guess_elements()
+                sys_.guess_properties()
+    out = models.morph(s, b, n=args.ninterm, first=args.first,
+                       last=args.last, fit=not args.nofit,
+                       group=args.sel, output=args.output,
+                       outfmt=args.outfmt)
+    print(f"wrote {args.output} ({args.ninterm} frames, "
+          f"endpoint RMSD {out['rmsd_b'][0]:.4f} nm)")
+    if args.rmsd_out:
+        from .io.xvg import write_xvg
+
+        write_xvg(args.rmsd_out,
+                  [out["lambdas"], out["rmsd_a"], out["rmsd_b"]],
+                  title="Morph RMSD", xlabel="lambda",
+                  ylabel="RMSD (nm)", legends=["to A", "to B"])
+        print(f"wrote {args.rmsd_out}")
+
+
+@_tool("lie", "linear interaction energy estimate (gmx lie)")
+def _lie(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-f", "--energies", required=True,
+                        help=".xvg with E_LJ and E_qq series")
+        sp.add_argument("--lj-col", type=int, default=1,
+                        help="E_LJ column index (time is column 0)")
+        sp.add_argument("--qq-col", type=int, default=2)
+        sp.add_argument("--clj", type=float, default=0.181)
+        sp.add_argument("--cqq", type=float, default=0.5)
+        sp.add_argument("--elj0", type=float, default=0.0)
+        sp.add_argument("--eqq0", type=float, default=0.0)
+        sp.add_argument("-o", "--output", default="lie.xvg")
+        return
+    from . import models
+    from .io.xvg import read_xvg, write_xvg
+
+    d = read_xvg(args.energies)
+    out = models.lie(d[:, args.lj_col], d[:, args.qq_col],
+                     clj=args.clj, cqq=args.cqq,
+                     elj0=args.elj0, eqq0=args.eqq0)
+    write_xvg(args.output, [d[:, 0], out["dg"]], title="LIE",
+              xlabel="time (ps)", ylabel="dG (kJ/mol)", legends=["dG"])
+    print(f"DGbind = {out['dg_mean']:.4f} +/- {out['dg_std']:.4f} kJ/mol "
+          f"(<E_LJ> {out['e_lj_mean']:.3f}, <E_qq> {out['e_qq_mean']:.3f})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="groan-tpu",

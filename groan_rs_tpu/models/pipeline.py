@@ -5889,3 +5889,118 @@ def densorder(system, trajectory, group: str = "all", *, axis: str = "z",
             "lower_sigma": float(np.nanstd(lower)),
             "upper_sigma": float(np.nanstd(upper)),
             "profiles": prof, "box_len": box_len}
+
+
+def morph(system_a, system_b, *, n: int = 30, first: float = 0.0,
+          last: float = 1.0, fit: bool = True, group: str = "all",
+          output: str | None = None, outfmt: str | None = None):
+    """Linear interpolation between two conformations (surpass — the
+    `gmx morph` workload; absent from the reference).
+
+    `system_b` (a System or a structure filename loaded against a copy
+    of `system_a`'s topology expectations) is optionally least-squares
+    fitted onto `system_a` over `group` first (`calc_rmsd_and_fit`,
+    rmsd.rs:508 semantics), then `n` frames x(lambda) =
+    (1 - lambda) x_A + lambda x_B are generated for lambda in
+    [first, last] (gmx morph's -ninterm/-first/-last; values outside
+    [0, 1] extrapolate).  The per-frame RMSD to both endpoints is
+    evaluated as ONE batched device QCP pass each.  With `output`, the
+    interpolated trajectory is written for `group`.
+
+    Returns a dict: 'lambdas' [n], 'frames' [n, K, 3] (group atoms),
+    'rmsd_a'/'rmsd_b' [n] nm.
+    """
+    import jax.numpy as jnp
+
+    from ..system import System as _System
+    from ..system.rmsd import _extract, _masses
+
+    if isinstance(system_b, (str, os.PathLike)):
+        system_b = _System.from_file(str(system_b))
+    if system_b.get_n_atoms() != system_a.get_n_atoms():
+        raise RMSDError(
+            f"morph endpoints have {system_a.get_n_atoms()} vs "
+            f"{system_b.get_n_atoms()} atoms", code="InconsistentGroup")
+    if n < 2:
+        raise ParallelError(f"morph needs n >= 2 frames, got {n}")
+
+    idx = _transient_indices(system_a, group)
+    b = system_b.copy()
+    idx_b = _transient_indices(b, group)
+    if idx_b.size != idx.size:
+        raise RMSDError(
+            f"group '{group}' selects {idx.size} atoms in A but "
+            f"{idx_b.size} in B", code="InconsistentGroup")
+    # the fit group must exist under ONE name in both systems
+    gf = "__morph_fit"
+    system_a.group_create_from_indices(gf, idx)
+    b.group_create_from_indices(gf, idx_b)
+    try:
+        if fit:
+            b.calc_rmsd_and_fit(system_a, gf)
+        xb = b.positions[idx_b].astype(np.float64)
+        xa = system_a.positions[idx].astype(np.float64)
+
+        lambdas = np.linspace(float(first), float(last), int(n))
+        frames = ((1.0 - lambdas)[:, None, None] * xa[None]
+                  + lambdas[:, None, None] * xb[None]).astype(np.float32)
+
+        # batched QCP RMSD to each endpoint (PBC-aware centering over
+        # the endpoint system's own box, like calc_rmsd)
+        w = np.asarray(_masses(system_a, group, idx), np.float32)
+        from ..core.simbox import simbox_check
+
+        blen = simbox_check(system_a.get_box()).to_lengths_vec()
+        boxes = jnp.broadcast_to(jnp.asarray(blen, jnp.float32), (int(n), 3))
+
+        def series(ref_sys, g):
+            ref_coords, ref_center, _ = _extract(ref_sys, g)
+            return np.asarray(rmsd_ops.rmsd_frames(
+                jnp.asarray(ref_coords), jnp.asarray(ref_center),
+                jnp.asarray(frames), boxes, jnp.asarray(w))[1],
+                np.float64)
+
+        out = {"lambdas": lambdas, "frames": frames,
+               "rmsd_a": series(system_a, gf), "rmsd_b": series(b, gf)}
+    finally:
+        system_a.group_remove(gf)
+
+    if output is not None:
+        wsys = system_a.copy()
+        with _named_group(wsys, group, "__morph_w") as gw:
+            wsys.group_traj_writer_init(gw, output, fmt=outfmt)
+            try:
+                for k in range(int(n)):
+                    wsys.positions[idx] = frames[k]
+                    wsys.traj_write_frame()
+            finally:
+                wsys.traj_writers_close()
+        out["written"] = output
+    return out
+
+
+def lie(e_lj, e_qq, *, clj: float = 0.181, cqq: float = 0.5,
+        elj0: float = 0.0, eqq0: float = 0.0):
+    """Linear interaction energy binding estimate (surpass — the
+    `gmx lie` workload; absent from the reference).
+
+    dG(t) = clj * (E_lj(t) - elj0) + cqq * (E_qq(t) - eqq0) over
+    per-frame ligand-environment LJ / Coulomb interaction energies
+    (kJ/mol; gmx lie reads them from an energy file, here any array —
+    e.g. `io.xvg.read_xvg` columns).  Defaults are gmx lie's
+    (Aqvist's alpha = 0.181, beta = 0.5).
+
+    Returns a dict: 'dg' [F], 'dg_mean', 'dg_std' (of the mean, block
+    size 1), 'e_lj_mean', 'e_qq_mean'.
+    """
+    e_lj = np.asarray(e_lj, np.float64)
+    e_qq = np.asarray(e_qq, np.float64)
+    if e_lj.shape != e_qq.shape or e_lj.ndim != 1 or e_lj.size == 0:
+        raise ParallelError(
+            "e_lj and e_qq must be equal-length non-empty 1D series")
+    dg = clj * (e_lj - elj0) + cqq * (e_qq - eqq0)
+    return {"dg": dg, "dg_mean": float(dg.mean()),
+            "dg_std": float(dg.std(ddof=1) / np.sqrt(dg.size))
+            if dg.size > 1 else 0.0,
+            "e_lj_mean": float(e_lj.mean()),
+            "e_qq_mean": float(e_qq.mean())}

@@ -1090,3 +1090,41 @@ def test_densorder_tool(tmp_path):
     assert d.shape == (11, 4)
     assert (d[:, 2] > d[:, 1]).all()
     assert (d[:, 3] > 2.0).all() and (d[:, 3] < 8.0).all()
+
+
+def test_morph_tool(tmp_path):
+    gro = os.path.join(TF, "example.gro")
+    out = str(tmp_path / "morph.xtc")
+    rm = str(tmp_path / "morph_rmsd.xvg")
+    _run(["morph", "-s", gro, "--f2", gro, "--ninterm", "4",
+          "--sel", "@protein", "-o", out, "--rmsd-out", rm])
+    d = read_xvg(rm)
+    assert d.shape == (4, 3)
+    # identical endpoints: the whole path has zero RMSD to both
+    np.testing.assert_allclose(d[:, 1:], 0.0, atol=1e-4)
+
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(gro)
+    s.group_create("P", "@protein")
+    sub = s.group_extract("P")
+    n = 0
+    for _ in sub.traj_iter(out):
+        n += 1
+    assert n == 4
+
+
+def test_lie_tool(tmp_path):
+    from groan_rs_tpu.io.xvg import write_xvg
+
+    src = str(tmp_path / "en.xvg")
+    t = np.arange(5.0)
+    elj = np.array([-40.0, -42.0, -38.0, -41.0, -39.0])
+    eqq = np.array([-100.0, -90.0, -110.0, -95.0, -105.0])
+    write_xvg(src, [t, elj, eqq], title="e", xlabel="t", ylabel="E",
+              legends=["lj", "qq"])
+    out = str(tmp_path / "lie.xvg")
+    _run(["lie", "-f", src, "-o", out])
+    d = read_xvg(out)
+    want = 0.181 * elj + 0.5 * eqq
+    np.testing.assert_allclose(d[:, 1], want, rtol=1e-5)

@@ -69,35 +69,12 @@ def test_two_process_host_striping_equals_single_host(test_files, tmp_path):
     gro = os.path.join(test_files, "example.gro")
     xtc = os.path.join(test_files, "short_trajectory.xtc")
 
-    # free port for the coordinator
-    with socket.socket() as sock:
-        sock.bind(("localhost", 0))
-        port = str(sock.getsockname()[1])
-
-    script = _WORKER % {"repo": REPO, "gro": gro, "xtc": xtc}
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    # one local CPU device per process (no virtual mesh in the workers)
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "host_platform_device_count" not in f
-    )
-    env["PYTHONPATH"] = ":".join(
-        p for p in env.get("PYTHONPATH", "").split(":")
-        if p and "axon_site" not in p
-    )
-    procs = [
-        subprocess.Popen([sys.executable, "-c", script, str(i), port],
-                         env=env, stdout=subprocess.PIPE,
-                         stderr=subprocess.PIPE, text=True)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=240)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(out)
+    results = _spawn_cluster(_WORKER, 2,
+                             {"repo": REPO, "gro": gro, "xtc": xtc},
+                             timeout=240, retries=1)
+    for rc, out, err in results:
+        assert rc == 0, f"worker failed:\n{out}\n{err}"
+    outs = [out for _, out, _ in results]
 
     line = next(ln for ln in outs[0].splitlines() if ln.startswith("RESULT "))
     result = json.loads(line[len("RESULT "):])
@@ -123,9 +100,15 @@ def test_two_process_host_striping_equals_single_host(test_files, tmp_path):
     np.testing.assert_allclose(merged, single, rtol=0, atol=1e-6)
 
 
-def _spawn_cluster(script_tpl, n, fmt, timeout=420):
+def _spawn_cluster(script_tpl, n, fmt, timeout=420, retries=0):
     """Launch an n-process jax.distributed CPU cluster running
-    `script_tpl % fmt`; returns [(returncode, stdout, stderr)]."""
+    `script_tpl % fmt`; returns [(returncode, stdout, stderr)].
+
+    `retries`: re-launch the whole cluster if any worker fails —
+    for tests whose workers must all succeed; on this 1-vCPU host a
+    loaded suite can starve the coordinator handshake past its
+    timeout (a real flake seen in full-suite runs, never in
+    isolation)."""
     with socket.socket() as sock:
         sock.bind(("localhost", 0))
         port = str(sock.getsockname()[1])
@@ -151,6 +134,9 @@ def _spawn_cluster(script_tpl, n, fmt, timeout=420):
     for p in procs:
         out, err = p.communicate(timeout=timeout)
         results.append((p.returncode, out, err))
+    if retries and any(rc != 0 for rc, _, _ in results):
+        return _spawn_cluster(script_tpl, n, fmt, timeout=timeout,
+                              retries=retries - 1)
     return results
 
 
@@ -249,7 +235,8 @@ def test_four_process_uneven_stripes_merge_exactly(test_files):
     gro = os.path.join(test_files, "example.gro")
     xtc = os.path.join(test_files, "short_trajectory.xtc")
     results = _spawn_cluster(_UNEVEN_WORKER, 4,
-                             {"repo": REPO, "gro": gro, "xtc": xtc})
+                             {"repo": REPO, "gro": gro, "xtc": xtc},
+                             retries=1)
     for rc, out, err in results:
         assert rc == 0, f"worker failed:\n{out}\n{err}"
     line = next(ln for ln in results[0][1].splitlines()
