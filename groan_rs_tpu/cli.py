@@ -2152,6 +2152,66 @@ def _lie(sp=None, args=None):
           f"(<E_LJ> {out['e_lj_mean']:.3f}, <E_qq> {out['e_qq_mean']:.3f})")
 
 
+@_tool("anaeig", "PCA eigenvector analysis: overlaps, cosine content, "
+       "mode trajectories (gmx anaeig)")
+def _anaeig(sp=None, args=None):
+    if args is None:
+        _common(sp, out="proj.xvg")
+        sp.add_argument("--f2", default=None, nargs="+",
+                        help="second trajectory: compute subspace/"
+                        "covariance overlap between the two PCAs "
+                        "(gmx anaeig -over)")
+        sp.add_argument("--nover", type=int, default=10,
+                        help="modes for the overlap (default 10)")
+        sp.add_argument("--cc", type=int, default=0,
+                        help="print cosine content of the first N PCs "
+                        "(gmx analyze -cc)")
+        sp.add_argument("--nmtraj", default=None,
+                        help="write an oscillation trajectory along "
+                        "--mode here (gmx nmtraj)")
+        sp.add_argument("--mode", type=int, default=1,
+                        help="1-based mode for --nmtraj")
+        sp.add_argument("--amplitude", type=float, default=None,
+                        help="oscillation amplitude in projection units "
+                        "(default: quasi-harmonic sqrt(2 lambda))")
+        sp.add_argument("--nframes", type=int, default=30)
+        sp.add_argument("--ncomp", type=int, default=None)
+        return
+    from . import models
+    from .io.xvg import write_xvg
+
+    s = _system(args)
+    g = _group(s, args.sel)
+    a = models.pca(s, _traj(args), g, n_components=args.ncomp,
+                   batch_size=args.batch_size)
+    pr = a["projections"]
+    t = np.arange(pr.shape[0], dtype=np.float64)
+    write_xvg(args.output, [t, pr[:, 0], pr[:, 1]],
+              title="PC projections", xlabel="frame",
+              ylabel="proj (amu^1/2 nm)", legends=["PC1", "PC2"])
+    print(f"wrote {args.output}")
+    if args.cc:
+        cc = models.cosine_content(pr, n_modes=args.cc)
+        for i, c in enumerate(cc):
+            print(f"cosine content PC{i + 1}: {c:.4f}")
+    if args.f2:
+        f2 = args.f2[0] if len(args.f2) == 1 else list(args.f2)
+        b = models.pca(s, f2, g, n_components=args.ncomp,
+                       batch_size=args.batch_size)
+        ov = models.subspace_overlap(a, b, n=min(
+            args.nover, a["eigenvalues"].shape[0],
+            b["eigenvalues"].shape[0]))
+        print(f"subspace overlap ({ov['n']} modes): "
+              f"{ov['subspace_overlap']:.4f} (RMSIP {ov['rmsip']:.4f})")
+        print(f"covariance overlap: {ov['covariance_overlap']:.4f}")
+    if args.nmtraj:
+        mt = models.mode_traj(s, a, g, mode=args.mode,
+                              amplitude=args.amplitude, n=args.nframes,
+                              output=args.nmtraj)
+        print(f"wrote {args.nmtraj} ({args.nframes} frames along "
+              f"PC{args.mode}, amplitude {mt['amplitude']:.4g})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="groan-tpu",

@@ -1954,6 +1954,8 @@ def pca(system, trajectory, group: str, *, n_components: int | None = None,
         "eigenvectors": evecs[:, :n].T.reshape(n, k, 3),
         "projections": proj[:, :n],
         "trace": float(trace),
+        "mass_weighted": bool(mass_weighted),
+        "sqrt_weights": sw_np.astype(np.float64),
     }
 
 
@@ -6004,3 +6006,171 @@ def lie(e_lj, e_qq, *, clj: float = 0.181, cqq: float = 0.5,
             if dg.size > 1 else 0.0,
             "e_lj_mean": float(e_lj.mean()),
             "e_qq_mean": float(e_qq.mean())}
+
+
+def subspace_overlap(pca_a, pca_b, *, n: int | None = None):
+    """Subspace and covariance overlap between two PCA analyses
+    (surpass — the `gmx anaeig -over` workload; absent from the
+    reference, which has no PCA at all).
+
+    Both inputs are `models.pca` result dicts (or any dicts carrying
+    'eigenvectors' [n, K, 3] and 'eigenvalues' [n]) over the SAME atom
+    group and weighting.  Over the first `n` modes of each (default:
+    all modes both analyses carry):
+
+    - inner products d_ij = v_i . w_j ([n, n])
+    - subspace overlap = (1/n) sum_ij d_ij^2 in [0, 1] — 1 iff the two
+      n-dimensional essential subspaces coincide (gmx anaeig's
+      "subspace overlap" / RMSIP^2)
+    - RMSIP = sqrt(subspace overlap) (root-mean-square inner product)
+    - covariance overlap (Hess, Phys Rev E 65 031910, gmx anaeig's
+      second number): 1 - sqrt[(sum_i la_i + sum_j lb_j -
+      2 sum_ij sqrt(la_i lb_j) d_ij^2) / (sum_i la_i + sum_j lb_j)]
+      — also weighs how similar the fluctuation MAGNITUDES along the
+      shared directions are.
+
+    All arithmetic is float64 on host (the matrices are [n, 3K] — tiny
+    next to the trajectory passes that produced them).
+
+    Returns a dict: 'n', 'inner' [n, n], 'subspace_overlap', 'rmsip',
+    'covariance_overlap'.
+    """
+    va = np.asarray(pca_a["eigenvectors"], np.float64)
+    vb = np.asarray(pca_b["eigenvectors"], np.float64)
+    if va.ndim != 3 or vb.ndim != 3 or va.shape[1:] != vb.shape[1:]:
+        raise ParallelError(
+            f"eigenvector shapes do not match: {va.shape} vs {vb.shape} "
+            "(both analyses must cover the same atom group)")
+    la = np.asarray(pca_a["eigenvalues"], np.float64)
+    lb = np.asarray(pca_b["eigenvalues"], np.float64)
+    n_max = min(va.shape[0], vb.shape[0], la.shape[0], lb.shape[0])
+    n = n_max if n is None else int(n)
+    if not 0 < n <= n_max:
+        raise ParallelError(
+            f"n must be in [1, {n_max}] (modes carried by both analyses), "
+            f"got {n}")
+    a = va[:n].reshape(n, -1)
+    b = vb[:n].reshape(n, -1)
+    d = a @ b.T
+    ss = d * d
+    overlap = float(ss.sum() / n)
+    la_n = np.clip(la[:n], 0.0, None)
+    lb_n = np.clip(lb[:n], 0.0, None)
+    denom = float(la_n.sum() + lb_n.sum())
+    if denom > 0:
+        cross = float((np.sqrt(np.outer(la_n, lb_n)) * ss).sum())
+        cov_overlap = 1.0 - np.sqrt(max(denom - 2.0 * cross, 0.0) / denom)
+    else:
+        cov_overlap = float("nan")
+    return {"n": n, "inner": d, "subspace_overlap": overlap,
+            "rmsip": float(np.sqrt(overlap)),
+            "covariance_overlap": float(cov_overlap)}
+
+
+def cosine_content(projections, *, n_modes: int | None = None):
+    """Cosine content of principal-component projections (surpass — the
+    `gmx analyze -cc` workload; absent from the reference).
+
+    For mode i (1-based), the cosine content of its projection series
+    p ([F]) is
+
+      c_i = (2/F) * (sum_j cos(i pi j / (F-1)) p_j)^2 / sum_j p_j^2
+
+    in [0, 1]: values near 1 mean the PC looks like the i-th cosine —
+    the signature of random diffusion rather than converged sampling
+    (Hess, Phys Rev E 65 031910).  `projections` is `models.pca`'s
+    'projections' [F, n] (or any [F] / [F, n] series); float64 on host.
+
+    Returns c [n_modes] (or a scalar for a 1-D input).
+    """
+    p = np.asarray(projections, np.float64)
+    scalar = p.ndim == 1
+    if scalar:
+        p = p[:, None]
+    if p.ndim != 2 or p.shape[0] < 2:
+        raise ParallelError(
+            f"projections must be [F>=2] or [F>=2, n], got {p.shape}")
+    f, n_all = p.shape
+    n = n_all if n_modes is None else min(int(n_modes), n_all)
+    if n < 1:
+        raise ParallelError(f"n_modes must be >= 1, got {n_modes}")
+    t = np.arange(f, dtype=np.float64) / (f - 1)
+    cc = np.empty(n, np.float64)
+    for i in range(n):
+        y = p[:, i]
+        denom = float(y @ y)
+        if denom == 0.0:
+            cc[i] = 0.0
+            continue
+        num = float(np.cos((i + 1) * np.pi * t) @ y)
+        cc[i] = 2.0 / f * num * num / denom
+    return float(cc[0]) if scalar else cc
+
+
+def mode_traj(system, pca_result, group: str, *, mode: int = 1,
+              amplitude: float | None = None, n: int = 30,
+              phases: int = 1, output: str | None = None,
+              outfmt: str | None = None):
+    """Oscillation trajectory along a principal mode (surpass — the
+    `gmx nmtraj` workload over quasi-harmonic modes; absent from the
+    reference).
+
+    Generates `n` frames x(t) = mean + A cos(2 pi (phases * t / n))
+    * v_mode / sw, where `mean` and `v_mode` come from `pca_result`
+    (a `models.pca` dict over `group`) and `sw` undoes its sqrt-mass
+    weighting so the output is in plain nm.  `mode` is 1-based.  The
+    default amplitude is the quasi-harmonic thermal extreme
+    sqrt(2 lambda_mode) in mass-weighted coordinates (RMS fluctuation
+    along the mode times sqrt(2) — the turning point of a harmonic
+    oscillator carrying that variance); pass `amplitude` (same
+    amu^1/2 nm units the projections use) to override, e.g. the
+    min/max observed projection for a data-spanning sweep.
+
+    With `output`, the frames are written as a `group` trajectory in
+    any writer format (like `gmx nmtraj -o`).
+
+    Returns a dict: 'frames' [n, K, 3] (nm), 'displacement' [n]
+    (the cosine coordinate in projection units), 'amplitude'.
+    """
+    if not 1 <= int(mode) <= pca_result["eigenvectors"].shape[0]:
+        raise ParallelError(
+            f"mode must be in [1, {pca_result['eigenvectors'].shape[0]}], "
+            f"got {mode}")
+    if n < 2:
+        raise ParallelError(f"mode_traj needs n >= 2 frames, got {n}")
+    idx = _transient_indices(system, group)
+    mean = np.asarray(pca_result["mean"], np.float64)
+    if mean.shape[0] != idx.size:
+        raise ParallelError(
+            f"pca_result covers {mean.shape[0]} atoms but group "
+            f"'{group}' selects {idx.size}")
+    ev = np.asarray(pca_result["eigenvectors"][int(mode) - 1], np.float64)
+    sw = np.asarray(
+        pca_result.get("sqrt_weights",
+                       np.sqrt(np.asarray(system.topology.mass,
+                                          np.float64)[idx])
+                       if pca_result.get("mass_weighted", True)
+                       else np.ones(idx.size)), np.float64)
+    if amplitude is None:
+        lam = float(pca_result["eigenvalues"][int(mode) - 1])
+        amplitude = float(np.sqrt(max(2.0 * lam, 0.0)))
+    disp = float(amplitude) * np.cos(
+        2.0 * np.pi * float(phases) * np.arange(int(n)) / int(n))
+    frames = (mean[None] + disp[:, None, None]
+              * (ev / sw[:, None])[None]).astype(np.float32)
+
+    out = {"frames": frames, "displacement": disp,
+           "amplitude": float(amplitude)}
+    if output is not None:
+        wsys = system.copy()
+        with _named_group(wsys, group, "__modetraj_w") as gw:
+            wsys.group_traj_writer_init(gw, output, fmt=outfmt)
+            try:
+                for k in range(int(n)):
+                    wsys.positions[idx] = frames[k]
+                    wsys.set_time(float(k))
+                    wsys.traj_write_frame()
+            finally:
+                wsys.traj_writers_close()
+        out["written"] = output
+    return out

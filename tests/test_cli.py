@@ -122,6 +122,28 @@ def test_covar_and_entropy(tmp_path, capsys):
     assert "Schlitter" in txt and os.path.exists(ent)
 
 
+def test_anaeig_tool(tmp_path, capsys):
+    proj = str(tmp_path / "proj.xvg")
+    nm = str(tmp_path / "mode.xtc")
+    _run(["anaeig", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-o", proj, "--f2", XTC, "--nover", "3", "--cc", "2",
+          "--nmtraj", nm, "--mode", "1", "--nframes", "7"])
+    txt = capsys.readouterr().out
+    assert read_xvg(proj).shape == (11, 3)
+    # overlap of a trajectory with itself is exactly 1
+    line = [ln for ln in txt.splitlines() if "subspace overlap" in ln][0]
+    assert "(3 modes): 1.0000" in line and "RMSIP 1.0000" in line
+    assert "covariance overlap: 1.0000" in [
+        ln for ln in txt.splitlines() if "covariance" in ln][0]
+    assert "cosine content PC1" in txt
+    assert os.path.exists(nm)
+    from groan_rs_tpu.system import System
+    s = System.from_file(TPR)
+    s.group_create("Prot", "@protein")
+    sub = s.group_extract("Prot")
+    assert sum(1 for _ in sub.xtc_iter(nm)) == 7
+
+
 def test_cluster_tool(tmp_path, capsys):
     out = str(tmp_path / "cl.txt")
     _run(["cluster", "-s", TPR, "-f", XTC, "--sel", "@protein",
