@@ -1274,8 +1274,23 @@ def _rama(sp=None, args=None):
 def _mindist(sp=None, args=None):
     if args is None:
         _common(sp, out="mindist.xvg", windowed=True)
-        sp.add_argument("--ref", required=True, help="second selection")
+        sp.add_argument("--ref", default=None, help="second selection")
+        sp.add_argument("--pi", action="store_true",
+                        help="min distance to the group's own periodic "
+                        "images + max internal distance (gmx mindist -pi)")
         return
+    if args.pi:
+        from . import models
+
+        s = _system(args)
+        out = models.pi_mindist(s, _traj(args), args.sel,
+                                batch_size=args.batch_size)
+        _xvg(args, [out["times"], out["min_image"], out["max_internal"]],
+             title="Periodic image distance", xlabel="time (ps)",
+             ylabel="distance (nm)", legends=["min image", "max internal"])
+        return
+    if not args.ref:
+        raise GroanError("mindist needs --ref (or --pi)")
     def build(s, g, p):
         r = _group(s, args.ref, "__cli_ref")
         p.add_min_distance(g, r, name="d")

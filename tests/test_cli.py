@@ -122,6 +122,19 @@ def test_covar_and_entropy(tmp_path, capsys):
     assert "Schlitter" in txt and os.path.exists(ent)
 
 
+def test_mindist_pi_tool(tmp_path):
+    out = str(tmp_path / "pi.xvg")
+    _run(["mindist", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "--pi", "-o", out])
+    d = read_xvg(out)
+    assert d.shape == (11, 3)
+    assert (d[:, 1] > 0.1).all()          # min image distance
+    assert (d[:, 2] > d[:, 1] * 0).all() and (d[:, 2] > 0.5).all()
+    # without --pi, --ref is required
+    assert cli.main(["mindist", "-s", TPR, "-f", XTC, "--sel",
+                     "@protein", "-o", out]) == 1
+
+
 def test_anaeig_tool(tmp_path, capsys):
     proj = str(tmp_path / "proj.xvg")
     nm = str(tmp_path / "mode.xtc")
