@@ -1331,6 +1331,15 @@ def _trjconv(sp=None, args=None):
                         help="wrap atoms into the box (after transforms)")
         sp.add_argument("--outfmt", default=None,
                         help="output format override (xtc/trr/gro/tng)")
+        sp.add_argument("--dump", type=float, default=None,
+                        help="write ONLY the frame nearest this time "
+                        "(ps; gmx trjconv -dump)")
+        sp.add_argument("--split", type=float, default=None,
+                        help="start a new numbered output file every "
+                        "this many ps (gmx trjconv -split)")
+        sp.add_argument("--sep", action="store_true",
+                        help="write each frame to its own numbered "
+                        "file (gmx trjconv -sep)")
         return
     from .models.convert import (CenterConverter, FitConverter,
                                  MakeWholeConverter, TranslateConverter,
@@ -1360,15 +1369,77 @@ def _trjconv(sp=None, args=None):
     files = _traj(args)
     reader = (s.traj_cat_iter(files, **w) if isinstance(files, list)
               else s.traj_iter(files, **w))
-    s.group_traj_writer_init(g, args.output, fmt=args.outfmt)
+
+    if args.dump is not None:
+        best = None
+        for _ in convert_iter(reader, convs):
+            t = s.get_time()
+            d = abs(t - args.dump)
+            if best is None or d < best[0]:
+                best = (d, s.positions.copy(), s.get_box_copy(), t)
+        if best is None:
+            raise GroanError("trajectory has no frames in the window")
+        _, pos, box, t = best
+        s.positions[:] = pos
+        s.set_box(box)
+        s.set_time(t)
+        s.group_traj_writer_init(g, args.output, fmt=args.outfmt)
+        try:
+            s.traj_write_frame()
+        finally:
+            s.traj_writers_close()
+        print(f"wrote frame at t={t:g} ps (requested {args.dump:g}) "
+              f"to {args.output}")
+        return
+
+    import os as _os
+
+    def _numbered(path, i):
+        root, ext = _os.path.splitext(path)
+        return f"{root}.part{i:04d}{ext}"
+
     n = 0
+    seg = None
+    seg_t0 = None
+    writer_open = False
+    written = []
+
+    def _open(path):
+        s.group_traj_writer_init(g, path, fmt=args.outfmt)
+        written.append(path)
+
     try:
         for _ in convert_iter(reader, convs):
+            t = s.get_time()
+            if args.sep:
+                if writer_open:
+                    s.traj_writers_close()
+                _open(_numbered(args.output, n))
+                writer_open = True
+            elif args.split is not None:
+                if seg_t0 is None:
+                    seg_t0 = t
+                want = int((t - seg_t0) // args.split)
+                if want != seg:
+                    if writer_open:
+                        s.traj_writers_close()
+                    seg = want
+                    _open(_numbered(args.output, seg))
+                    writer_open = True
+            elif not writer_open:
+                _open(args.output)
+                writer_open = True
             s.traj_write_frame()
             n += 1
     finally:
-        s.traj_writers_close()
-    print(f"wrote {n} frames to {args.output}")
+        if writer_open:
+            s.traj_writers_close()
+    if len(written) == 1:
+        print(f"wrote {n} frames to {written[0]}")
+    else:
+        print(f"wrote {n} frames to {len(written)} files "
+              f"({written[0]} .. {written[-1]})" if written
+              else "wrote 0 frames")
 
 
 @_tool("trjcat", "concatenate trajectories, dedup boundaries (gmx trjcat)")
@@ -2225,6 +2296,71 @@ def _anaeig(sp=None, args=None):
                               output=args.nmtraj)
         print(f"wrote {args.nmtraj} ({args.nframes} frames along "
               f"PC{args.mode}, amplitude {mt['amplitude']:.4g})")
+
+
+@_tool("dump", "print file contents as text (gmx dump)")
+def _dump(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-s", "--structure", default=None,
+                        help="structure/topology file (tpr/gro/pdb/pqr)")
+        sp.add_argument("-f", "--trajectory", default=None, nargs="+",
+                        help="trajectory file(s); requires -s")
+        sp.add_argument("--max-atoms", type=int, default=10,
+                        help="atoms to print per section (default 10)")
+        sp.add_argument("--max-frames", type=int, default=5,
+                        help="frames to print (default 5)")
+        return
+    if not args.structure:
+        raise GroanError("dump needs -s (and optionally -f)")
+    from .system import System
+
+    s = System.from_file(args.structure)
+    topo = s.topology
+    n = s.get_n_atoms()
+    print(f"{args.structure}:")
+    print(f"  natoms = {n}")
+    box = s.get_box()
+    if box is not None:
+        m = np.asarray(box.to_matrix(), np.float64)
+        print(f"  box (nm) = [{m[0, 0]:.5f} {m[1, 1]:.5f} {m[2, 2]:.5f}]"
+              + ("" if box.is_orthogonal() else
+                 f" off-diagonal yx={m[1, 0]:.5f} zx={m[2, 0]:.5f} "
+                 f"zy={m[2, 1]:.5f}"))
+    nb = (sum(len(b) for b in topo.bonded) // 2
+          if topo.has_bonds() else 0)
+    print(f"  bonds = {nb}")
+    if getattr(s, "groups", None):
+        names = ", ".join(sorted(s.groups))
+        print(f"  groups = {names}")
+    k = min(int(args.max_atoms), n)
+    for i in range(k):
+        parts = [f"  atom {i}: {topo.resnum[i]} {topo.resname.get(i)} "
+                 f"{topo.atomname.get(i)} (#{topo.atomnum[i]})"]
+        if topo.has_mass[i]:
+            parts.append(f"m={float(topo.mass[i]):.4f}")
+        if topo.has_charge[i]:
+            parts.append(f"q={float(topo.charge[i]):+.4f}")
+        pos = s.positions[i]
+        parts.append(f"x=({pos[0]:.4f} {pos[1]:.4f} {pos[2]:.4f})")
+        print(" ".join(parts))
+    if n > k:
+        print(f"  ... {n - k} more atoms")
+    if args.trajectory:
+        files = args.trajectory
+        reader = s.traj_cat_iter(list(files))
+        for fi, _ in enumerate(reader):
+            if fi >= int(args.max_frames):
+                print("  ...")
+                break
+            b = s.get_box()
+            lens = (np.diag(np.asarray(b.to_matrix()))
+                    if b is not None else np.zeros(3))
+            print(f"  frame {fi}: t={s.get_time():g} ps "
+                  f"box=({lens[0]:.4f} {lens[1]:.4f} {lens[2]:.4f})")
+            for i in range(min(int(args.max_atoms), n)):
+                pos = s.positions[i]
+                print(f"    x[{i}] = ({pos[0]:.5f} {pos[1]:.5f} "
+                      f"{pos[2]:.5f})")
 
 
 def main(argv=None):

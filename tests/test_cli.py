@@ -248,6 +248,53 @@ def test_trjconv_subset_roundtrip(tmp_path):
         np.testing.assert_allclose(pg, pw, atol=1.5e-3)
 
 
+def test_trjconv_dump_split_sep(tmp_path, capsys):
+    from groan_rs_tpu.system import System
+
+    # --dump: the single frame nearest the requested time.  The fixture
+    # has 11 frames at 0,100,...,1000 ps: t=540 picks the 500 ps frame
+    out = str(tmp_path / "dump.gro")
+    _run(["trjconv", "-s", TPR, "-f", XTC, "-o", out, "--dump", "540"])
+    assert "t=500" in capsys.readouterr().out
+    s = System.from_file(TPR)
+    frames = [(f.get_time(), f.positions.copy()) for f in s.xtc_iter(XTC)]
+    want = [p for (t, p) in frames if t == 500.0][0]
+    got = System.from_file(out)
+    assert got.get_n_atoms() == s.get_n_atoms()
+    np.testing.assert_allclose(got.positions, want, atol=1.5e-3)
+
+    # --sep: one numbered file per frame
+    outs = str(tmp_path / "sep.xtc")
+    _run(["trjconv", "-s", TPR, "-f", XTC, "-o", outs, "--sep",
+          "-e", "400"])
+    import glob
+
+    parts = sorted(glob.glob(str(tmp_path / "sep.part*.xtc")))
+    assert len(parts) == 5                      # 0, 100, ..., 400 ps
+    s2 = System.from_file(TPR)
+    assert sum(1 for _ in s2.xtc_iter(parts[0])) == 1
+
+    # --split 300: segments [200..400], [500..700], ...
+    outp = str(tmp_path / "spl.xtc")
+    _run(["trjconv", "-s", TPR, "-f", XTC, "-o", outp, "--split", "300"])
+    parts = sorted(glob.glob(str(tmp_path / "spl.part*.xtc")))
+    assert len(parts) == 4                      # [0,300) [300,600) ...
+    counts = [sum(1 for _ in System.from_file(TPR).xtc_iter(p))
+              for p in parts]
+    assert counts == [3, 3, 3, 2]
+
+
+def test_dump_tool(capsys):
+    _run(["dump", "-s", TPR, "-f", XTC, "--max-atoms", "3",
+          "--max-frames", "2"])
+    txt = capsys.readouterr().out
+    assert "natoms = 16844" in txt
+    assert "atom 0:" in txt and "atom 2:" in txt
+    assert "frame 0: t=0" in txt and "frame 1: t=100" in txt
+    assert "x[2] =" in txt
+    assert cli.main(["dump"]) == 1              # needs -s
+
+
 def test_trjconv_pbc_whole_and_windows(tmp_path):
     from groan_rs_tpu.models.convert import MakeWholeConverter, convert_iter
     from groan_rs_tpu.system import System
