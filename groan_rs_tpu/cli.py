@@ -173,11 +173,33 @@ def _msd(sp=None, args=None):
         sp.add_argument("--dims", default="xyz",
                         help="displacement axes, e.g. xy = lateral "
                         "(gmx msd -lateral z)")
+        sp.add_argument("--mol", default=None, metavar="DIFF_XVG",
+                        help="per-molecule COM MSD: write each "
+                        "molecule's D here (gmx msd -mol)")
         return
     from . import models
 
     s = _system(args)
     g = _group(s, args.sel)
+    if args.mol:
+        out = models.msd_mol(s, _traj(args), g,
+                             fit_range=(args.beginfit, args.endfit),
+                             dims=args.dims, batch_size=args.batch_size)
+        _xvg(args, [out["lag_times"], out["msd_mean"]],
+             title="COM MSD (molecule mean)", xlabel="lag time (ps)",
+             ylabel="MSD (nm^2)", legends=["msd"])
+        from .io.xvg import write_xvg
+
+        write_xvg(args.mol,
+                  [np.arange(out["n_molecules"], dtype=np.float64),
+                   out["D_1e5"]],
+                  title="Per-molecule diffusion", xlabel="molecule",
+                  ylabel="D (1e-5 cm^2/s)", legends=["D"])
+        print(f"wrote {args.mol}")
+        print(f"D = {out['D_mean'] * 1e5:.6g} +/- "
+              f"{out['D_std'] * 1e5:.6g} 1e-5 cm^2/s "
+              f"({out['n_molecules']} molecules)")
+        return
     out = models.diffusion(s, _traj(args), g,
                            fit_range=(args.beginfit, args.endfit),
                            dims=args.dims, batch_size=args.batch_size)

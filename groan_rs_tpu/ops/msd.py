@@ -168,3 +168,31 @@ def legendre_lag_correlation(series, lags, order: int = 2):
         return jnp.sum(jnp.where(valid, per_origin, 0.0)) / n
 
     return jax.lax.map(one, jnp.asarray(lags, jnp.int32))
+
+
+def msd_lags_per_entity(unwrapped, lags, axis_mask=None):
+    """Per-entity MSD over the given frame lags.
+
+    Like `msd_lags`, but the K axis holds independent entities (e.g.
+    molecule COMs) whose curves stay separate: returns `[L, K]` — the
+    mean over time origins only.  One `lax.map` dispatch for the whole
+    family of curves (the `gmx msd -mol` kernel).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    u = jnp.asarray(unwrapped)
+    f = u.shape[0]
+    t = jnp.arange(f)
+    am = None if axis_mask is None else jnp.asarray(axis_mask, u.dtype)
+
+    def one(lag):
+        disp = jnp.roll(u, -lag, axis=0) - u
+        if am is not None:
+            disp = disp * am
+        sq = jnp.sum(disp * disp, axis=-1)            # [F, K]
+        valid = (t < f - lag)[:, None]
+        n = jnp.maximum(f - lag, 1)
+        return jnp.sum(jnp.where(valid, sq, 0.0), axis=0) / n
+
+    return jax.lax.map(one, jnp.asarray(lags, jnp.int32))

@@ -122,6 +122,19 @@ def test_covar_and_entropy(tmp_path, capsys):
     assert "Schlitter" in txt and os.path.exists(ent)
 
 
+def test_msd_mol_tool(tmp_path, capsys):
+    out = str(tmp_path / "msd.xvg")
+    dxvg = str(tmp_path / "diff.xvg")
+    _run(["msd", "-s", TPR, "-f", XTC, "--sel", "@protein",
+          "-o", out, "--mol", dxvg])
+    txt = capsys.readouterr().out
+    assert "molecules)" in txt
+    assert read_xvg(out).shape == (11, 2)
+    d = read_xvg(dxvg)
+    # Martini protein: one bonded molecule
+    assert d.shape == (1, 2)
+
+
 def test_mindist_pi_tool(tmp_path):
     out = str(tmp_path / "pi.xvg")
     _run(["mindist", "-s", TPR, "-f", XTC, "--sel", "@protein",
