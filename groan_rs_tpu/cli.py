@@ -326,6 +326,9 @@ def _hbond(sp=None, args=None):
                         help="write the D-H...A angle distribution "
                         "here (.xvg, gmx hbond -ang)")
         sp.add_argument("--hist-bins", type=int, default=50)
+        sp.add_argument("--life", default=None, metavar="ACF_XVG",
+                        help="write existence ACFs here and print "
+                        "lifetimes (gmx hbond -ac/-life)")
         return
     from .system.hbonds import HBondChain
 
@@ -382,6 +385,31 @@ def _hbond(sp=None, args=None):
                       xlabel="angle (deg)", ylabel="density (1/deg)",
                       legends=["p(theta)"])
         print(f"{len(dists)} bonds histogrammed")
+
+    if args.life:
+        from . import models
+        from .io.xvg import write_xvg
+
+        s = _system(args)
+        chains = [HBondChain(args.acceptors, args.donors, args.hydrogens)]
+        pairs = [(0, 0)]
+        if args.acceptors2:
+            chains.append(HBondChain(args.acceptors2, args.donors2,
+                                     args.hydrogens2))
+            pairs = [(0, 1)]
+        life = models.hbond_lifetime(
+            s, _traj(args), chains, pairs, max_distance=args.cutoff,
+            min_angle=args.angle, batch_size=args.batch_size)
+        write_xvg(args.life,
+                  [life["lag_times"], life["intermittent"],
+                   life["continuous"]],
+                  title="H-bond existence ACF", xlabel="lag time (ps)",
+                  ylabel="C(t)", legends=["intermittent", "continuous"])
+        print(f"wrote {args.life}")
+        print(f"tau_intermittent = {life['tau_intermittent']:.4g} ps, "
+              f"tau_continuous = {life['tau_continuous']:.4g} ps, "
+              f"k_forward = {life['k_forward']:.4g} 1/ps "
+              f"({life['n_bonds_seen']} distinct bonds)")
 
 
 @_tool("dssp", "secondary-structure populations over time (gmx do_dssp)")

@@ -2508,6 +2508,17 @@ def hbond_acf(system, trajectory, chains, pairs, *,
 
     Returns `(lag_times, curve)`: [F] ps offsets and [F] C(tau).
     """
+    times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
+                               max_distance, min_angle, batch_size,
+                               what="hbond_acf")
+    curve = _hbond_curve(h, continuous)
+    lag_times = np.asarray(times, np.float64) - times[0]
+    return lag_times, curve
+
+
+def _hbond_h_matrix(system, trajectory, chains, pairs, max_distance,
+                    min_angle, batch_size, what):
+    """Shared detection pass: per-frame bond existence matrix [F, P]."""
     times, frames = [], []
     seen: dict[tuple, int] = {}
     for time, hmap in system.hbonds_analyze_batched(
@@ -2525,19 +2536,22 @@ def hbond_acf(system, trajectory, chains, pairs, *,
     f = len(frames)
     if f < 2:
         raise ParallelError(
-            f"hbond_acf needs at least 2 frames (trajectory has {f})")
-    p = len(seen)
-    if p == 0:
+            f"{what} needs at least 2 frames (trajectory has {f})")
+    if len(seen) == 0:
         raise ParallelError("no hydrogen bonds found in the trajectory")
-    h = np.zeros((f, p), bool)
+    h = np.zeros((f, len(seen)), bool)
     for t, ids in enumerate(frames):
         h[t, ids] = True
+    return times, h
 
+
+def _hbond_curve(h, continuous):
+    f = h.shape[0]
     mean_h = h.mean()
     curve = np.empty(f)
     if continuous:
         # run[t, p] = length of the 1-run starting at t
-        run = np.zeros((f + 1, p), np.int64)
+        run = np.zeros((f + 1, h.shape[1]), np.int64)
         for t in range(f - 1, -1, -1):
             run[t] = np.where(h[t], run[t + 1] + 1, 0)
         for tau in range(f):
@@ -2545,8 +2559,46 @@ def hbond_acf(system, trajectory, chains, pairs, *,
     else:
         for tau in range(f):
             curve[tau] = (h[: f - tau] & h[tau:]).mean() / mean_h
+    return curve
+
+
+def hbond_lifetime(system, trajectory, chains, pairs, *,
+                   max_distance: float = 0.35, min_angle: float = 120.0,
+                   batch_size: int = 16):
+    """Hydrogen-bond lifetimes from existence autocorrelation (surpass
+    — the `gmx hbond -life`/`-ac` lifetime numbers; absent from the
+    reference).
+
+    ONE batched detection pass builds the [F, P] bond-existence matrix;
+    both ACF definitions come from it:
+
+    - intermittent C(tau) (bonds may break and reform) and its
+      correlation time tau_intermittent = integral C dt (trapezoid over
+      the sampled lags — gmx hbond's -ac integral estimate),
+    - continuous S(tau) (uninterrupted persistence) and tau_continuous
+      = integral S dt, the Rapaport H-bond lifetime gmx hbond -life
+      reports, with k_forward = 1 / tau_continuous (ps^-1).
+
+    Both integrals truncate at the trajectory length — the caller's
+    sampling choice, exactly as in gmx hbond.
+
+    Returns a dict: 'lag_times' [F] (ps), 'intermittent' [F],
+    'continuous' [F], 'tau_intermittent', 'tau_continuous' (ps),
+    'k_forward' (ps^-1), 'n_bonds_seen' P, 'occupancy' (mean of h).
+    """
+    times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
+                               max_distance, min_angle, batch_size,
+                               what="hbond_lifetime")
     lag_times = np.asarray(times, np.float64) - times[0]
-    return lag_times, curve
+    ci = _hbond_curve(h, continuous=False)
+    cc = _hbond_curve(h, continuous=True)
+    tau_i = float(np.trapezoid(ci, lag_times))
+    tau_c = float(np.trapezoid(cc, lag_times))
+    return {"lag_times": lag_times, "intermittent": ci, "continuous": cc,
+            "tau_intermittent": tau_i, "tau_continuous": tau_c,
+            "k_forward": (1.0 / tau_c) if tau_c > 0 else float("inf"),
+            "n_bonds_seen": int(h.shape[1]),
+            "occupancy": float(h.mean())}
 
 
 def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,

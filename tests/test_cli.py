@@ -122,6 +122,23 @@ def test_covar_and_entropy(tmp_path, capsys):
     assert "Schlitter" in txt and os.path.exists(ent)
 
 
+def test_hbond_life_tool(tmp_path, capsys):
+    out = str(tmp_path / "hb.xvg")
+    acf = str(tmp_path / "acf.xvg")
+    _run(["hbond", "-s", AATPR, "-f", AAXTC,
+          "--acceptors", "resname SOL and name OW",
+          "--donors", "resname SOL and name OW",
+          "--hydrogens", "resname SOL and name HW1 HW2",
+          "--cutoff", "0.3", "--angle", "150", "-o", out,
+          "--life", acf])
+    txt = capsys.readouterr().out
+    assert "tau_continuous" in txt and "k_forward" in txt
+    d = read_xvg(acf)
+    assert d.shape[1] == 3
+    assert d[0, 1] == pytest.approx(1.0) and d[0, 2] == pytest.approx(1.0)
+    assert (d[:, 2] <= d[:, 1] + 1e-9).all()
+
+
 def test_msd_mol_tool(tmp_path, capsys):
     out = str(tmp_path / "msd.xvg")
     dxvg = str(tmp_path / "diff.xvg")

@@ -103,3 +103,49 @@ def test_hbond_acf_fixture_water():
     assert c[1] < 1.0 and (c >= 0).all()
     assert c[min(5, len(c) - 1)] < c[1]
     assert np.isfinite(c).all() and len(c) == len(lag_times)
+
+
+def test_hbond_lifetime_exact_pattern(tmp_path):
+    pattern = [1, 1, 1, 0, 1, 1, 0, 0]
+    s, path = _toggle_system(tmp_path, pattern)
+    out = models.hbond_lifetime(s, path, CHAIN, [(0, 0)],
+                                max_distance=0.35, min_angle=150.0)
+    # both curves equal their hbond_acf counterparts exactly
+    _, ci = models.hbond_acf(s, path, CHAIN, [(0, 0)],
+                             max_distance=0.35, min_angle=150.0)
+    _, cc = models.hbond_acf(s, path, CHAIN, [(0, 0)],
+                             max_distance=0.35, min_angle=150.0,
+                             continuous=True)
+    np.testing.assert_allclose(out["intermittent"], ci, atol=1e-12)
+    np.testing.assert_allclose(out["continuous"], cc, atol=1e-12)
+    # trapezoid integrals over the uniform 1 ps grid
+    assert out["tau_intermittent"] == pytest.approx(
+        np.trapezoid(ci, out["lag_times"]))
+    assert out["tau_continuous"] == pytest.approx(
+        np.trapezoid(cc, out["lag_times"]))
+    assert out["k_forward"] == pytest.approx(1.0 / out["tau_continuous"])
+    assert out["tau_continuous"] <= out["tau_intermittent"] + 1e-12
+    assert out["n_bonds_seen"] == 1
+    assert out["occupancy"] == pytest.approx(np.mean(pattern))
+
+
+def test_hbond_lifetime_permanent_bond(tmp_path):
+    """An unbroken bond: C == S == 1 everywhere, tau = full span."""
+    pattern = [1] * 6
+    s, path = _toggle_system(tmp_path, pattern, name="perm.xtc")
+    out = models.hbond_lifetime(s, path, CHAIN, [(0, 0)],
+                                max_distance=0.35, min_angle=150.0)
+    np.testing.assert_allclose(out["intermittent"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(out["continuous"], 1.0, atol=1e-12)
+    assert out["tau_continuous"] == pytest.approx(5.0)   # trapezoid 0..5
+
+
+def test_hbond_lifetime_fixture_water():
+    s = System.from_file(os.path.join(TF, "aa_membrane_peptide.tpr"))
+    xtc = os.path.join(TF, "aa_membrane_peptide.xtc")
+    water = [HBondChain("resname SOL and name OW", "resname SOL and name OW",
+                        "resname SOL and name HW1 HW2")]
+    out = models.hbond_lifetime(s, xtc, water, [(0, 0)],
+                                max_distance=0.3, min_angle=150.0)
+    assert 0 < out["tau_continuous"] <= out["tau_intermittent"]
+    assert out["k_forward"] > 0 and out["n_bonds_seen"] > 4675
