@@ -2413,6 +2413,80 @@ def _dump(sp=None, args=None):
                       f"{pos[2]:.5f})")
 
 
+@_tool("sigeps", "convert c6/c12 <-> sigma/epsilon + LJ curve "
+       "(gmx sigeps)")
+def _sigeps(sp=None, args=None):
+    if args is None:
+        sp.add_argument("--c6", type=float, default=None,
+                        help="C6 (kJ/mol nm^6)")
+        sp.add_argument("--c12", type=float, default=None,
+                        help="C12 (kJ/mol nm^12)")
+        sp.add_argument("--sigma", type=float, default=None, help="nm")
+        sp.add_argument("--eps", type=float, default=None, help="kJ/mol")
+        sp.add_argument("-o", "--output", default=None,
+                        help="write V(r) and F(r) here (.xvg)")
+        sp.add_argument("--rmax", type=float, default=1.5)
+        sp.add_argument("--bins", type=int, default=300)
+        return
+    if args.c6 is not None and args.c12 is not None:
+        c6, c12 = args.c6, args.c12
+        if c6 <= 0 or c12 <= 0:
+            raise GroanError("c6 and c12 must be positive")
+        sigma = (c12 / c6) ** (1.0 / 6.0)
+        eps = c6 * c6 / (4.0 * c12)
+    elif args.sigma is not None and args.eps is not None:
+        sigma, eps = args.sigma, args.eps
+        if sigma <= 0 or eps <= 0:
+            raise GroanError("sigma and eps must be positive")
+        c6 = 4.0 * eps * sigma ** 6
+        c12 = 4.0 * eps * sigma ** 12
+    else:
+        raise GroanError("pass --c6 AND --c12, or --sigma AND --eps")
+    rmin = sigma * 2.0 ** (1.0 / 6.0)
+    print(f"c6 = {c6:.6g} kJ/mol nm^6, c12 = {c12:.6g} kJ/mol nm^12")
+    print(f"sigma = {sigma:.6g} nm, epsilon = {eps:.6g} kJ/mol, "
+          f"rmin = {rmin:.6g} nm")
+    if args.output:
+        from .io.xvg import write_xvg
+
+        r = np.linspace(args.rmax / args.bins, args.rmax, args.bins)
+        v = c12 / r ** 12 - c6 / r ** 6
+        f = 12 * c12 / r ** 13 - 6 * c6 / r ** 7
+        write_xvg(args.output, [r, v, f], title="Lennard-Jones",
+                  xlabel="r (nm)", ylabel="V (kJ/mol), F (kJ/mol nm)",
+                  legends=["V", "F"])
+        print(f"wrote {args.output}")
+
+
+@_tool("genrestr", "generate position-restraint topology entries "
+       "(gmx genrestr)")
+def _genrestr(sp=None, args=None):
+    if args is None:
+        sp.add_argument("-s", "--structure", required=True)
+        sp.add_argument("-n", "--index", default=None)
+        sp.add_argument("--sel", default="all",
+                        help="atoms to restrain (GSL or group name)")
+        sp.add_argument("--fc", type=float, nargs=3,
+                        default=[1000.0, 1000.0, 1000.0],
+                        metavar=("FX", "FY", "FZ"),
+                        help="force constants (kJ/mol nm^2)")
+        sp.add_argument("-o", "--output", default="posre.itp")
+        return
+    s = _system(args)
+    g = _group(s, args.sel)
+    idx = np.asarray(s.group_indices(g))
+    if idx.size == 0:
+        raise GroanError(f"selection '{args.sel}' is empty")
+    fx, fy, fz = args.fc
+    with open(args.output, "w") as fh:
+        fh.write("[ position_restraints ]\n")
+        fh.write(";  i funct       fcx        fcy        fcz\n")
+        for i in idx:
+            # gmx genrestr numbers atoms 1-based within the molecule
+            fh.write(f"{int(i) + 1:4d}    1 {fx:10g} {fy:10g} {fz:10g}\n")
+    print(f"wrote {args.output} ({idx.size} restraints)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="groan-tpu",

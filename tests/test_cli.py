@@ -122,6 +122,45 @@ def test_covar_and_entropy(tmp_path, capsys):
     assert "Schlitter" in txt and os.path.exists(ent)
 
 
+def test_sigeps_tool(tmp_path, capsys):
+    out = str(tmp_path / "lj.xvg")
+    _run(["sigeps", "--sigma", "0.3", "--eps", "0.5", "-o", out])
+    txt = capsys.readouterr().out
+    # round trip: c6 = 4 e s^6, c12 = 4 e s^12
+    c6 = 4 * 0.5 * 0.3 ** 6
+    c12 = 4 * 0.5 * 0.3 ** 12
+    assert f"c6 = {c6:.6g}" in txt and f"c12 = {c12:.6g}" in txt
+    d = read_xvg(out)
+    assert d.shape == (300, 3)
+    # V crosses zero at sigma, minimum is -eps at rmin
+    vmin_idx = np.argmin(d[:, 1])
+    assert d[vmin_idx, 1] == pytest.approx(-0.5, rel=1e-3)
+    assert d[vmin_idx, 0] == pytest.approx(0.3 * 2 ** (1 / 6), abs=0.01)
+    # inverse direction reproduces sigma/eps
+    _run(["sigeps", "--c6", str(c6), "--c12", str(c12)])
+    txt = capsys.readouterr().out
+    assert "sigma = 0.3 nm" in txt and "epsilon = 0.5 kJ/mol" in txt
+    assert cli.main(["sigeps", "--c6", "1.0"]) == 1
+
+
+def test_genrestr_tool(tmp_path):
+    out = str(tmp_path / "posre.itp")
+    _run(["genrestr", "-s", TPR, "--sel", "@protein", "-o", out,
+          "--fc", "500", "500", "500"])
+    lines = open(out).read().splitlines()
+    assert lines[0] == "[ position_restraints ]"
+    body = [ln for ln in lines if ln and not ln.startswith((";", "["))]
+    from groan_rs_tpu.system import System
+
+    s = System.from_file(TPR)
+    s.group_create("P", "@protein")
+    idx = s.group_indices("P")
+    assert len(body) == len(idx)
+    first = body[0].split()
+    assert int(first[0]) == int(idx[0]) + 1 and first[1] == "1"
+    assert float(first[2]) == 500.0
+
+
 def test_hbond_life_tool(tmp_path, capsys):
     out = str(tmp_path / "hb.xvg")
     acf = str(tmp_path / "acf.xvg")
