@@ -399,7 +399,7 @@ def _hbond(sp=None, args=None):
             pairs = [(0, 1)]
         life = models.hbond_lifetime(
             s, _traj(args), chains, pairs, max_distance=args.cutoff,
-            min_angle=args.angle, batch_size=args.batch_size)
+            min_angle=args.angle, **_window(args))
         write_xvg(args.life,
                   [life["lag_times"], life["intermittent"],
                    life["continuous"]],
@@ -408,7 +408,7 @@ def _hbond(sp=None, args=None):
         print(f"wrote {args.life}")
         print(f"tau_intermittent = {life['tau_intermittent']:.4g} ps, "
               f"tau_continuous = {life['tau_continuous']:.4g} ps, "
-              f"k_forward = {life['k_forward']:.4g} 1/ps "
+              f"k_rapaport = 1/tau_c = {life['k_rapaport']:.4g} 1/ps "
               f"({life['n_bonds_seen']} distinct bonds)")
 
 
@@ -624,9 +624,11 @@ def _covar(sp=None, args=None):
         t = np.arange(pr.shape[0], dtype=np.float64)
         from .io.xvg import write_xvg
 
-        write_xvg(args.proj, [t, pr[:, 0], pr[:, 1]],
+        ncols = min(2, pr.shape[1])
+        write_xvg(args.proj, [t] + [pr[:, i] for i in range(ncols)],
                   title="PC projections", xlabel="frame",
-                  ylabel="proj (amu^1/2 nm)", legends=["PC1", "PC2"])
+                  ylabel="proj (amu^1/2 nm)",
+                  legends=[f"PC{i + 1}" for i in range(ncols)])
         print(f"wrote {args.proj}")
     if args.extr:
         pc = args.extr_pc - 1
@@ -1333,8 +1335,8 @@ def _mindist(sp=None, args=None):
         from . import models
 
         s = _system(args)
-        out = models.pi_mindist(s, _traj(args), args.sel,
-                                batch_size=args.batch_size)
+        w = _window(args)
+        out = models.pi_mindist(s, _traj(args), args.sel, **w)
         _xvg(args, [out["times"], out["min_image"], out["max_internal"]],
              title="Periodic image distance", xlabel="time (ps)",
              ylabel="distance (nm)", legends=["min image", "max internal"])
@@ -1394,6 +1396,13 @@ def _trjconv(sp=None, args=None):
     from .models.convert import (CenterConverter, FitConverter,
                                  MakeWholeConverter, TranslateConverter,
                                  UnwrapConverter, WrapConverter)
+
+    if args.split is not None and args.split <= 0:
+        raise GroanError(f"--split must be a positive time interval in "
+                         f"ps (got {args.split:g})")
+    if args.split is not None and args.sep:
+        raise GroanError("--sep and --split are mutually exclusive "
+                         "(one file per frame vs one file per interval)")
 
     s = _system(args)
     g = _group(s, args.sel)
@@ -2322,9 +2331,11 @@ def _anaeig(sp=None, args=None):
                    batch_size=args.batch_size)
     pr = a["projections"]
     t = np.arange(pr.shape[0], dtype=np.float64)
-    write_xvg(args.output, [t, pr[:, 0], pr[:, 1]],
+    ncols = min(2, pr.shape[1])
+    write_xvg(args.output, [t] + [pr[:, i] for i in range(ncols)],
               title="PC projections", xlabel="frame",
-              ylabel="proj (amu^1/2 nm)", legends=["PC1", "PC2"])
+              ylabel="proj (amu^1/2 nm)",
+              legends=[f"PC{i + 1}" for i in range(ncols)])
     print(f"wrote {args.output}")
     if args.cc:
         cc = models.cosine_content(pr, n_modes=args.cc)

@@ -1221,8 +1221,21 @@ class PipelineRunner:
                     "hbond analyses score candidates host-side and need "
                     "the streamed pass; run them with a filename")
             self._check_resident_layout(filename)
-            out = self._engine_1dev().run_resident(filename,
-                                                   batch_size=batch_size)
+            eng = self._engine_1dev()
+            # Long windows run as ONE dispatch + ONE packed fetch (a
+            # lax.scan over batch slabs, engine.run_resident_fused):
+            # per-batch dispatch overhead would otherwise floor the pass.
+            # Short windows keep the per-batch path, whose tiling is
+            # bit-identical to the streamed wire.  GROAN_RESIDENT_FUSED
+            # = 1/0 forces either; "auto" fuses at >= 4 batches.
+            fused_env = os.environ.get("GROAN_RESIDENT_FUSED", "auto")
+            n_batches = -(-filename.n_frames // max(1, batch_size))
+            use_fused = (fused_env == "1"
+                         or (fused_env == "auto" and n_batches >= 4))
+            if use_fused:
+                out = eng.run_resident_fused(filename, batch_size=batch_size)
+            else:
+                out = eng.run_resident(filename, batch_size=batch_size)
             if out is None:
                 out = {}
             self._finish_dense_guards_resident(out, filename)
@@ -1283,7 +1296,8 @@ class PipelineRunner:
                 fbs = list(reader.batches(batch_size=n_f, wire=wire1,
                                           prefetch=False))
                 if len(fbs) == 1 and fbs[0].wire in ("q16", "f32"):
-                    out = self.engine.run_oneshot(fbs[0])
+                    out = self.engine.run_oneshot(
+                        fbs[0], device=self._oneshot_device(est))
                     if on_batch is not None:
                         on_batch(fbs[0])
 
@@ -1332,6 +1346,42 @@ class PipelineRunner:
         out["times"] = reader.times
         out["steps"] = reader.steps
         return out
+
+    def _oneshot_device(self, est_bytes):
+        """Pick where a one-shot pass runs.
+
+        A tiny pass (a few hundred KB of wire, microseconds of
+        arithmetic) through a remote-accelerator tunnel pays ~2 round
+        trips of pure latency; the LOCAL CPU backend runs the same fused
+        jitted step in under a millisecond (the `ops.interactive`
+        rationale — BASELINE.md rows 5-7 are the reference's ~400-atom
+        partial reads at ~16,700 f/s, an economics the tunnel RTT alone
+        forbids).  Route host when the wire estimate fits
+        `GROAN_ONESHOT_HOST_BYTES` (default 1.5 MB — below it CPU compute
+        is well under the ~50 ms 2-RTT floor) and the default backend is
+        not already the CPU.  `GROAN_ONESHOT_DEVICE=remote` forces the
+        accelerator; `=host` forces the CPU backend; `=auto` (default)
+        applies the size gate.  Results are the same fused step on
+        another backend: float32-exact to normal cross-backend ulps,
+        parity-checked in tests and bench.
+        """
+        mode = os.environ.get("GROAN_ONESHOT_DEVICE", "auto")
+        if mode == "remote":
+            return None
+        from ..ops import interactive
+
+        cpu = interactive._cpu()
+        if cpu is None:
+            return None
+        if mode == "host":
+            return cpu
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return None  # already local; placement changes nothing
+        host_budget = int(os.environ.get("GROAN_ONESHOT_HOST_BYTES",
+                                         1_500_000))
+        return cpu if est_bytes <= host_budget else None
 
     def _finish_dense_guards_resident(self, out, dt):
         """Strict dense hbonds on a device-resident pass: any frame whose
@@ -2117,16 +2167,25 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
 
 
 def _resident_group_pos(system, trajectory, group, batch_size,
-                        require_ortho: str | None = None):
+                        require_ortho: str | None = None,
+                        start_time=None, end_time=None, step=None):
     """Shared loader: the group's device-resident float32 positions
     `[F, K, 3]`, boxes, global indices, and the DeviceTrajectory.
 
     `group` is an existing group name OR a GSL query (compiled into a
-    transient group for the duration of the load)."""
+    transient group for the duration of the load).  The time window
+    (`start_time`/`end_time`/`step`) applies at load; a pre-loaded
+    DeviceTrajectory already fixes its frame set, so combining one with
+    a window raises."""
     import jax.numpy as jnp
 
     from ..parallel.engine import DeviceTrajectory
 
+    if (isinstance(trajectory, DeviceTrajectory)
+            and any(v is not None for v in (start_time, end_time, step))):
+        raise ParallelError(
+            "a DeviceTrajectory already fixes its frame window; apply "
+            "-b/-e/--step when loading it (load_device(start_time=...))")
     tmp = None
     try:
         system.group_indices(group)
@@ -2150,7 +2209,9 @@ def _resident_group_pos(system, trajectory, group, batch_size,
             cols = _resident_group_cols(system, dt, group, gsel)
         else:
             runner = TrajectoryAnalysis(system).runner(group=group)
-            dt = runner.load_device(trajectory, batch_size=batch_size)
+            dt = runner.load_device(trajectory, batch_size=batch_size,
+                                    start_time=start_time,
+                                    end_time=end_time, step=step)
             cols = np.arange(len(gsel))
     finally:
         if tmp is not None:
@@ -2493,7 +2554,8 @@ def leaflets(system, trajectory, heads: str, *, axis: str = "z",
 
 def hbond_acf(system, trajectory, chains, pairs, *,
               max_distance: float = 0.35, min_angle: float = 120.0,
-              continuous: bool = False, batch_size: int = 16):
+              continuous: bool = False, batch_size: int = 16,
+              start_time=None, end_time=None, step=None):
     """Hydrogen-bond existence autocorrelation (surpass — `gmx hbond
     -ac`; the reference detects bonds per frame, hbonds.rs:457, but has
     no lifetime analysis).
@@ -2510,20 +2572,23 @@ def hbond_acf(system, trajectory, chains, pairs, *,
     """
     times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
                                max_distance, min_angle, batch_size,
-                               what="hbond_acf")
+                               what="hbond_acf", start_time=start_time,
+                               end_time=end_time, step=step)
     curve = _hbond_curve(h, continuous)
     lag_times = np.asarray(times, np.float64) - times[0]
     return lag_times, curve
 
 
 def _hbond_h_matrix(system, trajectory, chains, pairs, max_distance,
-                    min_angle, batch_size, what):
+                    min_angle, batch_size, what,
+                    start_time=None, end_time=None, step=None):
     """Shared detection pass: per-frame bond existence matrix [F, P]."""
     times, frames = [], []
     seen: dict[tuple, int] = {}
     for time, hmap in system.hbonds_analyze_batched(
             trajectory, chains, pairs, max_distance, min_angle,
-            batch_size=batch_size):
+            batch_size=batch_size, start_time=start_time,
+            end_time=end_time, step=step):
         times.append(time)
         ids = []
         for pk, bonds in hmap.items():
@@ -2564,7 +2629,8 @@ def _hbond_curve(h, continuous):
 
 def hbond_lifetime(system, trajectory, chains, pairs, *,
                    max_distance: float = 0.35, min_angle: float = 120.0,
-                   batch_size: int = 16):
+                   batch_size: int = 16,
+                   start_time=None, end_time=None, step=None):
     """Hydrogen-bond lifetimes from existence autocorrelation (surpass
     — the `gmx hbond -life`/`-ac` lifetime numbers; absent from the
     reference).
@@ -2577,7 +2643,12 @@ def hbond_lifetime(system, trajectory, chains, pairs, *,
       the sampled lags — gmx hbond's -ac integral estimate),
     - continuous S(tau) (uninterrupted persistence) and tau_continuous
       = integral S dt, the Rapaport H-bond lifetime gmx hbond -life
-      reports, with k_forward = 1 / tau_continuous (ps^-1).
+      reports, with k_rapaport = 1 / tau_continuous (ps^-1).  NOTE:
+      this is the Rapaport lifetime inverse, NOT the Luzar-Chandler
+      forward rate constant k that `gmx hbond` fits from the
+      intermittent ACF kinetics — users comparing against gmx's
+      printed k should expect systematically different numbers
+      ('k_forward' is kept as a deprecated alias of 'k_rapaport').
 
     Both integrals truncate at the trajectory length — the caller's
     sampling choice, exactly as in gmx hbond.
@@ -2588,15 +2659,18 @@ def hbond_lifetime(system, trajectory, chains, pairs, *,
     """
     times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
                                max_distance, min_angle, batch_size,
-                               what="hbond_lifetime")
+                               what="hbond_lifetime",
+                               start_time=start_time, end_time=end_time,
+                               step=step)
     lag_times = np.asarray(times, np.float64) - times[0]
     ci = _hbond_curve(h, continuous=False)
     cc = _hbond_curve(h, continuous=True)
     tau_i = float(np.trapezoid(ci, lag_times))
     tau_c = float(np.trapezoid(cc, lag_times))
+    k_rap = (1.0 / tau_c) if tau_c > 0 else float("inf")
     return {"lag_times": lag_times, "intermittent": ci, "continuous": cc,
             "tau_intermittent": tau_i, "tau_continuous": tau_c,
-            "k_forward": (1.0 / tau_c) if tau_c > 0 else float("inf"),
+            "k_rapaport": k_rap, "k_forward": k_rap,
             "n_bonds_seen": int(h.shape[1]),
             "occupancy": float(h.mean())}
 
@@ -6161,7 +6235,8 @@ def lie(e_lj, e_qq, *, clj: float = 0.181, cqq: float = 0.5,
 
 
 def pi_mindist(system, trajectory, group: str = "all", *,
-               chunk: int = 128, batch_size: int = 32):
+               chunk: int = 128, batch_size: int = 32,
+               start_time=None, end_time=None, step=None):
     """Shortest distance between a group and its own periodic images
     (surpass — the `gmx mindist -pi` workload; absent from the
     reference).
@@ -6184,7 +6259,8 @@ def pi_mindist(system, trajectory, group: str = "all", *,
     and 'max_internal' [F] (nm).
     """
     gsel, pos, boxes, dt = _resident_group_pos(
-        system, trajectory, group, batch_size)
+        system, trajectory, group, batch_size,
+        start_time=start_time, end_time=end_time, step=step)
     mn, mx = distance_ops.self_image_min(pos, boxes, chunk=int(chunk))
     return {"indices": gsel, "times": np.asarray(dt.times, np.float64),
             "min_image": np.asarray(mn, np.float64),

@@ -145,6 +145,7 @@ class FrameEngine:
         # per-batch stage clocks of the most recent pass (see run())
         self.last_stage_seconds = {"decode_wait": [], "h2d": [], "dispatch": []}
         self.last_fetch_seconds = 0.0
+        self.last_batch_walls = []
         self.frames_shipped = 0
         # one-deep software pipelining of the run loop (transfer N+1
         # overlaps compute N); set False to retire each batch in order
@@ -446,6 +447,11 @@ class FrameEngine:
         stage_times = {"decode_wait": [], "h2d": [], "dispatch": []}
         self.last_stage_seconds = stage_times
         self.last_fetch_seconds = 0.0
+        # wall timestamp at the end of each batch's dispatch: consecutive
+        # deltas are the pipeline's inter-batch intervals, from which a
+        # steady-state throughput (excluding fill/drain) can be read —
+        # see bench.py `steady_fps`
+        self.last_batch_walls = []
         _pc = time.perf_counter
 
         def _stage(name):
@@ -538,6 +544,7 @@ class FrameEngine:
             if not self.pipelined:
                 _retire(pending)
                 pending = None
+            self.last_batch_walls.append(_pc())
             if profiler is not None:
                 profiler.end_batch()
         if pending is not None:
@@ -561,7 +568,7 @@ class FrameEngine:
             return {}
         return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
-    def run_oneshot(self, fb):
+    def run_oneshot(self, fb, device=None):
         """Whole-pass-in-one-put latency path for small passes.
 
         Ships positions AND sidecars as ONE packed device_put, evaluates
@@ -572,6 +579,13 @@ class FrameEngine:
         (BASELINE.md rows 5-7: the reference's ~400-atom partial reads do
         5,000 frames in 0.3 s); `PipelineRunner.run` routes here when the
         estimated wire size fits `GROAN_ONESHOT_BYTES`.
+
+        `device` overrides placement: committing the packed buffer to a
+        specific device (e.g. the LOCAL CPU backend when the default
+        accelerator sits behind a tunnel) runs the whole fused step
+        there — zero accelerator round trips for passes whose arithmetic
+        is microseconds (the `ops.interactive` rationale, applied to a
+        whole pass).  The jit cache is keyed per device.
         """
         import jax
         import jax.numpy as jnp
@@ -602,7 +616,8 @@ class FrameEngine:
         buf_host, metas = self._pack_host(arrs)
         self.h2d_bytes += fb.positions.nbytes
         self.frames_shipped += b
-        key = ("oneshot", kind, metas, buf_host.shape)
+        key = ("oneshot", kind, metas, buf_host.shape,
+               None if device is None else str(device))
         cached = self._steps.get(key)
         if cached is None:
             user = self._user_step
@@ -637,7 +652,8 @@ class FrameEngine:
             self._steps[key] = cached
         jfn, treedef, leaves, f32_idx = cached
         _t0 = time.perf_counter()
-        buf = jax.device_put(buf_host, self._replicated)
+        buf = jax.device_put(buf_host,
+                             self._replicated if device is None else device)
         _t1 = time.perf_counter()
         packed, rest = jax.device_get(jfn(buf))
         _t2 = time.perf_counter()
@@ -648,6 +664,7 @@ class FrameEngine:
         self.last_stage_seconds = {"decode_wait": [], "h2d": [_t1 - _t0],
                                    "dispatch": []}
         self.last_fetch_seconds = _t2 - _t1
+        self.last_batch_walls = [_t2]
         outs = [None] * len(leaves)
         off = 0
         for i in f32_idx:
@@ -896,6 +913,77 @@ class FrameEngine:
         if fold is not None:
             return collected, carry
         return collected
+
+    def run_resident_fused(self, dt: DeviceTrajectory, batch_size: int = 32):
+        """Whole-window resident pass as ONE device dispatch + ONE packed
+        fetch.
+
+        `run_resident` dispatches one step per batch; each dispatch is
+        cheap device-side but costs host work (and, on a tunnel client,
+        serialization) — at hundreds of resident frames the dispatch
+        stream itself becomes the floor.  Here the whole window runs as a
+        single jitted program: a `lax.scan` over [nb, B, K, 3] batch
+        slabs whose body is the SAME per-batch step computation, then an
+        in-program concat + per-dtype packing, so the pass costs one
+        dispatch and one fetch regardless of window length.  This is the
+        configuration that amortizes fixed per-pass overhead across the
+        whole resident window (the 1M-atom parameter-sweep workflow; the
+        reference re-decodes the file per pass, info.md:3-15).
+
+        Tiling contract: the scan body is compiled as part of a larger
+        program than the per-batch dispatch, so results match
+        `run_resident` to f32 ulps (same contract as any other tiling
+        change — see tests/test_device_resident.py); integer observables
+        with boundary guards (dense hbonds) stay exact through the guard
+        re-score.  `fold` consumers use `run_resident`.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        dt_aux = self._resident_aux(dt)
+        user = self._user_step
+        kind = dt.kind
+        n = dt.n_frames
+        b = min(batch_size, n)
+        nb = -(-n // b)
+        n_pad = nb * b
+
+        def pre(args):
+            pos, boxes, inv = args[:3]
+            ax = args[3:]
+
+            def padf(x):
+                if n_pad == n:
+                    return x
+                reps = jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])
+                return jnp.concatenate([x, reps], axis=0)
+
+            def slab(x):
+                return padf(x).reshape((nb, b) + x.shape[1:])
+
+            mask = (jnp.arange(n_pad) < n).reshape(nb, b)
+            xs = [slab(pos), slab(boxes), mask]
+            if kind == "q16":
+                xs.append(slab(inv))
+            xs.extend(slab(a) for a in ax)
+
+            def body(carry, x):
+                if kind == "q16":
+                    p, bx, m, iv, *a = x
+                    out = user(p.astype(jnp.float32) * iv[:, None, None],
+                               bx, m, *a)
+                else:
+                    p, bx, m, *a = x
+                    out = user(p, bx, m, *a)
+                return carry, out
+
+            _, outs = jax.lax.scan(body, 0, tuple(xs))
+            return jax.tree.map(
+                lambda o: o.reshape((n_pad,) + o.shape[2:])[:n], outs)
+
+        tree = (dt.pos, dt.boxes, dt.inv_prec) + tuple(dt_aux)
+        return self._fetch_tree(tree, pre,
+                                ("resident-fused", kind, n, b, len(dt_aux)))
 
     def _fetch_packed(self, outs, trims=None):
         """Concatenate per-batch result pytrees over the frame axis and

@@ -7,6 +7,9 @@
 #   ./run_tests.sh asan       # native-codec fuzz corpus under ASan
 #   ./run_tests.sh pyxtc      # trajectory suite on the pure-Python XTC
 #                             # backend (cross-backend validation axis)
+#   ./run_tests.sh examples   # execute every examples/*.py against the
+#                             # fixture corpus (the reference runs its
+#                             # doc examples as tests, run_doc_tests.sh)
 #   ./run_tests.sh all        # all of the above
 set -euo pipefail
 cd "$(dirname "$0")"
@@ -35,11 +38,32 @@ run_asan() {
   python tests/asan_fuzz.py
 }
 
+run_examples() {
+  # the reference treats its doc examples as tests (run_doc_tests.sh);
+  # ours is the examples/ directory — every script must exit 0 against
+  # the fixture corpus, so examples cannot silently rot as the API moves
+  echo "== examples against the fixture corpus =="
+  local fail=0
+  for ex in examples/*.py; do
+    echo "-- $ex"
+    if ! JAX_PLATFORMS=cpu \
+         XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+         timeout 600 python "$ex" > /tmp/groan_example.log 2>&1; then
+      echo "FAILED: $ex"
+      tail -20 /tmp/groan_example.log
+      fail=1
+    fi
+  done
+  [ "$fail" -eq 0 ] && echo "all examples passed"
+  return $fail
+}
+
 case "$mode" in
   cpu) run_cpu ;;
   device) run_device ;;
   asan) run_asan ;;
   pyxtc) run_pyxtc ;;
-  all) run_cpu; run_device; run_asan; run_pyxtc ;;
-  *) echo "usage: $0 [cpu|device|asan|pyxtc|all]" >&2; exit 2 ;;
+  examples) run_examples ;;
+  all) run_cpu; run_device; run_asan; run_pyxtc; run_examples ;;
+  *) echo "usage: $0 [cpu|device|asan|pyxtc|examples|all]" >&2; exit 2 ;;
 esac
