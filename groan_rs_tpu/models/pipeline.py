@@ -297,7 +297,12 @@ class TrajectoryAnalysis:
 
         from ..system.rmsd import _extract, _masses
 
-        ref_coords, ref_center, ref_idx = _extract(reference, group)
+        # resolve the reference group WITHOUT the ortho-only _extract
+        # first: a triclinic reference box must reach the triclinic prep
+        # below instead of _extract's simbox_check error
+        ref_idx = np.asarray(reference.group_indices(group))
+        if ref_idx.shape[0] == 0:
+            raise RMSDError(f"group '{group}' is empty", code="EmptyGroup")
         w = _masses(reference, group, ref_idx)
         tgt_idx = self._indices(group)
         if tgt_idx.shape[0] != ref_idx.shape[0]:
@@ -325,6 +330,7 @@ class TrajectoryAnalysis:
                 )
                 return rms
         else:
+            ref_coords, ref_center, _ = _extract(reference, group)
             refc = jnp.asarray(ref_coords)
             refctr = jnp.asarray(ref_center)
 
@@ -349,10 +355,18 @@ class TrajectoryAnalysis:
         i1 = self._register(self._indices(group1))
         i2 = self._register(self._indices(group2))
 
-        def fn(pos, boxes):
-            a = i1.take(pos)
-            b = i2.take(pos)
-            return distance_ops.min_distance(a, b, boxes[:, None, :])
+        if self.triclinic:
+            def fn(pos, boxes):
+                a = i1.take(pos)
+                b = i2.take(pos)
+                d = pbc.min_image_frames_any(
+                    a[:, :, None, :] - b[:, None, :, :], boxes)
+                return jnp.sqrt(jnp.sum(d * d, axis=-1)).min(axis=(1, 2))
+        else:
+            def fn(pos, boxes):
+                a = i1.take(pos)
+                b = i2.take(pos)
+                return distance_ops.min_distance(a, b, boxes[:, None, :])
 
         nm = name or f"mindist_{group1}_{group2}"
         self._decls.append({"kind": "min_distance", "name": nm, "g1": group1,
@@ -484,15 +498,31 @@ class TrajectoryAnalysis:
         same = group1 == group2
         n1, n2 = int(i1.raw.shape[0]), int(i2.raw.shape[0])
 
-        def fn(pos, boxes):
-            a = i1.take(pos)
-            b = i2.take(pos)
-            hist = distance_ops.pair_distance_histogram(
-                a, b, boxes[:, None, :][:, 0, :], float(r_max), int(n_bins),
-                exclude_self=same)
-            ideal = distance_ops.rdf_normalization(
-                boxes, n1, n2, float(r_max), int(n_bins), exclude_self=same)
-            return hist.astype(jnp.float32) / ideal
+        if self.triclinic:
+            def fn(pos, boxes):
+                a = i1.take(pos)
+                b = i2.take(pos)
+                d = pbc.min_image_frames_any(
+                    a[:, :, None, :] - b[:, None, :, :], boxes)
+                dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+                hist = distance_ops.pair_distance_histogram(
+                    a, b, None, float(r_max), int(n_bins),
+                    exclude_self=same, dist=dist)
+                ideal = distance_ops.rdf_normalization(
+                    boxes, n1, n2, float(r_max), int(n_bins),
+                    exclude_self=same)
+                return hist.astype(jnp.float32) / ideal
+        else:
+            def fn(pos, boxes):
+                a = i1.take(pos)
+                b = i2.take(pos)
+                hist = distance_ops.pair_distance_histogram(
+                    a, b, boxes[:, None, :][:, 0, :], float(r_max),
+                    int(n_bins), exclude_self=same)
+                ideal = distance_ops.rdf_normalization(
+                    boxes, n1, n2, float(r_max), int(n_bins),
+                    exclude_self=same)
+                return hist.astype(jnp.float32) / ideal
 
         nm = name or f"rdf_{group1}_{group2}"
         self._decls.append({"kind": "rdf", "name": nm, "g1": group1,
@@ -509,10 +539,21 @@ class TrajectoryAnalysis:
         i1 = self._register(self._indices(group1))
         i2 = self._register(self._indices(group2))
 
-        def fn(pos, boxes):
-            a = i1.take(pos)
-            b = i2.take(pos)
-            return distance_ops.contact_count(a, b, boxes[:, None, :], cutoff)
+        if self.triclinic:
+            def fn(pos, boxes):
+                a = i1.take(pos)
+                b = i2.take(pos)
+                d = pbc.min_image_frames_any(
+                    a[:, :, None, :] - b[:, None, :, :], boxes)
+                dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+                return jnp.sum((dist < cutoff).astype(jnp.int32),
+                               axis=(1, 2))
+        else:
+            def fn(pos, boxes):
+                a = i1.take(pos)
+                b = i2.take(pos)
+                return distance_ops.contact_count(a, b, boxes[:, None, :],
+                                                  cutoff)
 
         nm = name or f"contacts_{group1}_{group2}"
         self._decls.append({"kind": "contacts", "name": nm, "g1": group1,
@@ -1002,14 +1043,12 @@ class TrajectoryAnalysis:
         from ..errors import ParallelError
         from ..ops.sharded import build_sharded_step, compile_decl
 
-        if self.triclinic:
-            raise ParallelError(
-                "the atoms-sharded step supports orthogonal boxes only"
-            )
         if not self._decls:
             raise ParallelError("no observables configured")
-        specs = [compile_decl(d, self.system) for d in self._decls]
-        return build_sharded_step(mesh, specs, self.system.get_n_atoms())
+        specs = [compile_decl(d, self.system, triclinic=self.triclinic)
+                 for d in self._decls]
+        return build_sharded_step(mesh, specs, self.system.get_n_atoms(),
+                                  triclinic=self.triclinic)
 
     def step_fn(self, sel: np.ndarray | None = None):
         """The composed jittable step: (positions, boxes, mask) -> dict.
@@ -1079,7 +1118,9 @@ class TrajectoryAnalysis:
                     "velocity observables have no atoms-sharded "
                     "formulation yet; use a frames-only mesh")
             step, params, n_pad = self.sharded(mesh)
-            engine = FrameEngine(None, mesh=mesh, spec=(step, params, n_pad))
+            engine = FrameEngine(
+                None, mesh=mesh, spec=(step, params, n_pad),
+                box="matrix" if self.triclinic else "lengths")
             if wire in ("auto", "delta", "delta6"):
                 wire = "q16"
             return PipelineRunner(self.system, engine, None, wire)
@@ -1513,9 +1554,10 @@ def msd(system, trajectory, group: str, *, lags=None, dims: str = "xyz",
     `load_device`, shipping ONLY the group's atoms) or an existing
     `DeviceTrajectory` whose layout contains the group.  Unwrapping and
     the all-lag sweep run on device in one dispatch each
-    (`ops.msd.unwrap_orthorhombic` / `msd_lags`); orthorhombic boxes,
-    frame-to-frame motion < half a box vector (the standard MSD
-    sampling assumption).
+    (`ops.msd.unwrap` / `msd_lags`); triclinic boxes unwrap through the
+    exact 27-image minimum image (surpass — the reference is
+    orthogonal-only, lib.rs:353-355); frame-to-frame motion < half a
+    box vector (the standard MSD sampling assumption).
 
     Returns `(lag_times, msd)`: lag_times [L] in the file's time unit
     (ps), msd [L] in nm^2.  `lags` defaults to every frame lag
@@ -1545,7 +1587,8 @@ def msd(system, trajectory, group: str, *, lags=None, dims: str = "xyz",
                     f"contain every atom of group '{group}'; load with "
                     "ship='all' or runner(group=...)")
     else:
-        runner = TrajectoryAnalysis(system).runner(group=group)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)).runner(group=group)
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
 
@@ -1566,11 +1609,24 @@ def msd(system, trajectory, group: str, *, lags=None, dims: str = "xyz",
             f"dims must be a non-empty subset of 'xyz', got '{dims}'")
     am = None if set(dims) == set("xyz") else np.array(
         [float(c in dims) for c in "xyz"], np.float32)
-    u = msd_ops.unwrap_orthorhombic(pos, jnp.asarray(dt.boxes))
+    u = msd_ops.unwrap(pos, jnp.asarray(dt.boxes))
     curve = np.asarray(msd_ops.msd_lags(u, lags, axis_mask=am))
     times = np.asarray(dt.times, np.float64)
     lag_times = times[lags] - times[0]
     return lag_times, curve
+
+
+def _system_triclinic(system) -> bool:
+    """True when the system's box needs box-matrix kernels.  Internal
+    loaders use this so triclinic systems get the exact-triclinic math
+    automatically (these analyses are surpass features with no
+    reference-parity constraint; the reference is orthogonal-only,
+    lib.rs:353-355)."""
+    try:
+        box = system.get_box()
+    except Exception:
+        return False
+    return box is not None and not box.is_orthogonal()
 
 
 def _resident_group_cols(system, dtraj, group, gsel):
@@ -1621,8 +1677,9 @@ def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
         dt = trajectory
         cols = _resident_group_cols(system, dt, group, gsel)
     else:
-        runner = TrajectoryAnalysis(system).runner(group=group,
-                                                   velocities=True)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)
+        ).runner(group=group, velocities=True)
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
     if "vel" not in dt.aux_names:
@@ -1663,24 +1720,56 @@ def _fit_inputs(system, dt, cols, group, gsel, reference, what: str):
     from ..system.rmsd import _extract, _masses
 
     ref_sys = system if reference is None else reference
-    ref_coords, ref_center, ref_idx = _extract(ref_sys, group)
-    if ref_coords.shape[0] != gsel.shape[0]:
+    ref_idx = np.asarray(ref_sys.group_indices(group))
+    if ref_idx.shape[0] != gsel.shape[0]:
         raise RMSDError(
-            f"group '{group}' has {ref_coords.shape[0]} atoms in reference "
+            f"group '{group}' has {ref_idx.shape[0]} atoms in reference "
             f"but {gsel.shape[0]} in target", code="InconsistentGroup")
     w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
-    ref_com = np.asarray(ref_sys.group_get_com(group), np.float32)
 
     pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
     if dt.kind == "q16":
         pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
     boxes = jnp.asarray(dt.boxes)
-    if boxes.ndim == 3:
-        raise RMSDError(
-            f"{what} fits against orthorhombic boxes (as calc_rmsd does); "
-            "got per-frame box matrices", code="InvalidSimBox")
+    triclinic = boxes.ndim == 3
+    ref_com = np.asarray(
+        ref_sys.group_get_com_triclinic(group) if triclinic
+        else ref_sys.group_get_com(group), np.float32)
 
     hi = jax.lax.Precision.HIGHEST
+
+    if triclinic:
+        # triclinic fit (surpass — calc_rmsd itself is orthogonal-only,
+        # lib.rs:353-355): unwrap the group around its exact triclinic
+        # refined COM (the add_rmsd/rmsd_frames_triclinic convention)
+        # instead of the ortho translate-to-box-center + wrap, then
+        # rotate about the group centroid and translate onto the
+        # reference group COM
+        ref_prep, ref_ctr = rmsd_ops.prepare_coords_triclinic(
+            np.asarray(ref_sys.positions[ref_idx], np.float32),
+            np.asarray(ref_sys.get_box().to_matrix(), np.float32),
+            weights=w)
+        ref_prep = jnp.asarray(ref_prep)
+        ref_ctr = jnp.asarray(ref_ctr)
+
+        def fit_frames(pos, boxes, fit):
+            wj = jnp.asarray(w)
+            com = center_ops.center_triclinic(pos, boxes, weights=wj)
+            if fit:
+                rot, _ = rmsd_ops.rmsd_frames_triclinic(
+                    ref_prep, ref_ctr, pos, boxes, wj)
+                unwrapped = com[:, None, :] + pbc.min_image_triclinic_frames(
+                    pos - com[:, None, :], boxes)
+                cq = (jnp.sum(wj[None, :, None] * unwrapped, axis=1)
+                      / jnp.sum(wj))
+                centered = unwrapped - cq[:, None, :]
+                return jnp.einsum("fni,fji->fnj", centered, rot,
+                                  precision=hi) + jnp.asarray(ref_com)
+            return pos + (jnp.asarray(ref_com) - com)[:, None, :]
+
+        return pos, boxes, w, fit_frames
+
+    ref_coords, ref_center, _ = _extract(ref_sys, group)
 
     def fit_frames(pos, boxes, fit):
         wj = jnp.asarray(w)
@@ -1746,7 +1835,7 @@ def msd_mol(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
 
     Molecules are the bond-graph connected components of `group`
     (`Topology.molecule_ids`, iterating.rs:399 semantics).  Atom paths
-    are unwrapped on device first (`ops.msd.unwrap_orthorhombic`), then
+    are unwrapped on device first (`ops.msd.unwrap`), then
     mass-weighted COMs are taken over the CONTINUOUS paths — a molecule
     split across the periodic boundary at frame 0 only offsets its COM
     by a constant lattice vector, which displacement-based MSD is
@@ -1758,7 +1847,8 @@ def msd_mol(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
 
     Masses weight the COM when the topology carries them (TPR/PQR);
     otherwise geometric centers are used.  `dims` restricts axes
-    exactly as in `models.msd` ("xy" = lateral).  Orthorhombic boxes.
+    exactly as in `models.msd` ("xy" = lateral).  Triclinic boxes
+    unwrap through the exact minimum image (`ops.msd.unwrap`).
 
     Returns a dict: 'n_molecules' M, 'first_atom' [M] (global index of
     each molecule's first atom), 'lag_times' [L] (ps), 'msd' [L, M]
@@ -1782,10 +1872,6 @@ def msd_mol(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
 
     gsel, pos, boxes, dt = _resident_group_pos(
         system, trajectory, group, batch_size)
-    if boxes.ndim == 3:
-        raise ParallelError(
-            "msd_mol supports orthorhombic boxes; got per-frame box "
-            "matrices")
 
     mol = np.asarray(system.topology.molecule_ids())[gsel]
     uniq, first_local, inv = np.unique(mol, return_index=True,
@@ -1812,7 +1898,7 @@ def msd_mol(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
     am = None if set(dims) == set("xyz") else np.array(
         [float(c in dims) for c in "xyz"], np.float32)
 
-    u = msd_ops.unwrap_orthorhombic(pos, jnp.asarray(dt.boxes))
+    u = msd_ops.unwrap(pos, jnp.asarray(dt.boxes))
     com = jax.vmap(lambda x: jax.ops.segment_sum(
         x * w32[:, None], seg, num_segments=m))(u)          # [F, M, 3]
     curves = np.asarray(msd_ops.msd_lags_per_entity(com, lags, axis_mask=am),
@@ -1874,8 +1960,9 @@ def dos(system, trajectory, group: str, *, temperature: float | None = None,
 
     dt_obj = trajectory
     if not isinstance(dt_obj, DeviceTrajectory):
-        runner = TrajectoryAnalysis(system).runner(group=group,
-                                                   velocities=True)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)
+        ).runner(group=group, velocities=True)
         dt_obj = runner.load_device(trajectory, batch_size=batch_size)
     times, c_w = vacf(system, dt_obj, group, mass_weighted=True)
     _, c_u = vacf(system, dt_obj, group, mass_weighted=False)
@@ -1948,7 +2035,8 @@ def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
         dt = trajectory
         cols = _resident_group_cols(system, dt, group, gsel)
     else:
-        runner = TrajectoryAnalysis(system).runner(group=group)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)).runner(group=group)
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
 
@@ -2044,7 +2132,8 @@ def pca(system, trajectory, group: str, *, n_components: int | None = None,
         dt = trajectory
         cols = _resident_group_cols(system, dt, group, gsel)
     else:
-        runner = TrajectoryAnalysis(system).runner(group=group)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)).runner(group=group)
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
 
@@ -2124,7 +2213,9 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
     but the true relevant-neighbour count is checked and a
     ParallelError asks for a larger cap if it was ever exceeded — the
     result is exact for the point set by construction, never silently
-    truncated.  Minimum-image PBC, orthorhombic boxes.
+    truncated.  Minimum-image PBC; triclinic boxes use the exact
+    27-image minimum image (surpass — the reference is orthogonal-only,
+    lib.rs:353-355).
 
     `radii` overrides the per-atom vdW radii ([K] nm); by default they
     come from the topology (run `guess_elements()` first — the same
@@ -2136,7 +2227,7 @@ def sasa(system, trajectory, group: str, *, probe: float = 0.14,
     from ..ops import sasa as sasa_ops
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="sasa")
+        system, trajectory, group, batch_size)
 
     if radii is None:
         if not np.asarray(system.topology.has_vdw)[gsel].all():
@@ -2208,7 +2299,9 @@ def _resident_group_pos(system, trajectory, group, batch_size,
             dt = trajectory
             cols = _resident_group_cols(system, dt, group, gsel)
         else:
-            runner = TrajectoryAnalysis(system).runner(group=group)
+            runner = TrajectoryAnalysis(
+                system, triclinic=_system_triclinic(system)
+            ).runner(group=group)
             dt = runner.load_device(trajectory, batch_size=batch_size,
                                     start_time=start_time,
                                     end_time=end_time, step=step)
@@ -2236,7 +2329,8 @@ def rmsd_matrix(system, trajectory, group: str, *, batch_size: int = 32,
 
     Every frame pair is fitted and scored with EXACTLY the `calc_rmsd`
     convention (mass-weighted centroids, unweighted covariance fit,
-    mass-weighted deviations), batched on device: rows of the matrix
+    mass-weighted deviations; triclinic boxes unwrap around the exact
+    triclinic refined COM first), batched on device: rows of the matrix
     evaluate `chunk` at a time, each as one QCP eigenproblem batch over
     all F columns (`ops.rmsd.rmsd_matrix`).  Feeds `models.cluster`.
 
@@ -2245,7 +2339,7 @@ def rmsd_matrix(system, trajectory, group: str, *, batch_size: int = 32,
     from ..system.rmsd import _masses
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="rmsd_matrix")
+        system, trajectory, group, batch_size)
     w = _masses(system, group, gsel)
     m = np.asarray(rmsd_ops.rmsd_matrix(pos, boxes, w, chunk=chunk))
     return gsel, m
@@ -2379,14 +2473,15 @@ def mdmat(system, trajectory, group: str, *, per_frame: bool = False,
     For every frame and residue pair (i, j) within `group`: the
     smallest minimum-image atom-atom distance between residue i's and
     residue j's atoms, evaluated as chunked dense tensor ops on the
-    device-resident trajectory (`ops.distances.residue_min_matrix`).
+    device-resident trajectory (`ops.distances.residue_min_matrix`);
+    triclinic boxes use the exact 27-image minimum image.
     Residues are (chain, resnum) blocks in order of appearance.
 
     Returns a dict: 'resids' [R], 'resnames' [R], 'mean' [R, R] nm
     (frame average), and with `per_frame=True` also 'frames' [F, R, R].
     """
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="mdmat")
+        system, trajectory, group, batch_size)
     resids, resnames, blocks = _residue_blocks(system, gsel)
     r = len(blocks)
     p = max(len(b) for b in blocks)
@@ -2417,7 +2512,8 @@ def dssp(system, trajectory, group: str, *, states: int = 3,
     (amide H estimated from the backbone, the pydssp convention, so
     united-atom and H-less structures work); the `[F, R, R]` hydrogen-
     bond energy matrix evaluates as one batched device op
-    (`ops.dssp.hbond_energy`), and the Kabsch-Sander pattern algebra
+    (`ops.dssp.hbond_energy`; triclinic boxes use the exact 27-image
+    minimum image), and the Kabsch-Sander pattern algebra
     (3/4/5-turns -> minimal helices; parallel/antiparallel bridges ->
     strands) runs vectorized on the host.  Prolines and chain
     starts/gaps are never donors; patterns never span chain breaks.
@@ -2428,9 +2524,7 @@ def dssp(system, trajectory, group: str, *, states: int = 3,
     from ..ops import dssp as dssp_ops
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="dssp")
-    if boxes.ndim != 2:
-        raise ParallelError("dssp supports orthorhombic boxes")
+        system, trajectory, group, batch_size)
     resids, resnames, blocks = _residue_blocks(system, gsel)
 
     topo = system.topology
@@ -2523,7 +2617,17 @@ def leaflets(system, trajectory, heads: str, *, axis: str = "z",
         raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
                          code="InvalidAxis")
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, heads, batch_size, require_ortho="leaflets")
+        system, trajectory, heads, batch_size)
+    if boxes.ndim == 3:
+        # Gromacs lower-triangular H: only the c row has a z component,
+        # so z-wraps are exact multiples of H[2, 2] and the circular-
+        # mean machinery below is EXACT for axis='z'; x/y coordinates
+        # shift under several box vectors and have no scalar period
+        if ax != 2:
+            raise ParallelError(
+                "leaflets on a triclinic box supports axis='z' only "
+                "(x/y have no scalar period under a sheared cell)")
+        boxes = boxes[:, :, ax]  # [F, 3] rows' z components; [:, 2] = c_z
     if gsel.shape[0] < 2:
         raise GroupError(
             f"group '{heads}' must name at least 2 head atoms",
@@ -2721,7 +2825,8 @@ def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
         union = np.unique(pairs.ravel())
         system.group_create_from_indices(tag, union)
         try:
-            runner = TrajectoryAnalysis(system).runner(group=tag)
+            runner = TrajectoryAnalysis(
+                system, triclinic=_system_triclinic(system)).runner(group=tag)
             dt = runner.load_device(trajectory, batch_size=batch_size)
         finally:
             system.group_remove(tag)
@@ -3288,7 +3393,8 @@ def dccm(system, trajectory, group: str, *, reference=None, fit: bool = True,
         dt = trajectory
         cols = _resident_group_cols(system, dt, group, gsel)
     else:
-        runner = TrajectoryAnalysis(system).runner(group=group)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)).runner(group=group)
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
 
@@ -3430,9 +3536,11 @@ def freevolume(system, trajectory, group: str = "all", *,
     the `gmx freevolume` workload; absent from the reference).
 
     Per frame, `n_samples` uniform points are drawn in the box (seeded
-    `jax.random`, deterministic); a point is FREE when its minimum-image
-    distance to every atom of `group` exceeds that atom's vdW radius +
-    `probe` (nm).  The [points x atoms] occlusion test evaluates as
+    `jax.random`, deterministic; fractional coordinates mapped through
+    the box matrix, so triclinic cells sample uniformly too); a point
+    is FREE when its minimum-image distance (exact 27-image search for
+    triclinic boxes) to every atom of `group` exceeds that atom's vdW
+    radius + `probe` (nm).  The [points x atoms] occlusion test evaluates as
     dense device tiles (`chunk` points at a time under `lax.map`, all
     frames in one jitted dispatch).  Radii come from the topology
     (`guess_elements()`, the same vdwradii.dat-derived table the
@@ -3449,7 +3557,7 @@ def freevolume(system, trajectory, group: str = "all", *,
     import jax.numpy as jnp
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="freevolume")
+        system, trajectory, group, batch_size)
 
     if radii is None:
         if not np.asarray(system.topology.has_vdw)[gsel].all():
@@ -3483,7 +3591,9 @@ def freevolume(system, trajectory, group: str = "all", *,
     def _free(pos, boxes, pts):
         def one_frame(args):
             pf, box, u = args
-            xyz = u * box[None, :]                    # [P, 3]
+            tri = box.ndim == 2
+            # fractional draw -> cartesian (u @ H for triclinic cells)
+            xyz = (jnp.matmul(u, box) if tri else u * box[None, :])  # [P,3]
             if pad:
                 xyz = jnp.concatenate(
                     [xyz, jnp.zeros((pad, 3), xyz.dtype)])
@@ -3491,7 +3601,8 @@ def freevolume(system, trajectory, group: str = "all", *,
             def rows(start):
                 c = jax.lax.dynamic_slice_in_dim(xyz, start, chunk)
                 d = c[:, None, :] - pf[None, :, :]
-                d = pbc.min_image(d, box)
+                d = (pbc.min_image_triclinic(d, box) if tri
+                     else pbc.min_image(d, box))
                 d2 = jnp.sum(d * d, axis=-1)          # [C, K]
                 return jnp.all(d2 > r2[None, :], axis=1)
 
@@ -3501,7 +3612,9 @@ def freevolume(system, trajectory, group: str = "all", *,
         return jax.lax.map(one_frame, (pos, boxes, pts))
 
     frac = np.asarray(_free(pos, boxes, pts), np.float64)
-    bvol = np.prod(np.asarray(boxes, np.float64), axis=1)
+    bx = np.asarray(boxes, np.float64)
+    bvol = (np.abs(np.linalg.det(bx)) if bx.ndim == 3
+            else np.prod(bx, axis=1))
     mean = float(frac.mean())
     stderr = float(np.sqrt(max(mean * (1.0 - mean), 0.0) / (f * p)))
     return {"fraction": frac, "free_volume": frac * bvol,
@@ -4468,8 +4581,9 @@ def tcaf(system, trajectory, group: str = "all", *, n_k: int = 4,
         dt = trajectory
         cols = _resident_group_cols(system, dt, group, gsel)
     else:
-        runner = TrajectoryAnalysis(system).runner(group=group,
-                                                   velocities=True)
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)
+        ).runner(group=group, velocities=True)
         dt = runner.load_device(trajectory, batch_size=batch_size)
         cols = np.arange(len(gsel))
     if "vel" not in dt.aux_names:

@@ -19,6 +19,7 @@ import os
 
 import jax.numpy as jnp
 
+from . import pbc
 from .center import center
 from .pbc import distance, min_image
 
@@ -59,8 +60,10 @@ def residue_min_matrix(pos, boxes, block_idx, block_mask, *,
     (the `gmx mdmat` kernel; surpass — the reference has whole-group
     N x M matrices only, analysis.rs:401).
 
-    pos: `[F, K, 3]`; boxes: `[F, 3]`; block_idx: `[R, P]` atom indices
-    into K, padded; block_mask: `[R, P]` validity.  Returns `[F, R, R]`.
+    pos: `[F, K, 3]`; boxes: `[F, 3]` lengths or `[F, 3, 3]` triclinic
+    matrices (exact 27-image minimum image); block_idx: `[R, P]` atom
+    indices into K, padded; block_mask: `[R, P]` validity.  Returns
+    `[F, R, R]`.
     Rows evaluate `chunk` residues at a time under `lax.map` so peak
     memory is the `[chunk, R, P, P, 3]` displacement tile.
     """
@@ -85,7 +88,8 @@ def residue_min_matrix(pos, boxes, block_idx, block_mask, *,
             ga = jax.lax.dynamic_slice_in_dim(g_p, start, chunk)  # [C,P,3]
             ma = jax.lax.dynamic_slice_in_dim(bm_p, start, chunk)  # [C,P]
             d = ga[:, None, :, None, :] - g[None, :, None, :, :]
-            d = min_image(d, box)                     # [C, R, P, P, 3]
+            d = (pbc.min_image_triclinic(d, box) if box.ndim == 2
+                 else min_image(d, box))              # [C, R, P, P, 3]
             d2 = jnp.sum(d * d, axis=-1)
             valid = ma[:, None, :, None] & bm[None, :, None, :]
             d2 = jnp.where(valid, d2, big)
@@ -192,16 +196,18 @@ def min_distance(a, b, box, mask_a=None, mask_b=None):
 
 
 def pair_distance_histogram(a, b, box, r_max, n_bins: int,
-                            exclude_self: bool = False):
+                            exclude_self: bool = False, dist=None):
     """Per-frame histogram of PBC pair distances in (0, r_max] -> `[..., n_bins]`.
 
     The RDF building block (surpass feature; the reference has no RDF).
     Bin k counts pairs with distance in (k*dr, (k+1)*dr], dr = r_max/n_bins.
     `exclude_self=True` drops the diagonal (same-group RDF).  The bin index
     is computed on device and accumulated with a scatter-add; XLA keeps the
-    [N, M] intermediate fused with the binning.
+    [N, M] intermediate fused with the binning.  `dist` supplies a
+    precomputed `[..., N, M]` distance matrix (the triclinic path, whose
+    minimum image `distance_matrix` does not evaluate).
     """
-    d = distance_matrix(a, b, box)
+    d = distance_matrix(a, b, box) if dist is None else jnp.asarray(dist)
     dr = r_max / n_bins
     idx = jnp.ceil(d / dr).astype(jnp.int32) - 1  # (0, dr] -> bin 0
     valid = (d > 0.0) & (idx >= 0) & (idx < n_bins)
@@ -235,7 +241,12 @@ def rdf_normalization(box_lengths, n_a: int, n_b: int, r_max, n_bins: int,
     dr = r_max / n_bins
     edges = np.arange(n_bins + 1) * dr
     shell = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
-    vol = jnp.prod(jnp.asarray(box_lengths, jnp.float32), axis=-1)
+    b = jnp.asarray(box_lengths, jnp.float32)
+    # [B, 3] orthorhombic lengths or [B, 3, 3] triclinic matrices (the
+    # batched forms both call sites use; ndim disambiguates — a shape
+    # test could not tell 3 frames of lengths from one matrix)
+    vol = (jnp.abs(jnp.linalg.det(b)) if b.ndim >= 3
+           else jnp.prod(b, axis=-1))
     n_pairs = n_a * n_b - (n_a if exclude_self else 0)
     return n_pairs * jnp.asarray(shell, jnp.float32) / vol[..., None]
 

@@ -37,7 +37,8 @@ def hbond_energy(n, ca, c, o, boxes, donor_ok):
     """Backbone H-bond energy matrix per frame.
 
     n/ca/c/o: `[F, R, 3]` backbone coordinates in nm; boxes `[F, 3]`
-    (orthorhombic minimum image — frames may be PBC-wrapped);
+    lengths or `[F, 3, 3]` triclinic matrices (exact minimum image —
+    frames may be PBC-wrapped);
     donor_ok: `[R]` bool (False for prolines and residues with no
     predecessor).  Returns `[F, R, R]` energies in kcal/mol where
     `e[f, j, i]` is donor NH(j) -> acceptor CO(i); invalid donors and
@@ -45,7 +46,7 @@ def hbond_energy(n, ca, c, o, boxes, donor_ok):
     """
     import jax.numpy as jnp
 
-    from .pbc import min_image
+    from .pbc import min_image_frames_any
 
     n = jnp.asarray(n, jnp.float32)
     ca = jnp.asarray(ca, jnp.float32)
@@ -55,8 +56,8 @@ def hbond_energy(n, ca, c, o, boxes, donor_ok):
     r = n.shape[1]
 
     # estimated amide H: needs C(i-1), O(i-1); min-image local vectors
-    nc = min_image(n[:, 1:] - c[:, :-1], boxes[:, None, :])
-    no = min_image(n[:, 1:] - o[:, :-1], boxes[:, None, :])
+    nc = min_image_frames_any(n[:, 1:] - c[:, :-1], boxes)
+    no = min_image_frames_any(n[:, 1:] - o[:, :-1], boxes)
     u = nc / jnp.linalg.norm(nc, axis=-1, keepdims=True) \
         + no / jnp.linalg.norm(no, axis=-1, keepdims=True)
     u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
@@ -64,8 +65,8 @@ def hbond_energy(n, ca, c, o, boxes, donor_ok):
 
     def dist(a, b):
         # [F, R_a, R_b] min-image distances in Angstrom
-        d = min_image(a[:, :, None, :] - b[:, None, :, :],
-                      boxes[:, None, None, :])
+        d = min_image_frames_any(a[:, :, None, :] - b[:, None, :, :],
+                                 boxes)
         return 10.0 * jnp.sqrt(jnp.sum(d * d, axis=-1))
 
     # donor j (rows: N/H of j), acceptor i (cols: C/O of i)
@@ -210,13 +211,13 @@ def assign_8state(energies, consec, ca=None, boxes=None,
     # S: CA curvature > 70 degrees over i-2 .. i+2
     s_mask = np.zeros((f, r), bool)
     if ca is not None and r >= 5:
-        from .pbc import min_image as _mi
+        from .pbc import min_image_frames_any as _mi
         import jax.numpy as jnp
 
         cca = np.asarray(ca, np.float64)
         bx = np.asarray(boxes, np.float64)
         u = np.asarray(_mi(jnp.asarray(cca[:, 2:] - cca[:, :-2]),
-                           jnp.asarray(bx)[:, None, :]), np.float64)
+                           jnp.asarray(bx)), np.float64)
         # u[f, i] = CA(i+2) - CA(i); kappa at residue i+2 uses
         # (CA(i+2)-CA(i), CA(i+4)-CA(i+2))
         v1 = u[:, :-2]

@@ -40,6 +40,35 @@ def unwrap_orthorhombic(pos, boxes):
     return jnp.concatenate([pos[:1], pos[:1] + jnp.cumsum(d, axis=0)], axis=0)
 
 
+def unwrap_triclinic(pos, boxes):
+    """Triclinic-exact unwrap: consecutive-frame displacements are taken
+    through the exact triclinic minimum image (27-image search,
+    `ops.pbc.min_image_triclinic_frames`), then cumulatively summed.
+
+    pos [F, K, 3] f32; boxes [F, 3, 3] per-frame box matrices (rows are
+    box vectors, Gromacs lower-triangular).  Same sampling assumption as
+    the orthorhombic form: true frame-to-frame motion smaller than half
+    the smallest box extent.
+    """
+    import jax.numpy as jnp
+
+    from .pbc import min_image_triclinic_frames
+
+    d = min_image_triclinic_frames(pos[1:] - pos[:-1], boxes[1:])
+    return jnp.concatenate([pos[:1], pos[:1] + jnp.cumsum(d, axis=0)], axis=0)
+
+
+def unwrap(pos, boxes):
+    """Dispatch on the box representation: [F, 3] lengths -> orthorhombic
+    unwrap; [F, 3, 3] matrices -> exact triclinic unwrap."""
+    import jax.numpy as jnp
+
+    boxes = jnp.asarray(boxes)
+    if boxes.ndim == 3:
+        return unwrap_triclinic(pos, boxes)
+    return unwrap_orthorhombic(pos, boxes)
+
+
 def msd_lags(unwrapped, lags, axis_mask=None):
     """MSD over the given frame lags.
 

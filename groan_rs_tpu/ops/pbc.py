@@ -34,6 +34,7 @@ __all__ = [
     "distance_triclinic",
     "wrap_triclinic",
     "min_image_triclinic_frames",
+    "min_image_frames_any",
     "distance_triclinic_frames",
     "wrap_triclinic_frames",
 ]
@@ -195,6 +196,23 @@ def min_image_triclinic_frames(d, boxes):
     best = jnp.argmin(n2, axis=-1)
     out = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
     return out[:, 0, :] if single else out
+
+
+def min_image_frames_any(d, boxes):
+    """Per-frame minimum image dispatching on the box representation.
+
+    d: `[F, ..., 3]` displacements (any middle rank); boxes: `[F, 3]`
+    orthorhombic lengths (per-axis reduction, bit-identical to the
+    direct `min_image` broadcast) or `[F, 3, 3]` triclinic matrices
+    (exact 27-image search).  The shared entry point for kernels that
+    must accept both (sasa/mdmat/dssp/msd/... triclinic support)."""
+    d = jnp.asarray(d)
+    boxes = jnp.asarray(boxes)
+    if boxes.ndim == 2:
+        b = boxes.reshape((d.shape[0],) + (1,) * (d.ndim - 2) + (3,))
+        return min_image(d, b)
+    flat = d.reshape(d.shape[0], -1, 3)
+    return min_image_triclinic_frames(flat, boxes).reshape(d.shape)
 
 
 def distance_triclinic_frames(a, b, boxes):

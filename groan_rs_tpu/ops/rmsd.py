@@ -157,8 +157,11 @@ def rmsd_matrix(frames, boxes, w, *, chunk: int = 8):
     """All-pairs fitted RMSD of a frame batch -> `[F, F]` (the `gmx rms
     -m` matrix; feeds GROMOS clustering).
 
-    frames: `[F, K, 3]` group coords per frame; boxes: `[F, 3]`; w: `[K]`
-    masses.  Every pair uses EXACTLY the single-pair `calc_rmsd`
+    frames: `[F, K, 3]` group coords per frame; boxes: `[F, 3]` lengths
+    (or `[F, 3, 3]` triclinic matrices — frames then unwrap around the
+    exact triclinic refined COM, the `rmsd_frames_triclinic`
+    convention); w: `[K]` masses.  Every pair uses EXACTLY the
+    single-pair `calc_rmsd`
     convention (mass-weighted centroids, unweighted covariance, mass-
     weighted deviations — rmsd.rs:547-604), so `out[i, j]` equals
     `calc_rmsd` between frame-i and frame-j systems; the matrix is
@@ -169,7 +172,19 @@ def rmsd_matrix(frames, boxes, w, *, chunk: int = 8):
     """
     frames = jnp.asarray(frames, jnp.float32)
     f = int(frames.shape[0])
-    prepped, ctr = prepare_coords(frames, boxes, weights=w)  # [F,K,3],[F,3]
+    boxes = jnp.asarray(boxes, jnp.float32)
+    if boxes.ndim == 3:
+        from .center import center_triclinic
+        from .pbc import min_image_triclinic_frames
+
+        wj0 = jnp.asarray(w, jnp.float32)
+        com = center_triclinic(frames, boxes, weights=wj0)   # [F, 3]
+        prepped = com[:, None, :] + min_image_triclinic_frames(
+            frames - com[:, None, :], boxes)                 # [F, K, 3]
+        ctr = (jnp.sum(wj0[None, :, None] * prepped, axis=1)
+               / jnp.sum(wj0))                               # [F, 3]
+    else:
+        prepped, ctr = prepare_coords(frames, boxes, weights=w)
 
     n_chunks = -(-f // chunk)
     pad = n_chunks * chunk - f

@@ -38,7 +38,8 @@ def sasa_frames(pos, boxes, radii, *, probe: float = 0.14,
                 chunk: int = 256):
     """Per-atom SASA for a batch of frames.
 
-    pos: `[F, K, 3]` positions; boxes: `[F, 3]` orthorhombic lengths;
+    pos: `[F, K, 3]` positions; boxes: `[F, 3]` orthorhombic lengths or
+    `[F, 3, 3]` triclinic box matrices (exact 27-image minimum image);
     radii: `[K]` vdW radii (nm).  Returns `(areas, max_relevant)`:
     `areas [F, K]` in nm^2 and the largest per-atom relevant-neighbour
     count over the whole batch (validate `<= max_neighbors` host-side).
@@ -46,7 +47,7 @@ def sasa_frames(pos, boxes, radii, *, probe: float = 0.14,
     import jax
     import jax.numpy as jnp
 
-    from .pbc import min_image
+    from .pbc import min_image, min_image_triclinic
 
     pos = jnp.asarray(pos, jnp.float32)
     boxes = jnp.asarray(boxes, jnp.float32)
@@ -75,7 +76,9 @@ def sasa_frames(pos, boxes, radii, *, probe: float = 0.14,
                 jnp.concatenate([r_ext, jnp.zeros((pad,), r_ext.dtype)])
                 if pad else r_ext, start, c, axis=0)        # [C]
             # j relative to i (x_j - x_i), matching the host oracle
-            d = min_image(p[None, :, :] - pc[:, None, :], box)  # [C, K, 3]
+            raw = p[None, :, :] - pc[:, None, :]
+            d = (min_image_triclinic(raw, box) if box.ndim == 2
+                 else min_image(raw, box))                  # [C, K, 3]
             d2 = jnp.sum(d * d, axis=-1)                        # [C, K]
             rows = start + jnp.arange(c)
             self_mask = rows[:, None] == jnp.arange(k)[None, :]
@@ -112,19 +115,30 @@ def sasa_frames(pos, boxes, radii, *, probe: float = 0.14,
 
 def sasa_frames_host_f64(pos, boxes, radii, *, probe: float = 0.14,
                          n_points: int = 192):
-    """Float64 host oracle: identical point set, ALL neighbours (no cap),
-    orthorhombic minimum image."""
+    """Float64 host oracle: identical point set, ALL neighbours (no cap);
+    orthorhombic minimum image, or brute-force 125-image search for
+    `[F, 3, 3]` triclinic boxes."""
     pos = np.asarray(pos, np.float64)
     boxes = np.asarray(boxes, np.float64)
     r = np.asarray(radii, np.float64) + probe
     pts = fibonacci_sphere(n_points).astype(np.float64)
     f, k = pos.shape[0], pos.shape[1]
+    shifts = None
+    if boxes.ndim == 3:
+        g = np.array([-2, -1, 0, 1, 2])
+        shifts = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                          axis=-1).reshape(-1, 3).astype(np.float64)
     out = np.zeros((f, k))
     for fi in range(f):
         box = boxes[fi]
         for i in range(k):
             d = pos[fi] - pos[fi, i]
-            d -= box * np.round(d / box)                 # [K, 3], j rel. i
+            if shifts is not None:
+                cands = d[:, None, :] + (shifts @ box)[None, :, :]
+                best = np.argmin((cands * cands).sum(-1), axis=1)
+                d = cands[np.arange(k), best]
+            else:
+                d -= box * np.round(d / box)             # [K, 3], j rel. i
             q = r[i] * pts                               # [N, 3]
             blocked = np.zeros(len(pts), bool)
             for j in range(k):

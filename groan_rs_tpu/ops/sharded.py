@@ -41,6 +41,10 @@ _TWO_PI = 6.283185307179586
 _ROLE_ATOM_VEC = "a"    # [N]    sharded over atoms
 _ROLE_ATOM_MAT = "a3"   # [N, 3] sharded over atoms
 _ROLE_REPL = "r"        # any    replicated
+_ROLE_REPL_ATOM = "ra"  # [N]    replicated but atom-indexed: padded to
+                        # n_pad like the sharded arrays (a gathered side
+                        # of a pair observable must match the padded
+                        # atom axis; pad entries carry zero weight)
 
 
 @dataclass
@@ -53,10 +57,28 @@ class CompiledSpec:
     static: dict = field(default_factory=dict)
 
 
+def _mi_box(d, box):
+    """Minimum image dispatching on the box representation.
+
+    d: [b, ..., 3]; box: [b, 3] orthorhombic lengths (per-axis, the
+    reference's semantics) or [b, 3, 3] triclinic row matrices (exact
+    27-image search, `ops.pbc.min_image_triclinic_frames`).  Pure
+    shard-local math — safe inside shard_map bodies."""
+    from .pbc import min_image, min_image_frames_any
+
+    if box.ndim == 3:
+        return min_image_frames_any(d, box)
+    b = box.reshape((d.shape[0],) + (1,) * (d.ndim - 2) + (3,))
+    return min_image(d, b)
+
+
 def _masked_bai_breen_center(pos, box, w):
     """Local partial Bai-Breen + psum over 'atoms' -> refined center.
 
-    pos: [b, n_local, 3]; box: [b, 3]; w: [n_local] weights (0 = excluded).
+    pos: [b, n_local, 3]; box: [b, 3] lengths or [b, 3, 3] triclinic
+    matrices (the circular mean then runs in fractional coordinates,
+    period 1 per axis — `ops.center.center_triclinic` in mask form);
+    w: [n_local] weights (0 = excluded).
     Returns ([b, 3] center, [b] total weight).
     """
     import jax
@@ -64,9 +86,26 @@ def _masked_bai_breen_center(pos, box, w):
 
     from .pbc import vector_to, wrap
 
+    wx = w[None, :, None]
+    if box.ndim == 3:
+        _hi = jax.lax.Precision.HIGHEST
+        hinv = jnp.linalg.inv(box)
+        s = jnp.einsum("bni,bij->bnj", pos, hinv, precision=_hi)
+        theta = (s - jnp.floor(s)) * _TWO_PI
+        xi = jax.lax.psum(jnp.sum(wx * jnp.cos(theta), axis=1), "atoms")
+        zeta = jax.lax.psum(jnp.sum(wx * jnp.sin(theta), axis=1), "atoms")
+        est = (jnp.arctan2(-zeta, -xi) + jnp.pi) / _TWO_PI  # [b, 3] frac
+        d = s - est[:, None, :]
+        d = d - jnp.round(d)
+        num = jax.lax.psum(jnp.sum(wx * (est[:, None, :] + d), axis=1),
+                           "atoms")
+        den = jax.lax.psum(jnp.sum(w), "atoms")
+        frac = num / den[..., None] if den.ndim else num / den
+        ctr = jnp.einsum("bi,bij->bj", frac, box, precision=_hi)
+        return ctr, den
+
     scale = _TWO_PI / box  # [b, 3]
     theta = wrap(pos, box[:, None, :]) * scale[:, None, :]
-    wx = w[None, :, None]
     xi = jax.lax.psum(jnp.sum(wx * jnp.cos(theta), axis=1), "atoms")
     zeta = jax.lax.psum(jnp.sum(wx * jnp.sin(theta), axis=1), "atoms")
     est = (jnp.arctan2(-zeta, -xi) + jnp.pi) / scale  # [b, 3]
@@ -90,11 +129,9 @@ def _eval_gyration(pos, box, static, arrays):
     import jax
     import jax.numpy as jnp
 
-    from .pbc import min_image
-
     (w,) = arrays
     c, den = _masked_bai_breen_center(pos, box, w)
-    d = min_image(pos - c[:, None, :], box[:, None, :])
+    d = _mi_box(pos - c[:, None, :], box)
     r2 = jnp.sum(d * d, axis=-1)  # [b, n_local]
     num = jax.lax.psum(jnp.sum(w[None, :] * r2, axis=-1), "atoms")
     return jnp.sqrt(num / den)
@@ -106,11 +143,9 @@ def _eval_gyration_axes(pos, box, static, arrays):
     import jax
     import jax.numpy as jnp
 
-    from .pbc import min_image
-
     (w,) = arrays
     c, den = _masked_bai_breen_center(pos, box, w)
-    d = min_image(pos - c[:, None, :], box[:, None, :])
+    d = _mi_box(pos - c[:, None, :], box)
     r2 = jnp.sum(d * d, axis=-1)  # [b, n_local]
     num = jax.lax.psum(jnp.sum(w[None, :] * r2, axis=-1), "atoms")
     cols = [jnp.sqrt(num / den)]
@@ -124,12 +159,17 @@ def _eval_gyration_axes(pos, box, static, arrays):
 def _eval_distance(pos, box, static, arrays):
     import jax.numpy as jnp
 
-    from .pbc import min_image
-
     w1, w2 = arrays
     c1, _ = _masked_bai_breen_center(pos, box, w1)
     c2, _ = _masked_bai_breen_center(pos, box, w2)
-    d = min_image(c1 - c2, box)
+    if box.ndim == 3:
+        from .pbc import min_image_triclinic_frames
+
+        d = min_image_triclinic_frames(c1 - c2, box)
+    else:
+        from .pbc import min_image
+
+        d = min_image(c1 - c2, box)
     dim_mask = static["dim_mask"]
     n_active = sum(bool(v) for v in dim_mask)
     mask = jnp.asarray(dim_mask, bool)
@@ -158,9 +198,20 @@ def _eval_rmsd(pos, box, static, arrays):
     mask_f, wm, ref_local, ref_wsum = arrays
     com_t, _ = _masked_bai_breen_center(pos, box, wm)
 
-    box_center = box * 0.5
-    shifted = wrap(pos + (box_center - com_t)[:, None, :], box[:, None, :])
-    qc = (shifted - box_center[:, None, :]) * mask_f[None, :, None]
+    if box.ndim == 3:
+        # triclinic (the rmsd_frames_triclinic convention in mask form):
+        # unwrap the group around its exact triclinic refined COM, take
+        # the mass-weighted centroid (psum), center about it
+        unwrapped = com_t[:, None, :] + _mi_box(pos - com_t[:, None, :], box)
+        cq_num = jax.lax.psum(
+            jnp.sum(wm[None, :, None] * unwrapped, axis=1), "atoms")
+        cq = cq_num / ref_wsum
+        qc = (unwrapped - cq[:, None, :]) * mask_f[None, :, None]
+    else:
+        box_center = box * 0.5
+        shifted = wrap(pos + (box_center - com_t)[:, None, :],
+                       box[:, None, :])
+        qc = (shifted - box_center[:, None, :]) * mask_f[None, :, None]
     pc = ref_local[None, :, :]  # already centered & masked
 
     h_local = jnp.einsum("bni,bnj->bij", jnp.broadcast_to(pc, qc.shape), qc,
@@ -197,11 +248,9 @@ def _pair_valid_dist(pos, box, m1_local, m2_full):
     import jax
     import jax.numpy as jnp
 
-    from .pbc import min_image
-
     pos_full = jax.lax.all_gather(pos, "atoms", axis=1, tiled=True)  # [b, N, 3]
     d = pos[:, :, None, :] - pos_full[:, None, :, :]
-    d = min_image(d, box[:, None, None, :])
+    d = _mi_box(d, box)
     dist = jnp.sqrt(jnp.sum(d * d, axis=-1))  # [b, n_local, N]
     valid = (m1_local[None, :, None] > 0) & (m2_full[None, None, :] > 0)
     return dist, valid
@@ -291,7 +340,16 @@ def _eval_density_profile(pos, box, static, arrays):
 
     (w,) = arrays
     ax, n_bins, scale = static["axis"], static["n_bins"], static["scale"]
-    frac = pos[..., ax] / box[:, None, ax]
+    if box.ndim == 3:
+        # fractional coordinate along box vector `ax` (exact slabbing
+        # for sheared cells); volume from the determinant
+        hinv = jnp.linalg.inv(box)
+        frac = jnp.einsum("bni,bij->bnj", pos, hinv,
+                          precision=jax.lax.Precision.HIGHEST)[..., ax]
+        vol = jnp.abs(jnp.linalg.det(box))
+    else:
+        frac = pos[..., ax] / box[:, None, ax]
+        vol = jnp.prod(box, axis=-1)
     frac = frac - jnp.floor(frac)
     bi = jnp.clip((frac * n_bins).astype(jnp.int32), 0, n_bins - 1)
 
@@ -299,7 +357,6 @@ def _eval_density_profile(pos, box, static, arrays):
         return jnp.zeros(n_bins, jnp.float32).at[b1].add(w)
 
     hist = jax.lax.psum(jax.vmap(one)(bi), "atoms")
-    vol = jnp.prod(box, axis=-1)
     return hist * (n_bins * scale) / vol[:, None]
 
 
@@ -309,11 +366,9 @@ def _eval_dipole(pos, box, static, arrays):
     import jax
     import jax.numpy as jnp
 
-    from .pbc import min_image
-
     q, wm = arrays
     c, _ = _masked_bai_breen_center(pos, box, wm)
-    d = min_image(pos - c[:, None, :], box[:, None, :])
+    d = _mi_box(pos - c[:, None, :], box)
     return jax.lax.psum(jnp.sum(q[None, :, None] * d, axis=1), "atoms")
 
 
@@ -321,11 +376,18 @@ def _eval_volume(pos, box, static, arrays):
     """Box volume: replicated sidecar math, no atom data touched."""
     import jax.numpy as jnp
 
+    if box.ndim == 3:
+        return jnp.abs(jnp.linalg.det(box))
     return jnp.prod(box, axis=-1)
 
 
 def _eval_box_lengths(pos, box, static, arrays):
-    """Box edge lengths: replicated sidecar math, no atom data touched."""
+    """Box edge lengths: replicated sidecar math, no atom data touched.
+    Triclinic matrices report the box-vector norms."""
+    import jax.numpy as jnp
+
+    if box.ndim == 3:
+        return jnp.sqrt(jnp.sum(box * box, axis=-1))
     return box
 
 
@@ -351,13 +413,20 @@ _OUT_RANK = {"center": 2, "gyration": 1, "gyration_axes": 2, "distance": 1, "rms
              "box_lengths": 2}
 
 
-def compile_decl(decl, system) -> CompiledSpec:
+def compile_decl(decl, system, triclinic: bool = False) -> CompiledSpec:
     """Compile one TrajectoryAnalysis observable declaration to mask form
-    over the full-system atom layout."""
+    over the full-system atom layout.  `triclinic=True` prepares
+    box-matrix observables (the step then receives `[B, 3, 3]` boxes)."""
     from ..errors import GroupError, ParallelError
 
     kind = decl["kind"]
     n = system.get_n_atoms()
+
+    if triclinic and kind == "density":
+        raise ParallelError(
+            "the 2D density map bins absolute nm spans and has no "
+            "triclinic formulation; use density_profile (fractional "
+            "slabs) or an orthorhombic box")
 
     def group_w(group, com):
         mask = system.group_mask(group).astype(np.float32)
@@ -395,10 +464,26 @@ def compile_decl(decl, system) -> CompiledSpec:
 
         reference = decl["reference"]
         group = decl["group"]
-        # _extract returns prepared coords (COM shifted to the reference
-        # box center, wrapped) + that centroid (rmsd.rs:425 semantics)
-        ref_prep, ref_ctr, ref_idx = _extract(reference, group)
-        w = _masses(reference, group, ref_idx)
+        if triclinic:
+            # prepare the reference with the triclinic convention
+            # (`ops.rmsd.prepare_coords_triclinic`): unwrap around the
+            # exact triclinic refined COM, centroid = weighted mean
+            from .rmsd import prepare_coords_triclinic
+
+            ref_idx = np.asarray(reference.group_indices(group))
+            w = _masses(reference, group, ref_idx)
+            ref_prep, ref_ctr = prepare_coords_triclinic(
+                np.asarray(reference.positions[ref_idx], np.float32),
+                np.asarray(reference.get_box().to_matrix(), np.float32),
+                weights=w)
+            ref_prep = np.asarray(ref_prep)
+            ref_ctr = np.asarray(ref_ctr)
+        else:
+            # _extract returns prepared coords (COM shifted to the
+            # reference box center, wrapped) + that centroid
+            # (rmsd.rs:425 semantics)
+            ref_prep, ref_ctr, ref_idx = _extract(reference, group)
+            w = _masses(reference, group, ref_idx)
         mask = system.group_mask(group).astype(np.float32)
         idx = np.nonzero(mask)[0]
         if idx.shape[0] != ref_idx.shape[0]:
@@ -431,7 +516,7 @@ def compile_decl(decl, system) -> CompiledSpec:
         static = {"cutoff": float(decl["cutoff"])} if kind == "contacts" else {}
         return CompiledSpec(
             decl["name"], kind,
-            [(_ROLE_ATOM_VEC, m1), (_ROLE_REPL, m2)],
+            [(_ROLE_ATOM_VEC, m1), (_ROLE_REPL_ATOM, m2)],
             static,
         )
 
@@ -440,7 +525,7 @@ def compile_decl(decl, system) -> CompiledSpec:
         m2 = group_w(decl["g2"], False)
         return CompiledSpec(
             decl["name"], "rdf",
-            [(_ROLE_ATOM_VEC, m1), (_ROLE_REPL, m2)],
+            [(_ROLE_ATOM_VEC, m1), (_ROLE_REPL_ATOM, m2)],
             {"r_max": float(decl["r_max"]), "n_bins": int(decl["n_bins"]),
              "exclude_self": bool(decl["same"]),
              "n1": int(m1.sum()), "n2": int(m2.sum())},
@@ -502,7 +587,7 @@ def compile_decl(decl, system) -> CompiledSpec:
     )
 
 
-def build_sharded_step(mesh, specs, n_atoms: int):
+def build_sharded_step(mesh, specs, n_atoms: int, triclinic: bool = False):
     """Compile the observable suite over `mesh` (frames x atoms).
 
     Returns `(step, params, n_pad)`:
@@ -510,7 +595,10 @@ def build_sharded_step(mesh, specs, n_atoms: int):
     - `step(positions, boxes, frame_mask, inv_prec, *params) -> {name: out}`
       jitted shard_map.  `positions` is `[B, n_pad, 3]` float32 OR int16
       (the q16 wire: raw quantized XTC ints, dequantized in-shard with the
-      decoder-reported `inv_prec[B]`); `boxes [B, 3]`; `frame_mask [B]`.
+      decoder-reported `inv_prec[B]`); `boxes [B, 3]` lengths, or
+      `[B, 3, 3]` row matrices with `triclinic=True` (every observable
+      then runs its exact-triclinic form — fractional-space Bai-Breen,
+      27-image minimum image); `frame_mask [B]`.
       B must be a multiple of the mesh's frames axis.
     - `params`: tuple of numpy arrays (atom arrays padded to `n_pad`);
       pass them through verbatim on every call.
@@ -540,7 +628,8 @@ def build_sharded_step(mesh, specs, n_atoms: int):
         counts.append(len(s.arrays))
         for role, arr in s.arrays:
             arr = np.asarray(arr)
-            if role in (_ROLE_ATOM_VEC, _ROLE_ATOM_MAT) and arr.shape[0] != n_pad:
+            if (role in (_ROLE_ATOM_VEC, _ROLE_ATOM_MAT, _ROLE_REPL_ATOM)
+                    and arr.shape[0] != n_pad):
                 pad = [(0, n_pad - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
                 arr = np.pad(arr, pad)
             params.append(arr)
@@ -571,7 +660,8 @@ def build_sharded_step(mesh, specs, n_atoms: int):
         mesh=mesh,
         in_specs=(
             P("frames", "atoms", None),  # positions
-            P("frames", None),  # box lengths
+            (P("frames", None, None) if triclinic
+             else P("frames", None)),  # box lengths / matrices
             P("frames"),  # frame mask
             P("frames"),  # per-frame dequant factor
             *param_specs,
