@@ -1014,11 +1014,14 @@ class TngFrameWriter:
     TNG block streams (correct md5s and frame-set linked list, patched at
     close) and round-trip bit-exactly through `TngSource`.
 
-    ``codec`` selects the POSITIONS payload coding: ``"gzip"`` (default;
-    lossless float32 round-trip) or ``"tng"`` (codec-2 ``tng_compress``
-    XTC2 at ``multiplier`` ints/nm — the same coder ``gmx mdrun``
-    writes, quantized like XTC).  Box/lambda/velocity/force blocks stay
-    gzip, matching GROMACS' own layout for non-position data.
+    ``codec`` selects the payload coding: ``"gzip"`` (default; lossless
+    float32 round-trip) or ``"tng"`` (codec-2 ``tng_compress`` XTC2 at
+    ``multiplier`` ints/nm — the same coder ``gmx mdrun`` writes,
+    quantized like XTC).  With ``"tng"``, velocity/force blocks are
+    XTC2-coded too (signed values round-trip bit-exactly on the
+    quantized grid; blocks whose span exceeds the magic table fall back
+    to gzip per block).  Box/lambda blocks stay gzip, matching GROMACS'
+    layout.
     """
 
     def __init__(self, path: str, n_atoms: int, program: str = "groan_rs_tpu",
@@ -1092,12 +1095,30 @@ class TngFrameWriter:
                 "POSITIONS", TNG_TRAJ_POSITIONS,
                 _data_contents(2, 3, 3, TNG_GZIP_COMPRESSION, gz(positions),
                                self.n_atoms)))
+        def aux_block(name, block_id, arr):
+            """Velocity/force payload: codec='tng' codes them with the
+            same tng_compress XTC2 coder as positions (quantized at
+            `multiplier`; the decode side is block-id-agnostic, so these
+            read back through the exact same native path), falling back
+            to gzip when the value range exceeds the magic table —
+            GROMACS' own layout for non-position data."""
+            if self.codec == "tng":
+                try:
+                    payload = _encode_tng_compress(np.asarray(arr),
+                                                   self.multiplier)
+                    fh.write(_block_bytes(name, block_id, _data_contents(
+                        2, 3, 3, TNG_TNG_COMPRESSION, payload, self.n_atoms,
+                        multiplier=self.multiplier)))
+                    return
+                except WriteTrajError:
+                    pass
+            fh.write(_block_bytes(name, block_id, _data_contents(
+                2, 3, 3, TNG_GZIP_COMPRESSION, gz(arr), self.n_atoms)))
+
         if velocities is not None:
-            fh.write(_block_bytes("VELOCITIES", TNG_TRAJ_VELOCITIES, _data_contents(
-                2, 3, 3, TNG_GZIP_COMPRESSION, gz(velocities), self.n_atoms)))
+            aux_block("VELOCITIES", TNG_TRAJ_VELOCITIES, velocities)
         if forces is not None:
-            fh.write(_block_bytes("FORCES", TNG_TRAJ_FORCES, _data_contents(
-                2, 3, 3, TNG_GZIP_COMPRESSION, gz(forces), self.n_atoms)))
+            aux_block("FORCES", TNG_TRAJ_FORCES, forces)
 
     def close(self):
         """Backpatch the frame-set linked list + general-info pointers."""

@@ -1,0 +1,1035 @@
+"""Time-correlation and transport analyses (msd/vacf/diffusion/dos/rotacf/tcaf/van Hove/current/dipole ACF/h-bond kinetics).
+
+Split out of models/pipeline.py (one module per analysis family); shared
+loaders/helpers live in `models.pipeline`.  All public names remain
+importable as `groan_rs_tpu.models.<name>` and `groan_rs_tpu.models.pipeline.<name>`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.dimension import Dimension
+from ..errors import GroupError, ParallelError, RMSDError
+from ..ops import center as center_ops
+from ..ops import distances as distance_ops
+from ..ops import geometry
+from ..ops import pbc
+from ..ops import rmsd as rmsd_ops
+
+from .pipeline import (  # shared core helpers
+    TrajectoryAnalysis,
+    _AMU_NM_PS_TO_PAS,
+    _BOLTZ,
+    _named_group,
+    _resident_group_cols,
+    _resident_group_pos,
+    _sel_indices,
+    _system_triclinic,
+    _transient_indices,
+    _unit_tables,
+)
+
+
+def msd(system, trajectory, group: str, *, lags=None, dims: str = "xyz",
+        batch_size: int = 32):
+    """Mean-squared displacement of a selection over frame lags
+    (surpass feature — the reference has no MSD; `gmx msd` semantics:
+    atom-averaged, all time origins).  `dims` restricts the
+    displacement to a subset of axes ("xy" = gmx msd -lateral z,
+    "z" = -type z, ...).
+
+    `trajectory` is a filename (loaded device-resident once via
+    `load_device`, shipping ONLY the group's atoms) or an existing
+    `DeviceTrajectory` whose layout contains the group.  Unwrapping and
+    the all-lag sweep run on device in one dispatch each
+    (`ops.msd.unwrap` / `msd_lags`); triclinic boxes unwrap through the
+    exact 27-image minimum image (surpass — the reference is
+    orthogonal-only, lib.rs:353-355); frame-to-frame motion < half a
+    box vector (the standard MSD sampling assumption).
+
+    Returns `(lag_times, msd)`: lag_times [L] in the file's time unit
+    (ps), msd [L] in nm^2.  `lags` defaults to every frame lag
+    0..F-1.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        shipped = getattr(dt, "sel", None)
+        if shipped is None:
+            cols = gsel
+        else:
+            lut = np.full(int(system.get_n_atoms()), -1, np.int64)
+            lut[np.asarray(shipped)] = np.arange(len(shipped))
+            cols = lut[gsel]
+            if (cols < 0).any():
+                raise ParallelError(
+                    f"the DeviceTrajectory's shipped layout does not "
+                    f"contain every atom of group '{group}'; load with "
+                    "ship='all' or runner(group=...)")
+    else:
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)).runner(group=group)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+
+    f = int(dt.pos.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+
+    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    if (not dims or any(c not in "xyz" for c in dims)
+            or len(set(dims)) != len(dims)):
+        raise ParallelError(
+            f"dims must be a non-empty subset of 'xyz', got '{dims}'")
+    am = None if set(dims) == set("xyz") else np.array(
+        [float(c in dims) for c in "xyz"], np.float32)
+    u = msd_ops.unwrap(pos, jnp.asarray(dt.boxes))
+    curve = np.asarray(msd_ops.msd_lags(u, lags, axis_mask=am))
+    times = np.asarray(dt.times, np.float64)
+    lag_times = times[lags] - times[0]
+    return lag_times, curve
+
+def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
+         batch_size: int = 32):
+    """Velocity autocorrelation function of a selection over frame lags
+    (surpass — the reference decodes TRR velocities but has no VACF;
+    `gmx velacc` semantics: C(tau) = <v(t) . v(t+tau)> averaged over all
+    time origins and the group's atoms, mass-weighted with
+    `mass_weighted=True`).
+
+    `trajectory` is a TRR filename (loaded device-resident once with the
+    velocity channel, shipping ONLY the group's atoms) or an existing
+    `DeviceTrajectory` that carries a 'vel' aux channel.  Frames without
+    velocities decode v=0 and contribute zero terms — pass a
+    velocity-carrying trajectory.  The whole curve evaluates in one
+    device dispatch (`ops.msd.lag_correlation`).
+
+    Returns `(lag_times, vacf)`: [L] ps, [L] (nm/ps)^2.  `lags` defaults
+    to every frame lag 0..F-1.  Normalize with `vacf / vacf[0]`.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(system.group_indices(group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)
+        ).runner(group=group, velocities=True)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+    if "vel" not in dt.aux_names:
+        raise ParallelError(
+            "the DeviceTrajectory carries no velocity channel; load it "
+            "with runner(velocities=True).load_device(...)")
+    vel = dt.aux[dt.aux_names.index("vel")]
+
+    f = int(vel.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+
+    w = None
+    if mass_weighted:
+        if not system.topology.has_mass[gsel].all():
+            raise GroupError(
+                f"group '{group}' has atoms without mass", code="InvalidMass")
+        w = np.asarray(system.topology.mass, np.float32)[gsel]
+    v = jnp.asarray(vel)[:, jnp.asarray(cols), :]
+    curve = np.asarray(msd_ops.lag_correlation(v, lags, weights=w))
+    times = np.asarray(dt.times, np.float64)
+    lag_times = times[lags] - times[0]
+    return lag_times, curve
+
+def diffusion(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
+              dims: str = "xyz", batch_size: int = 32):
+    """Self-diffusion coefficient from the Einstein relation (surpass —
+    the `gmx msd` -beginfit/-endfit workflow; absent from the
+    reference).  MSD(t) evaluates on device (`models.msd`); D is the
+    float64 least-squares slope over the fit window divided by
+    2 * len(dims) (6 in 3-D; `dims="xy"` gives the lateral D the gmx
+    -lateral workflow reports), with `fit_range` the (begin, end)
+    fractions of the maximum lag time — gmx msd's default
+    restricted-window fit.
+
+    Returns a dict: 'D' (cm^2/s), 'D_1e5' (the 1e-5 cm^2/s unit gmx
+    prints), 'slope' (nm^2/ps), 'intercept' (nm^2), 'lag_times' [L]
+    (ps), 'msd' [L] (nm^2), 'fit_mask' [L] (bool).
+    """
+    lo, hi = float(fit_range[0]), float(fit_range[1])
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ParallelError(
+            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
+    lag_times, curve = msd(system, trajectory, group, dims=dims,
+                           batch_size=batch_size)
+    t = np.asarray(lag_times, np.float64)
+    y = np.asarray(curve, np.float64)
+    tmax = t[-1] if len(t) else 0.0
+    mask = (t >= lo * tmax) & (t <= hi * tmax)
+    if int(mask.sum()) < 2:
+        raise ParallelError(
+            "fit window selects fewer than 2 MSD points; widen fit_range "
+            "or use a longer trajectory")
+    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
+    (slope, intercept), *_ = np.linalg.lstsq(a, y[mask], rcond=None)
+    d_nm2_ps = slope / (2.0 * len(set(dims)))
+    return {"D": d_nm2_ps * 1e-2, "D_1e5": d_nm2_ps * 1e3,
+            "slope": float(slope), "intercept": float(intercept),
+            "lag_times": t, "msd": y, "fit_mask": mask}
+
+def msd_mol(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
+            dims: str = "xyz", lags=None, batch_size: int = 32):
+    """Per-molecule center-of-mass MSD and diffusion coefficients
+    (surpass — the `gmx msd -mol` workload; absent from the reference).
+
+    Molecules are the bond-graph connected components of `group`
+    (`Topology.molecule_ids`, iterating.rs:399 semantics).  Atom paths
+    are unwrapped on device first (`ops.msd.unwrap`), then
+    mass-weighted COMs are taken over the CONTINUOUS paths — a molecule
+    split across the periodic boundary at frame 0 only offsets its COM
+    by a constant lattice vector, which displacement-based MSD is
+    exactly invariant to (no make-whole pass needed).  The whole
+    [L, M] curve family evaluates in one `lax.map` dispatch
+    (`ops.msd.msd_lags_per_entity`); each molecule's D comes from a
+    float64 Einstein fit over `fit_range` fractions of the maximum lag
+    (one vectorized lstsq for all molecules).
+
+    Masses weight the COM when the topology carries them (TPR/PQR);
+    otherwise geometric centers are used.  `dims` restricts axes
+    exactly as in `models.msd` ("xy" = lateral).  Triclinic boxes
+    unwrap through the exact minimum image (`ops.msd.unwrap`).
+
+    Returns a dict: 'n_molecules' M, 'first_atom' [M] (global index of
+    each molecule's first atom), 'lag_times' [L] (ps), 'msd' [L, M]
+    (nm^2), 'msd_mean' [L], 'D' [M] (cm^2/s), 'D_1e5' [M] (the 1e-5
+    cm^2/s unit gmx prints), 'D_mean', 'D_std' (std of the per-molecule
+    Ds), 'fit_mask' [L].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    lo, hi = float(fit_range[0]), float(fit_range[1])
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ParallelError(
+            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
+    if (not dims or any(c not in "xyz" for c in dims)
+            or len(set(dims)) != len(dims)):
+        raise ParallelError(
+            f"dims must be a non-empty subset of 'xyz', got '{dims}'")
+
+    gsel, pos, boxes, dt = _resident_group_pos(
+        system, trajectory, group, batch_size)
+
+    mol = np.asarray(system.topology.molecule_ids())[gsel]
+    uniq, first_local, inv = np.unique(mol, return_index=True,
+                                       return_inverse=True)
+    m = int(uniq.shape[0])
+    topo = system.topology
+    if np.asarray(topo.has_mass)[gsel].all():
+        wts = np.asarray(topo.mass, np.float64)[gsel]
+    else:
+        wts = np.ones(gsel.shape[0], np.float64)
+    wsum = np.zeros(m, np.float64)
+    np.add.at(wsum, inv, wts)
+
+    f = int(pos.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) == 0 or lags.min() < 0 or lags.max() >= f:
+        raise ParallelError(
+            f"lags must be non-empty and lie in [0, {f})")
+
+    seg = jnp.asarray(inv.astype(np.int32))
+    w32 = jnp.asarray((wts / wsum[inv]).astype(np.float32))
+    am = None if set(dims) == set("xyz") else np.array(
+        [float(c in dims) for c in "xyz"], np.float32)
+
+    u = msd_ops.unwrap(pos, jnp.asarray(dt.boxes))
+    com = jax.vmap(lambda x: jax.ops.segment_sum(
+        x * w32[:, None], seg, num_segments=m))(u)          # [F, M, 3]
+    curves = np.asarray(msd_ops.msd_lags_per_entity(com, lags, axis_mask=am),
+                        np.float64)                          # [L, M]
+
+    times = np.asarray(dt.times, np.float64)
+    t = times[lags] - times[0]
+    tmax = t[-1] if len(t) else 0.0
+    mask = (t >= lo * tmax) & (t <= hi * tmax)
+    if int(mask.sum()) < 2:
+        raise ParallelError(
+            "fit window selects fewer than 2 MSD points; widen fit_range "
+            "or use a longer trajectory")
+    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
+    coef, *_ = np.linalg.lstsq(a, curves[mask], rcond=None)  # [2, M]
+    d_nm2_ps = coef[0] / (2.0 * len(set(dims)))
+    d_cm2_s = d_nm2_ps * 1e-2
+    return {"n_molecules": m, "first_atom": gsel[first_local],
+            "lag_times": t, "msd": curves,
+            "msd_mean": curves.mean(axis=1),
+            "D": d_cm2_s, "D_1e5": d_nm2_ps * 1e3,
+            "D_mean": float(d_cm2_s.mean()),
+            "D_std": float(d_cm2_s.std(ddof=1)) if m > 1 else 0.0,
+            "fit_mask": mask}
+
+def dos(system, trajectory, group: str, *, temperature: float | None = None,
+        batch_size: int = 32):
+    """Vibrational density of states from the mass-weighted VACF
+    (surpass — the `gmx dos` workload; absent from the reference).
+
+    S(nu) = (2/(kB T)) FT[ C ](nu) with C(t) = sum_i m_i
+    <v_i(0).v_i(t)> the mass-weighted total VACF (amu (nm/ps)^2 ==
+    kJ/mol, so kB T in kJ/mol divides it directly).  The VACF evaluates
+    on device (`models.vacf`, one lax.map dispatch); the transform is a
+    float64 rFFT of the even extension on the uniform frame grid, so
+    the discrete Parseval identity integral(S dnu) == 3N holds EXACTLY
+    when T is measured from C(0) = 3 N kB T — the default
+    (`temperature=None`).  Also computes the Green-Kubo self-diffusion
+    coefficient D = (1/3) integral of the unweighted atom-mean VACF
+    (trapezoid over the available lags — truncation is the caller's
+    sampling choice, as in gmx dos).
+
+    Returns a dict: 'nu' [Lf] (1/ps), 'dos' [Lf] (ps, one-sided),
+    'vacf_times' [L] (ps), 'vacf' [L] (amu (nm/ps)^2, mass-weighted
+    total), 'T' (K), 'D' (cm^2/s), 'dof' (= integral(S dnu)), 'n_atoms'.
+    """
+    gsel = np.asarray(system.group_indices(group))
+    n = int(gsel.size)
+    if n == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+    if not system.topology.has_mass[gsel].all():
+        raise GroupError(f"group '{group}' has atoms without mass",
+                         code="InvalidMass")
+    m_total = float(np.asarray(system.topology.mass,
+                               np.float64)[gsel].sum())
+
+    from ..parallel.engine import DeviceTrajectory
+
+    dt_obj = trajectory
+    if not isinstance(dt_obj, DeviceTrajectory):
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)
+        ).runner(group=group, velocities=True)
+        dt_obj = runner.load_device(trajectory, batch_size=batch_size)
+    times, c_w = vacf(system, dt_obj, group, mass_weighted=True)
+    _, c_u = vacf(system, dt_obj, group, mass_weighted=False)
+
+    t = np.asarray(times, np.float64)
+    c_total = np.asarray(c_w, np.float64) * m_total   # sum_i m_i <v.v>
+    length = len(t)
+    if length < 3:
+        raise ParallelError("dos needs at least 3 frames of velocities")
+    dt_ps = float(t[1] - t[0])
+    if dt_ps <= 0 or not np.allclose(np.diff(t), dt_ps, rtol=1e-3):
+        raise ParallelError(
+            "dos requires a uniform frame-time grid; resample the "
+            "trajectory with with_step/with_range first")
+
+    kb = _BOLTZ                                       # kJ/(mol K) == amu nm^2/ps^2 / K
+    if temperature is None:
+        temperature = c_total[0] / (3.0 * n * kb)     # equipartition
+    temperature = float(temperature)
+    if temperature <= 0:
+        raise ParallelError("temperature must be positive")
+
+    ext = np.concatenate([c_total, c_total[-2:0:-1]])  # even extension
+    m_ext = len(ext)                                   # 2L - 2
+    spec = np.fft.rfft(ext).real * dt_ps               # FT approximation
+    s_nu = (2.0 / (kb * temperature)) * spec           # one-sided S(nu)
+    nu = np.fft.rfftfreq(m_ext, d=dt_ps)               # [Lf] 1/ps
+    dnu = 1.0 / (m_ext * dt_ps)
+    # one-sided half of the full DFT sum: DC and Nyquist bins count once
+    dof = float((s_nu.sum() - 0.5 * (s_nu[0] + s_nu[-1])) * dnu)
+
+    d_nm2_ps = float(np.trapezoid(np.asarray(c_u, np.float64), t) / 3.0)
+    return {"nu": nu, "dos": s_nu, "vacf_times": t, "vacf": c_total,
+            "T": temperature, "D": d_nm2_ps * 1e-2, "dof": dof,
+            "n_atoms": n}
+
+def hbond_acf(system, trajectory, chains, pairs, *,
+              max_distance: float = 0.35, min_angle: float = 120.0,
+              continuous: bool = False, batch_size: int = 16,
+              start_time=None, end_time=None, step=None):
+    """Hydrogen-bond existence autocorrelation (surpass — `gmx hbond
+    -ac`; the reference detects bonds per frame, hbonds.rs:457, but has
+    no lifetime analysis).
+
+    Bonds are detected per frame on the batched device path
+    (`hbonds_analyze_batched`, exact reference semantics), identified by
+    (pair, donor, hydrogen, acceptor), and correlated over frame lags:
+    C(tau) = <h(t) h(t+tau)>_{t,bonds} / <h> with h in {0, 1}, so
+    C(0) = 1 (the intermittent definition).  `continuous=True` gives
+    the uninterrupted-lifetime form: h(t)h(t+tau) counts only when the
+    bond persists through EVERY intermediate frame.
+
+    Returns `(lag_times, curve)`: [F] ps offsets and [F] C(tau).
+    """
+    times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
+                               max_distance, min_angle, batch_size,
+                               what="hbond_acf", start_time=start_time,
+                               end_time=end_time, step=step)
+    curve = _hbond_curve(h, continuous)
+    lag_times = np.asarray(times, np.float64) - times[0]
+    return lag_times, curve
+
+def _hbond_h_matrix(system, trajectory, chains, pairs, max_distance,
+                    min_angle, batch_size, what,
+                    start_time=None, end_time=None, step=None):
+    """Shared detection pass: per-frame bond existence matrix [F, P]."""
+    times, frames = [], []
+    seen: dict[tuple, int] = {}
+    for time, hmap in system.hbonds_analyze_batched(
+            trajectory, chains, pairs, max_distance, min_angle,
+            batch_size=batch_size, start_time=start_time,
+            end_time=end_time, step=step):
+        times.append(time)
+        ids = []
+        for pk, bonds in hmap.items():
+            for b in bonds:
+                key = (pk, b.donor, b.hydrogen, b.acceptor)
+                if key not in seen:
+                    seen[key] = len(seen)
+                ids.append(seen[key])
+        frames.append(np.asarray(ids, np.int64))
+    f = len(frames)
+    if f < 2:
+        raise ParallelError(
+            f"{what} needs at least 2 frames (trajectory has {f})")
+    if len(seen) == 0:
+        raise ParallelError("no hydrogen bonds found in the trajectory")
+    h = np.zeros((f, len(seen)), bool)
+    for t, ids in enumerate(frames):
+        h[t, ids] = True
+    return times, h
+
+def _hbond_curve(h, continuous):
+    f = h.shape[0]
+    mean_h = h.mean()
+    curve = np.empty(f)
+    if continuous:
+        # run[t, p] = length of the 1-run starting at t
+        run = np.zeros((f + 1, h.shape[1]), np.int64)
+        for t in range(f - 1, -1, -1):
+            run[t] = np.where(h[t], run[t + 1] + 1, 0)
+        for tau in range(f):
+            curve[tau] = (run[: f - tau] >= tau + 1).mean() / mean_h
+    else:
+        for tau in range(f):
+            curve[tau] = (h[: f - tau] & h[tau:]).mean() / mean_h
+    return curve
+
+def hbond_lifetime(system, trajectory, chains, pairs, *,
+                   max_distance: float = 0.35, min_angle: float = 120.0,
+                   batch_size: int = 16,
+                   start_time=None, end_time=None, step=None):
+    """Hydrogen-bond lifetimes from existence autocorrelation (surpass
+    — the `gmx hbond -life`/`-ac` lifetime numbers; absent from the
+    reference).
+
+    ONE batched detection pass builds the [F, P] bond-existence matrix;
+    both ACF definitions come from it:
+
+    - intermittent C(tau) (bonds may break and reform) and its
+      correlation time tau_intermittent = integral C dt (trapezoid over
+      the sampled lags — gmx hbond's -ac integral estimate),
+    - continuous S(tau) (uninterrupted persistence) and tau_continuous
+      = integral S dt, the Rapaport H-bond lifetime gmx hbond -life
+      reports, with k_rapaport = 1 / tau_continuous (ps^-1).  NOTE:
+      this is the Rapaport lifetime inverse, NOT the Luzar-Chandler
+      forward rate constant k that `gmx hbond` fits from the
+      intermittent ACF kinetics — users comparing against gmx's
+      printed k should expect systematically different numbers
+      ('k_forward' is kept as a deprecated alias of 'k_rapaport').
+
+    Both integrals truncate at the trajectory length — the caller's
+    sampling choice, exactly as in gmx hbond.
+
+    Returns a dict: 'lag_times' [F] (ps), 'intermittent' [F],
+    'continuous' [F], 'tau_intermittent', 'tau_continuous' (ps),
+    'k_forward' (ps^-1), 'n_bonds_seen' P, 'occupancy' (mean of h).
+    """
+    times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
+                               max_distance, min_angle, batch_size,
+                               what="hbond_lifetime",
+                               start_time=start_time, end_time=end_time,
+                               step=step)
+    lag_times = np.asarray(times, np.float64) - times[0]
+    ci = _hbond_curve(h, continuous=False)
+    cc = _hbond_curve(h, continuous=True)
+    tau_i = float(np.trapezoid(ci, lag_times))
+    tau_c = float(np.trapezoid(cc, lag_times))
+    k_rap = (1.0 / tau_c) if tau_c > 0 else float("inf")
+    return {"lag_times": lag_times, "intermittent": ci, "continuous": cc,
+            "tau_intermittent": tau_i, "tau_continuous": tau_c,
+            "k_rapaport": k_rap, "k_forward": k_rap,
+            "n_bonds_seen": int(h.shape[1]),
+            "occupancy": float(h.mean())}
+
+def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
+           batch_size: int = 32):
+    """Rotational autocorrelation of axis vectors (surpass — `gmx
+    rotacf -P {1,2}`; absent from the reference).
+
+    `pairs`: `[K, 2]` atom indices; per frame, u = unit minimum-image
+    vector from pairs[:, 1] to pairs[:, 0].  C_n(tau) =
+    <P_n(u(t) . u(t+tau))> over time origins and vectors, the whole
+    curve in one `lax.map` dispatch over the device-resident
+    trajectory (only the pairs' atoms are decoded and shipped).
+
+    Returns `(lag_times, curve)`: [L] ps, [L].
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+    from ..parallel.engine import DeviceTrajectory
+
+    pairs = np.asarray(pairs, np.int64)
+    if pairs.ndim != 2 or pairs.shape[1] != 2 or pairs.shape[0] == 0:
+        raise GroupError("pairs must be a non-empty [K, 2] array of atom "
+                         "indices", code="InvalidSelection")
+    n = int(system.get_n_atoms())
+    if pairs.min() < 0 or pairs.max() >= n:
+        raise GroupError(f"pairs reference atoms outside 0..{n - 1}",
+                         code="AtomOutOfRange")
+    if order not in (1, 2):
+        raise GroupError("order must be 1 or 2", code="InvalidMode")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        shipped = getattr(dt, "sel", None)
+        sel = np.arange(n) if shipped is None else np.asarray(shipped)
+        lut = {int(a): i for i, a in enumerate(sel)}
+        try:
+            cols = np.asarray([[lut[int(a)], lut[int(b)]]
+                               for a, b in pairs])
+        except KeyError:
+            raise ParallelError(
+                "the DeviceTrajectory's layout does not contain every "
+                "pair atom; reload with a wider selection") from None
+    else:
+        tag = "__rotacf__"
+        union = np.unique(pairs.ravel())
+        system.group_create_from_indices(tag, union)
+        try:
+            runner = TrajectoryAnalysis(
+                system, triclinic=_system_triclinic(system)).runner(group=tag)
+            dt = runner.load_device(trajectory, batch_size=batch_size)
+        finally:
+            system.group_remove(tag)
+        lut = {int(a): i for i, a in enumerate(union)}
+        cols = np.asarray([[lut[int(a)], lut[int(b)]] for a, b in pairs])
+
+    pos = jnp.asarray(dt.pos)
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    boxes = jnp.asarray(dt.boxes)
+    if boxes.ndim == 3:
+        raise ParallelError("rotacf supports orthorhombic boxes")
+
+    f = int(pos.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+
+    d = pbc.min_image(pos[:, jnp.asarray(cols[:, 0])]
+                      - pos[:, jnp.asarray(cols[:, 1])],
+                      boxes[:, None, :])
+    u = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    curve = np.asarray(msd_ops.legendre_lag_correlation(u, lags, order))
+    times = np.asarray(dt.times, np.float64)
+    lag_times = times[lags] - times[0]
+    return lag_times, curve
+
+def current(system, trajectory, group: str = "all", *,
+            temperature: float = 300.0, fit_range=(0.1, 0.5), lags=None,
+            batch_size: int = 32):
+    """Ionic conductivity via the Einstein-Helfand translational dipole
+    (surpass — the `gmx current` workload; absent from the reference).
+
+    M_J(t) = sum_i q_i u_i(t) over the group's UNWRAPPED positions
+    (`ops.msd.unwrap`, on device; triclinic boxes use the exact
+    27-image minimum image), and
+
+      sigma = lim_t d/dt <|M_J(t0+t) - M_J(t0)|^2> / (6 V kB T)
+
+    with all time origins averaged in one `lax.map` dispatch
+    (`ops.msd.msd_lags` on the [F, 1, 3] dipole path) and the slope
+    fitted in float64 over `fit_range` fractions of the maximum lag
+    (default (0.1, 0.5): past the ballistic regime, before the
+    noisy tail).  V is the trajectory-mean box volume (determinant for
+    triclinic cells).  Requires
+    charges (TPR/PQR); a net-charged group makes
+    M_J drift-frame dependent (same caveat as gmx current).
+
+    Returns a dict: 'conductivity' (S/m), 'slope' (e^2 nm^2/ps),
+    'lag_times' [L] (ps), 'mj2' [L] (e^2 nm^2), 'fit_mask' [L],
+    'volume' (nm^3), 'net_charge' (e).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    lo, hi = float(fit_range[0]), float(fit_range[1])
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ParallelError(
+            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
+    if not temperature > 0:
+        raise ParallelError("temperature must be positive")
+
+    gsel, pos, boxes, dt_obj = _resident_group_pos(
+        system, trajectory, group, batch_size)
+    topo = system.topology
+    if not topo.has_charge[gsel].all():
+        raise GroupError(f"group '{group}' has atoms without charge",
+                         code="InvalidCharge")
+    q = np.asarray(topo.charge, np.float64)[gsel]
+
+    f = int(pos.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) < 3 or lags.min() < 0 or lags.max() >= f:
+        raise ParallelError(
+            f"need >= 3 lags inside [0, {f}) (trajectory has {f} frames)")
+
+    u = msd_ops.unwrap(pos, boxes)
+    mj = jnp.einsum("fka,k->fa", u, jnp.asarray(q, jnp.float32))
+    curve = np.asarray(msd_ops.msd_lags(mj[:, None, :], lags), np.float64)
+
+    times = np.asarray(dt_obj.times, np.float64)
+    t = times[lags] - times[0]
+    tmax = t[-1]
+    mask = (t >= lo * tmax) & (t <= hi * tmax) & (t > 0)
+    if int(mask.sum()) < 2:
+        raise ParallelError(
+            "fit window selects fewer than 2 points; widen fit_range or "
+            "use a longer trajectory")
+    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
+    (slope, _icept), *_ = np.linalg.lstsq(a, curve[mask], rcond=None)
+
+    bx = np.asarray(boxes, np.float64)
+    vol = float((np.abs(np.linalg.det(bx)) if bx.ndim == 3
+                 else np.prod(bx, axis=1)).mean())
+    e_c = 1.602176634e-19          # C
+    kb_j = 1.380649e-23            # J/K
+    # e^2 nm^2/ps -> C^2 m^2/s ; V nm^3 -> m^3
+    si = float(slope) * e_c ** 2 * 1e-18 / 1e-12
+    sigma = si / (6.0 * kb_j * float(temperature) * vol * 1e-27)
+    return {"conductivity": sigma, "slope": float(slope),
+            "lag_times": t, "mj2": curve, "fit_mask": mask,
+            "volume": vol, "net_charge": float(q.sum())}
+
+def vanhove(system, trajectory, group: str, *, lags=None, r_max: float = 2.0,
+            bins: int = 100, batch_size: int = 32):
+    """Self part of the Van Hove correlation function Gs(r, t)
+    (surpass — the `gmx vanhove -or` workload; absent from the
+    reference).
+
+    Positions are unwrapped on device (`ops.msd.unwrap`; triclinic
+    boxes use the exact 27-image minimum image);
+    for each lag t the displacement magnitudes |r_i(t0+t) - r_i(t0)|
+    over ALL time origins and atoms are histogrammed into `bins` shells
+    of width r_max/bins, in one jitted `lax.map` over lags.  Gs is
+    normalized as a probability density in r: integral Gs(r,t) dr = 1
+    when no displacement exceeds r_max (the clipped fraction is
+    reported per lag).
+
+    `lags`: iterable of frame lags (default: 1..F-1 capped at 50).
+
+    Returns a dict: 'r' [bins] shell centers (nm), 'lags' [L],
+    'gs' [L, bins], 'counts' [L, bins], 'overflow' [L] (fraction of
+    displacements beyond r_max).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    gsel, pos, boxes, _ = _resident_group_pos(
+        system, trajectory, group, batch_size)
+    f, k = int(pos.shape[0]), int(pos.shape[1])
+    if f < 2:
+        raise ParallelError("vanhove needs at least 2 frames")
+    if lags is None:
+        lags = range(1, min(f, 51))
+    lags = np.asarray(sorted(set(int(x) for x in lags)), np.int32)
+    if lags.size == 0 or lags[0] < 1 or lags[-1] >= f:
+        raise ParallelError(
+            f"lags must be within [1, {f - 1}], got {lags.tolist()}")
+    dr = float(r_max) / bins
+
+    @jax.jit
+    def _gs(pos, boxes):
+        u = msd_ops.unwrap(pos, boxes)
+
+        def one_lag(lag):
+            # displacement norms over every origin, masked past F-lag;
+            # static shapes: roll + mask instead of data-dependent slice
+            d = jnp.roll(u, -lag, axis=0) - u                # [F, K, 3]
+            norm = jnp.sqrt(jnp.sum(d * d, axis=-1))         # [F, K]
+            om = (jnp.arange(f) < f - lag)[:, None]
+            idx = jnp.clip((norm / dr).astype(jnp.int32), 0, bins)
+            idx = jnp.where(norm >= r_max, bins, idx)        # overflow bin
+            w = jnp.broadcast_to(om, (f, k)).astype(jnp.float32)
+            return jnp.zeros((bins + 1,), jnp.float32).at[
+                idx.reshape(-1)].add(w.reshape(-1))
+
+        return jax.lax.map(one_lag, jnp.asarray(lags))
+
+    h = np.asarray(_gs(pos, boxes), np.float64)              # [L, bins+1]
+    counts = h[:, :bins]
+    overflow = h[:, bins]
+    total = counts.sum(axis=1) + overflow
+    gs = counts / (total[:, None] * dr)
+    r = (np.arange(bins) + 0.5) * dr
+    return {"r": r, "lags": lags, "gs": gs, "counts": counts,
+            "overflow": overflow / np.maximum(total, 1.0)}
+
+def filter_traj(system, trajectory, output, *, window: int = 5,
+                group: str = "all", wrap: bool = False,
+                batch_size: int = 32):
+    """Low-pass filter a trajectory with a cosine window and write the
+    smoothed frames (surpass — the `gmx filter -ol` workload; absent
+    from the reference).
+
+    Positions are unwrapped on device, every frame is replaced by the
+    cosine-weighted average of its `window`-frame neighborhood (weights
+    1 + cos(pi i / n), gmx filter's kernel; edges renormalize over the
+    available frames), and the whole convolution evaluates as ONE
+    [F, F] band matrix x [F, 3K] matmul — the MXU's native workload.
+    `wrap=True` rewraps the smoothed coordinates into each frame's box.
+
+    Writes to `output` (format from the extension: xtc/trr/gro) the
+    same F frames, smoothed; returns the number of frames written.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    if window < 1 or window % 2 == 0:
+        raise ParallelError(
+            f"window must be a positive odd frame count, got {window}")
+
+    gsel, pos, boxes, dt = _resident_group_pos(
+        system, trajectory, group, batch_size)
+    f, k = int(pos.shape[0]), int(pos.shape[1])
+    half = window // 2
+    # cosine kernel row per output frame, edge-renormalized
+    i = np.arange(f)
+    off = np.arange(-half, half + 1)
+    wts = 1.0 + np.cos(np.pi * off / (half + 1))
+    band = np.zeros((f, f), np.float32)
+    for o, wv in zip(off, wts):
+        j = i + o
+        ok = (j >= 0) & (j < f)
+        band[i[ok], j[ok]] = wv
+    band /= band.sum(axis=1, keepdims=True)
+
+    @jax.jit
+    def _smooth(pos, boxes, band):
+        u = msd_ops.unwrap(pos, boxes)
+        hi = jax.lax.Precision.HIGHEST
+        sm = jnp.matmul(band, u.reshape(f, 3 * k),
+                        precision=hi).reshape(f, k, 3)
+        if wrap:
+            if boxes.ndim == 3:
+                from ..ops.pbc import wrap_triclinic_frames
+
+                sm = wrap_triclinic_frames(sm, boxes)
+            else:
+                b = boxes[:, None, :]
+                sm = sm - b * jnp.floor(sm / b)
+        return sm
+
+    sm = np.asarray(_smooth(pos, boxes, jnp.asarray(band)))
+
+    sub = system.group_extract(group) if group != "all" \
+        else system.atoms_extract()
+    sub.traj_writer_init(output)
+    boxes_np = np.asarray(boxes)
+    times = np.asarray(dt.times, np.float64)
+    for fi in range(f):
+        sub.positions[:] = sm[fi]
+        from ..core.simbox import SimBox
+
+        sub.simbox = (SimBox.from_matrix(boxes_np[fi])
+                      if boxes_np.ndim == 3
+                      else SimBox.from_lengths(*map(float, boxes_np[fi])))
+        sub.set_time(float(times[fi]))
+        sub.set_step(fi)
+        sub.traj_write_frame()
+    sub.traj_writers_close()
+    return f
+
+def tcaf(system, trajectory, group: str = "all", *, n_k: int = 4,
+         fit_floor: float = 0.3, batch_size: int = 32):
+    """Shear viscosity from transverse-current autocorrelation
+    functions (surpass — the `gmx tcaf` workload; absent from the
+    reference).
+
+    For each axis a and mode m = 1..n_k, k = 2 pi m / L_a; the
+    mass-weighted transverse current j_b(k, t) = sum_i m_i v_ib
+    exp(i k x_ia) (b != a) evaluates per frame as matmuls on device,
+    its all-origin autocorrelation in one `lax.map` over lags, and the
+    curves average over the 2 transverse components and the 3 axes
+    (cubic isotropy; non-cubic boxes keep per-axis k but still average
+    per mode m).  nu(k) fits ln C(k,t) over the prefix where
+    C > `fit_floor` * C(0) (float64 host fit); eta(k) = rho nu(k), and
+    eta_0 extrapolates eta(k) = eta_0 (1 - a k^2) — the gmx tcaf
+    workflow.  Requires velocities on a UNIFORM time grid and a
+    constant box.
+
+    Returns a dict: 'k' [n_k] (1/nm, per-mode mean), 'lag_times' [L]
+    (ps), 'tcaf' [n_k, L] normalized, 'nu' [n_k] (nm^2/ps),
+    'eta_k' [n_k] (Pa s), 'eta0' (Pa s), 'rho' (amu/nm^3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.engine import DeviceTrajectory
+
+    gsel = np.asarray(_sel_indices(system, group))
+    if gsel.size == 0:
+        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+
+    if isinstance(trajectory, DeviceTrajectory):
+        dt = trajectory
+        cols = _resident_group_cols(system, dt, group, gsel)
+    else:
+        runner = TrajectoryAnalysis(
+            system, triclinic=_system_triclinic(system)
+        ).runner(group=group, velocities=True)
+        dt = runner.load_device(trajectory, batch_size=batch_size)
+        cols = np.arange(len(gsel))
+    if "vel" not in dt.aux_names:
+        raise ParallelError(
+            "tcaf needs a velocity channel; load the trajectory with "
+            "runner(velocities=True).load_device(...)")
+    if not system.topology.has_mass[gsel].all():
+        raise GroupError(f"group '{group}' has atoms without mass",
+                         code="InvalidMass")
+
+    boxes = np.asarray(dt.boxes, np.float64)
+    if boxes.ndim != 2:
+        raise ParallelError("tcaf supports orthorhombic boxes")
+    box = boxes[0]
+    if not np.allclose(boxes, box[None, :], rtol=1e-5):
+        raise ParallelError(
+            "tcaf needs a constant box (k vectors are box-fixed); "
+            "this trajectory's box fluctuates")
+    t = np.asarray(dt.times, np.float64)
+    f = len(t)
+    if f < 4:
+        raise ParallelError("tcaf needs at least 4 frames")
+    dt_ps = float(t[1] - t[0])
+    if dt_ps <= 0 or not np.allclose(np.diff(t), dt_ps, rtol=1e-3):
+        raise ParallelError(
+            "tcaf requires a uniform frame-time grid; resample with "
+            "with_step/with_range first")
+
+    jcols = jnp.asarray(cols)
+    pos = jnp.asarray(dt.pos)[:, jcols, :]
+    if dt.kind == "q16":
+        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
+    vel = jnp.asarray(dt.aux[dt.aux_names.index("vel")])[:, jcols, :]
+    mass = np.asarray(system.topology.mass, np.float64)[gsel]
+    w = jnp.asarray(mass, jnp.float32)
+
+    ks = np.stack([2.0 * np.pi * np.arange(1, n_k + 1) / box[a]
+                   for a in range(3)])                 # [3, n_k]
+
+    @jax.jit
+    def _currents(pos, vel, w, kmat):
+        # series [F, 3 axes, n_k, 2 transverse, 2 (re, im)]
+        outs = []
+        for a in range(3):
+            phase = pos[:, :, a][:, :, None] * kmat[a][None, None, :]
+            cosp = jnp.cos(phase) * w[None, :, None]   # [F, K, n_k]
+            sinp = jnp.sin(phase) * w[None, :, None]
+            tr = [b for b in range(3) if b != a]
+            per_axis = []
+            for b in tr:
+                vb = vel[:, :, b]                      # [F, K]
+                re = jnp.einsum("fk,fkm->fm", vb, cosp)
+                im = jnp.einsum("fk,fkm->fm", vb, sinp)
+                per_axis.append(jnp.stack([re, im], axis=-1))
+            outs.append(jnp.stack(per_axis, axis=2))   # [F, n_k, 2, 2]
+        return jnp.stack(outs, axis=1)                 # [F, 3, n_k, 2, 2]
+
+    j = _currents(pos, vel, w, jnp.asarray(ks, jnp.float32))
+    fdim = int(j.shape[0])
+    series = j.reshape(fdim, -1)                       # [F, S]
+
+    @jax.jit
+    def _acf(series):
+        tt = jnp.arange(fdim)
+
+        def one(lag):
+            prod = jnp.roll(series, -lag, axis=0) * series   # [F, S]
+            valid = (tt < fdim - lag)[:, None]
+            n = jnp.maximum(fdim - lag, 1)
+            return jnp.sum(jnp.where(valid, prod, 0.0), axis=0) / n
+
+        return jax.lax.map(one, jnp.arange(fdim))      # [L, S]
+
+    acf = np.asarray(_acf(series), np.float64).reshape(
+        fdim, 3, n_k, 2, 2)
+    # Re(j j*) = re.re + im.im: sum the (re, im) channel, average the
+    # 2 transverse components and 3 axes
+    c = acf.sum(axis=-1).mean(axis=(1, 3)).T           # [n_k, L]
+
+    c0 = c[:, 0]
+    if (c0 <= 0).any():
+        raise ParallelError("tcaf found a zero-power mode; more frames "
+                            "or a smaller n_k needed")
+    cn = c / c0[:, None]
+    lag_times = t - t[0]
+    kmean = ks.mean(axis=0)
+    k2 = kmean ** 2
+
+    nu = np.empty(n_k)
+    for m in range(n_k):
+        good = cn[m] > fit_floor
+        stop = int(np.argmin(good)) if not good.all() else fdim
+        stop = max(stop, 3)
+        x = lag_times[:stop]
+        y = np.log(np.maximum(cn[m, :stop], 1e-12))
+        a = np.stack([x, np.ones_like(x)], axis=1)
+        (slope, _), *_ = np.linalg.lstsq(a, y, rcond=None)
+        nu[m] = -slope / k2[m]
+
+    rho = float(mass.sum() / box.prod())               # amu / nm^3
+    eta_k = rho * nu * _AMU_NM_PS_TO_PAS               # Pa s
+    # eta(k) = eta0 (1 - a k^2) -> linear fit vs k^2
+    a = np.stack([np.ones(n_k), k2], axis=1)
+    (eta0, _), *_ = np.linalg.lstsq(a, eta_k, rcond=None)
+    return {"k": kmean, "lag_times": lag_times, "tcaf": cn, "nu": nu,
+            "eta_k": eta_k, "eta0": float(eta0), "rho": rho}
+
+def dipole_corr(system, trajectory, group: str = "all", *,
+                mode: str = "total", lags=None, batch_size: int = 32):
+    """Dipole autocorrelation functions (surpass — the `gmx dipoles
+    -corr tot|mol` workload; absent from the reference).
+
+    mode='total': C(tau) = <M(t) . M(t+tau)> over time origins, with M
+    the per-frame total dipole (`add_total_dipole` — per-molecule
+    minimum-image origins; requires bonds + charges).  mode='mol':
+    molecular dipoles mu_m about each molecule's own mass-weighted COM
+    (origin-independent for any net charge; molecules from the bond
+    graph), C(tau) averaged over molecules and origins.  The whole
+    curve is one `lax.map` dispatch (`ops.msd.lag_correlation`).
+
+    Returns a dict: 'lag_times' [L] ps, 'corr' [L] e^2 nm^2,
+    'phi' [L] (corr / corr[0]), 'corr_time' ps (trapezoid integral of
+    phi up to its first zero crossing — tau_D for a Debye liquid).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import msd as msd_ops
+
+    if mode not in ("total", "mol"):
+        raise ParallelError(f"mode must be total/mol, got '{mode}'")
+
+    if mode == "total":
+        with _named_group(system, group, "__dipcorr_tot") as g:
+            pipe = TrajectoryAnalysis(system).add_total_dipole(g, name="M")
+            out = pipe.runner(group=None, ship="all").run(
+                trajectory, batch_size=batch_size)
+        series = jnp.asarray(np.asarray(out["M"], np.float32))[:, None, :]
+        times = np.asarray(out["times"], np.float64)
+    else:
+        idx = _transient_indices(system, group)
+        if idx.size == 0:
+            raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
+        topo = system.topology
+        if not topo.has_charge[idx].all():
+            raise GroupError(f"group '{group}' has atoms without charge",
+                             code="InvalidCharge")
+        name = "__dipcorr_sel"
+        system.group_create_from_indices(name, idx)
+        try:
+            gsel, pos, boxes, dt = _resident_group_pos(
+                system, trajectory, name, batch_size,
+                require_ortho="dipole_corr")
+        finally:
+            system.group_remove(name)
+        mol = topo.molecule_ids()[idx]
+        order, blocks = [], {}
+        for local, m in enumerate(mol):
+            key = int(m)
+            if key not in blocks:
+                blocks[key] = []
+                order.append(key)
+            blocks[key].append(local)
+        loc = np.searchsorted(gsel, idx)
+        cols, w, qt, _ = _unit_tables(
+            system, idx, [blocks[k] for k in order], loc, charges=True)
+        import jax
+
+        cols_j, w_j, qt_j = (jnp.asarray(cols), jnp.asarray(w),
+                             jnp.asarray(qt))
+
+        @jax.jit
+        def _mu(pos, boxes):
+            def one_frame(args):
+                pf, box = args
+                x = pf[cols_j]                          # [U, P, 3]
+                rel = pbc.min_image(x - x[:, :1], box)
+                com_rel = jnp.sum(w_j[..., None] * rel, axis=1)
+                return jnp.sum(
+                    qt_j[..., None] * (rel - com_rel[:, None, :]), axis=1)
+
+            return jax.lax.map(one_frame, (pos, boxes))
+
+        series = _mu(pos, boxes)                        # [F, U, 3]
+        times = np.asarray(dt.times, np.float64)
+
+    f = int(series.shape[0])
+    if lags is None:
+        lags = np.arange(f, dtype=np.int64)
+    lags = np.asarray(lags, np.int64)
+    if len(lags) and (lags.min() < 0 or lags.max() >= f):
+        raise ParallelError(
+            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
+    corr = np.asarray(msd_ops.lag_correlation(series, lags), np.float64)
+    lag_times = times[lags] - times[0]
+    phi = corr / corr[0] if corr[0] else corr
+    # integral correlation time up to the first zero crossing of phi
+    neg = np.flatnonzero(phi < 0)
+    stop = int(neg[0]) if neg.size else len(phi)
+    tau = float(np.trapezoid(phi[:stop], lag_times[:stop])) \
+        if stop >= 2 else 0.0
+    return {"lag_times": lag_times, "corr": corr, "phi": phi,
+            "corr_time": tau}

@@ -27,8 +27,6 @@ from ..ops import distances as distance_ops
 from ..ops import geometry
 from ..ops import pbc
 from ..ops import rmsd as rmsd_ops
-
-
 class _Idx:
     """Deferred atom-index set: observables capture raw full-system
     indices at configuration time; `resolve()` rewrites them into the
@@ -68,7 +66,6 @@ class _Idx:
             return lax.slice_in_dim(pos, self.sl[0], self.sl[1], axis=axis)
         return jnp.take(pos, self.j, axis=axis)
 
-
 def _hydrogen_mask(topo) -> np.ndarray:
     """Per-atom hydrogen flags: element symbol where assigned, else
     mass < 3.5 amu where present, else the first alphabetic character of
@@ -96,7 +93,6 @@ def _hydrogen_mask(topo) -> np.ndarray:
         rest = ~decided
         out[rest] = name_is_h[topo.atomname.codes[rest]]
     return out
-
 
 class TrajectoryAnalysis:
     def __init__(self, system, mesh=None, triclinic: bool = False):
@@ -1183,7 +1179,6 @@ class TrajectoryAnalysis:
             end_time=end_time, step=step, progress=progress,
         )
 
-
 class PipelineRunner:
     """A compiled TrajectoryAnalysis pass, reusable across files/calls."""
 
@@ -1482,7 +1477,6 @@ class PipelineRunner:
                 "it with this runner's load_device, or build every sweep "
                 "runner with ship='all' so they share one layout")
 
-
 def run_many(analyses, trajectory, *, batch_size: int = 32):
     """Run several analysis passes over ONE device-resident trajectory,
     fetching every pass's results in a single packed round trip.
@@ -1541,81 +1535,6 @@ def run_many(analyses, trajectory, *, batch_size: int = 32):
         results.append(out)
     return results
 
-
-def msd(system, trajectory, group: str, *, lags=None, dims: str = "xyz",
-        batch_size: int = 32):
-    """Mean-squared displacement of a selection over frame lags
-    (surpass feature — the reference has no MSD; `gmx msd` semantics:
-    atom-averaged, all time origins).  `dims` restricts the
-    displacement to a subset of axes ("xy" = gmx msd -lateral z,
-    "z" = -type z, ...).
-
-    `trajectory` is a filename (loaded device-resident once via
-    `load_device`, shipping ONLY the group's atoms) or an existing
-    `DeviceTrajectory` whose layout contains the group.  Unwrapping and
-    the all-lag sweep run on device in one dispatch each
-    (`ops.msd.unwrap` / `msd_lags`); triclinic boxes unwrap through the
-    exact 27-image minimum image (surpass — the reference is
-    orthogonal-only, lib.rs:353-355); frame-to-frame motion < half a
-    box vector (the standard MSD sampling assumption).
-
-    Returns `(lag_times, msd)`: lag_times [L] in the file's time unit
-    (ps), msd [L] in nm^2.  `lags` defaults to every frame lag
-    0..F-1.
-    """
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-    from ..parallel.engine import DeviceTrajectory
-
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        shipped = getattr(dt, "sel", None)
-        if shipped is None:
-            cols = gsel
-        else:
-            lut = np.full(int(system.get_n_atoms()), -1, np.int64)
-            lut[np.asarray(shipped)] = np.arange(len(shipped))
-            cols = lut[gsel]
-            if (cols < 0).any():
-                raise ParallelError(
-                    f"the DeviceTrajectory's shipped layout does not "
-                    f"contain every atom of group '{group}'; load with "
-                    "ship='all' or runner(group=...)")
-    else:
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)).runner(group=group)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-
-    f = int(dt.pos.shape[0])
-    if lags is None:
-        lags = np.arange(f, dtype=np.int64)
-    lags = np.asarray(lags, np.int64)
-    if len(lags) and (lags.min() < 0 or lags.max() >= f):
-        raise ParallelError(
-            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
-
-    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
-    if dt.kind == "q16":
-        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
-    if (not dims or any(c not in "xyz" for c in dims)
-            or len(set(dims)) != len(dims)):
-        raise ParallelError(
-            f"dims must be a non-empty subset of 'xyz', got '{dims}'")
-    am = None if set(dims) == set("xyz") else np.array(
-        [float(c in dims) for c in "xyz"], np.float32)
-    u = msd_ops.unwrap(pos, jnp.asarray(dt.boxes))
-    curve = np.asarray(msd_ops.msd_lags(u, lags, axis_mask=am))
-    times = np.asarray(dt.times, np.float64)
-    lag_times = times[lags] - times[0]
-    return lag_times, curve
-
-
 def _system_triclinic(system) -> bool:
     """True when the system's box needs box-matrix kernels.  Internal
     loaders use this so triclinic systems get the exact-triclinic math
@@ -1627,7 +1546,6 @@ def _system_triclinic(system) -> bool:
     except Exception:
         return False
     return box is not None and not box.is_orthogonal()
-
 
 def _resident_group_cols(system, dtraj, group, gsel):
     """Column indices of `group`'s atoms inside a DeviceTrajectory's
@@ -1644,618 +1562,6 @@ def _resident_group_cols(system, dtraj, group, gsel):
             f"every atom of group '{group}'; load with ship='all' or "
             "runner(group=...)")
     return cols
-
-
-def vacf(system, trajectory, group: str, *, lags=None, mass_weighted=False,
-         batch_size: int = 32):
-    """Velocity autocorrelation function of a selection over frame lags
-    (surpass — the reference decodes TRR velocities but has no VACF;
-    `gmx velacc` semantics: C(tau) = <v(t) . v(t+tau)> averaged over all
-    time origins and the group's atoms, mass-weighted with
-    `mass_weighted=True`).
-
-    `trajectory` is a TRR filename (loaded device-resident once with the
-    velocity channel, shipping ONLY the group's atoms) or an existing
-    `DeviceTrajectory` that carries a 'vel' aux channel.  Frames without
-    velocities decode v=0 and contribute zero terms — pass a
-    velocity-carrying trajectory.  The whole curve evaluates in one
-    device dispatch (`ops.msd.lag_correlation`).
-
-    Returns `(lag_times, vacf)`: [L] ps, [L] (nm/ps)^2.  `lags` defaults
-    to every frame lag 0..F-1.  Normalize with `vacf / vacf[0]`.
-    """
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-    from ..parallel.engine import DeviceTrajectory
-
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)
-        ).runner(group=group, velocities=True)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-    if "vel" not in dt.aux_names:
-        raise ParallelError(
-            "the DeviceTrajectory carries no velocity channel; load it "
-            "with runner(velocities=True).load_device(...)")
-    vel = dt.aux[dt.aux_names.index("vel")]
-
-    f = int(vel.shape[0])
-    if lags is None:
-        lags = np.arange(f, dtype=np.int64)
-    lags = np.asarray(lags, np.int64)
-    if len(lags) and (lags.min() < 0 or lags.max() >= f):
-        raise ParallelError(
-            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
-
-    w = None
-    if mass_weighted:
-        if not system.topology.has_mass[gsel].all():
-            raise GroupError(
-                f"group '{group}' has atoms without mass", code="InvalidMass")
-        w = np.asarray(system.topology.mass, np.float32)[gsel]
-    v = jnp.asarray(vel)[:, jnp.asarray(cols), :]
-    curve = np.asarray(msd_ops.lag_correlation(v, lags, weights=w))
-    times = np.asarray(dt.times, np.float64)
-    lag_times = times[lags] - times[0]
-    return lag_times, curve
-
-
-def _fit_inputs(system, dt, cols, group, gsel, reference, what: str):
-    """Shared rmsf/pca setup: the group's device-resident float positions,
-    per-frame boxes, fit masses, and a jittable `fit_frames(pos, boxes,
-    fit)` closure applying the batched mass-weighted least-squares fit
-    onto the reference structure (rmsd.rs:508-533 semantics)."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..system.rmsd import _extract, _masses
-
-    ref_sys = system if reference is None else reference
-    ref_idx = np.asarray(ref_sys.group_indices(group))
-    if ref_idx.shape[0] != gsel.shape[0]:
-        raise RMSDError(
-            f"group '{group}' has {ref_idx.shape[0]} atoms in reference "
-            f"but {gsel.shape[0]} in target", code="InconsistentGroup")
-    w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
-
-    pos = jnp.asarray(dt.pos)[:, jnp.asarray(cols), :]
-    if dt.kind == "q16":
-        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
-    boxes = jnp.asarray(dt.boxes)
-    triclinic = boxes.ndim == 3
-    ref_com = np.asarray(
-        ref_sys.group_get_com_triclinic(group) if triclinic
-        else ref_sys.group_get_com(group), np.float32)
-
-    hi = jax.lax.Precision.HIGHEST
-
-    if triclinic:
-        # triclinic fit (surpass — calc_rmsd itself is orthogonal-only,
-        # lib.rs:353-355): unwrap the group around its exact triclinic
-        # refined COM (the add_rmsd/rmsd_frames_triclinic convention)
-        # instead of the ortho translate-to-box-center + wrap, then
-        # rotate about the group centroid and translate onto the
-        # reference group COM
-        ref_prep, ref_ctr = rmsd_ops.prepare_coords_triclinic(
-            np.asarray(ref_sys.positions[ref_idx], np.float32),
-            np.asarray(ref_sys.get_box().to_matrix(), np.float32),
-            weights=w)
-        ref_prep = jnp.asarray(ref_prep)
-        ref_ctr = jnp.asarray(ref_ctr)
-
-        def fit_frames(pos, boxes, fit):
-            wj = jnp.asarray(w)
-            com = center_ops.center_triclinic(pos, boxes, weights=wj)
-            if fit:
-                rot, _ = rmsd_ops.rmsd_frames_triclinic(
-                    ref_prep, ref_ctr, pos, boxes, wj)
-                unwrapped = com[:, None, :] + pbc.min_image_triclinic_frames(
-                    pos - com[:, None, :], boxes)
-                cq = (jnp.sum(wj[None, :, None] * unwrapped, axis=1)
-                      / jnp.sum(wj))
-                centered = unwrapped - cq[:, None, :]
-                return jnp.einsum("fni,fji->fnj", centered, rot,
-                                  precision=hi) + jnp.asarray(ref_com)
-            return pos + (jnp.asarray(ref_com) - com)[:, None, :]
-
-        return pos, boxes, w, fit_frames
-
-    ref_coords, ref_center, _ = _extract(ref_sys, group)
-
-    def fit_frames(pos, boxes, fit):
-        wj = jnp.asarray(w)
-        com = center_ops.center(pos, boxes[:, None, :], weights=wj)  # [F,3]
-        if fit:
-            rot, _ = rmsd_ops.rmsd_frames(
-                jnp.asarray(ref_coords), jnp.asarray(ref_center),
-                pos, boxes, wj)
-            # apply the fit (rmsd.rs:508-533 semantics, batched): translate
-            # the group COM to the box center (wrapping), rotate about it
-            # by R^T (row vectors), translate to the reference group COM
-            bc = boxes * 0.5
-            moved = pbc.wrap(pos + (bc - com)[:, None, :], boxes[:, None, :])
-            centered = moved - bc[:, None, :]
-            return jnp.einsum("fni,fji->fnj", centered, rot,
-                              precision=hi) + jnp.asarray(ref_com)
-        return pos + (jnp.asarray(ref_com) - com)[:, None, :]
-
-    return pos, boxes, w, fit_frames
-
-
-def diffusion(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
-              dims: str = "xyz", batch_size: int = 32):
-    """Self-diffusion coefficient from the Einstein relation (surpass —
-    the `gmx msd` -beginfit/-endfit workflow; absent from the
-    reference).  MSD(t) evaluates on device (`models.msd`); D is the
-    float64 least-squares slope over the fit window divided by
-    2 * len(dims) (6 in 3-D; `dims="xy"` gives the lateral D the gmx
-    -lateral workflow reports), with `fit_range` the (begin, end)
-    fractions of the maximum lag time — gmx msd's default
-    restricted-window fit.
-
-    Returns a dict: 'D' (cm^2/s), 'D_1e5' (the 1e-5 cm^2/s unit gmx
-    prints), 'slope' (nm^2/ps), 'intercept' (nm^2), 'lag_times' [L]
-    (ps), 'msd' [L] (nm^2), 'fit_mask' [L] (bool).
-    """
-    lo, hi = float(fit_range[0]), float(fit_range[1])
-    if not (0.0 <= lo < hi <= 1.0):
-        raise ParallelError(
-            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
-    lag_times, curve = msd(system, trajectory, group, dims=dims,
-                           batch_size=batch_size)
-    t = np.asarray(lag_times, np.float64)
-    y = np.asarray(curve, np.float64)
-    tmax = t[-1] if len(t) else 0.0
-    mask = (t >= lo * tmax) & (t <= hi * tmax)
-    if int(mask.sum()) < 2:
-        raise ParallelError(
-            "fit window selects fewer than 2 MSD points; widen fit_range "
-            "or use a longer trajectory")
-    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
-    (slope, intercept), *_ = np.linalg.lstsq(a, y[mask], rcond=None)
-    d_nm2_ps = slope / (2.0 * len(set(dims)))
-    return {"D": d_nm2_ps * 1e-2, "D_1e5": d_nm2_ps * 1e3,
-            "slope": float(slope), "intercept": float(intercept),
-            "lag_times": t, "msd": y, "fit_mask": mask}
-
-
-def msd_mol(system, trajectory, group: str, *, fit_range=(0.1, 0.9),
-            dims: str = "xyz", lags=None, batch_size: int = 32):
-    """Per-molecule center-of-mass MSD and diffusion coefficients
-    (surpass — the `gmx msd -mol` workload; absent from the reference).
-
-    Molecules are the bond-graph connected components of `group`
-    (`Topology.molecule_ids`, iterating.rs:399 semantics).  Atom paths
-    are unwrapped on device first (`ops.msd.unwrap`), then
-    mass-weighted COMs are taken over the CONTINUOUS paths — a molecule
-    split across the periodic boundary at frame 0 only offsets its COM
-    by a constant lattice vector, which displacement-based MSD is
-    exactly invariant to (no make-whole pass needed).  The whole
-    [L, M] curve family evaluates in one `lax.map` dispatch
-    (`ops.msd.msd_lags_per_entity`); each molecule's D comes from a
-    float64 Einstein fit over `fit_range` fractions of the maximum lag
-    (one vectorized lstsq for all molecules).
-
-    Masses weight the COM when the topology carries them (TPR/PQR);
-    otherwise geometric centers are used.  `dims` restricts axes
-    exactly as in `models.msd` ("xy" = lateral).  Triclinic boxes
-    unwrap through the exact minimum image (`ops.msd.unwrap`).
-
-    Returns a dict: 'n_molecules' M, 'first_atom' [M] (global index of
-    each molecule's first atom), 'lag_times' [L] (ps), 'msd' [L, M]
-    (nm^2), 'msd_mean' [L], 'D' [M] (cm^2/s), 'D_1e5' [M] (the 1e-5
-    cm^2/s unit gmx prints), 'D_mean', 'D_std' (std of the per-molecule
-    Ds), 'fit_mask' [L].
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-
-    lo, hi = float(fit_range[0]), float(fit_range[1])
-    if not (0.0 <= lo < hi <= 1.0):
-        raise ParallelError(
-            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
-    if (not dims or any(c not in "xyz" for c in dims)
-            or len(set(dims)) != len(dims)):
-        raise ParallelError(
-            f"dims must be a non-empty subset of 'xyz', got '{dims}'")
-
-    gsel, pos, boxes, dt = _resident_group_pos(
-        system, trajectory, group, batch_size)
-
-    mol = np.asarray(system.topology.molecule_ids())[gsel]
-    uniq, first_local, inv = np.unique(mol, return_index=True,
-                                       return_inverse=True)
-    m = int(uniq.shape[0])
-    topo = system.topology
-    if np.asarray(topo.has_mass)[gsel].all():
-        wts = np.asarray(topo.mass, np.float64)[gsel]
-    else:
-        wts = np.ones(gsel.shape[0], np.float64)
-    wsum = np.zeros(m, np.float64)
-    np.add.at(wsum, inv, wts)
-
-    f = int(pos.shape[0])
-    if lags is None:
-        lags = np.arange(f, dtype=np.int64)
-    lags = np.asarray(lags, np.int64)
-    if len(lags) == 0 or lags.min() < 0 or lags.max() >= f:
-        raise ParallelError(
-            f"lags must be non-empty and lie in [0, {f})")
-
-    seg = jnp.asarray(inv.astype(np.int32))
-    w32 = jnp.asarray((wts / wsum[inv]).astype(np.float32))
-    am = None if set(dims) == set("xyz") else np.array(
-        [float(c in dims) for c in "xyz"], np.float32)
-
-    u = msd_ops.unwrap(pos, jnp.asarray(dt.boxes))
-    com = jax.vmap(lambda x: jax.ops.segment_sum(
-        x * w32[:, None], seg, num_segments=m))(u)          # [F, M, 3]
-    curves = np.asarray(msd_ops.msd_lags_per_entity(com, lags, axis_mask=am),
-                        np.float64)                          # [L, M]
-
-    times = np.asarray(dt.times, np.float64)
-    t = times[lags] - times[0]
-    tmax = t[-1] if len(t) else 0.0
-    mask = (t >= lo * tmax) & (t <= hi * tmax)
-    if int(mask.sum()) < 2:
-        raise ParallelError(
-            "fit window selects fewer than 2 MSD points; widen fit_range "
-            "or use a longer trajectory")
-    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
-    coef, *_ = np.linalg.lstsq(a, curves[mask], rcond=None)  # [2, M]
-    d_nm2_ps = coef[0] / (2.0 * len(set(dims)))
-    d_cm2_s = d_nm2_ps * 1e-2
-    return {"n_molecules": m, "first_atom": gsel[first_local],
-            "lag_times": t, "msd": curves,
-            "msd_mean": curves.mean(axis=1),
-            "D": d_cm2_s, "D_1e5": d_nm2_ps * 1e3,
-            "D_mean": float(d_cm2_s.mean()),
-            "D_std": float(d_cm2_s.std(ddof=1)) if m > 1 else 0.0,
-            "fit_mask": mask}
-
-
-def dos(system, trajectory, group: str, *, temperature: float | None = None,
-        batch_size: int = 32):
-    """Vibrational density of states from the mass-weighted VACF
-    (surpass — the `gmx dos` workload; absent from the reference).
-
-    S(nu) = (2/(kB T)) FT[ C ](nu) with C(t) = sum_i m_i
-    <v_i(0).v_i(t)> the mass-weighted total VACF (amu (nm/ps)^2 ==
-    kJ/mol, so kB T in kJ/mol divides it directly).  The VACF evaluates
-    on device (`models.vacf`, one lax.map dispatch); the transform is a
-    float64 rFFT of the even extension on the uniform frame grid, so
-    the discrete Parseval identity integral(S dnu) == 3N holds EXACTLY
-    when T is measured from C(0) = 3 N kB T — the default
-    (`temperature=None`).  Also computes the Green-Kubo self-diffusion
-    coefficient D = (1/3) integral of the unweighted atom-mean VACF
-    (trapezoid over the available lags — truncation is the caller's
-    sampling choice, as in gmx dos).
-
-    Returns a dict: 'nu' [Lf] (1/ps), 'dos' [Lf] (ps, one-sided),
-    'vacf_times' [L] (ps), 'vacf' [L] (amu (nm/ps)^2, mass-weighted
-    total), 'T' (K), 'D' (cm^2/s), 'dof' (= integral(S dnu)), 'n_atoms'.
-    """
-    gsel = np.asarray(system.group_indices(group))
-    n = int(gsel.size)
-    if n == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-    if not system.topology.has_mass[gsel].all():
-        raise GroupError(f"group '{group}' has atoms without mass",
-                         code="InvalidMass")
-    m_total = float(np.asarray(system.topology.mass,
-                               np.float64)[gsel].sum())
-
-    from ..parallel.engine import DeviceTrajectory
-
-    dt_obj = trajectory
-    if not isinstance(dt_obj, DeviceTrajectory):
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)
-        ).runner(group=group, velocities=True)
-        dt_obj = runner.load_device(trajectory, batch_size=batch_size)
-    times, c_w = vacf(system, dt_obj, group, mass_weighted=True)
-    _, c_u = vacf(system, dt_obj, group, mass_weighted=False)
-
-    t = np.asarray(times, np.float64)
-    c_total = np.asarray(c_w, np.float64) * m_total   # sum_i m_i <v.v>
-    length = len(t)
-    if length < 3:
-        raise ParallelError("dos needs at least 3 frames of velocities")
-    dt_ps = float(t[1] - t[0])
-    if dt_ps <= 0 or not np.allclose(np.diff(t), dt_ps, rtol=1e-3):
-        raise ParallelError(
-            "dos requires a uniform frame-time grid; resample the "
-            "trajectory with with_step/with_range first")
-
-    kb = _BOLTZ                                       # kJ/(mol K) == amu nm^2/ps^2 / K
-    if temperature is None:
-        temperature = c_total[0] / (3.0 * n * kb)     # equipartition
-    temperature = float(temperature)
-    if temperature <= 0:
-        raise ParallelError("temperature must be positive")
-
-    ext = np.concatenate([c_total, c_total[-2:0:-1]])  # even extension
-    m_ext = len(ext)                                   # 2L - 2
-    spec = np.fft.rfft(ext).real * dt_ps               # FT approximation
-    s_nu = (2.0 / (kb * temperature)) * spec           # one-sided S(nu)
-    nu = np.fft.rfftfreq(m_ext, d=dt_ps)               # [Lf] 1/ps
-    dnu = 1.0 / (m_ext * dt_ps)
-    # one-sided half of the full DFT sum: DC and Nyquist bins count once
-    dof = float((s_nu.sum() - 0.5 * (s_nu[0] + s_nu[-1])) * dnu)
-
-    d_nm2_ps = float(np.trapezoid(np.asarray(c_u, np.float64), t) / 3.0)
-    return {"nu": nu, "dos": s_nu, "vacf_times": t, "vacf": c_total,
-            "T": temperature, "D": d_nm2_ps * 1e-2, "dof": dof,
-            "n_atoms": n}
-
-
-def rmsf(system, trajectory, group: str, *, reference=None, fit: bool = True,
-         batch_size: int = 32):
-    """Per-atom root-mean-square fluctuation of a selection (surpass —
-    the reference has RMSD/fit (`src/system/rmsd.rs`) but no RMSF;
-    `gmx rmsf` semantics: every frame is least-squares fitted onto the
-    reference structure with the group's masses as weights, then
-    RMSF_i = sqrt(<|x_i(t) - <x_i>_t|^2>_t).
-
-    `trajectory` is a filename (loaded device-resident once via
-    `load_device`, shipping ONLY the group's atoms) or an existing
-    `DeviceTrajectory` whose layout contains the group.  `reference`
-    is a System providing the fit target coordinates (default: `system`
-    itself, i.e. the structure file's positions — `gmx rmsf -s`).  The
-    whole computation (batched QCP fit of every frame + the fluctuation
-    reduction) runs on device in one jitted dispatch.  With
-    `fit=False` frames are only translated (group COM to the reference
-    COM), not rotated — for pre-fitted trajectories.  Orthorhombic
-    boxes (the fit-path contract, as in `calc_rmsd`, rmsd.rs:425-447).
-
-    Returns `(indices, rmsf)`: the group's global atom indices [n] and
-    per-atom RMSF [n] in nm.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..parallel.engine import DeviceTrajectory
-
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)).runner(group=group)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-
-    pos, boxes, _, fit_frames = _fit_inputs(system, dt, cols, group, gsel,
-                                            reference, what="rmsf")
-
-    @jax.jit
-    def _rmsf(pos, boxes):
-        fitted = fit_frames(pos, boxes, fit)
-        mean = jnp.mean(fitted, axis=0)
-        d = fitted - mean[None]
-        return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1), axis=0))
-
-    return gsel, np.asarray(_rmsf(pos, boxes))
-
-
-def _pca_math(fitted, sw, fmask, reduce, k):
-    """Shared PCA core: deviations -> covariance -> eigh -> projections.
-
-    `reduce` folds frame-partial sums (identity locally, `psum` over the
-    'frames' mesh axis when sharded); `fmask` zeroes padded frames."""
-    import jax
-    import jax.numpy as jnp
-
-    hi = jax.lax.Precision.HIGHEST
-    wsum = reduce(jnp.sum(fmask))
-    mean = reduce(jnp.sum(fitted * fmask[:, None, None], axis=0)) / wsum
-    x = ((fitted - mean[None]) * sw[None, :, None]).reshape(
-        fitted.shape[0], 3 * k)
-    x = x * fmask[:, None]
-    cov = reduce(jnp.matmul(x.T, x, precision=hi)) / wsum
-    evals, evecs = jnp.linalg.eigh(cov)       # ascending
-    evals = evals[::-1]
-    evecs = evecs[:, ::-1]
-    # deterministic sign: largest-|component| entry positive
-    amax = jnp.argmax(jnp.abs(evecs), axis=0)
-    sign = jnp.sign(evecs[amax, jnp.arange(3 * k)])
-    sign = jnp.where(sign == 0, 1.0, sign)
-    evecs = evecs * sign[None]
-    proj = jnp.matmul(x, evecs, precision=hi)
-    return mean, evals, evecs, proj, jnp.trace(cov)
-
-
-def pca(system, trajectory, group: str, *, n_components: int | None = None,
-        reference=None, fit: bool = True, mass_weighted: bool = True,
-        batch_size: int = 32, mesh=None):
-    """Principal component analysis of positional fluctuations (surpass —
-    `gmx covar` + `gmx anaeig` semantics; the reference has no PCA).
-
-    Every frame is least-squares fitted onto the reference structure
-    (mass-weighted, exactly as `rmsf`/`calc_rmsd_and_fit`), then the
-    3K x 3K covariance of the (optionally sqrt-mass-weighted) positional
-    deviations is built in ONE `[F, 3K]^T @ [F, 3K]` matmul — the MXU's
-    native workload — and eigendecomposed on device; frame projections
-    onto the eigenvectors come from a second matmul.  The whole analysis
-    is a single jitted dispatch over the device-resident trajectory.
-
-    `trajectory` is a filename or a `DeviceTrajectory` whose layout
-    contains the group.  With `mass_weighted=True` (gmx covar default)
-    deviations are scaled by sqrt(m_i): eigenvalues are in amu nm^2 and
-    projections in amu^(1/2) nm; unweighted, nm^2 and nm.  Eigenvector
-    signs are fixed deterministically (largest-magnitude component
-    positive) so results are reproducible across backends.
-
-    With `mesh` (a `jax.sharding.Mesh` with a 'frames' axis) the whole
-    analysis runs as ONE `shard_map`: frames shard over devices, each
-    shard fits its frames and builds partial mean / `X^T X` sums,
-    `psum` over ICI combines them (two 3K-sized collectives total), and
-    the eigendecomposition replicates — the data-parallel training-step
-    shape.  Frame counts that don't divide the axis are zero-mask
-    padded, never truncated.  Results are identical to the single-device
-    path up to f32 reduction order.
-
-    Returns a dict:
-    - 'indices' [K]: the group's global atom indices
-    - 'mean' [K, 3]: trajectory-average fitted structure (nm)
-    - 'eigenvalues' [n]: descending
-    - 'eigenvectors' [n, K, 3]: unit mass-weighted-coordinate modes
-    - 'projections' [F, n]: per-frame coordinates along each mode
-    - 'trace': total (mass-weighted) fluctuation, sum of ALL eigenvalues
-      (gmx covar's "trace of the covariance matrix")
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..parallel.engine import DeviceTrajectory
-
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)).runner(group=group)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-
-    pos, boxes, w, fit_frames = _fit_inputs(system, dt, cols, group, gsel,
-                                            reference, what="pca")
-    k = int(gsel.shape[0])
-    f = int(pos.shape[0])
-    if f < 2:
-        raise ParallelError(
-            f"pca needs at least 2 frames (trajectory has {f})")
-    sw_np = (np.sqrt(np.asarray(w, np.float32)) if mass_weighted
-             else np.ones((k,), np.float32))
-
-    if mesh is None:
-        @jax.jit
-        def _pca(pos, boxes):
-            fitted = fit_frames(pos, boxes, fit)
-            return _pca_math(fitted, jnp.asarray(sw_np),
-                             jnp.ones((f,), jnp.float32),
-                             lambda t: t, k)
-
-        mean, evals, evecs, proj, trace = (np.asarray(a)
-                                           for a in _pca(pos, boxes))
-    else:
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        nd = int(mesh.shape.get("frames", 1))
-        f_pad = (-f) % nd
-        fmask = np.concatenate([np.ones(f, np.float32),
-                                np.zeros(f_pad, np.float32)])
-        if f_pad:
-            pos = jnp.concatenate([pos, pos[:f_pad]], axis=0)
-            boxes = jnp.concatenate([boxes, boxes[:f_pad]], axis=0)
-        sf = PartitionSpec("frames")
-        sr = PartitionSpec()
-
-        def _pca_shard(pos, boxes, fmask):
-            fitted = fit_frames(pos, boxes, fit)
-            return _pca_math(fitted, jnp.asarray(sw_np), fmask,
-                             lambda t: jax.lax.psum(t, "frames"), k)
-
-        stepped = jax.jit(shard_map(
-            _pca_shard, mesh=mesh,
-            in_specs=(sf, sf, sf),
-            out_specs=(sr, sr, sr, sf, sr)))
-        sharding = NamedSharding(mesh, sf)
-        mean, evals, evecs, proj, trace = (np.asarray(a) for a in stepped(
-            jax.device_put(pos, sharding), jax.device_put(boxes, sharding),
-            jax.device_put(jnp.asarray(fmask), sharding)))
-        proj = proj[:f]
-    n = 3 * k if n_components is None else min(int(n_components), 3 * k)
-    return {
-        "indices": gsel,
-        "mean": mean,
-        "eigenvalues": evals[:n],
-        "eigenvectors": evecs[:, :n].T.reshape(n, k, 3),
-        "projections": proj[:, :n],
-        "trace": float(trace),
-        "mass_weighted": bool(mass_weighted),
-        "sqrt_weights": sw_np.astype(np.float64),
-    }
-
-
-def sasa(system, trajectory, group: str, *, probe: float = 0.14,
-         n_points: int = 192, max_neighbors: int = 64, radii=None,
-         batch_size: int = 32):
-    """Solvent-accessible surface area per frame and atom (surpass —
-    `gmx sasa` / Shrake-Rupley; the reference has no SASA analysis).
-
-    Each atom gets a Fibonacci lattice of `n_points` test points on its
-    extended sphere (vdW + `probe`, nm); a point is buried if it falls
-    inside any neighbour's extended sphere.  The occlusion test runs as
-    dense batched tensor ops on device (`ops/sasa.py`), `lax.map` over
-    frames and atom chunks — no per-atom host loop.  Neighbour
-    candidates are capped at `max_neighbors` for the occlusion tensor,
-    but the true relevant-neighbour count is checked and a
-    ParallelError asks for a larger cap if it was ever exceeded — the
-    result is exact for the point set by construction, never silently
-    truncated.  Minimum-image PBC; triclinic boxes use the exact
-    27-image minimum image (surpass — the reference is orthogonal-only,
-    lib.rs:353-355).
-
-    `radii` overrides the per-atom vdW radii ([K] nm); by default they
-    come from the topology (run `guess_elements()` first — the same
-    vdwradii.dat-derived table the reference's guessing uses,
-    `config/elements.yaml`).
-
-    Returns a dict: 'indices' [K], 'area' [F, K] (nm^2), 'total' [F].
-    """
-    from ..ops import sasa as sasa_ops
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-
-    if radii is None:
-        if not np.asarray(system.topology.has_vdw)[gsel].all():
-            raise GroupError(
-                f"group '{group}' has atoms without a vdW radius; run "
-                "guess_elements() / guess_properties() or pass radii=",
-                code="InvalidVdW")
-        radii = np.asarray(system.topology.vdw, np.float32)[gsel]
-    else:
-        radii = np.asarray(radii, np.float32)
-        if radii.shape != (gsel.shape[0],):
-            raise GroupError(
-                f"radii must have shape [{gsel.shape[0]}] to match group "
-                f"'{group}'", code="InvalidVdW")
-
-    areas, max_rel = sasa_ops.sasa_frames(
-        pos, boxes, radii, probe=probe, n_points=n_points,
-        max_neighbors=max_neighbors)
-    max_rel = int(max_rel)
-    if max_rel > min(int(max_neighbors), max(1, gsel.shape[0] - 1)):
-        raise ParallelError(
-            f"an atom had {max_rel} relevant neighbours but "
-            f"max_neighbors={max_neighbors}; raise max_neighbors to keep "
-            "the occlusion test exact")
-    areas = np.asarray(areas)
-    return {"indices": gsel, "area": areas,
-            "total": areas.sum(axis=1)}
-
 
 def _resident_group_pos(system, trajectory, group, batch_size,
                         require_ortho: str | None = None,
@@ -2320,129 +1626,6 @@ def _resident_group_pos(system, trajectory, group, batch_size,
             "box matrices")
     return gsel, pos, boxes, dt
 
-
-def rmsd_matrix(system, trajectory, group: str, *, batch_size: int = 32,
-                chunk: int = 8):
-    """All-pairs fitted RMSD matrix of a trajectory (surpass — the
-    `gmx rms -m` workload; the reference computes single-pair RMSD only,
-    rmsd.rs:432).
-
-    Every frame pair is fitted and scored with EXACTLY the `calc_rmsd`
-    convention (mass-weighted centroids, unweighted covariance fit,
-    mass-weighted deviations; triclinic boxes unwrap around the exact
-    triclinic refined COM first), batched on device: rows of the matrix
-    evaluate `chunk` at a time, each as one QCP eigenproblem batch over
-    all F columns (`ops.rmsd.rmsd_matrix`).  Feeds `models.cluster`.
-
-    Returns `(indices [K], matrix [F, F])` in nm.
-    """
-    from ..system.rmsd import _masses
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-    w = _masses(system, group, gsel)
-    m = np.asarray(rmsd_ops.rmsd_matrix(pos, boxes, w, chunk=chunk))
-    return gsel, m
-
-
-def cluster(system, trajectory=None, group: str | None = None, *,
-            cutoff: float = 0.1, method: str = "gromos",
-            jp_m: int = 10, jp_p: int = 3, matrix=None,
-            batch_size: int = 32, chunk: int = 8):
-    """Conformational clustering (surpass — the `gmx cluster` methods;
-    absent from the reference).
-
-    Builds the all-pairs fitted RMSD matrix on device (`rmsd_matrix`),
-    then clusters with `method`:
-
-    - 'gromos' (Daura et al. 1999): iteratively take the frame with the
-      most neighbours within `cutoff` (nm) as a centre, assign it and
-      its neighbours, remove, repeat; ties break to the lowest index
-      (gmx behaviour).
-    - 'linkage': single-linkage — clusters are the connected components
-      of the d < cutoff graph (gmx cluster -method linkage).
-    - 'jarvis-patrick': frames cluster together when each is in the
-      other's `jp_m` nearest-neighbour list AND they share at least
-      `jp_p` of those neighbours (gmx -method jarvis-patrick with
-      M=jp_m, P=jp_p; `cutoff` is ignored, as in gmx with -nonn 0...
-      connected components of the acceptance graph).
-
-    Pass a precomputed `matrix` ([F, F]) to skip the device pass (e.g.
-    to sweep cutoffs).
-
-    Returns a dict:
-    - 'labels' [F]: cluster id per frame (0 = largest cluster)
-    - 'centers' [C]: the representative frame of each cluster (gromos:
-      the centre; others: the medoid — min summed intra-cluster RMSD)
-    - 'sizes' [C]: frames per cluster
-    - 'matrix' [F, F]: the RMSD matrix used
-    """
-    if matrix is None:
-        if trajectory is None or group is None:
-            raise ParallelError(
-                "cluster needs (trajectory, group) or a precomputed matrix")
-        _, matrix = rmsd_matrix(system, trajectory, group,
-                                batch_size=batch_size, chunk=chunk)
-    matrix = np.asarray(matrix)
-    f = matrix.shape[0]
-    if matrix.shape != (f, f):
-        raise ParallelError(f"matrix must be square, got {matrix.shape}")
-
-    if method == "gromos":
-        neigh = matrix < float(cutoff)
-        np.fill_diagonal(neigh, True)      # a frame is its own neighbour
-        alive = np.ones(f, bool)
-        labels = np.full(f, -1, np.int64)
-        centers, sizes = [], []
-        while alive.any():
-            counts = (neigh & alive[None, :]).sum(axis=1)
-            counts[~alive] = -1
-            c = int(np.argmax(counts))     # ties -> lowest index
-            members = neigh[c] & alive
-            labels[members] = len(centers)
-            centers.append(c)
-            sizes.append(int(members.sum()))
-            alive &= ~members
-        return {"labels": labels, "centers": np.asarray(centers, np.int64),
-                "sizes": np.asarray(sizes, np.int64), "matrix": matrix}
-
-    if method == "linkage":
-        adj = matrix < float(cutoff)
-        np.fill_diagonal(adj, False)
-    elif method == "jarvis-patrick":
-        if jp_m < 1 or jp_m >= f:
-            raise ParallelError(
-                f"jp_m must be in [1, {f - 1}], got {jp_m}")
-        # nearest-neighbour lists exclude self
-        order = np.argsort(matrix + np.diag(np.full(f, np.inf)),
-                           axis=1, kind="stable")[:, :jp_m]
-        nn = np.zeros((f, f), bool)
-        nn[np.repeat(np.arange(f), jp_m), order.reshape(-1)] = True
-        mutual = nn & nn.T
-        shared = (nn.astype(np.int32) @ nn.T.astype(np.int32)) >= jp_p
-        adj = mutual & shared
-        np.fill_diagonal(adj, False)
-    else:
-        raise ParallelError(
-            f"method must be 'gromos', 'linkage', or 'jarvis-patrick', "
-            f"got '{method}'")
-
-    # connected components of adj, clusters ordered largest-first
-    comp = _connected_components(adj)
-    uniq, counts = np.unique(comp, return_counts=True)
-    order = np.argsort(-counts, kind="stable")
-    labels = np.full(f, -1, np.int64)
-    centers, sizes = [], []
-    for new_id, ci in enumerate(order):
-        members = np.flatnonzero(comp == uniq[ci])
-        labels[members] = new_id
-        sub = matrix[np.ix_(members, members)]
-        centers.append(int(members[np.argmin(sub.sum(axis=1))]))
-        sizes.append(len(members))
-    return {"labels": labels, "centers": np.asarray(centers, np.int64),
-            "sizes": np.asarray(sizes, np.int64), "matrix": matrix}
-
-
 def _residue_blocks(system, gsel):
     """Group atoms split by (chain, resnum) in order of appearance.
 
@@ -2463,1419 +1646,14 @@ def _residue_blocks(system, gsel):
         [topo.resname.get(int(gsel[blocks[k][0]])) for k in order], object)
     return resids, resnames, [blocks[k] for k in order]
 
-
-def mdmat(system, trajectory, group: str, *, per_frame: bool = False,
-          batch_size: int = 32, chunk: int = 16):
-    """Residue-residue smallest-distance matrix (surpass — `gmx mdmat`;
-    the reference has whole-group N x M atom matrices only,
-    analysis.rs:401).
-
-    For every frame and residue pair (i, j) within `group`: the
-    smallest minimum-image atom-atom distance between residue i's and
-    residue j's atoms, evaluated as chunked dense tensor ops on the
-    device-resident trajectory (`ops.distances.residue_min_matrix`);
-    triclinic boxes use the exact 27-image minimum image.
-    Residues are (chain, resnum) blocks in order of appearance.
-
-    Returns a dict: 'resids' [R], 'resnames' [R], 'mean' [R, R] nm
-    (frame average), and with `per_frame=True` also 'frames' [F, R, R].
-    """
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-    resids, resnames, blocks = _residue_blocks(system, gsel)
-    r = len(blocks)
-    p = max(len(b) for b in blocks)
-    block_idx = np.zeros((r, p), np.int32)
-    block_mask = np.zeros((r, p), bool)
-    for i, b in enumerate(blocks):
-        block_idx[i, : len(b)] = b
-        block_mask[i, : len(b)] = True
-
-    m = np.asarray(distance_ops.residue_min_matrix(
-        pos, boxes, block_idx, block_mask, chunk=chunk))
-    out = {"resids": resids, "resnames": resnames,
-           "mean": m.mean(axis=0)}
-    if per_frame:
-        out["frames"] = m
-    return out
-
-
-def dssp(system, trajectory, group: str, *, states: int = 3,
-         batch_size: int = 32):
-    """Secondary-structure assignment per residue per frame (surpass —
-    Kabsch-Sander criteria; the reference has none and gmx shells out
-    to an external dssp binary).  `states=3` (default) gives the
-    pydssp-style H/E/- simplification; `states=8` the full DSSP codes
-    H/G/I/E/B/T/S/- (`ops.dssp.assign_8state`).
-
-    Backbone N/CA/C/O atoms are collected per residue from `group`
-    (amide H estimated from the backbone, the pydssp convention, so
-    united-atom and H-less structures work); the `[F, R, R]` hydrogen-
-    bond energy matrix evaluates as one batched device op
-    (`ops.dssp.hbond_energy`; triclinic boxes use the exact 27-image
-    minimum image), and the Kabsch-Sander pattern algebra
-    (3/4/5-turns -> minimal helices; parallel/antiparallel bridges ->
-    strands) runs vectorized on the host.  Prolines and chain
-    starts/gaps are never donors; patterns never span chain breaks.
-
-    Returns a dict: 'resids' [R], 'resnames' [R], 'ss' [F, R]
-    (state codes), 'frac' {code} -> float.
-    """
-    from ..ops import dssp as dssp_ops
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-    resids, resnames, blocks = _residue_blocks(system, gsel)
-
-    topo = system.topology
-    names = topo.atomname
-    bb = {}
-    keep = []
-    for i, b in enumerate(blocks):
-        slot = {}
-        for local in b:
-            nm = names.get(int(gsel[local]))
-            if nm in ("N", "CA", "C", "O") and nm not in slot:
-                slot[nm] = local
-        # terminal oxygens are sometimes named OC1/O1/OT1
-        if "O" not in slot:
-            for local in b:
-                if names.get(int(gsel[local])) in ("OC1", "O1", "OT1"):
-                    slot["O"] = local
-                    break
-        if len(slot) == 4:
-            bb[i] = slot
-            keep.append(i)
-    if len(keep) < 5:
-        raise GroupError(
-            f"group '{group}' has {len(keep)} residues with a complete "
-            "N/CA/C/O backbone; dssp needs at least 5",
-            code="InvalidSelection")
-
-    resids = resids[keep]
-    resnames = resnames[keep]
-    chains_col = system.topology.chain
-    first_atom = [int(gsel[bb[i]["CA"]]) for i in keep]
-    chain_of = np.asarray([chains_col.get(a) for a in first_atom], object)
-
-    import jax.numpy as jnp
-
-    cols = {nm: jnp.asarray([bb[i][nm] for i in keep]) for nm in
-            ("N", "CA", "C", "O")}
-    # consec[i]: residue i+1 directly follows residue i
-    consec = np.zeros(len(keep), bool)
-    consec[:-1] = (resids[1:] == resids[:-1] + 1) \
-        & (chain_of[1:] == chain_of[:-1])
-    donor_ok = np.ones(len(keep), bool)
-    donor_ok[0] = False
-    donor_ok[1:] = consec[:-1]          # needs C/O of the previous residue
-    donor_ok &= np.asarray([rn != "PRO" for rn in resnames])
-
-    if states not in (3, 8):
-        raise ParallelError(f"states must be 3 or 8, got {states}")
-    e = np.asarray(dssp_ops.hbond_energy(
-        pos[:, cols["N"]], pos[:, cols["CA"]], pos[:, cols["C"]],
-        pos[:, cols["O"]], boxes, donor_ok))
-    if states == 8:
-        ss = dssp_ops.assign_8state(
-            e, consec, ca=np.asarray(pos[:, cols["CA"]]),
-            boxes=np.asarray(boxes))
-        codes = ("H", "G", "I", "E", "B", "T", "S", "-")
-    else:
-        ss = dssp_ops.assign_3state(e, consec)
-        codes = ("H", "E", "-")
-    flat = ss.ravel()
-    frac = {c: float((flat == c).mean()) for c in codes}
-    return {"resids": resids, "resnames": resnames, "ss": ss, "frac": frac}
-
-
-def leaflets(system, trajectory, heads: str, *, axis: str = "z",
-             batch_size: int = 32):
-    """Per-frame membrane leaflet assignment + thickness (surpass — the
-    classification step of the reference author's own downstream
-    membrane tools (gorder / FATSLiM workflows); groan_rs itself has no
-    leaflet analysis).
-
-    `heads` is a group naming ONE head atom per lipid (e.g. created
-    from "name P").  Per frame, the membrane center along `axis` is the
-    Bai-Breen circular mean of the head coordinates (PBC-robust: a
-    bilayer wrapped across the box face still classifies correctly);
-    each head's minimum-image displacement from that center signs its
-    leaflet.  Thickness is the axis distance between the two leaflets'
-    mean head positions.  Everything evaluates batched on the
-    device-resident trajectory.
-
-    Returns a dict: 'indices' [L] (head atom indices), 'leaflet'
-    [F, L] (+1 upper / -1 lower), 'thickness' [F] (nm), 'center' [F]
-    (nm, wrapped into [0, box_axis)).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    ax = {"x": 0, "y": 1, "z": 2}.get(axis)
-    if ax is None:
-        raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
-                         code="InvalidAxis")
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, heads, batch_size)
-    if boxes.ndim == 3:
-        # Gromacs lower-triangular H: only the c row has a z component,
-        # so z-wraps are exact multiples of H[2, 2] and the circular-
-        # mean machinery below is EXACT for axis='z'; x/y coordinates
-        # shift under several box vectors and have no scalar period
-        if ax != 2:
-            raise ParallelError(
-                "leaflets on a triclinic box supports axis='z' only "
-                "(x/y have no scalar period under a sheared cell)")
-        boxes = boxes[:, :, ax]  # [F, 3] rows' z components; [:, 2] = c_z
-    if gsel.shape[0] < 2:
-        raise GroupError(
-            f"group '{heads}' must name at least 2 head atoms",
-            code="EmptyGroup")
-
-    @jax.jit
-    def _assign(pos, boxes):
-        z = pos[..., ax]                              # [F, L]
-        lz = boxes[:, ax]                             # [F]
-        theta = (z % lz[:, None]) * (2 * jnp.pi / lz[:, None])
-        xi = jnp.mean(jnp.cos(theta), axis=1)
-        zeta = jnp.mean(jnp.sin(theta), axis=1)
-        center = (jnp.arctan2(-zeta, -xi) + jnp.pi) * lz / (2 * jnp.pi)
-        d = z - center[:, None]
-        d = d - lz[:, None] * jnp.round(d / lz[:, None])   # min image
-        leaf = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
-        up = leaf > 0
-        n_up = jnp.maximum(jnp.sum(up, axis=1), 1)
-        n_dn = jnp.maximum(jnp.sum(~up, axis=1), 1)
-        mean_up = jnp.sum(jnp.where(up, d, 0.0), axis=1) / n_up
-        mean_dn = jnp.sum(jnp.where(up, 0.0, d), axis=1) / n_dn
-        return leaf, mean_up - mean_dn, center % lz
-
-    leaf, thick, center = (np.asarray(a) for a in _assign(pos, boxes))
-    return {"indices": gsel, "leaflet": leaf,
-            "thickness": thick, "center": center}
-
-
-def hbond_acf(system, trajectory, chains, pairs, *,
-              max_distance: float = 0.35, min_angle: float = 120.0,
-              continuous: bool = False, batch_size: int = 16,
-              start_time=None, end_time=None, step=None):
-    """Hydrogen-bond existence autocorrelation (surpass — `gmx hbond
-    -ac`; the reference detects bonds per frame, hbonds.rs:457, but has
-    no lifetime analysis).
-
-    Bonds are detected per frame on the batched device path
-    (`hbonds_analyze_batched`, exact reference semantics), identified by
-    (pair, donor, hydrogen, acceptor), and correlated over frame lags:
-    C(tau) = <h(t) h(t+tau)>_{t,bonds} / <h> with h in {0, 1}, so
-    C(0) = 1 (the intermittent definition).  `continuous=True` gives
-    the uninterrupted-lifetime form: h(t)h(t+tau) counts only when the
-    bond persists through EVERY intermediate frame.
-
-    Returns `(lag_times, curve)`: [F] ps offsets and [F] C(tau).
-    """
-    times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
-                               max_distance, min_angle, batch_size,
-                               what="hbond_acf", start_time=start_time,
-                               end_time=end_time, step=step)
-    curve = _hbond_curve(h, continuous)
-    lag_times = np.asarray(times, np.float64) - times[0]
-    return lag_times, curve
-
-
-def _hbond_h_matrix(system, trajectory, chains, pairs, max_distance,
-                    min_angle, batch_size, what,
-                    start_time=None, end_time=None, step=None):
-    """Shared detection pass: per-frame bond existence matrix [F, P]."""
-    times, frames = [], []
-    seen: dict[tuple, int] = {}
-    for time, hmap in system.hbonds_analyze_batched(
-            trajectory, chains, pairs, max_distance, min_angle,
-            batch_size=batch_size, start_time=start_time,
-            end_time=end_time, step=step):
-        times.append(time)
-        ids = []
-        for pk, bonds in hmap.items():
-            for b in bonds:
-                key = (pk, b.donor, b.hydrogen, b.acceptor)
-                if key not in seen:
-                    seen[key] = len(seen)
-                ids.append(seen[key])
-        frames.append(np.asarray(ids, np.int64))
-    f = len(frames)
-    if f < 2:
-        raise ParallelError(
-            f"{what} needs at least 2 frames (trajectory has {f})")
-    if len(seen) == 0:
-        raise ParallelError("no hydrogen bonds found in the trajectory")
-    h = np.zeros((f, len(seen)), bool)
-    for t, ids in enumerate(frames):
-        h[t, ids] = True
-    return times, h
-
-
-def _hbond_curve(h, continuous):
-    f = h.shape[0]
-    mean_h = h.mean()
-    curve = np.empty(f)
-    if continuous:
-        # run[t, p] = length of the 1-run starting at t
-        run = np.zeros((f + 1, h.shape[1]), np.int64)
-        for t in range(f - 1, -1, -1):
-            run[t] = np.where(h[t], run[t + 1] + 1, 0)
-        for tau in range(f):
-            curve[tau] = (run[: f - tau] >= tau + 1).mean() / mean_h
-    else:
-        for tau in range(f):
-            curve[tau] = (h[: f - tau] & h[tau:]).mean() / mean_h
-    return curve
-
-
-def hbond_lifetime(system, trajectory, chains, pairs, *,
-                   max_distance: float = 0.35, min_angle: float = 120.0,
-                   batch_size: int = 16,
-                   start_time=None, end_time=None, step=None):
-    """Hydrogen-bond lifetimes from existence autocorrelation (surpass
-    — the `gmx hbond -life`/`-ac` lifetime numbers; absent from the
-    reference).
-
-    ONE batched detection pass builds the [F, P] bond-existence matrix;
-    both ACF definitions come from it:
-
-    - intermittent C(tau) (bonds may break and reform) and its
-      correlation time tau_intermittent = integral C dt (trapezoid over
-      the sampled lags — gmx hbond's -ac integral estimate),
-    - continuous S(tau) (uninterrupted persistence) and tau_continuous
-      = integral S dt, the Rapaport H-bond lifetime gmx hbond -life
-      reports, with k_rapaport = 1 / tau_continuous (ps^-1).  NOTE:
-      this is the Rapaport lifetime inverse, NOT the Luzar-Chandler
-      forward rate constant k that `gmx hbond` fits from the
-      intermittent ACF kinetics — users comparing against gmx's
-      printed k should expect systematically different numbers
-      ('k_forward' is kept as a deprecated alias of 'k_rapaport').
-
-    Both integrals truncate at the trajectory length — the caller's
-    sampling choice, exactly as in gmx hbond.
-
-    Returns a dict: 'lag_times' [F] (ps), 'intermittent' [F],
-    'continuous' [F], 'tau_intermittent', 'tau_continuous' (ps),
-    'k_forward' (ps^-1), 'n_bonds_seen' P, 'occupancy' (mean of h).
-    """
-    times, h = _hbond_h_matrix(system, trajectory, chains, pairs,
-                               max_distance, min_angle, batch_size,
-                               what="hbond_lifetime",
-                               start_time=start_time, end_time=end_time,
-                               step=step)
-    lag_times = np.asarray(times, np.float64) - times[0]
-    ci = _hbond_curve(h, continuous=False)
-    cc = _hbond_curve(h, continuous=True)
-    tau_i = float(np.trapezoid(ci, lag_times))
-    tau_c = float(np.trapezoid(cc, lag_times))
-    k_rap = (1.0 / tau_c) if tau_c > 0 else float("inf")
-    return {"lag_times": lag_times, "intermittent": ci, "continuous": cc,
-            "tau_intermittent": tau_i, "tau_continuous": tau_c,
-            "k_rapaport": k_rap, "k_forward": k_rap,
-            "n_bonds_seen": int(h.shape[1]),
-            "occupancy": float(h.mean())}
-
-
-def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
-           batch_size: int = 32):
-    """Rotational autocorrelation of axis vectors (surpass — `gmx
-    rotacf -P {1,2}`; absent from the reference).
-
-    `pairs`: `[K, 2]` atom indices; per frame, u = unit minimum-image
-    vector from pairs[:, 1] to pairs[:, 0].  C_n(tau) =
-    <P_n(u(t) . u(t+tau))> over time origins and vectors, the whole
-    curve in one `lax.map` dispatch over the device-resident
-    trajectory (only the pairs' atoms are decoded and shipped).
-
-    Returns `(lag_times, curve)`: [L] ps, [L].
-    """
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-    from ..parallel.engine import DeviceTrajectory
-
-    pairs = np.asarray(pairs, np.int64)
-    if pairs.ndim != 2 or pairs.shape[1] != 2 or pairs.shape[0] == 0:
-        raise GroupError("pairs must be a non-empty [K, 2] array of atom "
-                         "indices", code="InvalidSelection")
-    n = int(system.get_n_atoms())
-    if pairs.min() < 0 or pairs.max() >= n:
-        raise GroupError(f"pairs reference atoms outside 0..{n - 1}",
-                         code="AtomOutOfRange")
-    if order not in (1, 2):
-        raise GroupError("order must be 1 or 2", code="InvalidMode")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        shipped = getattr(dt, "sel", None)
-        sel = np.arange(n) if shipped is None else np.asarray(shipped)
-        lut = {int(a): i for i, a in enumerate(sel)}
-        try:
-            cols = np.asarray([[lut[int(a)], lut[int(b)]]
-                               for a, b in pairs])
-        except KeyError:
-            raise ParallelError(
-                "the DeviceTrajectory's layout does not contain every "
-                "pair atom; reload with a wider selection") from None
-    else:
-        tag = "__rotacf__"
-        union = np.unique(pairs.ravel())
-        system.group_create_from_indices(tag, union)
-        try:
-            runner = TrajectoryAnalysis(
-                system, triclinic=_system_triclinic(system)).runner(group=tag)
-            dt = runner.load_device(trajectory, batch_size=batch_size)
-        finally:
-            system.group_remove(tag)
-        lut = {int(a): i for i, a in enumerate(union)}
-        cols = np.asarray([[lut[int(a)], lut[int(b)]] for a, b in pairs])
-
-    pos = jnp.asarray(dt.pos)
-    if dt.kind == "q16":
-        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
-    boxes = jnp.asarray(dt.boxes)
-    if boxes.ndim == 3:
-        raise ParallelError("rotacf supports orthorhombic boxes")
-
-    f = int(pos.shape[0])
-    if lags is None:
-        lags = np.arange(f, dtype=np.int64)
-    lags = np.asarray(lags, np.int64)
-    if len(lags) and (lags.min() < 0 or lags.max() >= f):
-        raise ParallelError(
-            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
-
-    d = pbc.min_image(pos[:, jnp.asarray(cols[:, 0])]
-                      - pos[:, jnp.asarray(cols[:, 1])],
-                      boxes[:, None, :])
-    u = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    curve = np.asarray(msd_ops.legendre_lag_correlation(u, lags, order))
-    times = np.asarray(dt.times, np.float64)
-    lag_times = times[lags] - times[0]
-    return lag_times, curve
-
-
 _E_OVER_EPS0_NM = 18.0951262     # e/(eps0 * nm) in volts (CODATA 2018)
 
-
-def potential_profile(system, trajectory, group: str, *, axis: str = "z",
-                      n_bins: int = 100, batch_size: int = 32):
-    """Electrostatic potential profile along a box axis (surpass —
-    `gmx potential`; absent from the reference).
-
-    The per-frame charge density profile rho(z) evaluates on device
-    (`add_density_profile(mode='charge')`, e/nm^3 in fractional slabs);
-    Poisson's equation is then integrated twice per frame host-side
-    (E(z) = (1/eps0) int rho dz', psi(z) = -int E dz', rectangle rule on
-    the slab grid, psi(0) = 0 at the box bottom — gmx potential's
-    convention) and averaged over frames.
-
-    Returns a dict: 'centers' [n_bins] (nm, mean box), 'rho' [n_bins]
-    (e/nm^3, frame mean), 'field' [n_bins] (V/nm), 'psi' [n_bins] (V).
-    """
-    ax = {"x": 0, "y": 1, "z": 2}.get(axis)
-    if ax is None:
-        raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
-                         code="InvalidAxis")
-    pipe = TrajectoryAnalysis(system).add_density_profile(
-        group, axis=axis, n_bins=n_bins, mode="charge", name="rho")
-    runner = pipe.runner(group=None, ship="all")
-    out = runner.run(trajectory, batch_size=batch_size)
-    rho = np.asarray(out["rho"], np.float64)              # [F, n_bins]
-    from ..parallel.engine import DeviceTrajectory
-
-    if isinstance(trajectory, DeviceTrajectory):
-        boxes = np.asarray(trajectory.boxes, np.float64)
-        if boxes.ndim == 3:
-            raise ParallelError(
-                "potential_profile supports orthorhombic boxes")
-        lz = boxes[:, ax]
-    else:
-        from ..io.traj import open_source
-
-        src = open_source(trajectory)
-        b = src.read_batch(np.arange(src.n_frames())).box_matrices()
-        lz = np.asarray([b[f][ax, ax] for f in range(b.shape[0])],
-                        np.float64)
-    if rho.shape[0] != lz.shape[0]:
-        raise ParallelError("frame count mismatch between profile and box")
-
-    dz = lz / n_bins                                      # [F]
-    # E_k = (e/eps0) * sum_{i<=k} rho_i * dz   (V/nm)
-    csum = np.cumsum(rho, axis=1)
-    field = _E_OVER_EPS0_NM * csum * dz[:, None]
-    # psi_k = -sum_{i<=k} E_i * dz   (V)
-    psi = -np.cumsum(field, axis=1) * dz[:, None]
-    centers = (np.arange(n_bins) + 0.5) / n_bins * lz.mean()
-    return {"centers": centers, "rho": rho.mean(0),
-            "field": field.mean(0), "psi": psi.mean(0)}
-
-
 _EPSILON0 = 5.727657e-4     # vacuum permittivity, e^2 mol / (kJ nm)
+
 _BOLTZ = 8.3144626e-3       # Boltzmann constant, kJ / (mol K)
-
-
-def dielectric(system, trajectory, group: str = "all", *,
-               temperature: float = 300.0, batch_size: int = 32,
-               triclinic: bool = False):
-    """Static dielectric constant from total-dipole fluctuations (surpass
-    — `gmx dipoles -epsilon`; absent from the reference).
-
-    eps = 1 + (<M^2> - <M>^2) / (3 eps0 V kB T)   (Neumann, conducting
-    boundary — the gmx dipoles formula), with M the per-frame total
-    dipole of `group` (e*nm, `add_total_dipole` — per-molecule
-    minimum-image origins, exact for whole neutral molecules) and V the
-    per-frame box volume (`add_box_volume`).  Both observables evaluate
-    on device in ONE batched pass; the O(F) fluctuation statistics run
-    host-side in float64.
-
-    Returns a dict: 'epsilon' (float), 'M' [F, 3] (e*nm), 'M_mean' [3],
-    'fluct' (<M^2>-<M>^2, e^2 nm^2), 'volume' (mean nm^3),
-    'n_charged_molecules' (molecules in `group` with |net charge| >
-    1e-3 e — nonzero means M is origin-dependent, the same warning gmx
-    dipoles prints).
-    """
-    pipe = (TrajectoryAnalysis(system, triclinic=triclinic)
-            .add_total_dipole(group, name="M")
-            .add_box_volume(name="vol"))
-    out = pipe.runner(group=None, ship="all").run(
-        trajectory, batch_size=batch_size)
-
-    M = np.asarray(out["M"], np.float64)                  # [F, 3]
-    vol = float(np.asarray(out["vol"], np.float64).mean())
-    m_mean = M.mean(axis=0)
-    fluct = float((M * M).sum(axis=1).mean() - (m_mean * m_mean).sum())
-    eps = 1.0 + fluct / (3.0 * _EPSILON0 * vol * _BOLTZ * float(temperature))
-
-    idx = np.asarray(system.group_indices(group))
-    mol = system.topology.molecule_ids()[idx]
-    qm = np.zeros(int(mol.max()) + 1 if mol.size else 0, np.float64)
-    np.add.at(qm, mol, np.asarray(system.topology.charge[idx], np.float64))
-    n_charged = int((np.abs(qm) > 1e-3).sum())
-
-    return {"epsilon": eps, "M": M, "M_mean": m_mean, "fluct": fluct,
-            "volume": vol, "n_charged_molecules": n_charged}
-
-
-def ramachandran(system, trajectory, group: str, *, batch_size: int = 32,
-                 triclinic: bool = False):
-    """Backbone phi/psi dihedrals per residue per frame (surpass — the
-    `gmx rama` / Ramachandran workload; absent from the reference).
-
-    phi_i = C(i-1)-N(i)-CA(i)-C(i), psi_i = N(i)-CA(i)-C(i)-N(i+1),
-    built from atom names (N/CA/C) within `group`.  Residues pair only
-    when adjacent (same chain, resnum difference 1) — chain breaks and
-    gaps produce no angle, exactly like gmx.  Only residues with BOTH
-    angles defined are reported.  The whole [F, R, 2] table evaluates
-    as one batched `add_dihedrals` pass on device.
-
-    Returns a dict: 'resids' [R], 'resnames' [R], 'phi' [F, R],
-    'psi' [F, R] (signed degrees, IUPAC convention).
-    """
-    idx = np.asarray(system.group_indices(group))
-    if idx.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-    topo = system.topology
-    names = topo.atomname
-    resnum = np.asarray(topo.resnum)
-    chains = topo.chain
-
-    # first N/CA/C of each residue, residues in order of appearance
-    residues: dict[tuple, dict] = {}
-    order = []
-    for a in idx:
-        key = (chains.get(a), int(resnum[a]))
-        if key not in residues:
-            residues[key] = {}
-            order.append(key)
-        nm = names.get(a)
-        if nm in ("N", "CA", "C") and nm not in residues[key]:
-            residues[key][nm] = int(a)
-
-    phi_sites, psi_sites, out_keys = [], [], []
-    for i, key in enumerate(order):
-        r = residues[key]
-        if not all(n in r for n in ("N", "CA", "C")):
-            continue
-        prev = order[i - 1] if i > 0 else None
-        nxt = order[i + 1] if i + 1 < len(order) else None
-        has_phi = (prev is not None and prev[0] == key[0]
-                   and prev[1] == key[1] - 1 and "C" in residues[prev])
-        has_psi = (nxt is not None and nxt[0] == key[0]
-                   and nxt[1] == key[1] + 1 and "N" in residues[nxt])
-        if has_phi and has_psi:
-            phi_sites.append([residues[prev]["C"], r["N"], r["CA"], r["C"]])
-            psi_sites.append([r["N"], r["CA"], r["C"], residues[nxt]["N"]])
-            out_keys.append(key)
-    if not out_keys:
-        raise GroupError(
-            f"group '{group}' has no residue with both phi and psi "
-            "(needs N/CA/C names and adjacent residues)",
-            code="InvalidSelection")
-
-    pipe = (TrajectoryAnalysis(system, triclinic=triclinic)
-            .add_dihedrals(np.asarray(phi_sites), name="phi")
-            .add_dihedrals(np.asarray(psi_sites), name="psi"))
-    out = pipe.run(trajectory, batch_size=batch_size)
-
-    resids = np.asarray([k[1] for k in out_keys], np.int64)
-    first_atom = {k: residues[k]["CA"] for k in out_keys}
-    resnames = np.asarray(
-        [topo.resname.get(first_atom[k]) for k in out_keys], object)
-    return {"resids": resids, "resnames": resnames,
-            "phi": np.asarray(out["phi"]), "psi": np.asarray(out["psi"])}
-
-
-def order_parameters(system, trajectory, group: str, *, axis="z",
-                     batch_size: int = 32):
-    """Trajectory-averaged bond orientational order parameters of a
-    selection (surpass — `gmx order` / gorder semantics; see
-    `TrajectoryAnalysis.add_order` for the per-frame form and the
-    hydrogen-detection rules).
-
-    Runs one batched pass over `trajectory` (a filename) and averages
-    S = (3 cos^2 theta - 1)/2 over frames, then over each heavy atom's
-    bonds.  Returns a dict:
-
-    - 'heavy' [M]: global indices of heavy atoms with >= 1 hydrogen bond
-    - 's' [M]: per-heavy-atom mean S (lipid conventions report -s)
-    - 'pairs' ([P], [P]): (heavy, hydrogen) global indices per bond
-    - 's_pairs' [P]: per-bond trajectory mean S
-    """
-    pipe = TrajectoryAnalysis(system).add_order(group, axis=axis,
-                                                name="order")
-    out = pipe.run(trajectory, batch_size=batch_size)
-    c_idx, h_idx = pipe.order_pairs["order"]
-    s_pairs = np.asarray(out["order"], np.float64).mean(axis=0)
-    heavy, inv = np.unique(c_idx, return_inverse=True)
-    sums = np.zeros(heavy.shape[0], np.float64)
-    counts = np.zeros(heavy.shape[0], np.int64)
-    np.add.at(sums, inv, s_pairs)
-    np.add.at(counts, inv, 1)
-    return {"heavy": heavy, "s": sums / counts,
-            "pairs": (c_idx, h_idx), "s_pairs": s_pairs}
-
-
-def polystat(system, trajectory, group: str, *, mass_weighted: bool = False,
-             batch_size: int = 32):
-    """Polymer chain statistics of a selection (surpass — the
-    `gmx polystat` workload; absent from the reference).
-
-    Chains are the molecules of `group` from the bond graph
-    (`Topology.molecule_ids`, iterating.rs:399), atoms in topology
-    order; single-atom molecules are ignored.  Chains are rebuilt whole
-    on device by accumulating minimum-image consecutive-atom vectors
-    (exact while every bonded step is shorter than half a box vector —
-    the make_molecules_whole assumption, modifying.rs:338), so wrapped
-    input is fine.  Everything evaluates in two fused device dispatches
-    (per-frame stats + one `lax.map` over bond-correlation lags).
-
-    Returns a dict:
-
-    - 'ete2' [F]: chain-averaged squared end-to-end distance per frame
-    - 'ete'  [F]: RMS end-to-end distance per frame (sqrt of 'ete2')
-    - 'rg2'  [F]: chain-averaged squared radius of gyration per frame
-      (mass-weighted when `mass_weighted=True` — gmx polystat's -mw;
-      requires TPR masses)
-    - 'bond_corr' [Kb]: <u_i . u_{i+k}> over frames/chains/positions
-      (unit bond vectors; k = 0..Lmax-2)
-    - 'persistence_length': -<l_b> / ln(C(1)) in nm (nan when C(1)
-      is outside (0, 1))
-    - 'mean_bond_length': trajectory mean bonded-step length (nm)
-    - 'n_chains', 'chain_lengths' [M]: chain inventory
-    """
-    import jax
-    import jax.numpy as jnp
-
-    gsel, pos, boxes, _dt = _resident_group_pos(
-        system, trajectory, group, batch_size)
-
-    mol = system.topology.molecule_ids()[gsel]
-    order = np.argsort(mol, kind="stable")
-    uniq, starts = np.unique(mol[order], return_index=True)
-    splits = np.split(order, starts[1:])
-    chains = [c for c in splits if len(c) >= 2]
-    if not chains:
-        raise GroupError(
-            f"group '{group}' contains no molecule with >= 2 atoms (does "
-            "the topology carry bonds? read a TPR / PDB CONECT or run "
-            "guess_bonds)", code="NoBonds")
-    m = len(chains)
-    lens = np.array([len(c) for c in chains], np.int64)
-    lmax = int(lens.max())
-    cols = np.zeros((m, lmax), np.int32)
-    amask = np.zeros((m, lmax), bool)
-    for i, c in enumerate(chains):
-        cols[i, :len(c)] = c
-        amask[i, :len(c)] = True
-
-    if mass_weighted:
-        topo = system.topology
-        gmass = topo.mass[gsel]
-        if not topo.has_mass[gsel].all():
-            raise GroupError(
-                f"group '{group}' has atoms without mass (mass-weighted "
-                "polystat needs a TPR)", code="InvalidMass")
-        w_np = np.where(amask, gmass[cols], 0.0).astype(np.float32)
-    else:
-        w_np = amask.astype(np.float32)
-
-    cols_j = jnp.asarray(cols)
-    w = jnp.asarray(w_np)                          # [M, L]
-    bmask = jnp.asarray(amask[:, 1:])              # [M, L-1] valid bonds
-    last = jnp.asarray(lens - 1)                   # [M]
-    triclinic = boxes.ndim == 3
-
-    def _minimg(d, boxes):
-        f, mm, lb, _ = d.shape
-        flat = d.reshape(f, mm * lb, 3)
-        if triclinic:
-            flat = pbc.min_image_triclinic_frames(flat, boxes)
-        else:
-            flat = pbc.min_image(flat, boxes[:, None, :])
-        return flat.reshape(f, mm, lb, 3)
-
-    @jax.jit
-    def frame_stats(pos, boxes):
-        g = pos[:, cols_j, :]                              # [F, M, L, 3]
-        b = _minimg(g[:, :, 1:, :] - g[:, :, :-1, :], boxes)
-        b = b * bmask[None, :, :, None]
-        rel = jnp.concatenate(
-            [jnp.zeros_like(g[:, :, :1, :]), jnp.cumsum(b, axis=2)], axis=2)
-        ete_v = jnp.take_along_axis(
-            rel, last[None, :, None, None].astype(jnp.int32)
-            * jnp.ones((1, 1, 1, 3), jnp.int32), axis=2)[:, :, 0, :]
-        ete2 = jnp.sum(ete_v * ete_v, axis=-1)             # [F, M]
-        sw = jnp.sum(w, axis=1)                            # [M]
-        com = jnp.einsum("fmla,ml->fma", rel, w) / sw[None, :, None]
-        dev = (rel - com[:, :, None, :]) * w[None, :, :, None]
-        rg2 = jnp.einsum("fmla,fmla->fm",
-                         dev, rel - com[:, :, None, :]) / sw[None, :]
-        blen = jnp.sqrt(jnp.sum(b * b, axis=-1))           # [F, M, L-1]
-        nb = jnp.sum(bmask)
-        return (jnp.mean(ete2, axis=1), jnp.mean(rg2, axis=1),
-                jnp.sum(blen, axis=(1, 2)) / nb,
-                b / jnp.where(blen == 0.0, 1.0, blen)[..., None])
-
-    ete2_f, rg2_f, blen_f, u = frame_stats(pos, boxes)
-    lb = lmax - 1
-
-    @jax.jit
-    def corr(u):
-        def one(k):
-            v = jnp.roll(u, -k, axis=2)
-            pm = (bmask & jnp.roll(bmask, -k, axis=1)
-                  & (jnp.arange(lb)[None, :] < lb - k))    # [M, L-1]
-            dots = jnp.einsum("fmla,fmla->fml", u, v)
-            return (jnp.sum(dots * pm[None, :, :])
-                    / (u.shape[0] * jnp.maximum(jnp.sum(pm), 1)))
-        return jax.lax.map(one, jnp.arange(lb))
-
-    bond_corr = np.asarray(corr(u), np.float64)
-    mean_bl = float(np.asarray(blen_f, np.float64).mean())
-    c1 = bond_corr[1] if lb > 1 else np.nan
-    lp = (-mean_bl / np.log(c1)) if 0.0 < c1 < 1.0 else float("nan")
-    e2 = np.asarray(ete2_f, np.float64)
-    return {"ete2": e2, "ete": np.sqrt(e2),
-            "rg2": np.asarray(rg2_f, np.float64),
-            "bond_corr": bond_corr, "persistence_length": float(lp),
-            "mean_bond_length": mean_bl, "n_chains": m,
-            "chain_lengths": lens}
-
-
-def entropy(system, trajectory, group: str, *, temperature: float = 300.0,
-            reference=None, fit: bool = True, batch_size: int = 32):
-    """Configurational entropy from positional covariance (surpass — the
-    `gmx anaeig -entropy` workload; absent from the reference).
-
-    Runs the mass-weighted positional PCA (`models.pca`: batched fit +
-    one MXU covariance matmul + device `eigh`) and evaluates both
-    standard estimates over the eigenvalues lambda_i (amu nm^2):
-
-    - Schlitter's upper bound:
-      S = (kB/2) sum ln(1 + kB T e^2 lambda_i / hbar^2)
-    - quasi-harmonic (Andricioaei & Karplus): per mode
-      alpha_i = hbar omega_i / kB T with omega_i = sqrt(kB T / lambda_i),
-      S = kB sum [alpha/(e^alpha - 1) - ln(1 - e^-alpha)]
-
-    Near-zero modes (the six rigid-body directions removed by the fit)
-    contribute nothing to either formula and are clamped at 0.  In the
-    classical limit (large lambda) the two estimates agree mode-for-mode
-    at kB (1 - ln alpha) — property-tested.
-
-    Returns a dict: 'schlitter' and 'quasiharmonic' in kJ/(mol K),
-    'eigenvalues' [3K] (amu nm^2, descending), 'alphas' [3K]
-    (dimensionless hbar omega / kB T of the kept modes, inf for
-    clamped ones).
-    """
-    if not temperature > 0:
-        raise ParallelError("temperature must be positive")
-    res = pca(system, trajectory, group, reference=reference, fit=fit,
-              mass_weighted=True, batch_size=batch_size)
-    lam = np.asarray(res["eigenvalues"], np.float64)
-
-    kb_j = 1.380649e-23            # J/K, per molecule
-    hbar = 1.0545718176e-34        # J s
-    amu_nm2 = 1.66053906660e-27 * 1e-18   # amu nm^2 -> kg m^2
-    kb_kj = 8.31446261815324e-3    # kJ/(mol K)
-
-    lam_si = np.clip(lam, 0.0, None) * amu_nm2
-    kbt = kb_j * float(temperature)
-    arg = kbt * lam_si * np.e ** 2 / hbar ** 2
-    s_schlitter = 0.5 * kb_kj * float(np.log1p(arg).sum())
-
-    with np.errstate(divide="ignore"):
-        alpha = hbar / np.sqrt(kbt * lam_si)   # = hbar omega / kB T
-    pos_mask = lam_si > 0
-    a = alpha[pos_mask]
-    with np.errstate(over="ignore"):
-        s_qh = kb_kj * float(
-            (a / np.expm1(a) - np.log1p(-np.exp(-a))).sum())
-
-    return {"schlitter": s_schlitter, "quasiharmonic": s_qh,
-            "eigenvalues": lam, "alphas": alpha}
-
-
-def current(system, trajectory, group: str = "all", *,
-            temperature: float = 300.0, fit_range=(0.1, 0.5), lags=None,
-            batch_size: int = 32):
-    """Ionic conductivity via the Einstein-Helfand translational dipole
-    (surpass — the `gmx current` workload; absent from the reference).
-
-    M_J(t) = sum_i q_i u_i(t) over the group's UNWRAPPED positions
-    (`ops.msd.unwrap_orthorhombic`, on device), and
-
-      sigma = lim_t d/dt <|M_J(t0+t) - M_J(t0)|^2> / (6 V kB T)
-
-    with all time origins averaged in one `lax.map` dispatch
-    (`ops.msd.msd_lags` on the [F, 1, 3] dipole path) and the slope
-    fitted in float64 over `fit_range` fractions of the maximum lag
-    (default (0.1, 0.5): past the ballistic regime, before the
-    noisy tail).  V is the trajectory-mean box volume.  Requires
-    charges (TPR/PQR) and orthorhombic boxes; a net-charged group makes
-    M_J drift-frame dependent (same caveat as gmx current).
-
-    Returns a dict: 'conductivity' (S/m), 'slope' (e^2 nm^2/ps),
-    'lag_times' [L] (ps), 'mj2' [L] (e^2 nm^2), 'fit_mask' [L],
-    'volume' (nm^3), 'net_charge' (e).
-    """
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-
-    lo, hi = float(fit_range[0]), float(fit_range[1])
-    if not (0.0 <= lo < hi <= 1.0):
-        raise ParallelError(
-            f"fit_range must satisfy 0 <= begin < end <= 1, got {fit_range}")
-    if not temperature > 0:
-        raise ParallelError("temperature must be positive")
-
-    gsel, pos, boxes, dt_obj = _resident_group_pos(
-        system, trajectory, group, batch_size)
-    if boxes.ndim == 3:
-        raise ParallelError(
-            "current supports orthorhombic boxes; got per-frame box "
-            "matrices")
-    topo = system.topology
-    if not topo.has_charge[gsel].all():
-        raise GroupError(f"group '{group}' has atoms without charge",
-                         code="InvalidCharge")
-    q = np.asarray(topo.charge, np.float64)[gsel]
-
-    f = int(pos.shape[0])
-    if lags is None:
-        lags = np.arange(f, dtype=np.int64)
-    lags = np.asarray(lags, np.int64)
-    if len(lags) < 3 or lags.min() < 0 or lags.max() >= f:
-        raise ParallelError(
-            f"need >= 3 lags inside [0, {f}) (trajectory has {f} frames)")
-
-    u = msd_ops.unwrap_orthorhombic(pos, boxes)
-    mj = jnp.einsum("fka,k->fa", u, jnp.asarray(q, jnp.float32))
-    curve = np.asarray(msd_ops.msd_lags(mj[:, None, :], lags), np.float64)
-
-    times = np.asarray(dt_obj.times, np.float64)
-    t = times[lags] - times[0]
-    tmax = t[-1]
-    mask = (t >= lo * tmax) & (t <= hi * tmax) & (t > 0)
-    if int(mask.sum()) < 2:
-        raise ParallelError(
-            "fit window selects fewer than 2 points; widen fit_range or "
-            "use a longer trajectory")
-    a = np.stack([t[mask], np.ones(int(mask.sum()))], axis=1)
-    (slope, _icept), *_ = np.linalg.lstsq(a, curve[mask], rcond=None)
-
-    vol = float(np.prod(np.asarray(boxes, np.float64), axis=1).mean())
-    e_c = 1.602176634e-19          # C
-    kb_j = 1.380649e-23            # J/K
-    # e^2 nm^2/ps -> C^2 m^2/s ; V nm^3 -> m^3
-    si = float(slope) * e_c ** 2 * 1e-18 / 1e-12
-    sigma = si / (6.0 * kb_j * float(temperature) * vol * 1e-27)
-    return {"conductivity": sigma, "slope": float(slope),
-            "lag_times": t, "mj2": curve, "fit_mask": mask,
-            "volume": vol, "net_charge": float(q.sum())}
-
-
-def rotmat(system, trajectory, group: str, *, reference=None,
-           batch_size: int = 32):
-    """Per-frame least-squares rotation matrices onto a reference
-    structure (surpass — the `gmx rotmat` workload; the reference
-    applies the fit, rmsd.rs:508-533, but never exposes the matrix).
-
-    Every frame's group is fitted onto the reference with EXACTLY the
-    `calc_rmsd` convention (mass-weighted centroids, unweighted
-    covariance, batched QCP on device); `matrices[f]` is the proper
-    rotation R with `x_ref ≈ R @ (x_frame - com_frame) + com_ref` —
-    the matrix gmx rotmat prints, suitable for `trjconv -fit` style
-    post-processing or box-alignment diagnostics.
-
-    Returns a dict: 'indices' [K], 'matrices' [F, 3, 3], 'rmsd' [F]
-    (nm, the fitted RMSD of each frame — same numbers as `add_rmsd`).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..system.rmsd import _extract, _masses
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="rotmat")
-
-    ref_sys = system if reference is None else reference
-    ref_coords, ref_center, ref_idx = _extract(ref_sys, group)
-    if ref_coords.shape[0] != gsel.shape[0]:
-        raise RMSDError(
-            f"group '{group}' has {ref_coords.shape[0]} atoms in reference "
-            f"but {gsel.shape[0]} in target", code="InconsistentGroup")
-    w = np.asarray(_masses(ref_sys, group, ref_idx), np.float32)
-
-    @jax.jit
-    def _rm(pos, boxes):
-        return rmsd_ops.rmsd_frames(
-            jnp.asarray(ref_coords), jnp.asarray(ref_center), pos, boxes,
-            jnp.asarray(w))
-
-    rot, r = _rm(pos, boxes)
-    return {"indices": gsel, "matrices": np.asarray(rot),
-            "rmsd": np.asarray(r)}
-
-
-def dccm(system, trajectory, group: str, *, reference=None, fit: bool = True,
-         batch_size: int = 32):
-    """Dynamic cross-correlation matrix of atomic fluctuations (surpass —
-    the classic DCCM analysis, Ichiye & Karplus 1991; neither the
-    reference nor gmx ships it, though it is the standard companion to
-    `gmx covar`).
-
-    Every frame is least-squares fitted onto the reference structure
-    (same mass-weighted convention as `rmsf`/`pca`; `fit=False`
-    translates group COM only), then with dr_i(f) = x_i(f) - <x_i> the
-    atom-pair covariance C_ij = <dr_i . dr_j> evaluates as ONE
-    `[F,K,3] x [F,K,3] -> [K,K]` HIGHEST-precision einsum on device and
-    is normalized to the correlation matrix
-    DCCM_ij = C_ij / sqrt(C_ii C_jj) in [-1, 1].
-
-    Returns a dict: 'indices' [K], 'dccm' [K, K] (unitless, diagonal
-    exactly 1), 'covariance' [K, K] (nm^2).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..parallel.engine import DeviceTrajectory
-
-    gsel = np.asarray(system.group_indices(group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)).runner(group=group)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-
-    pos, boxes, _, fit_frames = _fit_inputs(system, dt, cols, group, gsel,
-                                            reference, what="dccm")
-    f = int(pos.shape[0])
-    if f < 2:
-        raise ParallelError(
-            f"dccm needs at least 2 frames (trajectory has {f})")
-
-    hi = jax.lax.Precision.HIGHEST
-
-    @jax.jit
-    def _dccm(pos, boxes):
-        fitted = fit_frames(pos, boxes, fit)
-        d = fitted - jnp.mean(fitted, axis=0)[None]
-        c = jnp.einsum("fid,fjd->ij", d, d, precision=hi) / f
-        var = jnp.diagonal(c)
-        denom = jnp.sqrt(jnp.maximum(var[:, None] * var[None, :], 1e-30))
-        m = c / denom
-        # exact unit diagonal regardless of rounding
-        m = m - jnp.diag(jnp.diagonal(m)) + jnp.eye(m.shape[0], dtype=m.dtype)
-        return m, c
-
-    m, c = _dccm(pos, boxes)
-    return {"indices": gsel, "dccm": np.asarray(m),
-            "covariance": np.asarray(c)}
-
-
-def _connected_components(adj):
-    """Union-find over a boolean [M, M] adjacency -> labels [M] (0-based,
-    numbered by first appearance)."""
-    m = adj.shape[0]
-    parent = np.arange(m)
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for i, j in np.argwhere(np.triu(adj, 1)):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[rj] = ri
-    roots = np.fromiter((find(i) for i in range(m)), np.int64, m)
-    _, labels = np.unique(roots, return_inverse=True)
-    # renumber by first appearance
-    first = np.full(labels.max() + 1 if m else 0, -1, np.int64)
-    order = []
-    for lab in labels:
-        if first[lab] < 0:
-            first[lab] = len(order)
-            order.append(lab)
-    return first[labels]
-
-
-def clustsize(system, trajectory, group: str = "all", *,
-              cutoff: float = 0.35, mode: str = "molecule",
-              batch_size: int = 32, chunk: int = 16):
-    """Aggregate / cluster-size analysis (surpass — the `gmx clustsize`
-    workload; absent from the reference).
-
-    Entities — the molecules of `group` from the bond graph
-    (`Topology.molecule_ids`, iterating.rs:399), or single atoms with
-    `mode="atom"` — are connected when their smallest minimum-image
-    atom-atom distance is below `cutoff` (nm); connected components per
-    frame are the clusters.  The contact matrix evaluates as chunked
-    dense tensor tiles on device (the mdmat kernel,
-    `ops.distances.residue_min_matrix`); component labeling is a host
-    union-find over the [M, M] boolean adjacency.
-
-    Returns a dict:
-    - 'mode', 'n_entities' M, 'times' [F] (ps)
-    - 'labels' [F, M]: cluster id per entity (0-based, numbered by
-      first member)
-    - 'n_clusters' [F], 'max_size' [F]
-    - 'mean_size' [F]: number-averaged cluster size M / n_clusters
-    - 'mean_size_w' [F]: weight-averaged size sum(s^2)/sum(s) (gmx
-      clustsize's second moment)
-    - 'size_hist' [M + 1]: size_hist[s] = number of (frame, cluster)
-      pairs with exactly s entities
-    """
-    if mode not in ("molecule", "atom"):
-        raise ParallelError(
-            f"clustsize mode must be 'molecule' or 'atom', got {mode!r}")
-    gsel, pos, boxes, dt = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="clustsize")
-
-    if mode == "molecule":
-        mol = np.asarray(system.topology.molecule_ids())[gsel]
-        order, blocks = [], {}
-        for local, mid in enumerate(mol):
-            mid = int(mid)
-            if mid not in blocks:
-                blocks[mid] = []
-                order.append(mid)
-            blocks[mid].append(local)
-        blocks = [blocks[mid] for mid in order]
-    else:
-        blocks = [[i] for i in range(len(gsel))]
-    m = len(blocks)
-    p = max(len(b) for b in blocks)
-    block_idx = np.zeros((m, p), np.int32)
-    block_mask = np.zeros((m, p), bool)
-    for i, b in enumerate(blocks):
-        block_idx[i, : len(b)] = b
-        block_mask[i, : len(b)] = True
-
-    dmin = np.asarray(distance_ops.residue_min_matrix(
-        pos, boxes, block_idx, block_mask, chunk=chunk))   # [F, M, M]
-    f = dmin.shape[0]
-    labels = np.empty((f, m), np.int64)
-    n_clusters = np.empty(f, np.int64)
-    max_size = np.empty(f, np.int64)
-    mean_w = np.empty(f, np.float64)
-    hist = np.zeros(m + 1, np.int64)
-    for fi in range(f):
-        lab = _connected_components(dmin[fi] < cutoff)
-        labels[fi] = lab
-        sizes = np.bincount(lab)
-        n_clusters[fi] = len(sizes)
-        max_size[fi] = sizes.max()
-        mean_w[fi] = (sizes.astype(np.float64) ** 2).sum() / sizes.sum()
-        hist[: sizes.max() + 1] += np.bincount(sizes)[: sizes.max() + 1]
-    return {"mode": mode, "n_entities": m,
-            "times": np.asarray(dt.times, np.float64),
-            "labels": labels, "n_clusters": n_clusters,
-            "max_size": max_size,
-            "mean_size": m / n_clusters.astype(np.float64),
-            "mean_size_w": mean_w, "size_hist": hist}
-
-
-def freevolume(system, trajectory, group: str = "all", *,
-               probe: float = 0.0, n_samples: int = 8192, seed: int = 0,
-               radii=None, points=None, batch_size: int = 32,
-               chunk: int = 1024):
-    """Free-volume fraction by Monte Carlo probe insertion (surpass —
-    the `gmx freevolume` workload; absent from the reference).
-
-    Per frame, `n_samples` uniform points are drawn in the box (seeded
-    `jax.random`, deterministic; fractional coordinates mapped through
-    the box matrix, so triclinic cells sample uniformly too); a point
-    is FREE when its minimum-image distance (exact 27-image search for
-    triclinic boxes) to every atom of `group` exceeds that atom's vdW
-    radius + `probe` (nm).  The [points x atoms] occlusion test evaluates as
-    dense device tiles (`chunk` points at a time under `lax.map`, all
-    frames in one jitted dispatch).  Radii come from the topology
-    (`guess_elements()`, the same vdwradii.dat-derived table the
-    reference's guessing uses) or the `radii=` override; `points=`
-    ([F, P, 3] in box units) replaces the random draw for exact
-    oracle testing.
-
-    Returns a dict: 'fraction' [F], 'free_volume' [F] (nm^3),
-    'box_volume' [F] (nm^3), 'mean_fraction', 'stderr_fraction'
-    (binomial MC error of the mean, NOT the frame-to-frame physical
-    variance), 'n_samples'.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-
-    if radii is None:
-        if not np.asarray(system.topology.has_vdw)[gsel].all():
-            raise GroupError(
-                f"group '{group}' has atoms without a vdW radius; run "
-                "guess_elements() / guess_properties() or pass radii=",
-                code="InvalidVdW")
-        radii = np.asarray(system.topology.vdw, np.float32)[gsel]
-    else:
-        radii = np.asarray(radii, np.float32)
-        if radii.shape != (gsel.shape[0],):
-            raise GroupError(
-                f"radii must have shape [{gsel.shape[0]}] to match group "
-                f"'{group}'", code="InvalidVdW")
-    r2 = jnp.asarray((radii + np.float32(probe)) ** 2)
-
-    f = int(pos.shape[0])
-    if points is None:
-        pts = jax.random.uniform(jax.random.PRNGKey(seed),
-                                 (f, int(n_samples), 3), jnp.float32)
-    else:
-        pts = jnp.asarray(points, jnp.float32)
-        if pts.shape[0] != f or pts.ndim != 3 or pts.shape[2] != 3:
-            raise ParallelError(
-                f"points must be [F={f}, P, 3], got {pts.shape}")
-    p = int(pts.shape[1])
-    n_chunks = -(-p // chunk)
-    pad = n_chunks * chunk - p
-
-    @jax.jit
-    def _free(pos, boxes, pts):
-        def one_frame(args):
-            pf, box, u = args
-            tri = box.ndim == 2
-            # fractional draw -> cartesian (u @ H for triclinic cells)
-            xyz = (jnp.matmul(u, box) if tri else u * box[None, :])  # [P,3]
-            if pad:
-                xyz = jnp.concatenate(
-                    [xyz, jnp.zeros((pad, 3), xyz.dtype)])
-
-            def rows(start):
-                c = jax.lax.dynamic_slice_in_dim(xyz, start, chunk)
-                d = c[:, None, :] - pf[None, :, :]
-                d = (pbc.min_image_triclinic(d, box) if tri
-                     else pbc.min_image(d, box))
-                d2 = jnp.sum(d * d, axis=-1)          # [C, K]
-                return jnp.all(d2 > r2[None, :], axis=1)
-
-            free = jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
-            return jnp.sum(free.reshape(-1)[:p].astype(jnp.float32)) / p
-
-        return jax.lax.map(one_frame, (pos, boxes, pts))
-
-    frac = np.asarray(_free(pos, boxes, pts), np.float64)
-    bx = np.asarray(boxes, np.float64)
-    bvol = (np.abs(np.linalg.det(bx)) if bx.ndim == 3
-            else np.prod(bx, axis=1))
-    mean = float(frac.mean())
-    stderr = float(np.sqrt(max(mean * (1.0 - mean), 0.0) / (f * p)))
-    return {"fraction": frac, "free_volume": frac * bvol,
-            "box_volume": bvol, "mean_fraction": mean,
-            "stderr_fraction": stderr, "n_samples": p}
-
 
 _AXIS = {"x": 0, "y": 1, "z": 2}
 
-
-def densmap(system, trajectory, group: str = "all", *, axes: str = "xy",
-            bins=(100, 100), weights: str = "number",
-            batch_size: int = 32):
-    """2D partial-density map averaged over a trajectory (surpass — the
-    `gmx densmap` workload; absent from the reference).
-
-    The box is divided into `bins` fractional tiles along the two `axes`
-    ("xy"/"xz"/"yz"); each frame scatter-adds its atoms' weights
-    ("number", "mass", or "charge") into the grid, scaled by that
-    frame's bin volume (box volume / nx / ny — exact under NPT box
-    fluctuation), in ONE jitted dispatch for the whole pass.
-
-    Returns a dict: 'map' — a `GridMap` (tile centers in nm of the MEAN
-    box) holding the time-averaged density (nm^-3, weight units per
-    nm^3), 'counts' [nx, ny] raw weighted counts, 'x'/'y' bin centers,
-    'mean_box' [3].
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..core.gridmap import GridMap
-
-    if len(axes) != 2 or axes[0] not in _AXIS or axes[1] not in _AXIS \
-            or axes[0] == axes[1]:
-        raise ParallelError(f"axes must be two distinct of 'xyz', got "
-                            f"'{axes}'")
-    i1, i2 = _AXIS[axes[0]], _AXIS[axes[1]]
-    nx, ny = int(bins[0]), int(bins[1])
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="densmap")
-
-    if weights == "number":
-        w = np.ones(gsel.shape[0], np.float32)
-    elif weights == "mass":
-        w = np.asarray(system.topology.mass, np.float32)[gsel]
-    elif weights == "charge":
-        w = np.asarray(system.topology.charge, np.float32)[gsel]
-    else:
-        raise ParallelError(
-            f"weights must be 'number', 'mass', or 'charge', got "
-            f"'{weights}'")
-    f, k = int(pos.shape[0]), int(pos.shape[1])
-
-    @jax.jit
-    def _hist(pos, boxes, w):
-        frac = pos / boxes[:, None, :]
-        frac = frac - jnp.floor(frac)
-        ix = jnp.clip((frac[..., i1] * nx).astype(jnp.int32), 0, nx - 1)
-        iy = jnp.clip((frac[..., i2] * ny).astype(jnp.int32), 0, ny - 1)
-        flat = (ix * ny + iy).reshape(-1)
-        vol = jnp.prod(boxes, axis=1)                      # [F]
-        ww = jnp.broadcast_to(w[None, :], (f, k))
-        dens_w = (ww * ((nx * ny) / vol)[:, None]).reshape(-1)
-        counts = jnp.zeros((nx * ny,), jnp.float32).at[flat].add(
-            ww.reshape(-1))
-        dens = jnp.zeros((nx * ny,), jnp.float32).at[flat].add(dens_w)
-        return counts.reshape(nx, ny), dens.reshape(nx, ny) / f
-
-    counts, dens = _hist(pos, boxes, jnp.asarray(w))
-    counts = np.asarray(counts, np.float64)
-    dens = np.asarray(dens, np.float64)
-    mean_box = np.asarray(boxes, np.float64).mean(axis=0)
-    bwx = mean_box[i1] / nx
-    bwy = mean_box[i2] / ny
-    xs = (np.arange(nx) + 0.5) * bwx
-    ys = (np.arange(ny) + 0.5) * bwy
-    gm = GridMap.from_vec((xs[0], xs[-1]), (ys[0], ys[-1]), (bwx, bwy),
-                          dens.reshape(-1), data_order="row")
-    return {"map": gm, "density": dens, "counts": counts, "x": xs, "y": ys,
-            "mean_box": mean_box}
-
-
-def rmsdist(system, trajectory, group: str, *, reference=None,
-            pbc_aware: bool = False, batch_size: int = 32,
-            chunk: int = 256):
-    """RMS deviation of intra-group atom-pair distances per frame vs a
-    reference structure (surpass — the `gmx rmsdist` workload; absent
-    from the reference).
-
-    RMSdist(t) = sqrt(mean over i<j of (d_ij(t) - d_ij(ref))^2), the
-    fit-free alternative to RMSD.  Distances are plain Euclidean (the
-    gmx convention: molecules are assumed whole) unless `pbc_aware=True`
-    (min-image with each frame's box — a surpass option).  The [K, K]
-    pair matrices evaluate as device row tiles (`chunk` rows per step
-    under `lax.map`, frames batched in one dispatch).
-
-    `reference`: a System (defaults to `system`'s own coordinates).
-
-    Returns a dict: 'rmsdist' [F] (nm), 'ref_distances' [K, K],
-    'mean_deviation' [K, K] (mean |d_ij(t) - d_ij(ref)| over frames,
-    the gmx `-mean` matrix).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size,
-        require_ortho="rmsdist" if pbc_aware else None)
-
-    ref = system if reference is None else reference
-    rp = np.asarray(ref.positions, np.float32)
-    if rp.shape[0] != system.topology.n_atoms:
-        raise RMSDError(
-            "reference system has a different atom count",
-            code="InconsistentGroup")
-    rp = rp[gsel]
-    k = int(gsel.shape[0])
-    n_chunks = -(-k // chunk)
-    pad = n_chunks * chunk - k
-    if pad:
-        rp = np.concatenate([rp, np.zeros((pad, 3), np.float32)])
-    rbox = None
-    if pbc_aware:
-        if ref.simbox is None:
-            raise RMSDError("pbc_aware rmsdist needs a reference box",
-                            code="InvalidSimBox")
-        rbox = np.asarray(
-            [ref.simbox.x, ref.simbox.y, ref.simbox.z], np.float32)
-
-    # mask for valid (i, j) pairs, i != j, padded rows dead
-    valid = np.ones(k + pad, bool)
-    valid[k:] = False
-    n_pairs = k * (k - 1)
-
-    @jax.jit
-    def _dref(rp):
-        def rows(start):
-            c = jax.lax.dynamic_slice_in_dim(rp, start, chunk)
-            d = c[:, None, :] - rp[None, :k, :]
-            if rbox is not None:
-                d = pbc.min_image(d, jnp.asarray(rbox))
-            return jnp.sqrt(jnp.sum(d * d, axis=-1))
-        return jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
-
-    dref = _dref(jnp.asarray(rp))                  # [n_chunks, chunk, K]
-
-    @jax.jit
-    def _pass(pos, boxes, dref):
-        vmask = jnp.asarray(valid)
-        posp = jnp.concatenate(
-            [pos, jnp.zeros((pos.shape[0], pad, 3), pos.dtype)],
-            axis=1) if pad else pos
-
-        # chunks outer (stacked by lax.map), frames inner (scan carry):
-        # each chunk owns its own |deviation| accumulator rows, so the
-        # [K, K] mean matrix reassembles exactly for any chunk count.
-        def one_chunk(args):
-            start, dr = args                         # dr [chunk, K]
-            rm = jax.lax.dynamic_slice_in_dim(vmask, start, chunk)
-            diag = (start + jnp.arange(chunk))[:, None] \
-                == jnp.arange(k)[None, :]
-            m = (rm[:, None] & ~diag).astype(jnp.float32)
-
-            def frames(sad, fargs):
-                pf, box = fargs                      # pf [K+pad, 3]
-                c = jax.lax.dynamic_slice_in_dim(pf, start, chunk)
-                d = c[:, None, :] - pf[None, :k, :]
-                if pbc_aware:
-                    d = pbc.min_image(d, box)
-                dist = jnp.sqrt(jnp.sum(d * d, axis=-1))   # [C, K]
-                dev = (dist - dr) * m
-                return sad + jnp.abs(dev), jnp.sum(dev * dev)
-
-            sad, sse_f = jax.lax.scan(
-                frames, jnp.zeros((chunk, k), jnp.float32), (posp, boxes))
-            return sad, sse_f                        # [C, K], [F]
-
-        sad, sse = jax.lax.map(
-            one_chunk, (jnp.arange(n_chunks) * chunk, dref))
-        return jnp.sum(sse, axis=0), sad
-
-    sse, sad = _pass(pos, boxes, dref)
-    rms = np.sqrt(np.asarray(sse, np.float64) / n_pairs)
-    f = int(pos.shape[0])
-    mean_dev = np.asarray(sad, np.float64).reshape(-1, k)[:k] / f
-    dref_full = np.asarray(dref, np.float64).reshape(-1, k)[:k]
-    return {"rmsdist": rms, "ref_distances": dref_full,
-            "mean_deviation": mean_dev}
-
-
-def vanhove(system, trajectory, group: str, *, lags=None, r_max: float = 2.0,
-            bins: int = 100, batch_size: int = 32):
-    """Self part of the Van Hove correlation function Gs(r, t)
-    (surpass — the `gmx vanhove -or` workload; absent from the
-    reference).
-
-    Positions are unwrapped on device (`ops.msd.unwrap_orthorhombic`);
-    for each lag t the displacement magnitudes |r_i(t0+t) - r_i(t0)|
-    over ALL time origins and atoms are histogrammed into `bins` shells
-    of width r_max/bins, in one jitted `lax.map` over lags.  Gs is
-    normalized as a probability density in r: integral Gs(r,t) dr = 1
-    when no displacement exceeds r_max (the clipped fraction is
-    reported per lag).
-
-    `lags`: iterable of frame lags (default: 1..F-1 capped at 50).
-
-    Returns a dict: 'r' [bins] shell centers (nm), 'lags' [L],
-    'gs' [L, bins], 'counts' [L, bins], 'overflow' [L] (fraction of
-    displacements beyond r_max).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="vanhove")
-    f, k = int(pos.shape[0]), int(pos.shape[1])
-    if f < 2:
-        raise ParallelError("vanhove needs at least 2 frames")
-    if lags is None:
-        lags = range(1, min(f, 51))
-    lags = np.asarray(sorted(set(int(x) for x in lags)), np.int32)
-    if lags.size == 0 or lags[0] < 1 or lags[-1] >= f:
-        raise ParallelError(
-            f"lags must be within [1, {f - 1}], got {lags.tolist()}")
-    dr = float(r_max) / bins
-
-    @jax.jit
-    def _gs(pos, boxes):
-        u = msd_ops.unwrap_orthorhombic(pos, boxes)
-
-        def one_lag(lag):
-            # displacement norms over every origin, masked past F-lag;
-            # static shapes: roll + mask instead of data-dependent slice
-            d = jnp.roll(u, -lag, axis=0) - u                # [F, K, 3]
-            norm = jnp.sqrt(jnp.sum(d * d, axis=-1))         # [F, K]
-            om = (jnp.arange(f) < f - lag)[:, None]
-            idx = jnp.clip((norm / dr).astype(jnp.int32), 0, bins)
-            idx = jnp.where(norm >= r_max, bins, idx)        # overflow bin
-            w = jnp.broadcast_to(om, (f, k)).astype(jnp.float32)
-            return jnp.zeros((bins + 1,), jnp.float32).at[
-                idx.reshape(-1)].add(w.reshape(-1))
-
-        return jax.lax.map(one_lag, jnp.asarray(lags))
-
-    h = np.asarray(_gs(pos, boxes), np.float64)              # [L, bins+1]
-    counts = h[:, :bins]
-    overflow = h[:, bins]
-    total = counts.sum(axis=1) + overflow
-    gs = counts / (total[:, None] * dr)
-    r = (np.arange(bins) + 0.5) * dr
-    return {"r": r, "lags": lags, "gs": gs, "counts": counts,
-            "overflow": overflow / np.maximum(total, 1.0)}
-
-
-# Cromer-Mann 4-Gaussian X-ray form-factor coefficients (International
-# Tables for Crystallography Vol. C, table 6.1.1.4): f(q) =
-# sum_k a_k exp(-b_k (q/4pi)^2) + c, q in 1/Angstrom inside the formula.
-# Self-consistency f(0) ~= Z is asserted by tests for every row.
 _CROMER_MANN = {
     "H": ([0.489918, 0.262003, 0.196767, 0.049879],
           [20.6593, 7.74039, 49.5519, 2.20159], 0.001305),
@@ -3904,257 +1682,17 @@ _CROMER_MANN = {
     "ZN": ([14.0743, 7.03180, 5.16520, 2.41000],
            [3.26550, 0.233300, 10.3163, 58.7097], 1.30410),
 }
+
 _CM_Z = {"H": 1, "C": 6, "N": 7, "O": 8, "P": 15, "S": 16, "NA": 11,
          "MG": 12, "CL": 17, "K": 19, "CA": 20, "FE": 26, "ZN": 30}
 
-
-def _cm_form_factors(symbols, q_nm):
-    """[K, Q] X-ray form factors for element `symbols` at scattering
-    vectors `q_nm` (1/nm).  Raises GroupError on unknown elements."""
-    q_a = np.asarray(q_nm, np.float64) / 10.0        # 1/nm -> 1/Angstrom
-    s2 = (q_a / (4.0 * np.pi)) ** 2
-    uniq = sorted(set(symbols))
-    missing = [u for u in uniq if u.upper() not in _CROMER_MANN]
-    if missing:
-        raise GroupError(
-            f"no Cromer-Mann form factors for element(s) {missing}; run "
-            "guess_elements() or restrict the group", code="InvalidElement")
-    table = {}
-    for u in uniq:
-        a, b, c = _CROMER_MANN[u.upper()]
-        table[u] = (np.exp(-np.outer(b, s2)) * np.asarray(a)[:, None]
-                    ).sum(axis=0) + c
-    return np.stack([table[s] for s in symbols])
-
-
-def saxs(system, trajectory, group: str, *, q=None, batch_size: int = 32,
-         chunk: int = 256):
-    """Small-angle X-ray scattering intensity by the Debye formula
-    (surpass — the `gmx saxs` workload; absent from the reference).
-
-    I(q) = sum_ij f_i(q) f_j(q) sinc(q d_ij) with Cromer-Mann atomic
-    form factors, averaged over frames.  Distances are plain Euclidean
-    (in-vacuo convention — make the group whole first); the O(K^2 Q)
-    sum evaluates on device as row tiles: per q and row chunk, one
-    [C, K] sinc matrix contracted against the form-factor vectors
-    (`lax.map` over q, `lax.scan` over chunks and frames — frames
-    batched in one dispatch).
-
-    `q`: scattering vectors in 1/nm (default 60 points on [0.06, 6]).
-    Elements must be assigned (`guess_elements()`).
-
-    Returns a dict: 'q' [Q] (1/nm), 'intensity' [Q] frame-averaged,
-    'per_frame' [F, Q], 'i0' = (sum f_i(0))^2 per frame 0 sanity value.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-
-    if q is None:
-        q = np.linspace(0.06, 6.0, 60)
-    q = np.asarray(q, np.float64)
-    if (q <= 0).any():
-        raise ParallelError("q values must be positive (1/nm)")
-
-    symbols = _group_elements(system, gsel, group)
-    ff = _cm_form_factors(symbols, q)                # [K, Q]
-    iq = _debye_curve(pos, ff, q, chunk)             # [F, Q]
-    return {"q": q, "intensity": iq.mean(axis=0), "per_frame": iq,
-            "i0": float(ff[:, 0].sum() ** 2)}
-
-
-def _group_elements(system, gsel, group):
-    symbols = [system.topology.element_symbol[int(i)] for i in gsel]
-    if any(not s for s in symbols):
-        raise GroupError(
-            f"group '{group}' has atoms without an element symbol; run "
-            "guess_elements()", code="InvalidElement")
-    return symbols
-
-
-def _debye_curve(pos, ff, q, chunk):
-    """Debye sum on device: pos [F,K,3] (device), ff [K,Q] scattering
-    amplitudes, q [Q] (1/nm) -> per-frame intensities [F, Q].  Row tiles
-    of `chunk` atoms; lax.map over q, scan over frames and chunks."""
-    import jax
-    import jax.numpy as jnp
-
-    f, k = int(pos.shape[0]), int(pos.shape[1])
-    n_chunks = -(-k // chunk)
-    pad = n_chunks * chunk - k
-    ffp = np.concatenate([ff, np.zeros((pad, ff.shape[1]))]) if pad else ff
-
-    @jax.jit
-    def _debye(pos, ffq, qv):
-        posp = jnp.concatenate(
-            [pos, jnp.zeros((f, pad, 3), pos.dtype)], axis=1) if pad else pos
-
-        def one_q(args):
-            qs, fq = args                            # scalar, [K+pad]
-
-            def frames(_, pf):                       # pf [K+pad, 3]
-                def rows(acc, start):
-                    c = jax.lax.dynamic_slice_in_dim(pf, start, chunk)
-                    fc = jax.lax.dynamic_slice_in_dim(fq, start, chunk)
-                    d = c[:, None, :] - pf[None, :k, :]
-                    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))   # [C, K]
-                    s = jnp.sinc(qs * dist / jnp.pi)
-                    return acc + jnp.dot(fc, jnp.dot(s, fq[:k])), None
-
-                acc, _ = jax.lax.scan(
-                    rows, jnp.float32(0.0), jnp.arange(n_chunks) * chunk)
-                return None, acc
-
-            _, i_f = jax.lax.scan(frames, None, posp)
-            return i_f                               # [F]
-
-        return jax.lax.map(one_q, (qv, ffq))         # [Q, F]
-
-    return np.asarray(
-        _debye(pos, jnp.asarray(ffp.T, jnp.float32),
-               jnp.asarray(q, jnp.float32)), np.float64).T   # [F, Q]
-
-
-# Coherent neutron scattering lengths b (fm), Sears, Neutron News 3(3)
-# 1992 table 1 — q-independent, unlike X-ray form factors.  Negative b
-# (hydrogen) is the physical contrast-matching sign.
 _NEUTRON_B = {
     "H": -3.7406, "D": 6.671, "C": 6.6511, "N": 9.37, "O": 5.803,
     "P": 5.13, "S": 2.847, "NA": 3.63, "MG": 5.375, "CL": 9.577,
     "K": 3.67, "CA": 4.70, "FE": 9.45, "ZN": 5.680,
 }
 
-
-def sans(system, trajectory, group: str, *, q=None, deuterate: bool = False,
-         batch_size: int = 32, chunk: int = 256):
-    """Small-angle neutron scattering by the Debye formula (surpass —
-    the `gmx sans` workload; absent from the reference).
-
-    Identical machinery to `saxs` but with q-independent coherent
-    neutron scattering lengths b_i (fm; Sears 1992): I(q) =
-    sum_ij b_i b_j sinc(q d_ij), frame-averaged.  `deuterate=True`
-    swaps every hydrogen's b for deuterium's (contrast variation).
-
-    Returns a dict: 'q' [Q] (1/nm), 'intensity' [Q] (fm^2),
-    'per_frame' [F, Q], 'i0' = (sum b_i)^2.
-    """
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size)
-
-    if q is None:
-        q = np.linspace(0.06, 6.0, 60)
-    q = np.asarray(q, np.float64)
-    if (q <= 0).any():
-        raise ParallelError("q values must be positive (1/nm)")
-
-    symbols = _group_elements(system, gsel, group)
-    missing = sorted({s for s in symbols if s.upper() not in _NEUTRON_B})
-    if missing:
-        raise GroupError(
-            f"no neutron scattering length for element(s) {missing}",
-            code="InvalidElement")
-    b = np.array([_NEUTRON_B["D" if deuterate and s.upper() == "H"
-                             else s.upper()] for s in symbols])
-    ff = np.repeat(b[:, None], q.size, axis=1)       # [K, Q]
-    iq = _debye_curve(pos, ff, q, chunk)
-    return {"q": q, "intensity": iq.mean(axis=0), "per_frame": iq,
-            "i0": float(b.sum() ** 2)}
-
-
 _KB_KJ = 0.00831446261815324        # kJ/mol/K (CODATA)
-
-
-def wham(windows, *, bins: int = 200, span=None,
-         temperature: float = 300.0, tol: float = 1e-10,
-         max_iter: int = 100000):
-    """1D WHAM over umbrella-sampling windows (surpass — the `gmx wham`
-    workload; absent from the reference).
-
-    `windows`: iterable of dicts with 'samples' (reaction-coordinate
-    values, nm), 'center' (umbrella center x0, nm), and 'k' (harmonic
-    force constant, kJ/mol/nm^2: bias = k/2 (x - x0)^2, the GROMACS
-    pull-code convention).  Samples are histogrammed into `bins` shared
-    bins over `span` (default: data min/max), then the standard
-    self-consistent WHAM equations (Kumar et al. 1992) iterate in
-    float64 to `tol` on the window free energies.  The [W, L] problem
-    is tiny — this is deliberately exact host math, like the
-    closed-form fits in `diffusion`/`current`.
-
-    Returns a dict: 'x' [L] bin centers, 'pmf' [L] (kJ/mol,
-    min-shifted; NaN where no window sampled), 'prob' [L] unbiased
-    probability density, 'f' [W] window free energies (kJ/mol),
-    'n_iter', 'converged'.
-    """
-    windows = list(windows)
-    if not windows:
-        raise ParallelError("wham needs at least one window")
-    samples = [np.asarray(w["samples"], np.float64).ravel()
-               for w in windows]
-    centers = np.array([float(w["center"]) for w in windows])
-    ks = np.array([float(w["k"]) for w in windows])
-    if any(s.size == 0 for s in samples):
-        raise ParallelError("wham windows must contain samples")
-    if (ks <= 0).any():
-        raise ParallelError("wham force constants must be positive")
-    kt = _KB_KJ * float(temperature)
-
-    lo, hi = (min(s.min() for s in samples),
-              max(s.max() for s in samples)) if span is None else span
-    lo, hi = float(lo), float(hi)
-    if hi <= lo:
-        raise ParallelError(f"invalid span ({lo}, {hi})")
-    edges = np.linspace(lo, hi, bins + 1)
-    x = 0.5 * (edges[:-1] + edges[1:])
-
-    n_il = np.stack([np.histogram(s, bins=edges)[0].astype(np.float64)
-                     for s in samples])              # [W, L]
-    n_i = np.array([s.size for s in samples], np.float64)
-    # bias Boltzmann factors per window/bin: the EXACT bin average
-    # integral exp(-k/2 (x-x0)^2 / kT) dx / dx via erf, not the
-    # bin-center value — the harmonic bias varies by several kT across
-    # a bin at practical force constants, and the center-point rule
-    # biases the PMF by O(k sigma dx) in every overlap region
-    from math import erf, pi, sqrt
-    dx_bin = edges[1] - edges[0]
-    a = 0.5 * ks / kt                                # [W]
-    c_il = np.empty((len(windows), bins))
-    for i in range(len(windows)):
-        sa = sqrt(a[i])
-        e = np.array([erf(sa * (ed - centers[i])) for ed in edges])
-        c_il[i] = (e[1:] - e[:-1]) * (sqrt(pi / a[i]) / (2.0 * dx_bin))
-
-    num = n_il.sum(axis=0)                           # [L]
-    f = np.ones(len(windows))                        # exp(f_i / kT) terms
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        denom = (n_i * f) @ c_il                     # [L]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            p = np.where(denom > 0, num / denom, 0.0)
-        f_new = 1.0 / np.maximum(c_il @ p, 1e-300)
-        f_new /= f_new[0]
-        if np.abs(np.log(f_new) - np.log(f)).max() < tol:
-            f = f_new
-            converged = True
-            break
-        f = f_new
-
-    denom = (n_i * f) @ c_il
-    with np.errstate(invalid="ignore", divide="ignore"):
-        p = np.where(denom > 0, num / denom, np.nan)
-    # normalize to a probability density over the sampled bins
-    dx = (hi - lo) / bins
-    norm = np.nansum(p) * dx
-    p = p / norm if norm > 0 else p
-    with np.errstate(invalid="ignore", divide="ignore"):
-        pmf = -kt * np.log(p)
-    pmf -= np.nanmin(pmf)
-    # exp(-f_i/kT) = sum_l c_il P_l and we iterate on exp(+f_i/kT)
-    return {"x": x, "pmf": pmf, "prob": p,
-            "f": kt * np.log(f), "n_iter": it, "converged": converged}
-
 
 def _sel_indices(system, sel: str) -> np.ndarray:
     """Indices for `sel`: an existing group name, or a GSL query."""
@@ -4165,647 +1703,7 @@ def _sel_indices(system, sel: str) -> np.ndarray:
 
         return np.flatnonzero(select_to_mask(sel, system))
 
-
-def _water_sites(system, oxygen: str, hydrogens: str):
-    """Resolve water-like sites: each oxygen matched to exactly two
-    hydrogen atoms of the same residue.  Returns (o_idx [W],
-    h_idx [W, 2]) global indices."""
-    o = _sel_indices(system, oxygen)
-    h = _sel_indices(system, hydrogens)
-    if o.size == 0:
-        raise GroupError(f"oxygen selection '{oxygen}' is empty",
-                         code="EmptyGroup")
-    res = np.asarray(system.topology.resnum)
-    by_res = {}
-    for idx in h:
-        by_res.setdefault(int(res[idx]), []).append(int(idx))
-    h2 = np.empty((o.size, 2), np.int64)
-    for i, oi in enumerate(o):
-        hs = by_res.get(int(res[oi]), [])
-        if len(hs) != 2:
-            raise GroupError(
-                f"oxygen atom {int(oi)} (residue {int(res[oi])}) has "
-                f"{len(hs)} matching hydrogens, need exactly 2",
-                code="InvalidWater")
-        h2[i] = hs
-    return o, h2
-
-
-def sorient(system, trajectory, ref_group: str, *,
-            oxygen: str = "name OW", hydrogens: str = "name HW1 HW2",
-            rmin: float = 0.0, rmax: float = 0.5, bins: int = 40,
-            batch_size: int = 32):
-    """Solvent orientation around a reference group (surpass — the
-    `gmx sorient` workload; absent from the reference).
-
-    For every water whose oxygen lies within (rmin, rmax] of the
-    reference COM (refined Bai-Breen, min-image): theta1 is the angle
-    between the water dipole bisector and the OUTWARD vector (COM ->
-    oxygen); theta2 the angle between each O-H bond and the same
-    outward vector.  All frames evaluate in one jitted dispatch.
-
-    Returns a dict: 'cos1_hist'/'cos2_hist' [bins] over cos in [-1, 1]
-    (probability densities), 'cos1_edges', 'mean_cos1'/'mean_cos2',
-    'n_selected' (total water-frames in the shell), 'r_bins' [bins],
-    'mean_cos1_r' [bins] (shell-resolved mean cos theta1 over
-    (0, rmax], NaN where empty).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    o_idx, h_idx = _water_sites(system, oxygen, hydrogens)
-    union = "__sorient_union"
-    system.group_create_from_indices(
-        union, np.union1d(np.union1d(o_idx, h_idx.ravel()),
-                          np.asarray(system.group_indices(ref_group))))
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, union, batch_size,
-            require_ortho="sorient")
-    finally:
-        system.group_remove(union)
-    lut = np.full(system.topology.n_atoms, -1, np.int64)
-    lut[gsel] = np.arange(gsel.size)
-    o_l = jnp.asarray(lut[o_idx])
-    h_l = jnp.asarray(lut[h_idx])
-    ref_l = jnp.asarray(lut[np.asarray(system.group_indices(ref_group))])
-    w_ref = jnp.asarray(np.asarray(system.topology.mass, np.float32)[
-        np.asarray(system.group_indices(ref_group))])
-
-    f = int(pos.shape[0])
-    nb = int(bins)
-
-    @jax.jit
-    def _orient(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            com = center_ops.center(pf[ref_l], box, weights=w_ref)
-            po = pf[o_l]                                  # [W, 3]
-            out_v = pbc.min_image(po - com[None, :], box)
-            r = jnp.sqrt(jnp.sum(out_v * out_v, axis=-1))
-            ou = out_v / jnp.maximum(r, 1e-12)[:, None]
-            b1 = pbc.min_image(pf[h_l[:, 0]] - po, box)
-            b2 = pbc.min_image(pf[h_l[:, 1]] - po, box)
-            dip = b1 + b2
-            dip = dip / jnp.maximum(
-                jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)[:, None]
-            c1 = jnp.sum(dip * ou, axis=-1)               # [W]
-            c2a = jnp.sum(b1 * ou, axis=-1) / jnp.maximum(
-                jnp.sqrt(jnp.sum(b1 * b1, axis=-1)), 1e-12)
-            c2b = jnp.sum(b2 * ou, axis=-1) / jnp.maximum(
-                jnp.sqrt(jnp.sum(b2 * b2, axis=-1)), 1e-12)
-            sel = ((r > rmin) & (r <= rmax)).astype(jnp.float32)
-
-            def hist(c, w):
-                i = jnp.clip(((c + 1.0) * (nb / 2.0)).astype(jnp.int32),
-                             0, nb - 1)
-                return jnp.zeros((nb,), jnp.float32).at[i].add(w)
-
-            h1 = hist(c1, sel)
-            h2 = hist(c2a, sel) + hist(c2b, sel)
-            s1 = jnp.sum(c1 * sel)
-            s2 = jnp.sum((c2a + c2b) * sel)
-            n = jnp.sum(sel)
-            # shell-resolved mean cos1 over (0, rmax]
-            ri = jnp.clip((r * (nb / rmax)).astype(jnp.int32), 0, nb - 1)
-            inr = (r <= rmax).astype(jnp.float32)
-            rs = jnp.zeros((nb,), jnp.float32).at[ri].add(c1 * inr)
-            rn = jnp.zeros((nb,), jnp.float32).at[ri].add(inr)
-            return h1, h2, s1, s2, n, rs, rn
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    h1, h2, s1, s2, n, rs, rn = (np.asarray(x, np.float64).sum(axis=0)
-                                 for x in _orient(pos, boxes))
-    n = float(n)
-    dc = 2.0 / nb
-    edges = np.linspace(-1.0, 1.0, nb + 1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        out = {
-            "cos1_hist": h1 / max(n, 1.0) / dc,
-            "cos2_hist": h2 / max(2.0 * n, 1.0) / dc,
-            "cos1_edges": edges,
-            "mean_cos1": s1 / n if n else np.nan,
-            "mean_cos2": s2 / (2 * n) if n else np.nan,
-            "n_selected": n,
-            "r_bins": (np.arange(nb) + 0.5) * (rmax / nb),
-            "mean_cos1_r": np.where(rn > 0, rs / np.maximum(rn, 1), np.nan),
-        }
-    return out
-
-
-def h2order(system, trajectory, *, oxygen: str = "name OW",
-            hydrogens: str = "name HW1 HW2", axis: str = "z",
-            bins: int = 50, batch_size: int = 32):
-    """Water dipole orientation per slab along a box axis (surpass —
-    the `gmx h2order` workload; absent from the reference).
-
-    Slabs are fractional along `axis` (NPT-exact); per water the cosine
-    between its dipole bisector and the +axis direction accumulates
-    into its oxygen's slab.  One jitted dispatch for the whole pass.
-
-    Returns a dict: 'z' [bins] slab centers (nm, mean box),
-    'cos' [bins] mean cos(dipole, axis) (NaN where empty),
-    'count' [bins] water-frames per slab.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if axis not in _AXIS:
-        raise ParallelError(f"axis must be one of xyz, got '{axis}'")
-    ax = _AXIS[axis]
-    o_idx, h_idx = _water_sites(system, oxygen, hydrogens)
-    union = "__h2order_union"
-    system.group_create_from_indices(
-        union, np.union1d(o_idx, h_idx.ravel()))
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, union, batch_size,
-            require_ortho="h2order")
-    finally:
-        system.group_remove(union)
-    lut = np.full(system.topology.n_atoms, -1, np.int64)
-    lut[gsel] = np.arange(gsel.size)
-    o_l = jnp.asarray(lut[o_idx])
-    h_l = jnp.asarray(lut[h_idx])
-    nb = int(bins)
-
-    @jax.jit
-    def _slabs(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            po = pf[o_l]
-            b1 = pbc.min_image(pf[h_l[:, 0]] - po, box)
-            b2 = pbc.min_image(pf[h_l[:, 1]] - po, box)
-            dip = b1 + b2
-            c = dip[:, ax] / jnp.maximum(
-                jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)
-            zf = po[:, ax] / box[ax]
-            zf = zf - jnp.floor(zf)
-            i = jnp.clip((zf * nb).astype(jnp.int32), 0, nb - 1)
-            cs = jnp.zeros((nb,), jnp.float32).at[i].add(c)
-            cn = jnp.zeros((nb,), jnp.float32).at[i].add(1.0)
-            return cs, cn
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    cs, cn = (np.asarray(x, np.float64).sum(axis=0)
-              for x in _slabs(pos, boxes))
-    mean_box = np.asarray(boxes, np.float64).mean(axis=0)
-    z = (np.arange(nb) + 0.5) * (mean_box[ax] / nb)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        cosm = np.where(cn > 0, cs / np.maximum(cn, 1), np.nan)
-    return {"z": z, "cos": cosm, "count": cn}
-
-
-def sdf(system, trajectory, group: str, ref_group: str, *,
-        side: float = 2.0, bins: int = 32, fit: bool = False,
-        weights: str = "number", batch_size: int = 32):
-    """3D spatial distribution function around a reference group
-    (surpass — the `gmx spatial` workload; absent from the reference).
-
-    Per frame the reference COM (refined Bai-Breen) recenters a cube of
-    `side` nm and `bins`^3 voxels; `group` atoms scatter their weights
-    ("number" or "mass") into it min-imaged.  `fit=True` additionally
-    rotates each frame's offsets by the Kabsch fit of the reference
-    group onto its frame-0 conformation (rotational SDF).  All frames
-    in one jitted dispatch.
-
-    Returns a dict: 'grid' [bins, bins, bins] time-averaged density
-    (nm^-3, voxel-volume normalized), 'counts' raw weighted counts,
-    'origin' [3] cube corner relative to the COM, 'voxel' (nm),
-    'occupancy' fraction of group-atom-frames inside the cube.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    gsel = _sel_indices(system, group)
-    rsel = _sel_indices(system, ref_group)
-    if gsel.size == 0 or rsel.size == 0:
-        raise GroupError("sdf needs non-empty group and ref_group",
-                         code="EmptyGroup")
-    union = "__sdf_union"
-    system.group_create_from_indices(union, np.union1d(gsel, rsel))
-    try:
-        usel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, union, batch_size, require_ortho="sdf")
-    finally:
-        system.group_remove(union)
-    lut = np.full(system.topology.n_atoms, -1, np.int64)
-    lut[usel] = np.arange(usel.size)
-    g_l = jnp.asarray(lut[gsel])
-    r_l = jnp.asarray(lut[rsel])
-    w_ref = jnp.asarray(np.asarray(system.topology.mass, np.float32)[rsel])
-
-    if weights == "number":
-        w = np.ones(gsel.size, np.float32)
-    elif weights == "mass":
-        w = np.asarray(system.topology.mass, np.float32)[gsel]
-    else:
-        raise ParallelError(
-            f"weights must be 'number' or 'mass', got '{weights}'")
-
-    nb = int(bins)
-    vox = float(side) / nb
-    f = int(pos.shape[0])
-
-    @jax.jit
-    def _grid(pos, boxes, w):
-        # frame-0 reference conformation for the rotational fit
-        p0 = pos[0][r_l]
-        box0 = boxes[0]
-        com0 = center_ops.center(p0, box0, weights=w_ref)
-        ref0 = pbc.min_image(p0 - com0[None, :], box0)    # [R, 3]
-
-        def one_frame(args):
-            pf, box = args
-            com = center_ops.center(pf[r_l], box, weights=w_ref)
-            off = pbc.min_image(pf[g_l] - com[None, :], box)   # [K, 3]
-            if fit:
-                # both point sets are COM-centered (mass-weighted), so
-                # the mass-weighted Kabsch centroids are zero; `cur @
-                # rot` aligns the frame onto the frame-0 conformation
-                cur = pbc.min_image(pf[r_l] - com[None, :], box)
-                zero = jnp.zeros((1, 3), cur.dtype)
-                rot, _, _ = rmsd_ops.kabsch(
-                    cur[None], ref0[None], w_ref[None], zero, zero)
-                off = off @ rot[0]
-            ijk = jnp.floor((off + side / 2.0) / vox).astype(jnp.int32)
-            inside = jnp.all((ijk >= 0) & (ijk < nb), axis=1)
-            ijk = jnp.clip(ijk, 0, nb - 1)
-            flat = (ijk[:, 0] * nb + ijk[:, 1]) * nb + ijk[:, 2]
-            ww = w * inside.astype(jnp.float32)
-            h = jnp.zeros((nb * nb * nb,), jnp.float32).at[flat].add(ww)
-            return h, jnp.sum(inside.astype(jnp.float32))
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    h, n_in = _grid(pos, boxes, jnp.asarray(w))
-    counts = np.asarray(h, np.float64).sum(axis=0).reshape(nb, nb, nb)
-    dens = counts / (f * vox ** 3)
-    return {"grid": dens, "counts": counts,
-            "origin": np.full(3, -side / 2.0), "voxel": vox,
-            "occupancy": float(np.asarray(n_in, np.float64).sum())
-            / (f * gsel.size)}
-
-
-def write_cube(path, grid, origin, voxel, *, comment="groan_rs_tpu SDF"):
-    """Write a 3D grid as a Gaussian cube file (the standard SDF
-    visualization format; units converted nm -> Bohr).  One dummy atom
-    marks the cube center."""
-    bohr = 1.0 / 0.052917721092                      # nm -> Bohr
-    nx, ny, nz = grid.shape
-    with open(path, "w") as fh:
-        fh.write(f"{comment}\n")
-        fh.write("time-averaged density (nm^-3)\n")
-        ox, oy, oz = (o * bohr for o in origin)
-        fh.write(f"{1:5d}{ox:12.6f}{oy:12.6f}{oz:12.6f}\n")
-        v = voxel * bohr
-        fh.write(f"{nx:5d}{v:12.6f}{0.0:12.6f}{0.0:12.6f}\n")
-        fh.write(f"{ny:5d}{0.0:12.6f}{v:12.6f}{0.0:12.6f}\n")
-        fh.write(f"{nz:5d}{0.0:12.6f}{0.0:12.6f}{v:12.6f}\n")
-        fh.write(f"{1:5d}{0.0:12.6f}{0.0:12.6f}{0.0:12.6f}{0.0:12.6f}\n")
-        flat = np.asarray(grid, np.float64).reshape(nx * ny, nz)
-        for row in flat:
-            for i in range(0, nz, 6):
-                fh.write("".join(f"{x:13.5e}" for x in row[i:i + 6]))
-                fh.write("\n")
-
-
-def filter_traj(system, trajectory, output, *, window: int = 5,
-                group: str = "all", wrap: bool = False,
-                batch_size: int = 32):
-    """Low-pass filter a trajectory with a cosine window and write the
-    smoothed frames (surpass — the `gmx filter -ol` workload; absent
-    from the reference).
-
-    Positions are unwrapped on device, every frame is replaced by the
-    cosine-weighted average of its `window`-frame neighborhood (weights
-    1 + cos(pi i / n), gmx filter's kernel; edges renormalize over the
-    available frames), and the whole convolution evaluates as ONE
-    [F, F] band matrix x [F, 3K] matmul — the MXU's native workload.
-    `wrap=True` rewraps the smoothed coordinates into each frame's box.
-
-    Writes to `output` (format from the extension: xtc/trr/gro) the
-    same F frames, smoothed; returns the number of frames written.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-
-    if window < 1 or window % 2 == 0:
-        raise ParallelError(
-            f"window must be a positive odd frame count, got {window}")
-
-    gsel, pos, boxes, dt = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="filter")
-    f, k = int(pos.shape[0]), int(pos.shape[1])
-    half = window // 2
-    # cosine kernel row per output frame, edge-renormalized
-    i = np.arange(f)
-    off = np.arange(-half, half + 1)
-    wts = 1.0 + np.cos(np.pi * off / (half + 1))
-    band = np.zeros((f, f), np.float32)
-    for o, wv in zip(off, wts):
-        j = i + o
-        ok = (j >= 0) & (j < f)
-        band[i[ok], j[ok]] = wv
-    band /= band.sum(axis=1, keepdims=True)
-
-    @jax.jit
-    def _smooth(pos, boxes, band):
-        u = msd_ops.unwrap_orthorhombic(pos, boxes)
-        hi = jax.lax.Precision.HIGHEST
-        sm = jnp.matmul(band, u.reshape(f, 3 * k),
-                        precision=hi).reshape(f, k, 3)
-        if wrap:
-            b = boxes[:, None, :]
-            sm = sm - b * jnp.floor(sm / b)
-        return sm
-
-    sm = np.asarray(_smooth(pos, boxes, jnp.asarray(band)))
-
-    sub = system.group_extract(group) if group != "all" \
-        else system.atoms_extract()
-    sub.traj_writer_init(output)
-    boxes_np = np.asarray(boxes)
-    times = np.asarray(dt.times, np.float64)
-    for fi in range(f):
-        sub.positions[:] = sm[fi]
-        from ..core.simbox import SimBox
-
-        sub.simbox = SimBox.from_lengths(*map(float, boxes_np[fi]))
-        sub.set_time(float(times[fi]))
-        sub.set_step(fi)
-        sub.traj_write_frame()
-    sub.traj_writers_close()
-    return f
-
-
 _AMU_NM_PS_TO_PAS = 1.66053906660e-6   # amu/(nm ps) -> Pa s
-
-
-def tcaf(system, trajectory, group: str = "all", *, n_k: int = 4,
-         fit_floor: float = 0.3, batch_size: int = 32):
-    """Shear viscosity from transverse-current autocorrelation
-    functions (surpass — the `gmx tcaf` workload; absent from the
-    reference).
-
-    For each axis a and mode m = 1..n_k, k = 2 pi m / L_a; the
-    mass-weighted transverse current j_b(k, t) = sum_i m_i v_ib
-    exp(i k x_ia) (b != a) evaluates per frame as matmuls on device,
-    its all-origin autocorrelation in one `lax.map` over lags, and the
-    curves average over the 2 transverse components and the 3 axes
-    (cubic isotropy; non-cubic boxes keep per-axis k but still average
-    per mode m).  nu(k) fits ln C(k,t) over the prefix where
-    C > `fit_floor` * C(0) (float64 host fit); eta(k) = rho nu(k), and
-    eta_0 extrapolates eta(k) = eta_0 (1 - a k^2) — the gmx tcaf
-    workflow.  Requires velocities on a UNIFORM time grid and a
-    constant box.
-
-    Returns a dict: 'k' [n_k] (1/nm, per-mode mean), 'lag_times' [L]
-    (ps), 'tcaf' [n_k, L] normalized, 'nu' [n_k] (nm^2/ps),
-    'eta_k' [n_k] (Pa s), 'eta0' (Pa s), 'rho' (amu/nm^3).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..parallel.engine import DeviceTrajectory
-
-    gsel = np.asarray(_sel_indices(system, group))
-    if gsel.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if isinstance(trajectory, DeviceTrajectory):
-        dt = trajectory
-        cols = _resident_group_cols(system, dt, group, gsel)
-    else:
-        runner = TrajectoryAnalysis(
-            system, triclinic=_system_triclinic(system)
-        ).runner(group=group, velocities=True)
-        dt = runner.load_device(trajectory, batch_size=batch_size)
-        cols = np.arange(len(gsel))
-    if "vel" not in dt.aux_names:
-        raise ParallelError(
-            "tcaf needs a velocity channel; load the trajectory with "
-            "runner(velocities=True).load_device(...)")
-    if not system.topology.has_mass[gsel].all():
-        raise GroupError(f"group '{group}' has atoms without mass",
-                         code="InvalidMass")
-
-    boxes = np.asarray(dt.boxes, np.float64)
-    if boxes.ndim != 2:
-        raise ParallelError("tcaf supports orthorhombic boxes")
-    box = boxes[0]
-    if not np.allclose(boxes, box[None, :], rtol=1e-5):
-        raise ParallelError(
-            "tcaf needs a constant box (k vectors are box-fixed); "
-            "this trajectory's box fluctuates")
-    t = np.asarray(dt.times, np.float64)
-    f = len(t)
-    if f < 4:
-        raise ParallelError("tcaf needs at least 4 frames")
-    dt_ps = float(t[1] - t[0])
-    if dt_ps <= 0 or not np.allclose(np.diff(t), dt_ps, rtol=1e-3):
-        raise ParallelError(
-            "tcaf requires a uniform frame-time grid; resample with "
-            "with_step/with_range first")
-
-    jcols = jnp.asarray(cols)
-    pos = jnp.asarray(dt.pos)[:, jcols, :]
-    if dt.kind == "q16":
-        pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
-    vel = jnp.asarray(dt.aux[dt.aux_names.index("vel")])[:, jcols, :]
-    mass = np.asarray(system.topology.mass, np.float64)[gsel]
-    w = jnp.asarray(mass, jnp.float32)
-
-    ks = np.stack([2.0 * np.pi * np.arange(1, n_k + 1) / box[a]
-                   for a in range(3)])                 # [3, n_k]
-
-    @jax.jit
-    def _currents(pos, vel, w, kmat):
-        # series [F, 3 axes, n_k, 2 transverse, 2 (re, im)]
-        outs = []
-        for a in range(3):
-            phase = pos[:, :, a][:, :, None] * kmat[a][None, None, :]
-            cosp = jnp.cos(phase) * w[None, :, None]   # [F, K, n_k]
-            sinp = jnp.sin(phase) * w[None, :, None]
-            tr = [b for b in range(3) if b != a]
-            per_axis = []
-            for b in tr:
-                vb = vel[:, :, b]                      # [F, K]
-                re = jnp.einsum("fk,fkm->fm", vb, cosp)
-                im = jnp.einsum("fk,fkm->fm", vb, sinp)
-                per_axis.append(jnp.stack([re, im], axis=-1))
-            outs.append(jnp.stack(per_axis, axis=2))   # [F, n_k, 2, 2]
-        return jnp.stack(outs, axis=1)                 # [F, 3, n_k, 2, 2]
-
-    j = _currents(pos, vel, w, jnp.asarray(ks, jnp.float32))
-    fdim = int(j.shape[0])
-    series = j.reshape(fdim, -1)                       # [F, S]
-
-    @jax.jit
-    def _acf(series):
-        tt = jnp.arange(fdim)
-
-        def one(lag):
-            prod = jnp.roll(series, -lag, axis=0) * series   # [F, S]
-            valid = (tt < fdim - lag)[:, None]
-            n = jnp.maximum(fdim - lag, 1)
-            return jnp.sum(jnp.where(valid, prod, 0.0), axis=0) / n
-
-        return jax.lax.map(one, jnp.arange(fdim))      # [L, S]
-
-    acf = np.asarray(_acf(series), np.float64).reshape(
-        fdim, 3, n_k, 2, 2)
-    # Re(j j*) = re.re + im.im: sum the (re, im) channel, average the
-    # 2 transverse components and 3 axes
-    c = acf.sum(axis=-1).mean(axis=(1, 3)).T           # [n_k, L]
-
-    c0 = c[:, 0]
-    if (c0 <= 0).any():
-        raise ParallelError("tcaf found a zero-power mode; more frames "
-                            "or a smaller n_k needed")
-    cn = c / c0[:, None]
-    lag_times = t - t[0]
-    kmean = ks.mean(axis=0)
-    k2 = kmean ** 2
-
-    nu = np.empty(n_k)
-    for m in range(n_k):
-        good = cn[m] > fit_floor
-        stop = int(np.argmin(good)) if not good.all() else fdim
-        stop = max(stop, 3)
-        x = lag_times[:stop]
-        y = np.log(np.maximum(cn[m, :stop], 1e-12))
-        a = np.stack([x, np.ones_like(x)], axis=1)
-        (slope, _), *_ = np.linalg.lstsq(a, y, rcond=None)
-        nu[m] = -slope / k2[m]
-
-    rho = float(mass.sum() / box.prod())               # amu / nm^3
-    eta_k = rho * nu * _AMU_NM_PS_TO_PAS               # Pa s
-    # eta(k) = eta0 (1 - a k^2) -> linear fit vs k^2
-    a = np.stack([np.ones(n_k), k2], axis=1)
-    (eta0, _), *_ = np.linalg.lstsq(a, eta_k, rcond=None)
-    return {"k": kmean, "lag_times": lag_times, "tcaf": cn, "nu": nu,
-            "eta_k": eta_k, "eta0": float(eta0), "rho": rho}
-
-
-def helixorient(system, trajectory, group: str, *, axis: str = "z",
-                batch_size: int = 32):
-    """Local helix geometry from CA positions (surpass — the
-    `gmx helixorient` / `gmx helix` workload; absent from the
-    reference).
-
-    The group's CA atoms (residue order) are rebuilt whole on device by
-    min-image accumulation, then the Sugeta-Miyazawa construction
-    gives, per residue window: the radial bisector b_i =
-    unit(u_{i-1} - u_i) (u = consecutive CA bonds; for an ideal helix
-    b points at the axis), the local axis a_i = unit(b_i x b_{i+1})
-    (sign along the chain), local rise = u_i . a_i, local twist =
-    angle(b_i, b_{i+1}), and local radius = |u_i|^2-ish from the exact
-    circle relation r = rise-free chord / (2 sin(twist/2)) using the
-    axis-perpendicular chord component.  All frames in one jitted
-    dispatch.
-
-    Returns a dict: 'axis_vec' [F, 3] (mean local axis, unit),
-    'tilt' [F] (deg vs +`axis`), 'rise' [F] / 'twist' [F] /
-    'radius' [F] (per-frame means; nm, deg, nm),
-    'rise_per_residue' [F, W], 'twist_per_residue' [F, W],
-    'local_axes' [F, W, 3] (W = R - 3 windows), 'resids' [R].
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if axis not in _AXIS:
-        raise ParallelError(f"axis must be one of xyz, got '{axis}'")
-    ax_ref = np.zeros(3, np.float32)
-    ax_ref[_AXIS[axis]] = 1.0
-
-    gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="helixorient")
-    # CA atoms in residue order
-    names = system.topology.atomname
-    ca_cols = [i for i in range(len(gsel))
-               if names.get(int(gsel[i])) == "CA"]
-    if len(ca_cols) < 5:
-        raise GroupError(
-            f"group '{group}' has {len(ca_cols)} CA atoms; helixorient "
-            "needs at least 5", code="InvalidSelection")
-    resids = np.asarray(system.topology.resnum)[gsel[ca_cols]]
-    order = np.argsort(resids, kind="stable")
-    ca_cols = np.asarray(ca_cols)[order]
-    resids = resids[order]
-
-    cac = jnp.asarray(ca_cols)
-
-    @jax.jit
-    def _geom(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            ca = pf[cac]                                  # [R, 3]
-            d = pbc.min_image(ca[1:] - ca[:-1], box)      # [R-1, 3] bonds
-            whole = jnp.concatenate(
-                [ca[:1], ca[:1] + jnp.cumsum(d, axis=0)])
-            u = whole[1:] - whole[:-1]                    # [R-1, 3]
-            b = u[:-1] - u[1:]                            # [R-2, 3]
-            b = b / jnp.maximum(
-                jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
-            a = jnp.cross(b[:-1], b[1:])                  # [R-3, 3]
-            a = a / jnp.maximum(
-                jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
-            # sign: along the chain (positive projection on the chord)
-            chord = u[1:-1]
-            sgn = jnp.sign(jnp.sum(a * chord, axis=-1))
-            a = a * jnp.where(sgn == 0, 1.0, sgn)[:, None]
-            rise = jnp.sum(u[1:-1] * a, axis=-1)          # [R-3]
-            cosw = jnp.clip(jnp.sum(b[:-1] * b[1:], axis=-1), -1.0, 1.0)
-            twist = jnp.arccos(cosw)                      # [R-3] rad
-            # circle radius from the axis-perpendicular chord
-            perp = u[1:-1] - rise[:, None] * a
-            radius = jnp.linalg.norm(perp, axis=-1) / jnp.maximum(
-                2.0 * jnp.sin(twist / 2.0), 1e-12)
-            mean_axis = jnp.mean(a, axis=0)
-            mean_axis = mean_axis / jnp.maximum(
-                jnp.linalg.norm(mean_axis), 1e-12)
-            tilt = jnp.degrees(jnp.arccos(jnp.clip(
-                jnp.dot(mean_axis, jnp.asarray(ax_ref)), -1.0, 1.0)))
-            return (mean_axis, tilt, jnp.mean(rise),
-                    jnp.degrees(jnp.mean(twist)),
-                    jnp.mean(radius), rise,
-                    jnp.degrees(twist), a)
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    (axv, tilt, rise, twist, radius, rise_pr, twist_pr, axes) = (
-        np.asarray(x, np.float64) for x in _geom(pos, boxes))
-    return {"axis_vec": axv, "tilt": tilt, "rise": rise, "twist": twist,
-            "radius": radius, "rise_per_residue": rise_pr,
-            "twist_per_residue": twist_pr, "local_axes": axes,
-            "resids": resids}
-
-
-def _part_tables(system, specs, n_axes, kind):
-    """Split `specs` (one group name/query, split into `n_axes` equal
-    consecutive parts, or an explicit list of one name/query per axis)
-    into per-axis global index arrays."""
-    if isinstance(specs, str):
-        idx = _transient_indices(system, specs)
-        if n_axes is None:
-            raise ParallelError("bundle needs n_axes when "
-                                f"{kind} is a single group")
-        if idx.size % n_axes:
-            raise GroupError(
-                f"{kind} group has {idx.size} atoms, not divisible into "
-                f"{n_axes} axes", code="InvalidSelection")
-        return np.split(idx, n_axes)
-    parts = [_transient_indices(system, s) for s in specs]
-    if n_axes is not None and len(parts) != n_axes:
-        raise ParallelError(
-            f"{kind} lists {len(parts)} groups but n_axes={n_axes}")
-    return parts
-
 
 def _transient_indices(system, spec: str) -> np.ndarray:
     """Global atom indices of a group name or GSL query."""
@@ -4822,208 +1720,6 @@ def _transient_indices(system, spec: str) -> np.ndarray:
         finally:
             system.group_remove("__transient_sel")
 
-
-def bundle(system, trajectory, tops, bottoms, *, n_axes: int | None = None,
-           axis: str = "z", mass_weighted: bool = True,
-           batch_size: int = 32):
-    """Helix-bundle axis geometry (surpass — the `gmx bundle` workload;
-    absent from the reference).
-
-    Each bundle axis runs from the center of a "bottom" part to the
-    center of a "top" part.  `tops` / `bottoms` are either ONE group
-    name/GSL query split into `n_axes` equal consecutive parts (index
-    order — gmx's -na split) or explicit per-axis lists of names/queries.
-    Centers are mass-weighted by default (`mass_weighted=False` uses
-    geometric centers) and PBC-robust: each part is rebuilt whole by
-    minimum image around its first atom, and the top anchor is
-    min-imaged to the bottom anchor — exact whenever each helix fits in
-    half the box.
-
-    Per frame and axis (e = unit vector of `axis`, default z; v = unit
-    axis vector; m = axis midpoint; c = bundle center = mean of
-    midpoints, min-imaged to the first axis):
-
-    - 'length'  [F, A]: |top − bottom| (nm)
-    - 'distance' [F, A]: |(m − c) ⊥ e| — midpoint offset from the
-      bundle center in the plane perpendicular to e (gmx -od)
-    - 'zshift'  [F, A]: (m − c) · e (gmx -oz)
-    - 'tilt'    [F, A]: angle(v, e), degrees (gmx -ot)
-    - 'tiltr'   [F, A]: degrees(asin(v · r̂)) — tilt component in the
-      radial direction r̂ = unit((m − c) ⊥ e) (gmx -otr)
-    - 'tiltl'   [F, A]: degrees(asin(v · l̂)), l̂ = e × r̂ (gmx -otl)
-    - 'axes'    [F, A, 3]: unit axis vectors; 'center' [F, 3]
-
-    All frames evaluate in one jitted `lax.map` over the device-resident
-    trajectory.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if axis not in _AXIS:
-        raise ParallelError(f"axis must be one of xyz, got '{axis}'")
-    e = np.zeros(3, np.float32)
-    e[_AXIS[axis]] = 1.0
-
-    top_parts = _part_tables(system, tops, n_axes, "tops")
-    bot_parts = _part_tables(system, bottoms, n_axes, "bottoms")
-    if len(top_parts) != len(bot_parts):
-        raise ParallelError(
-            f"{len(top_parts)} top parts vs {len(bot_parts)} bottom parts")
-    n_ax = len(top_parts)
-    if n_ax < 1:
-        raise ParallelError("bundle needs at least one axis")
-    for p in (*top_parts, *bot_parts):
-        if p.size == 0:
-            raise GroupError("empty bundle part", code="EmptyGroup")
-
-    union = np.unique(np.concatenate(top_parts + bot_parts))
-    name = "__bundle_union"
-    system.group_create_from_indices(name, union)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="bundle")
-    finally:
-        system.group_remove(name)
-
-    def _padded(parts):
-        width = max(p.size for p in parts)
-        cols = np.zeros((n_ax, width), np.int64)
-        w = np.zeros((n_ax, width), np.float32)
-        for i, p in enumerate(parts):
-            cols[i, :p.size] = np.searchsorted(gsel, p)
-            if mass_weighted:
-                from ..system.rmsd import _masses
-
-                w[i, :p.size] = _masses(system, "bundle part", p)
-            else:
-                w[i, :p.size] = 1.0
-            w[i] /= w[i].sum()
-        return jnp.asarray(cols), jnp.asarray(w)
-
-    tcols, tw = _padded(top_parts)
-    bcols, bw = _padded(bot_parts)
-    ej = jnp.asarray(e)
-
-    @jax.jit
-    def _geom(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-
-            def part_com(cols, w):
-                x = pf[cols]                             # [A, P, 3]
-                x0 = x[:, :1]
-                rel = pbc.min_image(x - x0, box)
-                return x0[:, 0] + jnp.sum(w[..., None] * rel, axis=1)
-
-            bcom = part_com(bcols, bw)                   # [A, 3]
-            t0 = pf[tcols][:, 0]
-            b0 = pf[bcols][:, 0]
-            # top part re-anchored into the bottom anchor's image
-            tx = pf[tcols]
-            trel = pbc.min_image(tx - tx[:, :1], box)
-            t0b = b0 + pbc.min_image(t0 - b0, box)
-            tcom = t0b + jnp.sum(tw[..., None] * trel, axis=1)
-
-            vec = tcom - bcom                            # [A, 3]
-            length = jnp.linalg.norm(vec, axis=-1)
-            v = vec / jnp.maximum(length[:, None], 1e-12)
-            mid = bcom + 0.5 * vec
-            dmid = pbc.min_image(mid - mid[:1], box)
-            center = mid[0] + jnp.mean(dmid, axis=0)
-            off = pbc.min_image(mid - center, box)       # [A, 3]
-            zshift = off @ ej
-            perp = off - zshift[:, None] * ej
-            dist = jnp.linalg.norm(perp, axis=-1)
-            r_hat = perp / jnp.maximum(dist[:, None], 1e-12)
-            l_hat = jnp.cross(ej, r_hat)
-            tilt = jnp.degrees(jnp.arccos(jnp.clip(v @ ej, -1.0, 1.0)))
-            safe = (dist > 1e-9)[:, None]
-            tiltr = jnp.degrees(jnp.arcsin(jnp.clip(
-                jnp.sum(v * jnp.where(safe, r_hat, 0.0), axis=-1),
-                -1.0, 1.0)))
-            tiltl = jnp.degrees(jnp.arcsin(jnp.clip(
-                jnp.sum(v * jnp.where(safe, l_hat, 0.0), axis=-1),
-                -1.0, 1.0)))
-            return length, dist, zshift, tilt, tiltr, tiltl, v, center
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    (length, dist, zshift, tilt, tiltr, tiltl, axes_v, centers) = (
-        np.asarray(x, np.float64) for x in _geom(pos, boxes))
-    return {"length": length, "distance": dist, "zshift": zshift,
-            "tilt": tilt, "tiltr": tiltr, "tiltl": tiltl,
-            "axes": axes_v, "center": centers}
-
-
-def dyecoupl(system, trajectory, donor, acceptor, *, r0: float | None = None,
-             batch_size: int = 32):
-    """FRET dye-pair coupling (surpass — the `gmx dyecoupl` workload;
-    absent from the reference).
-
-    `donor` and `acceptor` each name a group/GSL query with EXACTLY two
-    atoms — the endpoints of the dye's transition-dipole vector.  Per
-    frame, with u_D/u_A the unit dipole vectors and r̂ the unit vector
-    between the dipole midpoints (all minimum-image):
-
-    - 'r'      [F]: donor-acceptor midpoint distance R (nm)
-    - 'kappa2' [F]: κ² = (u_D·u_A − 3 (u_D·r̂)(u_A·r̂))²
-    - 'efficiency' [F] (when `r0` is given): the κ²-corrected Förster
-      efficiency E = 1 / (1 + (2/(3κ²)) (R/R0)⁶), where `r0` is the
-      isotropic (κ² = 2/3) Förster radius in nm.
-
-    One jitted dispatch over the device-resident trajectory.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    d_idx = _transient_indices(system, donor)
-    a_idx = _transient_indices(system, acceptor)
-    for nm, ix in (("donor", d_idx), ("acceptor", a_idx)):
-        if ix.size != 2:
-            raise GroupError(
-                f"{nm} must select exactly 2 atoms (dipole endpoints), "
-                f"got {ix.size}", code="InvalidSelection")
-
-    union = np.unique(np.concatenate([d_idx, a_idx]))
-    name = "__dye_union"
-    system.group_create_from_indices(name, union)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="dyecoupl")
-    finally:
-        system.group_remove(name)
-    dc = jnp.asarray(np.searchsorted(gsel, d_idx))
-    ac = jnp.asarray(np.searchsorted(gsel, a_idx))
-
-    @jax.jit
-    def _coupl(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            dvec = pbc.min_image(pf[dc[1]] - pf[dc[0]], box)
-            avec = pbc.min_image(pf[ac[1]] - pf[ac[0]], box)
-            dmid = pf[dc[0]] + 0.5 * dvec
-            amid = pf[ac[0]] + 0.5 * avec
-            rvec = pbc.min_image(amid - dmid, box)
-            r = jnp.linalg.norm(rvec)
-            ud = dvec / jnp.maximum(jnp.linalg.norm(dvec), 1e-12)
-            ua = avec / jnp.maximum(jnp.linalg.norm(avec), 1e-12)
-            ur = rvec / jnp.maximum(r, 1e-12)
-            kappa = ud @ ua - 3.0 * (ud @ ur) * (ua @ ur)
-            return r, kappa * kappa
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    r, k2 = (np.asarray(x, np.float64) for x in _coupl(pos, boxes))
-    out = {"r": r, "kappa2": k2}
-    if r0 is not None:
-        if r0 <= 0:
-            raise ParallelError(f"r0 must be positive, got {r0}")
-        with np.errstate(divide="ignore"):
-            out["efficiency"] = 1.0 / (
-                1.0 + (2.0 / (3.0 * k2)) * (r / float(r0)) ** 6)
-    return out
-
-
 _CHI_SITES = [
     # chi_k: 4 atom names; alternatives per slot, first present wins
     (("N",), ("CA",), ("CB",), ("CG", "CG1", "OG", "OG1", "SG")),
@@ -5032,604 +1728,7 @@ _CHI_SITES = [
     (("CG",), ("CD",), ("CE", "NE"), ("NZ", "CZ")),
 ]
 
-
-def chi(system, trajectory, group: str = "@protein", *, max_chi: int = 2,
-        batch_size: int = 32, triclinic: bool = False):
-    """Side-chain χ dihedrals and χ₁ rotamer occupancies (surpass — the
-    `gmx chi` workload; absent from the reference).
-
-    Builds χ₁..χ_`max_chi` (≤ 4) site tables per residue from standard
-    atom names (χ₁ = N-CA-CB-{CG|CG1|OG|OG1|SG}, χ₂ =
-    CA-CB-{CG|CG1}-{CD|CD1|OD1|ND1|SD}, ...; first present name wins,
-    residues lacking an atom are skipped for that χ) and evaluates the
-    whole table as batched `add_dihedrals` passes on device.
-
-    Rotamer wells for χ₁ follow the standard convention: gauche+ =
-    (0°, 120°), trans = |χ| ≥ 120°, gauche− = (−120°, 0°).
-
-    Returns a dict with, per χ order k present: 'chi{k}' [F, R_k]
-    (signed degrees), 'chi{k}_resids' [R_k], 'chi{k}_resnames' [R_k];
-    plus 'rotamers': {'g+','t','g-'} → occupancy fraction [R_1] over
-    frames (from χ₁).
-    """
-    if not 1 <= max_chi <= 4:
-        raise ParallelError(f"max_chi must be 1..4, got {max_chi}")
-    idx = _transient_indices(system, group)
-    if idx.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-    topo = system.topology
-    names = topo.atomname
-    resnum = np.asarray(topo.resnum)
-    chains = topo.chain
-
-    residues: dict[tuple, dict] = {}
-    order = []
-    for a in idx:
-        key = (chains.get(a), int(resnum[a]))
-        if key not in residues:
-            residues[key] = {}
-            order.append(key)
-        nm = names.get(a)
-        if nm not in residues[key]:
-            residues[key][nm] = int(a)
-
-    pipe = TrajectoryAnalysis(system, triclinic=triclinic)
-    meta = {}
-    for k in range(max_chi):
-        sites, keys = [], []
-        for key in order:
-            r = residues[key]
-            picked = []
-            for alts in _CHI_SITES[k]:
-                hit = next((r[nm] for nm in alts if nm in r), None)
-                if hit is None:
-                    break
-                picked.append(hit)
-            if len(picked) == 4:
-                sites.append(picked)
-                keys.append(key)
-        if sites:
-            nm = f"chi{k + 1}"
-            pipe.add_dihedrals(np.asarray(sites), name=nm)
-            meta[nm] = keys
-    if not meta:
-        raise GroupError(
-            f"group '{group}' has no residue with χ-angle atoms",
-            code="InvalidSelection")
-
-    res = pipe.run(trajectory, batch_size=batch_size)
-    out = {}
-    for nm, keys in meta.items():
-        out[nm] = np.asarray(res[nm])
-        out[f"{nm}_resids"] = np.asarray([k[1] for k in keys], np.int64)
-        out[f"{nm}_resnames"] = np.asarray(
-            [topo.resname.get(next(iter(
-                [residues[k][n] for n in ("CA", "CB")
-                 if n in residues[k]]))) for k in keys], object)
-    if "chi1" in out:
-        c1 = out["chi1"]
-        out["rotamers"] = {
-            "g+": np.mean((c1 > 0) & (c1 < 120), axis=0),
-            "t": np.mean(np.abs(c1) >= 120, axis=0),
-            "g-": np.mean((c1 > -120) & (c1 < 0), axis=0),
-        }
-    return out
-
-
-def bar(w_forward, w_reverse, *, temperature: float = 300.0,
-        tol: float = 1e-12, max_iter: int = 200):
-    """Bennett acceptance ratio free-energy difference (surpass — the
-    `gmx bar` estimator; absent from the reference).
-
-    `w_forward`: work samples W_F = U_B − U_A evaluated on configurations
-    sampled from state A; `w_reverse`: W_R = U_A − U_B on configurations
-    from state B (both kJ/mol).  Solves Bennett's self-consistent
-    equation (Bennett 1976; the gmx bar / pymbar estimator) in float64
-    by Newton iteration with a bisection fallback — the objective
-
-        g(x) = Σ_F fermi(β(M + W_F − x)) − Σ_R fermi(β(−M + W_R + x)),
-        M = kT ln(n_F / n_R),  fermi(u) = 1/(1 + e^u)
-
-    is strictly increasing in x, so the root ΔF is unique.  The error
-    estimate is Bennett's asymptotic variance.
-
-    Returns a dict: 'delta_f' (kJ/mol), 'error' (kJ/mol, asymptotic
-    std. err.), 'n_iter', 'converged'.
-    """
-    wf = np.asarray(w_forward, np.float64).ravel()
-    wr = np.asarray(w_reverse, np.float64).ravel()
-    if wf.size == 0 or wr.size == 0:
-        raise ParallelError("bar needs samples in both directions")
-    if temperature <= 0:
-        raise ParallelError(f"temperature must be positive, got "
-                            f"{temperature}")
-    kt = _KB_KJ * float(temperature)
-    beta = 1.0 / kt
-    m = kt * np.log(wf.size / wr.size)
-
-    def fermi(u):
-        # overflow-safe 1/(1+e^u)
-        out = np.empty_like(u)
-        pos = u > 0
-        out[pos] = np.exp(-u[pos]) / (1.0 + np.exp(-u[pos]))
-        out[~pos] = 1.0 / (1.0 + np.exp(u[~pos]))
-        return out
-
-    def g(x):
-        return (fermi(beta * (m + wf - x)).sum()
-                - fermi(beta * (-m + wr + x)).sum())
-
-    # bracket the root: g is increasing in x
-    lo = min(wf.min(), -wr.max()) - abs(m) - 10.0 * kt
-    hi = max(wf.max(), -wr.min()) + abs(m) + 10.0 * kt
-    x = 0.5 * (lo + hi)
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        gx = g(x)
-        if gx < 0:
-            lo = x
-        else:
-            hi = x
-        # Newton step from the analytic derivative
-        ff = fermi(beta * (m + wf - x))
-        fr = fermi(beta * (-m + wr + x))
-        dg = beta * (np.sum(ff * (1.0 - ff)) + np.sum(fr * (1.0 - fr)))
-        if dg != 0.0:
-            xn = x - gx / dg
-            if not (lo < xn < hi):
-                xn = 0.5 * (lo + hi)
-        else:
-            xn = 0.5 * (lo + hi)
-        if abs(xn - x) <= tol * max(1.0, abs(x)):
-            x = xn
-            converged = True
-            break
-        x = xn
-
-    # Bennett's asymptotic variance (Bennett 1976 eq. 10)
-    ff = fermi(beta * (m + wf - x))
-    fr = fermi(beta * (-m + wr + x))
-    nf, nr = wf.size, wr.size
-    mean_sq = (np.sum(ff * ff) + np.sum(fr * fr)) / (nf + nr)
-    mean = (ff.sum() + fr.sum()) / (nf + nr)
-    denom = mean * mean
-    if denom > 0:
-        var = (mean_sq / denom - 1.0) * (1.0 / nf + 1.0 / nr) * kt * kt
-        err = float(np.sqrt(max(var, 0.0)))
-    else:
-        err = float("nan")
-    return {"delta_f": float(x), "error": err, "n_iter": it,
-            "converged": bool(converged)}
-
-
-def bar_intervals(intervals, *, temperature: float = 300.0):
-    """Chain `bar` over adjacent lambda intervals (the multi-interval
-    `gmx bar` output): `intervals` is an iterable of (w_forward,
-    w_reverse) pairs.  Returns a dict with per-interval 'delta_f'/
-    'error' arrays and the 'total' / 'total_error' (errors add in
-    quadrature, like gmx bar)."""
-    dfs, errs = [], []
-    for wf, wr in intervals:
-        out = bar(wf, wr, temperature=temperature)
-        dfs.append(out["delta_f"])
-        errs.append(out["error"])
-    if not dfs:
-        raise ParallelError("bar_intervals needs at least one interval")
-    dfs = np.asarray(dfs)
-    errs = np.asarray(errs)
-    return {"delta_f": dfs, "error": errs, "total": float(dfs.sum()),
-            "total_error": float(np.sqrt(np.sum(errs * errs)))}
-
-
 _G1_SITE_WIDTH = {"vector": 2, "plane": 3}
-
-
-def gangle(system, trajectory, group1, *, g1: str = "vector",
-           g2: str = "z", group2=None, batch_size: int = 32):
-    """Angles between selection-defined vectors/planes and a reference
-    (surpass — the `gmx gangle` workload; absent from the reference).
-
-    `group1` (name or GSL query) supplies sites in index order: with
-    `g1="vector"` consecutive atom PAIRS define vectors (atom0 → atom1,
-    minimum image); with `g1="plane"` consecutive TRIPLES define planes
-    whose normals are used.  The reference `g2` is one of:
-
-    - "x" / "y" / "z": a fixed box axis
-    - "t0": each site's own orientation in the FIRST frame
-    - "vector" / "plane": sites from `group2`, paired 1:1 with the
-      `group1` sites (or one single site broadcast to all)
-
-    Returns a dict: 'angles' [F, K] (degrees, 0-180), 'mean' [F]
-    (per-frame mean over sites).  All frames evaluate in one jitted
-    `lax.map` over the device-resident trajectory.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if g1 not in _G1_SITE_WIDTH:
-        raise ParallelError(f"g1 must be 'vector' or 'plane', got '{g1}'")
-    fixed_axis = g2 in _AXIS
-    if not fixed_axis and g2 not in ("t0", "vector", "plane"):
-        raise ParallelError(
-            f"g2 must be x/y/z/t0/vector/plane, got '{g2}'")
-    if g2 in ("vector", "plane") and group2 is None:
-        raise ParallelError(f"g2='{g2}' needs group2")
-
-    idx1 = _transient_indices(system, group1)
-    w1 = _G1_SITE_WIDTH[g1]
-    if idx1.size == 0 or idx1.size % w1:
-        raise GroupError(
-            f"group1 has {idx1.size} atoms, not a multiple of {w1} "
-            f"({g1} sites)", code="InvalidSelection")
-    k = idx1.size // w1
-
-    idx2 = np.empty(0, np.int64)
-    w2 = 0
-    if g2 in ("vector", "plane"):
-        w2 = _G1_SITE_WIDTH[g2]
-        idx2 = _transient_indices(system, group2)
-        if idx2.size == 0 or idx2.size % w2:
-            raise GroupError(
-                f"group2 has {idx2.size} atoms, not a multiple of {w2}",
-                code="InvalidSelection")
-        k2 = idx2.size // w2
-        if k2 not in (1, k):
-            raise ParallelError(
-                f"group2 defines {k2} sites; need 1 or {k}")
-
-    union = np.unique(np.concatenate([idx1, idx2]))
-    name = "__gangle_union"
-    system.group_create_from_indices(name, union)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="gangle")
-    finally:
-        system.group_remove(name)
-
-    s1 = jnp.asarray(np.searchsorted(gsel, idx1).reshape(k, w1))
-    s2 = None
-    if w2:
-        k2 = idx2.size // w2
-        cols2 = np.searchsorted(gsel, idx2).reshape(k2, w2)
-        if k2 == 1:
-            cols2 = np.repeat(cols2, k, axis=0)
-        s2 = jnp.asarray(cols2)
-
-    def site_dirs(pf, box, cols, width):
-        a = pf[cols[:, 0]]
-        d1 = pbc.min_image(pf[cols[:, 1]] - a, box)
-        if width == 2:
-            v = d1
-        else:
-            d2 = pbc.min_image(pf[cols[:, 2]] - a, box)
-            v = jnp.cross(d1, d2)
-        return v / jnp.maximum(
-            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
-
-    if fixed_axis:
-        ref_const = np.zeros(3, np.float32)
-        ref_const[_AXIS[g2]] = 1.0
-        ref_const = jnp.asarray(np.repeat(ref_const[None], k, axis=0))
-    elif g2 == "t0":
-        import jax as _jax
-
-        first = _jax.jit(
-            lambda p, b: site_dirs(p, b, s1, w1))(pos[0], boxes[0])
-        ref_const = first
-    else:
-        ref_const = None
-
-    @jax.jit
-    def _angles(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            v1 = site_dirs(pf, box, s1, w1)
-            ref = (site_dirs(pf, box, s2, w2) if ref_const is None
-                   else ref_const)
-            cosang = jnp.clip(jnp.sum(v1 * ref, axis=-1), -1.0, 1.0)
-            return jnp.degrees(jnp.arccos(cosang))
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    ang = np.asarray(_angles(pos, boxes), np.float64)
-    return {"angles": ang, "mean": ang.mean(axis=1)}
-
-
-def pairdist(system, trajectory, group1, group2, *, split: str = "res",
-             mode: str = "min", batch_size: int = 32, chunk: int = 16):
-    """Per-frame distance matrices between two selections' units
-    (surpass — the `gmx pairdist` workload; the reference has only
-    whole-group atom matrices, analysis.rs:401).
-
-    Each selection resolves to units per `split`: "res" = (chain,
-    resnum) blocks in order of appearance, "atom" = one unit per atom,
-    "group" = the whole selection as one unit.  `mode="min"` gives the
-    smallest minimum-image atom-atom distance between the units
-    (`ops.distances.residue_min_matrix` tiles); `mode="com"` the
-    minimum-image distance between mass-weighted unit centers (each
-    unit rebuilt whole around its first atom, like `bundle`).
-
-    Returns a dict: 'dist' [F, K1, K2] nm, plus per-side 'resids1/2'
-    and 'resnames1/2' (for split="res").
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if split not in ("res", "atom", "group"):
-        raise ParallelError(f"split must be res/atom/group, got '{split}'")
-    if mode not in ("min", "com"):
-        raise ParallelError(f"mode must be min/com, got '{mode}'")
-
-    idx1 = _transient_indices(system, group1)
-    idx2 = _transient_indices(system, group2)
-    for nm, ix in (("group1", idx1), ("group2", idx2)):
-        if ix.size == 0:
-            raise GroupError(f"{nm} is empty", code="EmptyGroup")
-
-    union = np.unique(np.concatenate([idx1, idx2]))
-    name = "__pairdist_union"
-    system.group_create_from_indices(name, union)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size,
-            require_ortho="pairdist")
-    finally:
-        system.group_remove(name)
-
-    out = {}
-
-    def units(idx, tag):
-        cols = np.searchsorted(gsel, idx)
-        if split == "res":
-            resids, resnames, blocks = _residue_blocks(system, idx)
-            out[f"resids{tag}"] = resids
-            out[f"resnames{tag}"] = resnames
-            return [[int(cols[j]) for j in b] for b in blocks]
-        if split == "atom":
-            return [[int(c)] for c in cols]
-        return [[int(c) for c in cols]]
-
-    u1 = units(idx1, 1)
-    u2 = units(idx2, 2)
-    k1, k2 = len(u1), len(u2)
-
-    if mode == "min":
-        blocks = u1 + u2
-        p = max(len(b) for b in blocks)
-        block_idx = np.zeros((k1 + k2, p), np.int32)
-        block_mask = np.zeros((k1 + k2, p), bool)
-        for i, b in enumerate(blocks):
-            block_idx[i, : len(b)] = b
-            block_mask[i, : len(b)] = True
-        m = np.asarray(distance_ops.residue_min_matrix(
-            pos, boxes, block_idx, block_mask, chunk=chunk))
-        out["dist"] = m[:, :k1, k1:]
-        return out
-
-    from ..system.rmsd import _masses
-
-    def com_table(ulist, idx):
-        p = max(len(b) for b in ulist)
-        cols = np.zeros((len(ulist), p), np.int64)
-        w = np.zeros((len(ulist), p), np.float32)
-        gmass = _masses(system, "pairdist unit", idx)
-        local = {int(c): float(mq)
-                 for c, mq in zip(np.searchsorted(gsel, idx), gmass)}
-        for i, b in enumerate(ulist):
-            cols[i, : len(b)] = b
-            w[i, : len(b)] = [local[j] for j in b]
-            w[i] /= w[i].sum()
-        return jnp.asarray(cols), jnp.asarray(w)
-
-    c1, w1 = com_table(u1, idx1)
-    c2, w2 = com_table(u2, idx2)
-
-    @jax.jit
-    def _dist(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-
-            def coms(cols, w):
-                x = pf[cols]
-                rel = pbc.min_image(x - x[:, :1], box)
-                return x[:, 0] + jnp.sum(w[..., None] * rel, axis=1)
-
-            a = coms(c1, w1)
-            b = coms(c2, w2)
-            d = pbc.min_image(a[:, None, :] - b[None, :, :], box)
-            return jnp.linalg.norm(d, axis=-1)
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    out["dist"] = np.asarray(_dist(pos, boxes), np.float64)
-    return out
-
-
-def select_dynamic(system, trajectory, group, *, within: float | None = None,
-                   of: str | None = None, shape=None,
-                   whole_res: bool = False, batch_size: int = 32,
-                   chunk: int = 8192):
-    """Per-frame dynamic selection (surpass — the `gmx select` workload;
-    the reference re-evaluates geometry filters host-side per frame,
-    system/iterating.rs `filter_geometry`).
-
-    Evaluates, for every frame, which atoms of `group` satisfy a
-    geometric criterion — the batched form of gmx's dynamic selections:
-
-    - ``within=r, of=ref``: minimum-image distance to ANY atom of the
-      `ref` selection is `< r` (gmx ``... and within r of ...``); the
-      [F, K] min-distance table is computed as dense device tiles
-      (candidates chunked by `chunk` to bound the [K, M] frame tile).
-    - ``shape=Shape``: inside a `core.shapes` Sphere / Rectangular /
-      Cylinder, with exactly `Shape.inside`'s PBC semantics
-      (`ops.geometry.inside_shape`).
-    - ``whole_res=True``: membership extends to every group atom of any
-      touched (chain, resnum) unit (gmx ``same residue as ...``).
-
-    `group` / `of` accept group names or GSL queries.  Returns a dict:
-
-    - 'indices' [K]: global atom indices of the candidate group
-    - 'masks' [F, K] bool: per-frame membership
-    - 'sizes' [F]: atoms selected per frame (gmx select -os)
-    - 'occupancy' [K]: fraction of frames each atom is selected
-      (gmx select -ofpdb occupancy column)
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if (within is None) == (shape is None):
-        raise ParallelError(
-            "select_dynamic needs exactly one criterion: within=r, of=ref "
-            "OR shape=Shape")
-    if within is not None and of is None:
-        raise ParallelError("within=r needs of=<reference selection>")
-
-    idx = _transient_indices(system, group)
-    if idx.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-
-    if within is not None:
-        ref_idx = _transient_indices(system, of)
-        if ref_idx.size == 0:
-            raise GroupError(f"reference '{of}' is empty", code="EmptyGroup")
-        union = np.unique(np.concatenate([idx, ref_idx]))
-        name = "__select_union"
-        system.group_create_from_indices(name, union)
-        try:
-            gsel, pos, boxes, _ = _resident_group_pos(
-                system, trajectory, name, batch_size,
-                require_ortho="select_dynamic")
-        finally:
-            system.group_remove(name)
-        cand_cols = np.searchsorted(gsel, idx)
-        ref_cols = jnp.asarray(np.searchsorted(gsel, ref_idx))
-
-        @jax.jit
-        def _mask(pc, pr, boxes):
-            def one_frame(args):
-                c, r, box = args
-                d = pbc.min_image(c[:, None, :] - r[None, :, :], box)
-                return jnp.min(jnp.sum(d * d, axis=-1), axis=1) \
-                    < jnp.float32(within) ** 2
-
-            return jax.lax.map(one_frame, (pc, pr, boxes))
-
-        # host-side candidate chunking bounds the [chunk, M] frame tile
-        # (a single static-shape kernel per chunk width; no device-side
-        # dynamic slicing, which the tunnel backend compiles poorly)
-        ref_pos = pos[:, ref_cols, :]
-        parts = []
-        for c0 in range(0, len(cand_cols), chunk):
-            cols = jnp.asarray(cand_cols[c0:c0 + chunk])
-            parts.append(np.asarray(_mask(pos[:, cols, :], ref_pos, boxes)))
-        masks = parts[0] if len(parts) == 1 \
-            else np.concatenate(parts, axis=1)
-    else:
-        name = "__select_grp"
-        system.group_create_from_indices(name, idx)
-        try:
-            gsel, pos, boxes, _ = _resident_group_pos(
-                system, trajectory, name, batch_size,
-                require_ortho="select_dynamic")
-        finally:
-            system.group_remove(name)
-        cols = jnp.asarray(np.searchsorted(gsel, idx))
-        # raise on unsupported shapes before the trace
-        geometry.inside_shape(shape, np.zeros((1, 1, 3), np.float32),
-                              np.ones((1, 3), np.float32))
-
-        @jax.jit
-        def _mask(pos, boxes):
-            return geometry.inside_shape(shape, pos[:, cols, :], boxes)
-
-        masks = np.asarray(_mask(pos, boxes))
-
-    if whole_res:
-        masks = np.array(masks)        # np.asarray(jax out) is read-only
-        _, _, blocks = _residue_blocks(system, idx)
-        for b in blocks:
-            b = np.asarray(b)
-            hit = masks[:, b].any(axis=1)
-            masks[:, b] = hit[:, None]
-
-    return {
-        "indices": idx,
-        "masks": masks,
-        "sizes": masks.sum(axis=1).astype(np.int64),
-        "occupancy": masks.mean(axis=0).astype(np.float64),
-    }
-
-
-def saltbr(system, trajectory, group: str = "all", *,
-           min_charge: float = 0.5, trunc: float | None = None,
-           batch_size: int = 32):
-    """Salt-bridge distance series (surpass — the `gmx saltbr` workload;
-    absent from the reference, whose distance API stops at whole-group
-    matrices, analysis.rs:401).
-
-    Charged units are the residues of `group` whose net topology charge
-    satisfies |q| >= `min_charge` (0.5 by default so force-field charge
-    rounding on neutral residues never spawns units).  Every charged
-    pair's minimum-image mass-weighted COM distance is evaluated per
-    frame on device (the shared `pairdist` COM tiles); pairs are
-    classified by charge signs and, like gmx's `-t`, `trunc` keeps only
-    pairs whose minimum over the pass is below it.
-
-    Returns a dict: 'dist' [F, P] nm, 'pairs' [P, 2] unit indices,
-    'kinds' [P] in {'++', '--', '+-'}, 'labels' [P] "RESNAME-RESID",
-    'charges' [R], 'resids' [R], 'resnames' [R].
-    """
-    idx = _transient_indices(system, group)
-    if idx.size == 0:
-        raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-    topo = system.topology
-    if not topo.has_charge[idx].all():
-        raise GroupError(f"group '{group}' has atoms without charge",
-                         code="InvalidCharge")
-
-    resids, resnames, blocks = _residue_blocks(system, idx)
-    q_all = np.asarray(topo.charge, np.float64)
-    q_res = np.asarray([q_all[idx[b]].sum() for b in blocks])
-    keep = np.flatnonzero(np.abs(q_res) >= float(min_charge))
-    if keep.size < 2:
-        raise GroupError(
-            f"need at least 2 residues with |net charge| >= {min_charge}, "
-            f"found {keep.size}", code="EmptyGroup")
-
-    charged = np.concatenate([idx[blocks[u]] for u in keep])
-    name = "__saltbr_units"
-    system.group_create_from_indices(name, np.sort(charged))
-    try:
-        pd = pairdist(system, trajectory, name, name, split="res",
-                      mode="com", batch_size=batch_size)
-    finally:
-        system.group_remove(name)
-
-    dist = pd["dist"]                                  # [F, R, R]
-    r = keep.size
-    iu, ju = np.triu_indices(r, k=1)
-    series = dist[:, iu, ju]                           # [F, P]
-    if trunc is not None:
-        sel = series.min(axis=0) < float(trunc)
-        iu, ju, series = iu[sel], ju[sel], series[:, sel]
-
-    q = q_res[keep]
-    sign = np.sign(q)
-    kinds = np.where(sign[iu] * sign[ju] < 0, "+-",
-                     np.where(sign[iu] > 0, "++", "--"))
-    labels = np.asarray([f"{resnames[u]}-{resids[u]}" for u in keep],
-                        object)
-    return {
-        "dist": series,
-        "pairs": np.stack([iu, ju], axis=1),
-        "kinds": kinds,
-        "labels": labels,
-        "charges": q,
-        "resids": resids[keep],
-        "resnames": resnames[keep],
-    }
-
 
 def _unit_tables(system, idx, blocks, loc, *, charges=False):
     """Padded per-unit site tables: `blocks` hold local indices into
@@ -5654,343 +1753,6 @@ def _unit_tables(system, idx, blocks, loc, *, charges=False):
             qt[i, : b.size] = q_all[idx[b]]
     return cols, w, qt, qt.sum(axis=1)
 
-
-def spol(system, trajectory, ref_group: str, solvent: str, *,
-         rmax: float = 1.0, bins: int = 50, batch_size: int = 32):
-    """Solvent dipole orientation vs distance to a solute (surpass —
-    the `gmx spol` workload; absent from the reference).
-
-    Solvent molecules are the residues of `solvent` (charges + masses
-    required).  Per frame and molecule, rebuilt whole by minimum image
-    around its first atom: the molecular dipole about the molecule's
-    own COM (origin-independent for any net charge) and the min-image
-    vector from the `ref_group` mass-weighted center to that COM.
-    cos(theta) between them is averaged into `bins` shells of the
-    COM-COM distance over (0, rmax].  One jitted dispatch for all
-    frames.
-
-    Returns a dict: 'r_bins' [bins] shell centers, 'mean_cos_r' [bins]
-    (NaN where empty), 'counts' [bins], 'mean_cos', 'n_selected'.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    ridx = _transient_indices(system, ref_group)
-    sidx = _transient_indices(system, solvent)
-    for nm, ix in (("ref_group", ridx), ("solvent", sidx)):
-        if ix.size == 0:
-            raise GroupError(f"{nm} is empty", code="EmptyGroup")
-    topo = system.topology
-    if not topo.has_charge[sidx].all():
-        raise GroupError("solvent has atoms without charge",
-                         code="InvalidCharge")
-
-    union = np.unique(np.concatenate([ridx, sidx]))
-    name = "__spol_union"
-    system.group_create_from_indices(name, union)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="spol")
-    finally:
-        system.group_remove(name)
-
-    _, _, blocks = _residue_blocks(system, sidx)
-    loc = np.searchsorted(gsel, sidx)
-    cols, w, qt, _ = _unit_tables(system, sidx, blocks, loc, charges=True)
-    cols_j, w_j, qt_j = (jnp.asarray(cols), jnp.asarray(w),
-                         jnp.asarray(qt))
-    ref_l = jnp.asarray(np.searchsorted(gsel, ridx))
-    from ..system.rmsd import _masses
-
-    w_ref = jnp.asarray(np.asarray(
-        _masses(system, "spol ref", ridx), np.float32))
-    nb = int(bins)
-
-    @jax.jit
-    def _spol(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            ref_com = center_ops.center(pf[ref_l], box, weights=w_ref)
-            x = pf[cols_j]                              # [U, P, 3]
-            rel = pbc.min_image(x - x[:, :1], box)      # whole units
-            com_rel = jnp.sum(w_j[..., None] * rel, axis=1)   # [U, 3]
-            com = x[:, 0] + com_rel
-            # dipole about the unit COM: exact for any net charge
-            dip = jnp.sum(qt_j[..., None] * (rel - com_rel[:, None, :]),
-                          axis=1)                       # [U, 3]
-            rv = pbc.min_image(com - ref_com[None, :], box)
-            r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
-            c = jnp.sum(dip * rv, axis=-1) / jnp.maximum(
-                r * jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)
-            sel = ((r > 0) & (r <= rmax)).astype(jnp.float32)
-            ri = jnp.clip((r * (nb / rmax)).astype(jnp.int32), 0, nb - 1)
-            cs = jnp.zeros((nb,), jnp.float32).at[ri].add(c * sel)
-            cn = jnp.zeros((nb,), jnp.float32).at[ri].add(sel)
-            return cs, cn
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    cs, cn = (np.asarray(x, np.float64).sum(axis=0)
-              for x in _spol(pos, boxes))
-    n = float(cn.sum())
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return {
-            "r_bins": (np.arange(nb) + 0.5) * (rmax / nb),
-            "mean_cos_r": np.where(cn > 0, cs / np.maximum(cn, 1), np.nan),
-            "counts": cn,
-            "mean_cos": cs.sum() / n if n else np.nan,
-            "n_selected": n,
-        }
-
-
-def trjorder(system, trajectory, ref_group: str, solvent: str, *,
-             mode: str = "atom", da: int = 0, shell: float | None = None,
-             output: str | None = None, outfmt: str | None = None,
-             out_group: str = "all", batch_size: int = 32,
-             chunk: int = 512):
-    """Order solvent molecules by distance to a reference group
-    (surpass — the `gmx trjorder` workload; absent from the reference).
-
-    Solvent molecules are the residues of `solvent`.  Per frame, each
-    molecule's distance to the CLOSEST `ref_group` atom is evaluated on
-    device (min-image): from its `da`-th atom (`mode="atom"`, gmx -da),
-    from its closest own atom (`mode="min"`), or from its mass-weighted
-    COM rebuilt whole (`mode="com"`, gmx -da 0 semantics with masses).
-    `shell` also counts molecules within that radius per frame
-    (gmx -nshell).  With `output`, a second host pass writes the
-    trajectory with solvent coordinates permuted into sorted order
-    (closest molecule first — gmx trjorder's reordered output),
-    restricted to `out_group`.
-
-    Returns a dict: 'dist' [F, M] nm, 'order' [F, M] molecule
-    permutation (stable argsort), 'nshell' [F] (when `shell`),
-    'molecules' [M] first-atom global indices.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if mode not in ("atom", "min", "com"):
-        raise ParallelError(f"mode must be atom/min/com, got '{mode}'")
-
-    ridx = _transient_indices(system, ref_group)
-    sidx = _transient_indices(system, solvent)
-    for nm, ix in (("ref_group", ridx), ("solvent", sidx)):
-        if ix.size == 0:
-            raise GroupError(f"{nm} is empty", code="EmptyGroup")
-
-    union = np.unique(np.concatenate([ridx, sidx]))
-    name = "__trjorder_union"
-    system.group_create_from_indices(name, union)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size,
-            require_ortho="trjorder")
-    finally:
-        system.group_remove(name)
-
-    _, _, blocks = _residue_blocks(system, sidx)
-    loc = np.searchsorted(gsel, sidx)
-    if mode == "atom":
-        for b in blocks:
-            if da >= len(b):
-                raise GroupError(
-                    f"da={da} out of range for a {len(b)}-atom molecule",
-                    code="InvalidSelection")
-        sites = [[b[da]] for b in blocks]
-    else:
-        sites = blocks
-    cols, w, _, _ = _unit_tables(system, sidx, sites, loc)
-    mask = np.zeros(cols.shape, bool)
-    for i, b in enumerate(sites):
-        mask[i, : len(b)] = True
-    m_units = len(blocks)
-    n_chunks = -(-m_units // chunk)
-    pad = n_chunks * chunk - m_units
-    cols_p = np.concatenate([cols, np.zeros((pad, cols.shape[1]),
-                                            cols.dtype)]) if pad else cols
-    mask_p = np.concatenate([mask, np.zeros((pad, mask.shape[1]),
-                                            bool)]) if pad else mask
-    w_p = np.concatenate([w, np.ones((pad, w.shape[1]), w.dtype)
-                          / w.shape[1]]) if pad else w
-    cols_j, mask_j, w_j = (jnp.asarray(cols_p), jnp.asarray(mask_p),
-                           jnp.asarray(w_p))
-    ref_l = jnp.asarray(np.searchsorted(gsel, ridx))
-    starts = jnp.arange(n_chunks) * chunk
-    big = jnp.float32(1e30)
-
-    @jax.jit
-    def _dist(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            pr = pf[ref_l]                              # [R, 3]
-
-            def block(c0):
-                c = jax.lax.dynamic_slice_in_dim(cols_j, c0, chunk)
-                mk = jax.lax.dynamic_slice_in_dim(mask_j, c0, chunk)
-                x = pf[c]                               # [C, P, 3]
-                if mode == "com":
-                    wt = jax.lax.dynamic_slice_in_dim(w_j, c0, chunk)
-                    rel = pbc.min_image(x - x[:, :1], box)
-                    x = (x[:, 0] + jnp.sum(wt[..., None] * rel,
-                                           axis=1))[:, None, :]
-                    mk = mk[:, :1]
-                d = pbc.min_image(
-                    x[:, :, None, :] - pr[None, None, :, :], box)
-                d2 = jnp.sum(d * d, axis=-1)            # [C, P, R]
-                d2 = jnp.where(mk[..., None], d2, big)
-                return jnp.min(d2, axis=(1, 2))         # [C]
-
-            return jax.lax.map(block, starts).reshape(-1)[:m_units]
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    d = np.sqrt(np.asarray(_dist(pos, boxes), np.float64))
-    order = np.argsort(d, axis=1, kind="stable")
-    out = {
-        "dist": d,
-        "order": order,
-        "molecules": np.asarray([int(sidx[b[0]]) for b in blocks]),
-    }
-    if shell is not None:
-        out["nshell"] = (d < float(shell)).sum(axis=1).astype(np.int64)
-
-    if output is not None:
-        if not isinstance(trajectory, (str, os.PathLike, list)):
-            raise ParallelError(
-                "trjorder output writing needs the trajectory path(s), "
-                "not a DeviceTrajectory")
-        atom_blocks = [sidx[np.asarray(b)] for b in blocks]
-        slots = np.concatenate(atom_blocks)
-        if len({len(b) for b in atom_blocks}) != 1:
-            raise GroupError(
-                "reordered output requires equal-size solvent molecules",
-                code="InvalidSelection")
-        g = "__trjorder_out"
-        system.group_create_from_indices(
-            g, np.arange(system.topology.n_atoms) if out_group == "all"
-            else _transient_indices(system, out_group))
-        try:
-            files = trajectory if isinstance(trajectory, list) \
-                else [trajectory]
-            reader = system.traj_cat_iter(files)
-            system.group_traj_writer_init(g, output, fmt=outfmt)
-            try:
-                for f, _ in enumerate(reader):
-                    src = np.concatenate(
-                        [atom_blocks[m] for m in order[f]])
-                    system.positions[slots] = \
-                        system.positions[src].copy()
-                    system.traj_write_frame()
-            finally:
-                system.traj_writers_close()
-        finally:
-            system.group_remove(g)
-        out["written"] = output
-    return out
-
-
-def hydorder(system, trajectory, oxygen: str = "name OW", *,
-             axis: str = "z", slabs: int = 0, batch_size: int = 32,
-             chunk: int = 256):
-    """Tetrahedrality order parameters per water oxygen (surpass — the
-    `gmx hydorder` workload; absent from the reference).
-
-    For each atom of `oxygen` and frame, its 4 nearest minimum-image
-    neighbours within the selection define (Errington & Debenedetti,
-    Nature 409:318):
-      angle order  S_g = 1 - 3/8 * sum_{j<k} (cos psi_jk + 1/3)^2
-      distance order S_k = 1 - 1/3 * sum_k (r_k - rbar)^2 / (4 rbar^2)
-    evaluated as chunked dense distance tiles + `top_k` on device.
-    With `slabs` > 0, atoms bin into fractional slabs along `axis` and
-    per-slab means are returned (the interface-profile use).
-
-    Returns a dict: 'sg'/'sk' [F, W], 'mean_sg'/'mean_sk' [F], and with
-    slabs: 'slab_sg'/'slab_sk' [slabs] pass means (NaN where empty),
-    'slab_counts' [slabs].
-    """
-    import jax
-    import jax.numpy as jnp
-
-    oidx = _transient_indices(system, oxygen)
-    if oidx.size < 5:
-        raise GroupError(
-            f"need at least 5 atoms for 4-neighbour order parameters, "
-            f"selection '{oxygen}' has {oidx.size}", code="EmptyGroup")
-    name = "__hydorder_sel"
-    system.group_create_from_indices(name, oidx)
-    try:
-        gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size,
-            require_ortho="hydorder")
-    finally:
-        system.group_remove(name)
-
-    wn = int(gsel.size)
-    ax = {"x": 0, "y": 1, "z": 2}[axis]
-    n_chunks = -(-wn // chunk)
-    padn = n_chunks * chunk - wn
-    starts = jnp.arange(n_chunks) * chunk
-    big = jnp.float32(1e30)
-
-    @jax.jit
-    def _order(pos, boxes):
-        def one_frame(args):
-            pf, box = args
-            if padn:
-                pfp = jnp.concatenate(
-                    [pf, jnp.full((padn, 3), 1e5, jnp.float32)])
-            else:
-                pfp = pf
-
-            def block(c0):
-                pc = jax.lax.dynamic_slice_in_dim(pfp, c0, chunk)
-                d = pbc.min_image(
-                    pc[:, None, :] - pf[None, :, :], box)   # [C, W, 3]
-                d2 = jnp.sum(d * d, axis=-1)
-                row = jnp.arange(chunk) + c0
-                d2 = jnp.where(row[:, None] == jnp.arange(wn)[None, :],
-                               big, d2)
-                nd2, ni = jax.lax.top_k(-d2, 4)              # [C, 4]
-                r = jnp.sqrt(jnp.maximum(-nd2, 0.0))
-                v = jnp.take_along_axis(
-                    d, ni[..., None], axis=1)                # [C, 4, 3]
-                u = v / jnp.maximum(r, 1e-12)[..., None]
-                cs = jnp.einsum("cjd,ckd->cjk", u, u)
-                iu, ju = jnp.triu_indices(4, k=1)
-                sg = 1.0 - (3.0 / 8.0) * jnp.sum(
-                    (cs[:, iu, ju] + 1.0 / 3.0) ** 2, axis=1)
-                rbar = jnp.mean(r, axis=1)
-                sk = 1.0 - jnp.sum((r - rbar[:, None]) ** 2, axis=1) / (
-                    3.0 * 4.0 * jnp.maximum(rbar, 1e-12) ** 2)
-                return sg, sk
-
-            sg, sk = jax.lax.map(block, starts)
-            return sg.reshape(-1)[:wn], sk.reshape(-1)[:wn]
-
-        return jax.lax.map(one_frame, (pos, boxes))
-
-    sg, sk = (np.asarray(x, np.float64) for x in _order(pos, boxes))
-    out = {"sg": sg, "sk": sk,
-           "mean_sg": sg.mean(axis=1), "mean_sk": sk.mean(axis=1)}
-    if slabs:
-        frac = np.asarray(pos)[:, :, ax] / np.asarray(boxes)[:, None, ax]
-        si = np.clip((np.mod(frac, 1.0) * slabs).astype(np.int64),
-                     0, slabs - 1)
-        cnt = np.zeros(slabs)
-        ssg = np.zeros(slabs)
-        ssk = np.zeros(slabs)
-        np.add.at(cnt, si.ravel(), 1.0)
-        np.add.at(ssg, si.ravel(), sg.ravel())
-        np.add.at(ssk, si.ravel(), sk.ravel())
-        with np.errstate(invalid="ignore", divide="ignore"):
-            out["slab_sg"] = np.where(cnt > 0, ssg / np.maximum(cnt, 1),
-                                      np.nan)
-            out["slab_sk"] = np.where(cnt > 0, ssk / np.maximum(cnt, 1),
-                                      np.nan)
-        out["slab_counts"] = cnt.astype(np.int64)
-    return out
-
-
 class _named_group:
     """Context manager: `group` verbatim if it names an existing group,
     else a transient group compiled from it as a GSL query."""
@@ -6014,536 +1776,96 @@ class _named_group:
         return False
 
 
-def dipole_corr(system, trajectory, group: str = "all", *,
-                mode: str = "total", lags=None, batch_size: int = 32):
-    """Dipole autocorrelation functions (surpass — the `gmx dipoles
-    -corr tot|mol` workload; absent from the reference).
-
-    mode='total': C(tau) = <M(t) . M(t+tau)> over time origins, with M
-    the per-frame total dipole (`add_total_dipole` — per-molecule
-    minimum-image origins; requires bonds + charges).  mode='mol':
-    molecular dipoles mu_m about each molecule's own mass-weighted COM
-    (origin-independent for any net charge; molecules from the bond
-    graph), C(tau) averaged over molecules and origins.  The whole
-    curve is one `lax.map` dispatch (`ops.msd.lag_correlation`).
-
-    Returns a dict: 'lag_times' [L] ps, 'corr' [L] e^2 nm^2,
-    'phi' [L] (corr / corr[0]), 'corr_time' ps (trapezoid integral of
-    phi up to its first zero crossing — tau_D for a Debye liquid).
-    """
-    import jax.numpy as jnp
-
-    from ..ops import msd as msd_ops
-
-    if mode not in ("total", "mol"):
-        raise ParallelError(f"mode must be total/mol, got '{mode}'")
-
-    if mode == "total":
-        with _named_group(system, group, "__dipcorr_tot") as g:
-            pipe = TrajectoryAnalysis(system).add_total_dipole(g, name="M")
-            out = pipe.runner(group=None, ship="all").run(
-                trajectory, batch_size=batch_size)
-        series = jnp.asarray(np.asarray(out["M"], np.float32))[:, None, :]
-        times = np.asarray(out["times"], np.float64)
-    else:
-        idx = _transient_indices(system, group)
-        if idx.size == 0:
-            raise GroupError(f"group '{group}' is empty", code="EmptyGroup")
-        topo = system.topology
-        if not topo.has_charge[idx].all():
-            raise GroupError(f"group '{group}' has atoms without charge",
-                             code="InvalidCharge")
-        name = "__dipcorr_sel"
-        system.group_create_from_indices(name, idx)
-        try:
-            gsel, pos, boxes, dt = _resident_group_pos(
-                system, trajectory, name, batch_size,
-                require_ortho="dipole_corr")
-        finally:
-            system.group_remove(name)
-        mol = topo.molecule_ids()[idx]
-        order, blocks = [], {}
-        for local, m in enumerate(mol):
-            key = int(m)
-            if key not in blocks:
-                blocks[key] = []
-                order.append(key)
-            blocks[key].append(local)
-        loc = np.searchsorted(gsel, idx)
-        cols, w, qt, _ = _unit_tables(
-            system, idx, [blocks[k] for k in order], loc, charges=True)
-        import jax
-
-        cols_j, w_j, qt_j = (jnp.asarray(cols), jnp.asarray(w),
-                             jnp.asarray(qt))
-
-        @jax.jit
-        def _mu(pos, boxes):
-            def one_frame(args):
-                pf, box = args
-                x = pf[cols_j]                          # [U, P, 3]
-                rel = pbc.min_image(x - x[:, :1], box)
-                com_rel = jnp.sum(w_j[..., None] * rel, axis=1)
-                return jnp.sum(
-                    qt_j[..., None] * (rel - com_rel[:, None, :]), axis=1)
-
-            return jax.lax.map(one_frame, (pos, boxes))
-
-        series = _mu(pos, boxes)                        # [F, U, 3]
-        times = np.asarray(dt.times, np.float64)
-
-    f = int(series.shape[0])
-    if lags is None:
-        lags = np.arange(f, dtype=np.int64)
-    lags = np.asarray(lags, np.int64)
-    if len(lags) and (lags.min() < 0 or lags.max() >= f):
-        raise ParallelError(
-            f"lags must lie in [0, {f}) (trajectory has {f} frames)")
-    corr = np.asarray(msd_ops.lag_correlation(series, lags), np.float64)
-    lag_times = times[lags] - times[0]
-    phi = corr / corr[0] if corr[0] else corr
-    # integral correlation time up to the first zero crossing of phi
-    neg = np.flatnonzero(phi < 0)
-    stop = int(neg[0]) if neg.size else len(phi)
-    tau = float(np.trapezoid(phi[:stop], lag_times[:stop])) \
-        if stop >= 2 else 0.0
-    return {"lag_times": lag_times, "corr": corr, "phi": phi,
-            "corr_time": tau}
+# ---------------------------------------------------------------------
+# Split compatibility: the analysis families now live in sibling modules
+# (models.dynamics / structure / geometry / membrane / scattering /
+# freeenergy), but every name stays importable from here (PEP 562) so
+# `models.pipeline.<name>` call sites keep working unchanged.
+_SPLIT_MODULES = {
+    "_cm_form_factors": "scattering",
+    "_connected_components": "structure",
+    "_debye_curve": "scattering",
+    "_debye_eps": "freeenergy",
+    "_fit_inputs": "structure",
+    "_group_elements": "scattering",
+    "_hbond_curve": "dynamics",
+    "_hbond_h_matrix": "dynamics",
+    "_part_tables": "geometry",
+    "_pca_math": "structure",
+    "_water_sites": "membrane",
+    "bar": "freeenergy",
+    "bar_intervals": "freeenergy",
+    "bundle": "geometry",
+    "chi": "structure",
+    "cluster": "structure",
+    "clustsize": "structure",
+    "cosine_content": "structure",
+    "current": "dynamics",
+    "dccm": "structure",
+    "densmap": "membrane",
+    "densorder": "membrane",
+    "dielectric": "freeenergy",
+    "dielectric_spectrum": "freeenergy",
+    "diffusion": "dynamics",
+    "dipole_corr": "dynamics",
+    "dos": "dynamics",
+    "dssp": "structure",
+    "dyecoupl": "geometry",
+    "entropy": "structure",
+    "filter_traj": "dynamics",
+    "freevolume": "geometry",
+    "gangle": "geometry",
+    "h2order": "membrane",
+    "hbond_acf": "dynamics",
+    "hbond_lifetime": "dynamics",
+    "helixorient": "geometry",
+    "hydorder": "membrane",
+    "leaflets": "membrane",
+    "lie": "freeenergy",
+    "mdmat": "structure",
+    "mode_traj": "structure",
+    "morph": "structure",
+    "msd": "dynamics",
+    "msd_mol": "dynamics",
+    "order_parameters": "membrane",
+    "pairdist": "geometry",
+    "pca": "structure",
+    "pi_mindist": "geometry",
+    "polystat": "geometry",
+    "potential_profile": "membrane",
+    "ramachandran": "structure",
+    "rmsd_matrix": "structure",
+    "rmsdist": "structure",
+    "rmsf": "structure",
+    "rotacf": "dynamics",
+    "rotmat": "structure",
+    "saltbr": "geometry",
+    "sans": "scattering",
+    "sasa": "geometry",
+    "saxs": "scattering",
+    "sdf": "geometry",
+    "select_dynamic": "geometry",
+    "sorient": "membrane",
+    "spol": "membrane",
+    "subspace_overlap": "structure",
+    "tcaf": "dynamics",
+    "trjorder": "geometry",
+    "vacf": "dynamics",
+    "vanhove": "dynamics",
+    "wham": "freeenergy",
+    "write_cube": "geometry",
+}
 
 
-def _debye_eps(phi, t, omega, eps_static):
-    """eps(w) = 1 + (eps_s - 1) * (1 - i w FL[phi](w)) with FL the
-    one-sided Fourier-Laplace transform by float64 trapezoid — the
-    linear-response bridge from the normalized total-dipole ACF to the
-    complex dielectric spectrum (exactly the Debye form for a
-    single-exponential phi in the well-sampled limit)."""
-    ph = np.exp(-1j * np.asarray(omega)[:, None] * np.asarray(t)[None, :])
-    fl = np.trapezoid(ph * np.asarray(phi)[None, :], t, axis=1)
-    return 1.0 + (eps_static - 1.0) * (1.0 - 1j * np.asarray(omega) * fl)
+def __getattr__(name):
+    mod = _SPLIT_MODULES.get(name)
+    if mod is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module("." + mod, __package__), name)
 
 
-def dielectric_spectrum(system, trajectory, group: str = "all", *,
-                        temperature: float = 300.0, omega=None,
-                        n_freq: int = 120, batch_size: int = 32):
-    """Frequency-dependent dielectric constant from the total-dipole
-    ACF (surpass — the `gmx dielectric` workload; absent from the
-    reference).
-
-    With phi(t) the normalized total-dipole ACF (uniform frame grid
-    required) and eps_s the static Neumann fluctuation value
-    (`models.dielectric`):
-        eps(w) = 1 + (eps_s - 1) * (1 - i w FL[phi](w)),
-    where FL is the one-sided Fourier-Laplace transform evaluated by a
-    float64 trapezoid over the sampled curve — so a single-exponential
-    phi reproduces the Debye form (eps_s - 1)/(1 + i w tau) exactly in
-    the well-sampled limit.
-
-    Returns a dict: 'omega' [W] rad/ps, 'eps_real'/'eps_imag' [W]
-    (eps_imag >= 0 is the loss), 'eps_static', 'phi' [L],
-    'lag_times' [L] ps, 'corr_time' ps.
-    """
-    st = dielectric(system, trajectory, group,
-                    temperature=temperature, batch_size=batch_size)
-    ac = dipole_corr(system, trajectory, group, mode="total",
-                     batch_size=batch_size)
-    t = ac["lag_times"]
-    if len(t) < 3:
-        raise ParallelError("dielectric_spectrum needs >= 3 frames")
-    dts = np.diff(t)
-    if not np.allclose(dts, dts[0], rtol=1e-4, atol=1e-9):
-        raise ParallelError(
-            "dielectric_spectrum requires a uniform frame time grid "
-            f"(dt spans {dts.min():.6g}..{dts.max():.6g} ps)")
-    phi = ac["phi"]
-    if omega is None:
-        t_tot = float(t[-1])
-        omega = np.geomspace(2.0 * np.pi / t_tot,
-                             np.pi / float(dts[0]), int(n_freq))
-    omega = np.asarray(omega, np.float64)
-    eps = _debye_eps(phi, t, omega, st["epsilon"])
-    return {"omega": omega, "eps_real": eps.real, "eps_imag": -eps.imag,
-            "eps_static": st["epsilon"], "phi": phi, "lag_times": t,
-            "corr_time": ac["corr_time"]}
-
-
-def densorder(system, trajectory, group: str = "all", *, axis: str = "z",
-              bins: int = 100, mode: str = "mass", threshold: float = 0.5,
-              batch_size: int = 32):
-    """Liquid-slab interface positions from per-frame density profiles
-    (surpass — the `gmx densorder` workload; absent from the
-    reference).
-
-    Per frame: the `group` density profile along `axis`
-    (`add_density_profile`, NPT-exact fractional slabs), then the two
-    positions where it crosses `threshold` x its own maximum — linear
-    interpolation between adjacent slab centers, scanning inward from
-    each box edge (gmx densorder's bulk/interface split).  Positions
-    are reported in nm using the per-frame box length (`add_box_length`
-    rides the same device pass).
-
-    Returns a dict: 'lower'/'upper' [F] nm interface positions,
-    'thickness' [F] nm, 'lower_sigma'/'upper_sigma' (std of each
-    interface over the pass — the fluctuation gmx densorder fits
-    capillary-wave spectra to), 'profiles' [F, bins], 'box_len' [F].
-    """
-    ax = {"x": 0, "y": 1, "z": 2}.get(axis)
-    if ax is None:
-        raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
-                         code="InvalidAxis")
-    with _named_group(system, group, "__densorder_sel") as g:
-        pipe = (TrajectoryAnalysis(system)
-                .add_density_profile(g, axis=axis, n_bins=bins, mode=mode,
-                                     name="prof")
-                .add_box_lengths(name="blen"))
-        out = pipe.runner(group=None, ship="all").run(
-            trajectory, batch_size=batch_size)
-    prof = np.asarray(out["prof"], np.float64)          # [F, bins]
-    box_len = np.asarray(out["blen"], np.float64)[:, ax]  # NPT-exact
-
-    f = prof.shape[0]
-    centers = (np.arange(bins) + 0.5) / bins
-    lower = np.full(f, np.nan)
-    upper = np.full(f, np.nan)
-    for i in range(f):
-        p = prof[i]
-        lvl = float(threshold) * p.max()
-        if p.max() <= 0:
-            continue
-        above = p >= lvl
-        if not above.any():
-            continue
-        j0 = int(np.argmax(above))                     # first slab >= lvl
-        j1 = bins - 1 - int(np.argmax(above[::-1]))    # last slab >= lvl
-        if j0 > 0:
-            a, b = p[j0 - 1], p[j0]
-            frac = centers[j0 - 1] + (lvl - a) / (b - a) / bins
-        else:
-            frac = centers[0]
-        lower[i] = frac * box_len[i]
-        if j1 < bins - 1:
-            a, b = p[j1], p[j1 + 1]
-            frac = centers[j1] + (a - lvl) / (a - b) / bins
-        else:
-            frac = centers[-1]
-        upper[i] = frac * box_len[i]
-    return {"lower": lower, "upper": upper,
-            "thickness": upper - lower,
-            "lower_sigma": float(np.nanstd(lower)),
-            "upper_sigma": float(np.nanstd(upper)),
-            "profiles": prof, "box_len": box_len}
-
-
-def morph(system_a, system_b, *, n: int = 30, first: float = 0.0,
-          last: float = 1.0, fit: bool = True, group: str = "all",
-          output: str | None = None, outfmt: str | None = None):
-    """Linear interpolation between two conformations (surpass — the
-    `gmx morph` workload; absent from the reference).
-
-    `system_b` (a System or a structure filename loaded against a copy
-    of `system_a`'s topology expectations) is optionally least-squares
-    fitted onto `system_a` over `group` first (`calc_rmsd_and_fit`,
-    rmsd.rs:508 semantics), then `n` frames x(lambda) =
-    (1 - lambda) x_A + lambda x_B are generated for lambda in
-    [first, last] (gmx morph's -ninterm/-first/-last; values outside
-    [0, 1] extrapolate).  The per-frame RMSD to both endpoints is
-    evaluated as ONE batched device QCP pass each.  With `output`, the
-    interpolated trajectory is written for `group`.
-
-    Returns a dict: 'lambdas' [n], 'frames' [n, K, 3] (group atoms),
-    'rmsd_a'/'rmsd_b' [n] nm.
-    """
-    import jax.numpy as jnp
-
-    from ..system import System as _System
-    from ..system.rmsd import _extract, _masses
-
-    if isinstance(system_b, (str, os.PathLike)):
-        system_b = _System.from_file(str(system_b))
-    if system_b.get_n_atoms() != system_a.get_n_atoms():
-        raise RMSDError(
-            f"morph endpoints have {system_a.get_n_atoms()} vs "
-            f"{system_b.get_n_atoms()} atoms", code="InconsistentGroup")
-    if n < 2:
-        raise ParallelError(f"morph needs n >= 2 frames, got {n}")
-
-    idx = _transient_indices(system_a, group)
-    b = system_b.copy()
-    idx_b = _transient_indices(b, group)
-    if idx_b.size != idx.size:
-        raise RMSDError(
-            f"group '{group}' selects {idx.size} atoms in A but "
-            f"{idx_b.size} in B", code="InconsistentGroup")
-    # the fit group must exist under ONE name in both systems
-    gf = "__morph_fit"
-    system_a.group_create_from_indices(gf, idx)
-    b.group_create_from_indices(gf, idx_b)
-    try:
-        if fit:
-            b.calc_rmsd_and_fit(system_a, gf)
-        xb = b.positions[idx_b].astype(np.float64)
-        xa = system_a.positions[idx].astype(np.float64)
-
-        lambdas = np.linspace(float(first), float(last), int(n))
-        frames = ((1.0 - lambdas)[:, None, None] * xa[None]
-                  + lambdas[:, None, None] * xb[None]).astype(np.float32)
-
-        # batched QCP RMSD to each endpoint (PBC-aware centering over
-        # the endpoint system's own box, like calc_rmsd)
-        w = np.asarray(_masses(system_a, group, idx), np.float32)
-        from ..core.simbox import simbox_check
-
-        blen = simbox_check(system_a.get_box()).to_lengths_vec()
-        boxes = jnp.broadcast_to(jnp.asarray(blen, jnp.float32), (int(n), 3))
-
-        def series(ref_sys, g):
-            ref_coords, ref_center, _ = _extract(ref_sys, g)
-            return np.asarray(rmsd_ops.rmsd_frames(
-                jnp.asarray(ref_coords), jnp.asarray(ref_center),
-                jnp.asarray(frames), boxes, jnp.asarray(w))[1],
-                np.float64)
-
-        out = {"lambdas": lambdas, "frames": frames,
-               "rmsd_a": series(system_a, gf), "rmsd_b": series(b, gf)}
-    finally:
-        system_a.group_remove(gf)
-
-    if output is not None:
-        wsys = system_a.copy()
-        with _named_group(wsys, group, "__morph_w") as gw:
-            wsys.group_traj_writer_init(gw, output, fmt=outfmt)
-            try:
-                for k in range(int(n)):
-                    wsys.positions[idx] = frames[k]
-                    wsys.traj_write_frame()
-            finally:
-                wsys.traj_writers_close()
-        out["written"] = output
-    return out
-
-
-def lie(e_lj, e_qq, *, clj: float = 0.181, cqq: float = 0.5,
-        elj0: float = 0.0, eqq0: float = 0.0):
-    """Linear interaction energy binding estimate (surpass — the
-    `gmx lie` workload; absent from the reference).
-
-    dG(t) = clj * (E_lj(t) - elj0) + cqq * (E_qq(t) - eqq0) over
-    per-frame ligand-environment LJ / Coulomb interaction energies
-    (kJ/mol; gmx lie reads them from an energy file, here any array —
-    e.g. `io.xvg.read_xvg` columns).  Defaults are gmx lie's
-    (Aqvist's alpha = 0.181, beta = 0.5).
-
-    Returns a dict: 'dg' [F], 'dg_mean', 'dg_std' (of the mean, block
-    size 1), 'e_lj_mean', 'e_qq_mean'.
-    """
-    e_lj = np.asarray(e_lj, np.float64)
-    e_qq = np.asarray(e_qq, np.float64)
-    if e_lj.shape != e_qq.shape or e_lj.ndim != 1 or e_lj.size == 0:
-        raise ParallelError(
-            "e_lj and e_qq must be equal-length non-empty 1D series")
-    dg = clj * (e_lj - elj0) + cqq * (e_qq - eqq0)
-    return {"dg": dg, "dg_mean": float(dg.mean()),
-            "dg_std": float(dg.std(ddof=1) / np.sqrt(dg.size))
-            if dg.size > 1 else 0.0,
-            "e_lj_mean": float(e_lj.mean()),
-            "e_qq_mean": float(e_qq.mean())}
-
-
-def pi_mindist(system, trajectory, group: str = "all", *,
-               chunk: int = 128, batch_size: int = 32,
-               start_time=None, end_time=None, step=None):
-    """Shortest distance between a group and its own periodic images
-    (surpass — the `gmx mindist -pi` workload; absent from the
-    reference).
-
-    Per frame: min over the 26 non-zero image shifts S = n @ B and all
-    atom pairs (including an atom against its own image, distance |S|)
-    of |x_i - x_j + S|, plus the group's largest internal distance
-    max_ij |x_i - x_j| — together they answer gmx mindist -pi's
-    question: can the group see its own image through the PBC (min
-    image distance smaller than the relevant interaction cutoff, or
-    smaller than the max internal extent, signals a too-small box)?
-    Triclinic boxes supported; the whole trajectory evaluates on device
-    in one dispatch (`ops.distances.self_image_min`, chunked `[chunk,
-    K]` tiles under `lax.map`).
-
-    `group` is a group name or GSL query; `trajectory` a filename or
-    DeviceTrajectory.
-
-    Returns a dict: 'indices' [K], 'times' [F] (ps), 'min_image' [F]
-    and 'max_internal' [F] (nm).
-    """
-    gsel, pos, boxes, dt = _resident_group_pos(
-        system, trajectory, group, batch_size,
-        start_time=start_time, end_time=end_time, step=step)
-    mn, mx = distance_ops.self_image_min(pos, boxes, chunk=int(chunk))
-    return {"indices": gsel, "times": np.asarray(dt.times, np.float64),
-            "min_image": np.asarray(mn, np.float64),
-            "max_internal": np.asarray(mx, np.float64)}
-
-
-def subspace_overlap(pca_a, pca_b, *, n: int | None = None):
-    """Subspace and covariance overlap between two PCA analyses
-    (surpass — the `gmx anaeig -over` workload; absent from the
-    reference, which has no PCA at all).
-
-    Both inputs are `models.pca` result dicts (or any dicts carrying
-    'eigenvectors' [n, K, 3] and 'eigenvalues' [n]) over the SAME atom
-    group and weighting.  Over the first `n` modes of each (default:
-    all modes both analyses carry):
-
-    - inner products d_ij = v_i . w_j ([n, n])
-    - subspace overlap = (1/n) sum_ij d_ij^2 in [0, 1] — 1 iff the two
-      n-dimensional essential subspaces coincide (gmx anaeig's
-      "subspace overlap" / RMSIP^2)
-    - RMSIP = sqrt(subspace overlap) (root-mean-square inner product)
-    - covariance overlap (Hess, Phys Rev E 65 031910, gmx anaeig's
-      second number): 1 - sqrt[(sum_i la_i + sum_j lb_j -
-      2 sum_ij sqrt(la_i lb_j) d_ij^2) / (sum_i la_i + sum_j lb_j)]
-      — also weighs how similar the fluctuation MAGNITUDES along the
-      shared directions are.
-
-    All arithmetic is float64 on host (the matrices are [n, 3K] — tiny
-    next to the trajectory passes that produced them).
-
-    Returns a dict: 'n', 'inner' [n, n], 'subspace_overlap', 'rmsip',
-    'covariance_overlap'.
-    """
-    va = np.asarray(pca_a["eigenvectors"], np.float64)
-    vb = np.asarray(pca_b["eigenvectors"], np.float64)
-    if va.ndim != 3 or vb.ndim != 3 or va.shape[1:] != vb.shape[1:]:
-        raise ParallelError(
-            f"eigenvector shapes do not match: {va.shape} vs {vb.shape} "
-            "(both analyses must cover the same atom group)")
-    la = np.asarray(pca_a["eigenvalues"], np.float64)
-    lb = np.asarray(pca_b["eigenvalues"], np.float64)
-    n_max = min(va.shape[0], vb.shape[0], la.shape[0], lb.shape[0])
-    n = n_max if n is None else int(n)
-    if not 0 < n <= n_max:
-        raise ParallelError(
-            f"n must be in [1, {n_max}] (modes carried by both analyses), "
-            f"got {n}")
-    a = va[:n].reshape(n, -1)
-    b = vb[:n].reshape(n, -1)
-    d = a @ b.T
-    ss = d * d
-    overlap = float(ss.sum() / n)
-    la_n = np.clip(la[:n], 0.0, None)
-    lb_n = np.clip(lb[:n], 0.0, None)
-    denom = float(la_n.sum() + lb_n.sum())
-    if denom > 0:
-        cross = float((np.sqrt(np.outer(la_n, lb_n)) * ss).sum())
-        cov_overlap = 1.0 - np.sqrt(max(denom - 2.0 * cross, 0.0) / denom)
-    else:
-        cov_overlap = float("nan")
-    return {"n": n, "inner": d, "subspace_overlap": overlap,
-            "rmsip": float(np.sqrt(overlap)),
-            "covariance_overlap": float(cov_overlap)}
-
-
-def cosine_content(projections, *, n_modes: int | None = None):
-    """Cosine content of principal-component projections (surpass — the
-    `gmx analyze -cc` workload; absent from the reference).
-
-    For mode i (1-based), the cosine content of its projection series
-    p ([F]) is
-
-      c_i = (2/F) * (sum_j cos(i pi j / (F-1)) p_j)^2 / sum_j p_j^2
-
-    in [0, 1]: values near 1 mean the PC looks like the i-th cosine —
-    the signature of random diffusion rather than converged sampling
-    (Hess, Phys Rev E 65 031910).  `projections` is `models.pca`'s
-    'projections' [F, n] (or any [F] / [F, n] series); float64 on host.
-
-    Returns c [n_modes] (or a scalar for a 1-D input).
-    """
-    p = np.asarray(projections, np.float64)
-    scalar = p.ndim == 1
-    if scalar:
-        p = p[:, None]
-    if p.ndim != 2 or p.shape[0] < 2:
-        raise ParallelError(
-            f"projections must be [F>=2] or [F>=2, n], got {p.shape}")
-    f, n_all = p.shape
-    n = n_all if n_modes is None else min(int(n_modes), n_all)
-    if n < 1:
-        raise ParallelError(f"n_modes must be >= 1, got {n_modes}")
-    t = np.arange(f, dtype=np.float64) / (f - 1)
-    cc = np.empty(n, np.float64)
-    for i in range(n):
-        y = p[:, i]
-        denom = float(y @ y)
-        if denom == 0.0:
-            cc[i] = 0.0
-            continue
-        num = float(np.cos((i + 1) * np.pi * t) @ y)
-        cc[i] = 2.0 / f * num * num / denom
-    return float(cc[0]) if scalar else cc
-
-
-def mode_traj(system, pca_result, group: str, *, mode: int = 1,
-              amplitude: float | None = None, n: int = 30,
-              phases: int = 1, output: str | None = None,
-              outfmt: str | None = None):
-    """Oscillation trajectory along a principal mode (surpass — the
-    `gmx nmtraj` workload over quasi-harmonic modes; absent from the
-    reference).
-
-    Generates `n` frames x(t) = mean + A cos(2 pi (phases * t / n))
-    * v_mode / sw, where `mean` and `v_mode` come from `pca_result`
-    (a `models.pca` dict over `group`) and `sw` undoes its sqrt-mass
-    weighting so the output is in plain nm.  `mode` is 1-based.  The
-    default amplitude is the quasi-harmonic thermal extreme
-    sqrt(2 lambda_mode) in mass-weighted coordinates (RMS fluctuation
-    along the mode times sqrt(2) — the turning point of a harmonic
-    oscillator carrying that variance); pass `amplitude` (same
-    amu^1/2 nm units the projections use) to override, e.g. the
-    min/max observed projection for a data-spanning sweep.
-
-    With `output`, the frames are written as a `group` trajectory in
-    any writer format (like `gmx nmtraj -o`).
-
-    Returns a dict: 'frames' [n, K, 3] (nm), 'displacement' [n]
-    (the cosine coordinate in projection units), 'amplitude'.
-    """
-    if not 1 <= int(mode) <= pca_result["eigenvectors"].shape[0]:
-        raise ParallelError(
-            f"mode must be in [1, {pca_result['eigenvectors'].shape[0]}], "
-            f"got {mode}")
-    if n < 2:
-        raise ParallelError(f"mode_traj needs n >= 2 frames, got {n}")
-    idx = _transient_indices(system, group)
-    mean = np.asarray(pca_result["mean"], np.float64)
-    if mean.shape[0] != idx.size:
-        raise ParallelError(
-            f"pca_result covers {mean.shape[0]} atoms but group "
-            f"'{group}' selects {idx.size}")
-    ev = np.asarray(pca_result["eigenvectors"][int(mode) - 1], np.float64)
-    sw = np.asarray(
-        pca_result.get("sqrt_weights",
-                       np.sqrt(np.asarray(system.topology.mass,
-                                          np.float64)[idx])
-                       if pca_result.get("mass_weighted", True)
-                       else np.ones(idx.size)), np.float64)
-    if amplitude is None:
-        lam = float(pca_result["eigenvalues"][int(mode) - 1])
-        amplitude = float(np.sqrt(max(2.0 * lam, 0.0)))
-    disp = float(amplitude) * np.cos(
-        2.0 * np.pi * float(phases) * np.arange(int(n)) / int(n))
-    frames = (mean[None] + disp[:, None, None]
-              * (ev / sw[:, None])[None]).astype(np.float32)
-
-    out = {"frames": frames, "displacement": disp,
-           "amplitude": float(amplitude)}
-    if output is not None:
-        wsys = system.copy()
-        with _named_group(wsys, group, "__modetraj_w") as gw:
-            wsys.group_traj_writer_init(gw, output, fmt=outfmt)
-            try:
-                for k in range(int(n)):
-                    wsys.positions[idx] = frames[k]
-                    wsys.set_time(float(k))
-                    wsys.traj_write_frame()
-            finally:
-                wsys.traj_writers_close()
-        out["written"] = output
-    return out
+def __dir__():
+    return sorted(set(globals()) | set(_SPLIT_MODULES))

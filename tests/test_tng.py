@@ -585,3 +585,65 @@ def test_xtc2_python_fallback_corrupt_streams():
         _decode_xtc2(hdr + bytes([0b0101_0000]) + b"\x00" * 16, 4,
                      "POSITIONS")
     assert ei.value.code == "ParseTng"
+
+
+def test_tng_writer_compressed_velocities_forces(tmp_path):
+    """codec='tng' codes VELOCITY/FORCE blocks with the tng_compress
+    XTC2 coder too (VERDICT r4 #7): the decode path is block-id-agnostic,
+    so compressed velocity blocks — a file class GROMACS can emit — read
+    back through the same native XTC2 path, bit-exact on the quantized
+    grid (signed values included)."""
+    rng = np.random.default_rng(3)
+    n = 64
+    mult = 1000.0
+    out = str(tmp_path / "vf.tng")
+    w = TngFrameWriter(out, n, codec="tng", multiplier=mult)
+    box = np.eye(3, dtype=np.float32) * 8.0
+    pos, vel, frc = [], [], []
+    for f in range(3):
+        p = rng.uniform(0.0, 8.0, size=(n, 3)).astype(np.float32)
+        v = rng.normal(size=(n, 3)).astype(np.float32) * 2.0   # signed
+        g = rng.normal(size=(n, 3)).astype(np.float32) * 50.0  # signed
+        w.write_frame(p, box, f, float(f), velocities=v, forces=g)
+        pos.append(p)
+        vel.append(v)
+        frc.append(g)
+    w.close()
+
+    info = tng_info(out)
+    assert info["codecs"]["POSITIONS"] == 2
+    assert info["codecs"]["VELOCITIES"] == 2   # tng_compress on disk
+    assert info["codecs"]["FORCES"] == 2
+
+    src = TngSource(out)
+    fb = src.read_batch(np.arange(3))
+    assert fb.velocities is not None and fb.forces is not None
+    prec_lo = int(round(2.0 ** 32 / mult))
+    prec = prec_lo * 2.0 ** -32
+    for got, want in ((fb.velocities, vel), (fb.forces, frc)):
+        want = np.stack(want).astype(np.float64)
+        # bit-exact on the quantized grid: decode(encode(x)) ==
+        # round(x/prec)*prec exactly, signed values included
+        expect = (np.round(want / prec) * prec).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_tng_vel_force_range_fallback_stays_lossless(tmp_path):
+    """A velocity block whose span exceeds the XTC2 magic table falls
+    back to gzip for THAT block only — valid file, lossless values."""
+    w = TngFrameWriter(str(tmp_path / "vf2.tng"), 4, codec="tng")
+    box = np.eye(3, dtype=np.float32) * 10.0
+    p = np.array([[1, 1, 1], [1.1, 1, 1], [1, 1.2, 1], [2, 2, 2]],
+                 np.float32)
+    v = p * 0.1
+    v_huge = v.copy()
+    v_huge[0, 0] = 1.0e6
+    w.write_frame(p, box, 0, 0.0, velocities=v)
+    w.write_frame(p, box, 1, 1.0, velocities=v_huge)
+    w.close()
+    endian, _, _, sets = read_tng(str(tmp_path / "vf2.tng"))
+    codecs = [fs.data[0x10000002].codec for fs in sets]
+    assert codecs == [2, 3]
+    src = TngSource(str(tmp_path / "vf2.tng"))
+    fb = src.read_batch(np.arange(2))
+    np.testing.assert_array_equal(fb.velocities[1], v_huge)  # lossless

@@ -260,3 +260,25 @@ def test_sharded_triclinic_com_vs_bruteforce(dodeca_raw):
         frac = (est + d).mean(0)
         np.testing.assert_allclose(out["c"][f], frac @ h[f],
                                    rtol=0, atol=2e-4)
+
+
+def test_rotmat_vanhove_filter_current_triclinic(dodeca, tmp_path):
+    """Opportunistic conversions riding the triclinic helpers: rotmat
+    (proper rotations), vanhove (triclinic unwrap), filter_traj
+    (triclinic wrap + box-matrix output), dccm; current volume is the
+    determinant."""
+    r = models.rotmat(dodeca, XTC, "Prot")
+    dets = np.linalg.det(r["matrices"])
+    np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+
+    v = models.vanhove(dodeca, XTC, "Prot", r_max=2.0, bins=20)
+    assert np.isfinite(v["gs"]).all()
+
+    out = str(tmp_path / "sm.xtc")
+    n = models.filter_traj(dodeca, XTC, out, window=3, group="Prot",
+                           wrap=True)
+    assert n == 11 and os.path.exists(out)
+
+    d = models.dccm(dodeca, XTC, "Prot")
+    m = np.asarray(d["dccm"])
+    assert np.abs(np.diag(m) - 1.0).max() < 1e-4  # unit diagonal
