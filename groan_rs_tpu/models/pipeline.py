@@ -12,6 +12,14 @@ Everything compiles into ONE jitted function over `[B, N, 3]` batches:
 selections become static gather indices, reference coords/masses become
 device constants, and the whole trajectory pass is host-decode ->
 device-compute with no per-frame host round-trips (SURVEY §3.2 TPU design).
+
+This module holds the CORE: the pipeline classes, the device-resident
+sweep entry points, and the shared loaders/helpers.  The ~70 standalone
+analysis functions live in sibling modules by family — `dynamics`
+(msd/vacf/tcaf/...), `structure` (pca/cluster/dssp/...), `geometry`
+(sasa/bundle/trjorder/...), `membrane`, `scattering`, `freeenergy` —
+and every name remains importable from here (module `__getattr__`
+below) and from `groan_rs_tpu.models`.
 """
 
 from __future__ import annotations

@@ -89,11 +89,13 @@ def test_window_flags(tmp_path):
 
 def test_hbond_fixture_counts(tmp_path):
     out = str(tmp_path / "hb.xvg")
+    # first 3 frames only (-e): the exact counts are all this asserts,
+    # and the full fixture costs ~4.5 min of pure CPU on this host
     _run(["hbond", "-s", AATPR, "-f", AAXTC,
           "--acceptors", "resname SOL and name OW",
           "--donors", "resname SOL and name OW",
           "--hydrogens", "resname SOL and name HW1 HW2",
-          "--cutoff", "0.3", "--angle", "150", "-o", out])
+          "--cutoff", "0.3", "--angle", "150", "-e", "70100", "-o", out])
     d = read_xvg(out)
     assert d[:3, 1].astype(int).tolist() == [4675, 4644, 4629]
 
@@ -168,10 +170,10 @@ def test_hbond_life_tool(tmp_path, capsys):
           "--acceptors", "resname SOL and name OW",
           "--donors", "resname SOL and name OW",
           "--hydrogens", "resname SOL and name HW1 HW2",
-          "--cutoff", "0.3", "--angle", "150", "-o", out,
+          "--cutoff", "0.3", "--angle", "150", "-e", "70150", "-o", out,
           "--life", acf])
     txt = capsys.readouterr().out
-    assert "tau_continuous" in txt and "k_forward" in txt
+    assert "tau_continuous" in txt and "k_rapaport" in txt
     d = read_xvg(acf)
     assert d.shape[1] == 3
     assert d[0, 1] == pytest.approx(1.0) and d[0, 2] == pytest.approx(1.0)

@@ -119,7 +119,9 @@ def test_resident_dense_hbonds(tpr_sys):
     pipe = TrajectoryAnalysis(s, mesh=_mesh1()).add_hbonds(
         [chain], [(0, 0)], 0.3, 150.0, name="hb", method="dense")
     runner = pipe.runner()
-    dt = runner.load_device(xtc)
+    # first 3 frames: the exact counts are the assertion, and the dense
+    # counter is O(ND*NA) per frame on the CPU backend (~20 s/frame)
+    dt = runner.load_device(xtc, end_time=70100.0)
     out = runner.run(dt)
     key = [k for k in out if k.startswith("hb")][0]
     assert np.asarray(out[key])[:3].tolist() == [4675, 4644, 4629]
@@ -225,12 +227,12 @@ def test_run_many_hbond_threshold_sweep(tpr_sys):
                             method="dense").runner(ship="all"))
 
     runners = [build(0.3), build(0.25)]
-    # first 3 frames only: the dense counter is O(ND*NA) and the CPU
+    # first 2 frames only: the dense counter is O(ND*NA) and the CPU
     # suite pays ~4x the pass count here (sweep + solo re-run)
-    dt = runners[0].load_device(xtc, end_time=70100.0)
+    dt = runners[0].load_device(xtc, end_time=70050.0)
     many = run_many(runners, dt)
     key = [k for k in many[0] if k.startswith("hb")][0]
-    assert np.asarray(many[0][key])[:3].tolist() == [4675, 4644, 4629]
+    assert np.asarray(many[0][key])[:2].tolist() == [4675, 4644]
     solo = runners[1].run(dt)
     np.testing.assert_array_equal(np.asarray(many[1][key]),
                                   np.asarray(solo[key]))

@@ -93,11 +93,11 @@ def test_pipeline_add_hbonds(membrane, test_files):
     pipe.add_com("Protein")
     pipe.add_hbonds(WATER, [(0, 0)], 0.3, 150.0, name="ww")
     xtc = os.path.join(test_files, "aa_membrane_peptide.xtc")
-    # 8 frames, not the full fixture: exactness over the whole trajectory
+    # 3 frames, not the full fixture: exactness over the whole trajectory
     # is pinned by test_batched_water_counts_exact; this test is about the
     # pipeline plumbing (remap + co-existence with device observables) and
     # the full-fixture run costs ~9 min of pure CPU on this host
-    out = pipe.run(xtc, batch_size=4, end_time=70350.0)
+    out = pipe.run(xtc, batch_size=4, end_time=70100.0)
     assert list(out["ww_0_0"][:3]) == [4675, 4644, 4629]
     assert out["com_Protein"].shape == (out["times"].shape[0], 3)
     # the shipped subset really is a subset (hbond chains + protein)
