@@ -551,8 +551,6 @@ def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
     if dt.kind == "q16":
         pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
     boxes = jnp.asarray(dt.boxes)
-    if boxes.ndim == 3:
-        raise ParallelError("rotacf supports orthorhombic boxes")
 
     f = int(pos.shape[0])
     if lags is None:
@@ -562,9 +560,9 @@ def rotacf(system, trajectory, pairs, *, order: int = 2, lags=None,
         raise ParallelError(
             f"lags must lie in [0, {f}) (trajectory has {f} frames)")
 
-    d = pbc.min_image(pos[:, jnp.asarray(cols[:, 0])]
-                      - pos[:, jnp.asarray(cols[:, 1])],
-                      boxes[:, None, :])
+    d = pbc.min_image_frames_any(pos[:, jnp.asarray(cols[:, 0])]
+                                 - pos[:, jnp.asarray(cols[:, 1])],
+                                 boxes)
     u = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     curve = np.asarray(msd_ops.legendre_lag_correlation(u, lags, order))
     times = np.asarray(dt.times, np.float64)
@@ -843,7 +841,13 @@ def tcaf(system, trajectory, group: str = "all", *, n_k: int = 4,
 
     boxes = np.asarray(dt.boxes, np.float64)
     if boxes.ndim != 2:
-        raise ParallelError("tcaf supports orthorhombic boxes")
+        raise ParallelError(
+            "tcaf supports orthorhombic boxes: its k vectors are "
+            "2 pi m / L_a along the cartesian axes, which are only "
+            "reciprocal-lattice vectors (periodic modes) for a "
+            "rectangular cell; a sheared cell needs k = 2 pi m * "
+            "rows(H^-T), which changes the published per-axis "
+            "k-averaging convention — run on an orthorhombic box")
     box = boxes[0]
     if not np.allclose(boxes, box[None, :], rtol=1e-5):
         raise ParallelError(
@@ -964,7 +968,9 @@ def dipole_corr(system, trajectory, group: str = "all", *,
 
     if mode == "total":
         with _named_group(system, group, "__dipcorr_tot") as g:
-            pipe = TrajectoryAnalysis(system).add_total_dipole(g, name="M")
+            pipe = TrajectoryAnalysis(
+                system, triclinic=_system_triclinic(system)
+            ).add_total_dipole(g, name="M")
             out = pipe.runner(group=None, ship="all").run(
                 trajectory, batch_size=batch_size)
         series = jnp.asarray(np.asarray(out["M"], np.float32))[:, None, :]
@@ -981,8 +987,7 @@ def dipole_corr(system, trajectory, group: str = "all", *,
         system.group_create_from_indices(name, idx)
         try:
             gsel, pos, boxes, dt = _resident_group_pos(
-                system, trajectory, name, batch_size,
-                require_ortho="dipole_corr")
+                system, trajectory, name, batch_size)
         finally:
             system.group_remove(name)
         mol = topo.molecule_ids()[idx]
@@ -1006,7 +1011,9 @@ def dipole_corr(system, trajectory, group: str = "all", *,
             def one_frame(args):
                 pf, box = args
                 x = pf[cols_j]                          # [U, P, 3]
-                rel = pbc.min_image(x - x[:, :1], box)
+                d0 = x - x[:, :1]
+                rel = (pbc.min_image_triclinic(d0, box) if box.ndim == 2
+                       else pbc.min_image(d0, box))
                 com_rel = jnp.sum(w_j[..., None] * rel, axis=1)
                 return jnp.sum(
                     qt_j[..., None] * (rel - com_rel[:, None, :]), axis=1)

@@ -30,6 +30,22 @@ from .pipeline import (  # shared core helpers
 )
 
 
+def _mi(d, box):
+    """Per-frame minimum image: `box` is [3] orthorhombic lengths or a
+    [3, 3] triclinic row matrix (exact 27-image search).  Shared by the
+    per-frame lax.map bodies below so every geometric analysis accepts
+    box-matrix trajectories."""
+    return (pbc.min_image_triclinic(d, box) if box.ndim == 2
+            else pbc.min_image(d, box))
+
+
+def _ctr(pf, box, w=None):
+    """Per-frame refined center dispatching on the box representation."""
+    if box.ndim == 2:
+        return center_ops.center_triclinic(pf, box, weights=w)
+    return center_ops.center(pf, box, weights=w)
+
+
 def sasa(system, trajectory, group: str, *, probe: float = 0.14,
          n_points: int = 192, max_neighbors: int = 64, radii=None,
          batch_size: int = 32):
@@ -337,7 +353,7 @@ def sdf(system, trajectory, group: str, ref_group: str, *,
     system.group_create_from_indices(union, np.union1d(gsel, rsel))
     try:
         usel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, union, batch_size, require_ortho="sdf")
+            system, trajectory, union, batch_size)
     finally:
         system.group_remove(union)
     lut = np.full(system.topology.n_atoms, -1, np.int64)
@@ -363,18 +379,18 @@ def sdf(system, trajectory, group: str, ref_group: str, *,
         # frame-0 reference conformation for the rotational fit
         p0 = pos[0][r_l]
         box0 = boxes[0]
-        com0 = center_ops.center(p0, box0, weights=w_ref)
-        ref0 = pbc.min_image(p0 - com0[None, :], box0)    # [R, 3]
+        com0 = _ctr(p0, box0, w=w_ref)
+        ref0 = _mi(p0 - com0[None, :], box0)              # [R, 3]
 
         def one_frame(args):
             pf, box = args
-            com = center_ops.center(pf[r_l], box, weights=w_ref)
-            off = pbc.min_image(pf[g_l] - com[None, :], box)   # [K, 3]
+            com = _ctr(pf[r_l], box, w=w_ref)
+            off = _mi(pf[g_l] - com[None, :], box)        # [K, 3]
             if fit:
                 # both point sets are COM-centered (mass-weighted), so
                 # the mass-weighted Kabsch centroids are zero; `cur @
                 # rot` aligns the frame onto the frame-0 conformation
-                cur = pbc.min_image(pf[r_l] - com[None, :], box)
+                cur = _mi(pf[r_l] - com[None, :], box)
                 zero = jnp.zeros((1, 3), cur.dtype)
                 rot, _, _ = rmsd_ops.kabsch(
                     cur[None], ref0[None], w_ref[None], zero, zero)
@@ -451,7 +467,7 @@ def helixorient(system, trajectory, group: str, *, axis: str = "z",
     ax_ref[_AXIS[axis]] = 1.0
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="helixorient")
+        system, trajectory, group, batch_size)
     # CA atoms in residue order
     names = system.topology.atomname
     ca_cols = [i for i in range(len(gsel))
@@ -472,7 +488,7 @@ def helixorient(system, trajectory, group: str, *, axis: str = "z",
         def one_frame(args):
             pf, box = args
             ca = pf[cac]                                  # [R, 3]
-            d = pbc.min_image(ca[1:] - ca[:-1], box)      # [R-1, 3] bonds
+            d = _mi(ca[1:] - ca[:-1], box)      # [R-1, 3] bonds
             whole = jnp.concatenate(
                 [ca[:1], ca[:1] + jnp.cumsum(d, axis=0)])
             u = whole[1:] - whole[:-1]                    # [R-1, 3]
@@ -590,7 +606,7 @@ def bundle(system, trajectory, tops, bottoms, *, n_axes: int | None = None,
     system.group_create_from_indices(name, union)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="bundle")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
 
@@ -621,7 +637,7 @@ def bundle(system, trajectory, tops, bottoms, *, n_axes: int | None = None,
             def part_com(cols, w):
                 x = pf[cols]                             # [A, P, 3]
                 x0 = x[:, :1]
-                rel = pbc.min_image(x - x0, box)
+                rel = _mi(x - x0, box)
                 return x0[:, 0] + jnp.sum(w[..., None] * rel, axis=1)
 
             bcom = part_com(bcols, bw)                   # [A, 3]
@@ -629,17 +645,17 @@ def bundle(system, trajectory, tops, bottoms, *, n_axes: int | None = None,
             b0 = pf[bcols][:, 0]
             # top part re-anchored into the bottom anchor's image
             tx = pf[tcols]
-            trel = pbc.min_image(tx - tx[:, :1], box)
-            t0b = b0 + pbc.min_image(t0 - b0, box)
+            trel = _mi(tx - tx[:, :1], box)
+            t0b = b0 + _mi(t0 - b0, box)
             tcom = t0b + jnp.sum(tw[..., None] * trel, axis=1)
 
             vec = tcom - bcom                            # [A, 3]
             length = jnp.linalg.norm(vec, axis=-1)
             v = vec / jnp.maximum(length[:, None], 1e-12)
             mid = bcom + 0.5 * vec
-            dmid = pbc.min_image(mid - mid[:1], box)
+            dmid = _mi(mid - mid[:1], box)
             center = mid[0] + jnp.mean(dmid, axis=0)
-            off = pbc.min_image(mid - center, box)       # [A, 3]
+            off = _mi(mid - center, box)       # [A, 3]
             zshift = off @ ej
             perp = off - zshift[:, None] * ej
             dist = jnp.linalg.norm(perp, axis=-1)
@@ -697,7 +713,7 @@ def dyecoupl(system, trajectory, donor, acceptor, *, r0: float | None = None,
     system.group_create_from_indices(name, union)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="dyecoupl")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
     dc = jnp.asarray(np.searchsorted(gsel, d_idx))
@@ -707,11 +723,11 @@ def dyecoupl(system, trajectory, donor, acceptor, *, r0: float | None = None,
     def _coupl(pos, boxes):
         def one_frame(args):
             pf, box = args
-            dvec = pbc.min_image(pf[dc[1]] - pf[dc[0]], box)
-            avec = pbc.min_image(pf[ac[1]] - pf[ac[0]], box)
+            dvec = _mi(pf[dc[1]] - pf[dc[0]], box)
+            avec = _mi(pf[ac[1]] - pf[ac[0]], box)
             dmid = pf[dc[0]] + 0.5 * dvec
             amid = pf[ac[0]] + 0.5 * avec
-            rvec = pbc.min_image(amid - dmid, box)
+            rvec = _mi(amid - dmid, box)
             r = jnp.linalg.norm(rvec)
             ud = dvec / jnp.maximum(jnp.linalg.norm(dvec), 1e-12)
             ua = avec / jnp.maximum(jnp.linalg.norm(avec), 1e-12)
@@ -789,7 +805,7 @@ def gangle(system, trajectory, group1, *, g1: str = "vector",
     system.group_create_from_indices(name, union)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="gangle")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
 
@@ -804,11 +820,11 @@ def gangle(system, trajectory, group1, *, g1: str = "vector",
 
     def site_dirs(pf, box, cols, width):
         a = pf[cols[:, 0]]
-        d1 = pbc.min_image(pf[cols[:, 1]] - a, box)
+        d1 = _mi(pf[cols[:, 1]] - a, box)
         if width == 2:
             v = d1
         else:
-            d2 = pbc.min_image(pf[cols[:, 2]] - a, box)
+            d2 = _mi(pf[cols[:, 2]] - a, box)
             v = jnp.cross(d1, d2)
         return v / jnp.maximum(
             jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
@@ -877,8 +893,7 @@ def pairdist(system, trajectory, group1, group2, *, split: str = "res",
     system.group_create_from_indices(name, union)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size,
-            require_ortho="pairdist")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
 
@@ -937,12 +952,12 @@ def pairdist(system, trajectory, group1, group2, *, split: str = "res",
 
             def coms(cols, w):
                 x = pf[cols]
-                rel = pbc.min_image(x - x[:, :1], box)
+                rel = _mi(x - x[:, :1], box)
                 return x[:, 0] + jnp.sum(w[..., None] * rel, axis=1)
 
             a = coms(c1, w1)
             b = coms(c2, w2)
-            d = pbc.min_image(a[:, None, :] - b[None, :, :], box)
+            d = _mi(a[:, None, :] - b[None, :, :], box)
             return jnp.linalg.norm(d, axis=-1)
 
         return jax.lax.map(one_frame, (pos, boxes))
@@ -1002,8 +1017,7 @@ def select_dynamic(system, trajectory, group, *, within: float | None = None,
         system.group_create_from_indices(name, union)
         try:
             gsel, pos, boxes, _ = _resident_group_pos(
-                system, trajectory, name, batch_size,
-                require_ortho="select_dynamic")
+                system, trajectory, name, batch_size)
         finally:
             system.group_remove(name)
         cand_cols = np.searchsorted(gsel, idx)
@@ -1013,7 +1027,7 @@ def select_dynamic(system, trajectory, group, *, within: float | None = None,
         def _mask(pc, pr, boxes):
             def one_frame(args):
                 c, r, box = args
-                d = pbc.min_image(c[:, None, :] - r[None, :, :], box)
+                d = _mi(c[:, None, :] - r[None, :, :], box)
                 return jnp.min(jnp.sum(d * d, axis=-1), axis=1) \
                     < jnp.float32(within) ** 2
 
@@ -1034,8 +1048,7 @@ def select_dynamic(system, trajectory, group, *, within: float | None = None,
         system.group_create_from_indices(name, idx)
         try:
             gsel, pos, boxes, _ = _resident_group_pos(
-                system, trajectory, name, batch_size,
-                require_ortho="select_dynamic")
+                system, trajectory, name, batch_size)
         finally:
             system.group_remove(name)
         cols = jnp.asarray(np.searchsorted(gsel, idx))
@@ -1173,8 +1186,7 @@ def trjorder(system, trajectory, ref_group: str, solvent: str, *,
     system.group_create_from_indices(name, union)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size,
-            require_ortho="trjorder")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
 
@@ -1220,11 +1232,11 @@ def trjorder(system, trajectory, ref_group: str, solvent: str, *,
                 x = pf[c]                               # [C, P, 3]
                 if mode == "com":
                     wt = jax.lax.dynamic_slice_in_dim(w_j, c0, chunk)
-                    rel = pbc.min_image(x - x[:, :1], box)
+                    rel = _mi(x - x[:, :1], box)
                     x = (x[:, 0] + jnp.sum(wt[..., None] * rel,
                                            axis=1))[:, None, :]
                     mk = mk[:, :1]
-                d = pbc.min_image(
+                d = _mi(
                     x[:, :, None, :] - pr[None, None, :, :], box)
                 d2 = jnp.sum(d * d, axis=-1)            # [C, P, R]
                 d2 = jnp.where(mk[..., None], d2, big)

@@ -27,9 +27,24 @@ from .pipeline import (  # shared core helpers
     _resident_group_pos,
     _residue_blocks,
     _sel_indices,
+    _system_triclinic,
     _transient_indices,
     _unit_tables,
 )
+
+
+def _mi(d, box):
+    """Per-frame minimum image: `box` is [3] lengths or [3, 3] triclinic
+    row matrix (exact 27-image search)."""
+    return (pbc.min_image_triclinic(d, box) if box.ndim == 2
+            else pbc.min_image(d, box))
+
+
+def _ctr(pf, box, w=None):
+    """Per-frame refined center dispatching on the box representation."""
+    if box.ndim == 2:
+        return center_ops.center_triclinic(pf, box, weights=w)
+    return center_ops.center(pf, box, weights=w)
 
 
 def leaflets(system, trajectory, heads: str, *, axis: str = "z",
@@ -117,7 +132,8 @@ def potential_profile(system, trajectory, group: str, *, axis: str = "z",
     if ax is None:
         raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
                          code="InvalidAxis")
-    pipe = TrajectoryAnalysis(system).add_density_profile(
+    pipe = TrajectoryAnalysis(
+        system, triclinic=_system_triclinic(system)).add_density_profile(
         group, axis=axis, n_bins=n_bins, mode="charge", name="rho")
     runner = pipe.runner(group=None, ship="all")
     out = runner.run(trajectory, batch_size=batch_size)
@@ -127,9 +143,14 @@ def potential_profile(system, trajectory, group: str, *, axis: str = "z",
     if isinstance(trajectory, DeviceTrajectory):
         boxes = np.asarray(trajectory.boxes, np.float64)
         if boxes.ndim == 3:
-            raise ParallelError(
-                "potential_profile supports orthorhombic boxes")
-        lz = boxes[:, ax]
+            if ax != 2:
+                raise ParallelError(
+                    "potential_profile on a triclinic box supports "
+                    "axis='z' only (only the c vector has a z component "
+                    "in the Gromacs convention)")
+            lz = boxes[:, ax, ax]
+        else:
+            lz = boxes[:, ax]
     else:
         from ..io.traj import open_source
 
@@ -166,7 +187,9 @@ def order_parameters(system, trajectory, group: str, *, axis="z",
     - 'pairs' ([P], [P]): (heavy, hydrogen) global indices per bond
     - 's_pairs' [P]: per-bond trajectory mean S
     """
-    pipe = TrajectoryAnalysis(system).add_order(group, axis=axis,
+    pipe = TrajectoryAnalysis(
+        system, triclinic=_system_triclinic(system)
+    ).add_order(group, axis=axis,
                                                 name="order")
     out = pipe.run(trajectory, batch_size=batch_size)
     c_idx, h_idx = pipe.order_pairs["order"]
@@ -209,7 +232,7 @@ def densmap(system, trajectory, group: str = "all", *, axes: str = "xy",
     nx, ny = int(bins[0]), int(bins[1])
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="densmap")
+        system, trajectory, group, batch_size)
 
     if weights == "number":
         w = np.ones(gsel.shape[0], np.float32)
@@ -225,12 +248,20 @@ def densmap(system, trajectory, group: str = "all", *, axes: str = "xy",
 
     @jax.jit
     def _hist(pos, boxes, w):
-        frac = pos / boxes[:, None, :]
+        if boxes.ndim == 3:
+            # fractional coordinates along the box VECTORS (exact tiles
+            # for sheared cells); volume from the determinant
+            hinv = jnp.linalg.inv(boxes)
+            frac = jnp.einsum("fki,fij->fkj", pos, hinv,
+                              precision=jax.lax.Precision.HIGHEST)
+            vol = jnp.abs(jnp.linalg.det(boxes))           # [F]
+        else:
+            frac = pos / boxes[:, None, :]
+            vol = jnp.prod(boxes, axis=1)                  # [F]
         frac = frac - jnp.floor(frac)
         ix = jnp.clip((frac[..., i1] * nx).astype(jnp.int32), 0, nx - 1)
         iy = jnp.clip((frac[..., i2] * ny).astype(jnp.int32), 0, ny - 1)
         flat = (ix * ny + iy).reshape(-1)
-        vol = jnp.prod(boxes, axis=1)                      # [F]
         ww = jnp.broadcast_to(w[None, :], (f, k))
         dens_w = (ww * ((nx * ny) / vol)[:, None]).reshape(-1)
         counts = jnp.zeros((nx * ny,), jnp.float32).at[flat].add(
@@ -241,7 +272,11 @@ def densmap(system, trajectory, group: str = "all", *, axes: str = "xy",
     counts, dens = _hist(pos, boxes, jnp.asarray(w))
     counts = np.asarray(counts, np.float64)
     dens = np.asarray(dens, np.float64)
-    mean_box = np.asarray(boxes, np.float64).mean(axis=0)
+    bx = np.asarray(boxes, np.float64)
+    # bin centers in nm of the MEAN box: along the box-vector NORMS for
+    # triclinic cells (the tiles are fractional along a/b/c)
+    mean_box = (np.linalg.norm(bx, axis=-1).mean(axis=0) if bx.ndim == 3
+                else bx.mean(axis=0))
     bwx = mean_box[i1] / nx
     bwy = mean_box[i2] / ny
     xs = (np.arange(nx) + 0.5) * bwx
@@ -304,8 +339,7 @@ def sorient(system, trajectory, ref_group: str, *,
                           np.asarray(system.group_indices(ref_group))))
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, union, batch_size,
-            require_ortho="sorient")
+            system, trajectory, union, batch_size)
     finally:
         system.group_remove(union)
     lut = np.full(system.topology.n_atoms, -1, np.int64)
@@ -323,13 +357,13 @@ def sorient(system, trajectory, ref_group: str, *,
     def _orient(pos, boxes):
         def one_frame(args):
             pf, box = args
-            com = center_ops.center(pf[ref_l], box, weights=w_ref)
+            com = _ctr(pf[ref_l], box, w=w_ref)
             po = pf[o_l]                                  # [W, 3]
-            out_v = pbc.min_image(po - com[None, :], box)
+            out_v = _mi(po - com[None, :], box)
             r = jnp.sqrt(jnp.sum(out_v * out_v, axis=-1))
             ou = out_v / jnp.maximum(r, 1e-12)[:, None]
-            b1 = pbc.min_image(pf[h_l[:, 0]] - po, box)
-            b2 = pbc.min_image(pf[h_l[:, 1]] - po, box)
+            b1 = _mi(pf[h_l[:, 0]] - po, box)
+            b2 = _mi(pf[h_l[:, 1]] - po, box)
             dip = b1 + b2
             dip = dip / jnp.maximum(
                 jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)[:, None]
@@ -403,8 +437,7 @@ def h2order(system, trajectory, *, oxygen: str = "name OW",
         union, np.union1d(o_idx, h_idx.ravel()))
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, union, batch_size,
-            require_ortho="h2order")
+            system, trajectory, union, batch_size)
     finally:
         system.group_remove(union)
     lut = np.full(system.topology.n_atoms, -1, np.int64)
@@ -412,18 +445,24 @@ def h2order(system, trajectory, *, oxygen: str = "name OW",
     o_l = jnp.asarray(lut[o_idx])
     h_l = jnp.asarray(lut[h_idx])
     nb = int(bins)
+    if np.asarray(boxes).ndim == 3 and ax != 2:
+        # Gromacs lower-triangular H: only the c row has a z component,
+        # so only axis='z' has a scalar period under a sheared cell
+        raise ParallelError(
+            "h2order on a triclinic box supports axis='z' only")
 
     @jax.jit
     def _slabs(pos, boxes):
         def one_frame(args):
             pf, box = args
             po = pf[o_l]
-            b1 = pbc.min_image(pf[h_l[:, 0]] - po, box)
-            b2 = pbc.min_image(pf[h_l[:, 1]] - po, box)
+            b1 = _mi(pf[h_l[:, 0]] - po, box)
+            b2 = _mi(pf[h_l[:, 1]] - po, box)
             dip = b1 + b2
             c = dip[:, ax] / jnp.maximum(
                 jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)
-            zf = po[:, ax] / box[ax]
+            period = box[ax, ax] if box.ndim == 2 else box[ax]
+            zf = po[:, ax] / period
             zf = zf - jnp.floor(zf)
             i = jnp.clip((zf * nb).astype(jnp.int32), 0, nb - 1)
             cs = jnp.zeros((nb,), jnp.float32).at[i].add(c)
@@ -434,8 +473,9 @@ def h2order(system, trajectory, *, oxygen: str = "name OW",
 
     cs, cn = (np.asarray(x, np.float64).sum(axis=0)
               for x in _slabs(pos, boxes))
-    mean_box = np.asarray(boxes, np.float64).mean(axis=0)
-    z = (np.arange(nb) + 0.5) * (mean_box[ax] / nb)
+    bx = np.asarray(boxes, np.float64)
+    period = (bx[:, ax, ax] if bx.ndim == 3 else bx[:, ax]).mean()
+    z = (np.arange(nb) + 0.5) * (period / nb)
     with np.errstate(invalid="ignore", divide="ignore"):
         cosm = np.where(cn > 0, cs / np.maximum(cn, 1), np.nan)
     return {"z": z, "cos": cosm, "count": cn}
@@ -475,7 +515,7 @@ def spol(system, trajectory, ref_group: str, solvent: str, *,
     system.group_create_from_indices(name, union)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size, require_ortho="spol")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
 
@@ -495,15 +535,15 @@ def spol(system, trajectory, ref_group: str, solvent: str, *,
     def _spol(pos, boxes):
         def one_frame(args):
             pf, box = args
-            ref_com = center_ops.center(pf[ref_l], box, weights=w_ref)
+            ref_com = _ctr(pf[ref_l], box, w=w_ref)
             x = pf[cols_j]                              # [U, P, 3]
-            rel = pbc.min_image(x - x[:, :1], box)      # whole units
+            rel = _mi(x - x[:, :1], box)                # whole units
             com_rel = jnp.sum(w_j[..., None] * rel, axis=1)   # [U, 3]
             com = x[:, 0] + com_rel
             # dipole about the unit COM: exact for any net charge
             dip = jnp.sum(qt_j[..., None] * (rel - com_rel[:, None, :]),
                           axis=1)                       # [U, 3]
-            rv = pbc.min_image(com - ref_com[None, :], box)
+            rv = _mi(com - ref_com[None, :], box)
             r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
             c = jnp.sum(dip * rv, axis=-1) / jnp.maximum(
                 r * jnp.sqrt(jnp.sum(dip * dip, axis=-1)), 1e-12)
@@ -558,8 +598,7 @@ def hydorder(system, trajectory, oxygen: str = "name OW", *,
     system.group_create_from_indices(name, oidx)
     try:
         gsel, pos, boxes, _ = _resident_group_pos(
-            system, trajectory, name, batch_size,
-            require_ortho="hydorder")
+            system, trajectory, name, batch_size)
     finally:
         system.group_remove(name)
 
@@ -582,7 +621,7 @@ def hydorder(system, trajectory, oxygen: str = "name OW", *,
 
             def block(c0):
                 pc = jax.lax.dynamic_slice_in_dim(pfp, c0, chunk)
-                d = pbc.min_image(
+                d = _mi(
                     pc[:, None, :] - pf[None, :, :], box)   # [C, W, 3]
                 d2 = jnp.sum(d * d, axis=-1)
                 row = jnp.arange(chunk) + c0
@@ -611,7 +650,12 @@ def hydorder(system, trajectory, oxygen: str = "name OW", *,
     out = {"sg": sg, "sk": sk,
            "mean_sg": sg.mean(axis=1), "mean_sk": sk.mean(axis=1)}
     if slabs:
-        frac = np.asarray(pos)[:, :, ax] / np.asarray(boxes)[:, None, ax]
+        bx = np.asarray(boxes)
+        if bx.ndim == 3 and ax != 2:
+            raise ParallelError(
+                "hydorder slabs on a triclinic box support axis='z' only")
+        period = bx[:, ax, ax] if bx.ndim == 3 else bx[:, ax]
+        frac = np.asarray(pos)[:, :, ax] / period[:, None]
         si = np.clip((np.mod(frac, 1.0) * slabs).astype(np.int64),
                      0, slabs - 1)
         cnt = np.zeros(slabs)
@@ -653,7 +697,8 @@ def densorder(system, trajectory, group: str = "all", *, axis: str = "z",
         raise GroupError(f"unknown axis '{axis}' (use 'x'|'y'|'z')",
                          code="InvalidAxis")
     with _named_group(system, group, "__densorder_sel") as g:
-        pipe = (TrajectoryAnalysis(system)
+        pipe = (TrajectoryAnalysis(system,
+                                   triclinic=_system_triclinic(system))
                 .add_density_profile(g, axis=axis, n_bins=bins, mode=mode,
                                      name="prof")
                 .add_box_lengths(name="blen"))

@@ -1572,10 +1572,11 @@ def _resident_group_cols(system, dtraj, group, gsel):
     return cols
 
 def _resident_group_pos(system, trajectory, group, batch_size,
-                        require_ortho: str | None = None,
                         start_time=None, end_time=None, step=None):
     """Shared loader: the group's device-resident float32 positions
-    `[F, K, 3]`, boxes, global indices, and the DeviceTrajectory.
+    `[F, K, 3]`, boxes (`[F, 3]` lengths, or `[F, 3, 3]` matrices for a
+    triclinic system — auto-detected; every consumer dispatches on the
+    representation), global indices, and the DeviceTrajectory.
 
     `group` is an existing group name OR a GSL query (compiled into a
     transient group for the duration of the load).  The time window
@@ -1628,10 +1629,6 @@ def _resident_group_pos(system, trajectory, group, batch_size,
     if dt.kind == "q16":
         pos = pos.astype(jnp.float32) * jnp.asarray(dt.inv_prec)[:, None, None]
     boxes = jnp.asarray(dt.boxes)
-    if require_ortho and boxes.ndim == 3:
-        raise ParallelError(
-            f"{require_ortho} supports orthorhombic boxes; got per-frame "
-            "box matrices")
     return gsel, pos, boxes, dt
 
 def _residue_blocks(system, gsel):

@@ -19,7 +19,11 @@ def _require_box(system, what):
     if system.simbox is None:
         raise ParallelError(f"{what} needs a simulation box")
     if not system.simbox.is_orthogonal():
-        raise ParallelError(f"{what} supports orthorhombic boxes")
+        raise ParallelError(
+            f"{what} builds/fills rectangular solvent grids (the gmx "
+            "solvate/insert-molecules convention) and supports "
+            "orthorhombic boxes; convert the box or solvate before "
+            "shearing")
     return np.array([system.simbox.x, system.simbox.y, system.simbox.z],
                     np.float32)
 

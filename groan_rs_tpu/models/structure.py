@@ -846,7 +846,7 @@ def clustsize(system, trajectory, group: str = "all", *,
         raise ParallelError(
             f"clustsize mode must be 'molecule' or 'atom', got {mode!r}")
     gsel, pos, boxes, dt = _resident_group_pos(
-        system, trajectory, group, batch_size, require_ortho="clustsize")
+        system, trajectory, group, batch_size)
 
     if mode == "molecule":
         mol = np.asarray(system.topology.molecule_ids())[gsel]
@@ -901,7 +901,8 @@ def rmsdist(system, trajectory, group: str, *, reference=None,
     RMSdist(t) = sqrt(mean over i<j of (d_ij(t) - d_ij(ref))^2), the
     fit-free alternative to RMSD.  Distances are plain Euclidean (the
     gmx convention: molecules are assumed whole) unless `pbc_aware=True`
-    (min-image with each frame's box — a surpass option).  The [K, K]
+    (min-image with each frame's box, exact 27-image for triclinic
+    cells — a surpass option).  The [K, K]
     pair matrices evaluate as device row tiles (`chunk` rows per step
     under `lax.map`, frames batched in one dispatch).
 
@@ -915,8 +916,7 @@ def rmsdist(system, trajectory, group: str, *, reference=None,
     import jax.numpy as jnp
 
     gsel, pos, boxes, _ = _resident_group_pos(
-        system, trajectory, group, batch_size,
-        require_ortho="rmsdist" if pbc_aware else None)
+        system, trajectory, group, batch_size)
 
     ref = system if reference is None else reference
     rp = np.asarray(ref.positions, np.float32)
@@ -935,8 +935,10 @@ def rmsdist(system, trajectory, group: str, *, reference=None,
         if ref.simbox is None:
             raise RMSDError("pbc_aware rmsdist needs a reference box",
                             code="InvalidSimBox")
-        rbox = np.asarray(
-            [ref.simbox.x, ref.simbox.y, ref.simbox.z], np.float32)
+        rbox = (np.asarray(ref.simbox.to_matrix(), np.float32)
+                if not ref.simbox.is_orthogonal()
+                else np.asarray([ref.simbox.x, ref.simbox.y, ref.simbox.z],
+                                np.float32))
 
     # mask for valid (i, j) pairs, i != j, padded rows dead
     valid = np.ones(k + pad, bool)
@@ -949,7 +951,9 @@ def rmsdist(system, trajectory, group: str, *, reference=None,
             c = jax.lax.dynamic_slice_in_dim(rp, start, chunk)
             d = c[:, None, :] - rp[None, :k, :]
             if rbox is not None:
-                d = pbc.min_image(d, jnp.asarray(rbox))
+                d = (pbc.min_image_triclinic(d, jnp.asarray(rbox))
+                     if rbox.ndim == 2
+                     else pbc.min_image(d, jnp.asarray(rbox)))
             return jnp.sqrt(jnp.sum(d * d, axis=-1))
         return jax.lax.map(rows, jnp.arange(n_chunks) * chunk)
 
@@ -977,7 +981,8 @@ def rmsdist(system, trajectory, group: str, *, reference=None,
                 c = jax.lax.dynamic_slice_in_dim(pf, start, chunk)
                 d = c[:, None, :] - pf[None, :k, :]
                 if pbc_aware:
-                    d = pbc.min_image(d, box)
+                    d = (pbc.min_image_triclinic(d, box) if box.ndim == 2
+                         else pbc.min_image(d, box))
                 dist = jnp.sqrt(jnp.sum(d * d, axis=-1))   # [C, K]
                 dev = (dist - dr) * m
                 return sad + jnp.abs(dev), jnp.sum(dev * dev)

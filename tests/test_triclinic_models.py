@@ -282,3 +282,100 @@ def test_rotmat_vanhove_filter_current_triclinic(dodeca, tmp_path):
     d = models.dccm(dodeca, XTC, "Prot")
     m = np.asarray(d["dccm"])
     assert np.abs(np.diag(m) - 1.0).max() < 1e-4  # unit diagonal
+
+
+@pytest.fixture(scope="module")
+def tri_water(tmp_path_factory):
+    """Synthetic water box with a SHEARED cell + its trajectory, plus a
+    lattice-shifted twin (every water moved by +c and rewrapped): any
+    PBC-correct analysis must give identical results on both."""
+    from groan_rs_tpu.core.simbox import SimBox
+    from groan_rs_tpu.core.topology import Topology
+    from groan_rs_tpu.io import native
+
+    rng = np.random.default_rng(5)
+    h = np.array([[5.0, 0, 0], [0, 5.0, 0], [2.5, 2.5, 4.0]], np.float64)
+    n_wat = 40
+    frac = rng.uniform(0, 1, size=(n_wat, 3))
+    o = frac @ h
+    h1 = o + rng.normal(size=(n_wat, 3)) * 0.06
+    h2 = o + rng.normal(size=(n_wat, 3)) * 0.06
+    pos = np.stack([o, h1, h2], axis=1).reshape(-1, 3).astype(np.float32)
+    n = pos.shape[0]
+
+    topo = Topology.from_columns(
+        resnum=np.repeat(np.arange(1, n_wat + 1), 3),
+        resname=np.array(["SOL"] * n),
+        atomname=np.array(["OW", "HW1", "HW2"] * n_wat),
+        atomnum=np.arange(1, n + 1),
+        mass=np.tile(np.array([15.999, 1.008, 1.008], np.float32), n_wat),
+        charge=np.tile(np.array([-0.834, 0.417, 0.417], np.float32),
+                       n_wat),
+    )
+
+    def build(shift):
+        p = pos + np.asarray(shift, np.float32)
+        # wrap each water's O into the primary cell, hydrogens riding
+        s_frac = (p.reshape(-1, 3) @ np.linalg.inv(h)).astype(np.float64)
+        p = ((s_frac - np.floor(s_frac)) @ h).astype(np.float32)
+        sys_ = System("triwater", topo.copy() if hasattr(topo, "copy")
+                      else topo,
+                      simbox=SimBox.from_matrix(h.astype(np.float32)),
+                      positions=p)
+        return sys_, p
+
+    d = tmp_path_factory.mktemp("triwater")
+    files = {}
+    for tag, shift in (("base", (0, 0, 0)), ("shifted", tuple(h[2]))):
+        sys_, p = build(shift)
+        xtc = str(d / f"{tag}.xtc")
+        box9 = h.astype(np.float32).reshape(9)
+        drift = np.zeros(3, np.float32)
+        rng2 = np.random.default_rng(9)
+        cur = p.copy()
+        for f in range(5):
+            if f:
+                step = rng2.normal(size=cur.shape).astype(np.float32) * 0.01
+                sf = ((cur + step) @ np.linalg.inv(h)).astype(np.float64)
+                cur = ((sf - np.floor(sf)) @ h).astype(np.float32)
+            native.xtc_write_frame(xtc, n, f, f * 1.0, box9, cur, 1000.0)
+        files[tag] = (sys_, xtc)
+    return files
+
+
+def test_water_orientation_lattice_shift_invariant(tri_water):
+    """sorient/h2order/spol on a sheared cell are invariant to shifting
+    the whole system by a lattice vector (exact triclinic min image;
+    quantization makes the two trajectories bit-different, hence the
+    small tolerance)."""
+    outs = {}
+    for tag, (s, xtc) in tri_water.items():
+        s.group_create("Ref", "serial 1 to 6")
+        so = models.sorient(s, xtc, "Ref", oxygen="name OW",
+                            hydrogens="name HW1 HW2", rmin=0.0, rmax=3.0)
+        h2 = models.h2order(s, xtc, oxygen="name OW",
+                            hydrogens="name HW1 HW2", bins=8)
+        sp = models.spol(s, xtc, "Ref", "resname SOL", rmax=3.0, bins=10)
+        outs[tag] = (so, h2, sp)
+    (so_a, h2_a, sp_a), (so_b, h2_b, sp_b) = outs["base"], outs["shifted"]
+    for key in ("hist_dip",):
+        if key in so_a:
+            np.testing.assert_allclose(so_a[key], so_b[key], atol=1e-3)
+    np.testing.assert_allclose(
+        np.nan_to_num(h2_a["cos"]), np.nan_to_num(h2_b["cos"]), atol=5e-3)
+    np.testing.assert_allclose(h2_a["count"], h2_b["count"], atol=0.1)
+    np.testing.assert_allclose(
+        np.nan_to_num(sp_a["mean_cos_r"]), np.nan_to_num(sp_b["mean_cos_r"]),
+        atol=5e-3)
+
+
+def test_densmap_triclinic_conserves_counts(dodeca):
+    dm = models.densmap(dodeca, XTC, "Prot", bins=(8, 8))
+    n = len(dodeca.group_indices("Prot"))
+    assert dm["counts"].sum() == 11 * n  # every atom lands in a tile
+
+
+def test_sdf_triclinic_runs(dodeca):
+    sd = models.sdf(dodeca, XTC, "serial 1 to 10", "Prot", side=4.0, bins=8)
+    assert 0 < sd["occupancy"] <= 1
+    assert np.isfinite(sd["grid"]).all()
