@@ -19,6 +19,10 @@ from groan_rs_tpu import models
 from groan_rs_tpu.errors import ParallelError
 from groan_rs_tpu.system import System
 
+# numeric-parity suite: runs on the real chip too (./run_tests.sh device);
+# the 8-device mesh cases self-skip there
+pytestmark = pytest.mark.device_parity
+
 TF = "/root/reference/test_files"
 _G5 = np.array([-2, -1, 0, 1, 2])
 SHIFTS125 = np.stack(np.meshgrid(_G5, _G5, _G5, indexing="ij"),
