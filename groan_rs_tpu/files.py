@@ -22,6 +22,7 @@ class FileType(enum.Enum):
     DCD = "dcd"
     LAMMPSTRJ = "lammpstrj"
     AMBER_NETCDF = "nc"
+    XYZ = "xyz"
 
     @classmethod
     def from_name(cls, path) -> "FileType":
@@ -41,6 +42,7 @@ class FileType(enum.Enum):
             "dcd": cls.DCD,
             "lammpstrj": cls.LAMMPSTRJ,
             "nc": cls.AMBER_NETCDF,
+            "xyz": cls.XYZ,
         }
         return table.get(ext, cls.UNKNOWN)
 

@@ -8,6 +8,8 @@ Plays the role of the optional chemfiles C++ dependency in the reference
   (matching the reference's documented DCD limitations, chemfiles.rs:36).
 - Amber NetCDF: via scipy's netcdf reader ('coordinates' in Angstrom).
 - LAMMPSTRJ: text dump with ITEM: sections (Angstrom -> nm).
+- XYZ: plain + extended XYZ (`Lattice="..."` cell, `Properties=` column
+  layout, `Time=` stamp), Angstrom -> nm.
 TNG is handled by the native container parser in `io/tng.py`.
 """
 
@@ -312,6 +314,167 @@ class LammpsSource(FrameSource):
         )
 
 
+class XyzSource(FrameSource):
+    """Multi-frame XYZ / extended-XYZ trajectory reader.
+
+    The reference reads XYZ through chemfiles ("all trajectory formats
+    supported by chemfiles can be read", src/io/chemfiles.rs:27); this is
+    the native equivalent.  Per-frame blocks are ``natoms\\ncomment\\n``
+    followed by ``symbol x y z`` lines in Angstrom (-> nm).  Extended-XYZ
+    comment metadata is honored:
+
+    - ``Lattice="ax ay az bx by bz cx cy cz"`` (row-major cell vectors,
+      Angstrom) -> per-frame box via lengths+angles, matching chemfiles'
+      UnitCell representation (arbitrary lattices are rotated into the
+      Gromacs lower-triangular convention, like every other reader here);
+    - ``Properties=species:S:1:pos:R:3:...`` -> locates the coordinate
+      columns when they do not directly follow the species column;
+    - ``Time=...`` -> simulation time (assumed ps).  Otherwise, plain-XYZ
+      frames carry no step/time: the frame number is used and time is 0,
+      the convention the reference documents for step-less chemfiles
+      formats (chemfiles.rs:37-40).
+    """
+
+    kind = "xyz"
+
+    def __init__(self, path):
+        self.path = str(path)
+        try:
+            with open(path) as fh:
+                raw = fh.read().splitlines()
+        except OSError:
+            raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
+
+        frames = []  # (comment, body_lines)
+        i = 0
+        n_lines = len(raw)
+        natoms = None
+        while i < n_lines:
+            if not raw[i].strip():
+                i += 1
+                continue
+            try:
+                n = int(raw[i].strip())
+            except ValueError:
+                raise ReadTrajError(
+                    f"invalid xyz file '{path}': expected an atom count at "
+                    f"line {i + 1}", code="NotXyz") from None
+            if n < 0 or i + 1 >= n_lines:
+                raise ReadTrajError(
+                    f"truncated xyz frame in '{path}'", code="CorruptFrame")
+            comment = raw[i + 1]
+            body = raw[i + 2 : i + 2 + n]
+            if len(body) != n:
+                raise ReadTrajError(
+                    f"truncated xyz frame in '{path}'", code="CorruptFrame")
+            if natoms is None:
+                natoms = n
+            elif natoms != n:
+                raise ReadTrajError(
+                    "inconsistent atom count between xyz frames",
+                    code="AtomsNumberMismatch")
+            frames.append((comment, body))
+            i += 2 + n
+
+        if not frames:
+            raise ReadTrajError(f"'{path}' contains no xyz frames", code="NotXyz")
+        self.natoms = natoms or 0
+        self._frames = frames
+        self.steps = np.arange(len(frames), dtype=np.int64)
+        times = np.zeros(len(frames), np.float32)
+        for k, (comment, _) in enumerate(frames):
+            t = self._comment_fields(comment).get("time")
+            if t is not None:
+                try:
+                    times[k] = float(t)
+                except ValueError:
+                    pass
+        self.times = times
+
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    @staticmethod
+    def _comment_fields(comment: str) -> dict:
+        """key=value pairs of an extxyz comment (values may be quoted)."""
+        import re
+
+        return {
+            m.group(1).lower(): (m.group(2) or m.group(3))
+            for m in re.finditer(r'(\w+)=(?:"([^"]*)"|(\S+))', comment)
+        }
+
+    @staticmethod
+    def _pos_column(fields: dict) -> int:
+        """First coordinate column (0-based, counting the species column)."""
+        props = fields.get("properties")
+        if not props:
+            return 1
+        col = 0
+        parts = props.split(":")
+        for j in range(0, len(parts) - 2, 3):
+            name, _typ, width = parts[j], parts[j + 1], parts[j + 2]
+            try:
+                w = int(width)
+            except ValueError:
+                return 1
+            if name == "pos":
+                return col
+            col += w
+        return 1
+
+    @staticmethod
+    def _box9(lattice: str) -> np.ndarray | None:
+        vals = lattice.split()
+        if len(vals) != 9:
+            return None
+        try:
+            h = np.array([float(v) for v in vals], np.float64).reshape(3, 3)
+        except ValueError:
+            return None
+        if not np.isfinite(h).all() or np.abs(np.linalg.det(h)) < 1e-12:
+            return None
+        la, lb, lc = (np.linalg.norm(h[j]) / 10.0 for j in range(3))
+
+        def ang(u, v):
+            c = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+            return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+        return _box9_from_lengths_angles(
+            la, lb, lc, ang(h[1], h[2]), ang(h[0], h[2]), ang(h[0], h[1])
+        )
+
+    def read_batch(self, frame_ids, stop_after=None):
+        ids = np.asarray(frame_ids)
+        stop = stop_after if stop_after is not None else self.natoms
+        pos = np.zeros((len(ids), stop, 3), np.float32)
+        boxes = np.zeros((len(ids), 9), np.float32)
+        for k, fid in enumerate(ids):
+            comment, body = self._frames[int(fid)]
+            fields = self._comment_fields(comment)
+            c0 = self._pos_column(fields)
+            try:
+                vals = np.array(
+                    [l.split()[c0 : c0 + 3] for l in body[:stop]], np.float64
+                )
+                if vals.shape != (stop, 3):
+                    raise ValueError
+            except ValueError:
+                raise ReadTrajError(
+                    f"invalid xyz coordinate line in '{self.path}'",
+                    code="CorruptFrame") from None
+            pos[k] = vals / 10.0
+            lat = fields.get("lattice")
+            if lat is not None:
+                b9 = self._box9(lat)
+                if b9 is not None:
+                    boxes[k] = b9
+        return FrameBatch(
+            positions=pos, boxes9=boxes, steps=self.steps[ids],
+            times=self.times[ids], frame_numbers=ids.astype(np.int64),
+        )
+
+
 def open_extra_source(path, fmt: str):
     if fmt == "dcd":
         return DcdSource(path)
@@ -319,6 +482,8 @@ def open_extra_source(path, fmt: str):
         return NetCdfSource(path)
     if fmt == "lammpstrj":
         return LammpsSource(path)
+    if fmt == "xyz":
+        return XyzSource(path)
     if fmt == "tng":  # routed to io/tng.py by open_source; kept for direct calls
         from .tng import TngSource
 

@@ -404,7 +404,7 @@ def open_source(path, fmt: str | None = None) -> FrameSource:
         from .tng import TngSource
 
         return TngSource(path)
-    if fmt in ("dcd", "nc", "lammpstrj"):
+    if fmt in ("dcd", "nc", "lammpstrj", "xyz"):
         from .chem import open_extra_source
 
         return open_extra_source(path, fmt)
@@ -1218,6 +1218,40 @@ class TngTrajWriter(TrajWriter):
         self._w.close()
 
 
+class XyzTrajWriter(TrajWriter):
+    """Extended-XYZ writer — surpass feature, the reference reads XYZ via
+    chemfiles but cannot write it (src/io/chemfiles.rs is read-only).
+    Emits ``Lattice=`` (when the system has a box), ``Properties=`` and
+    ``Time=`` extxyz metadata so `XyzSource` round-trips box and time;
+    coordinates in Angstrom.  Species come from the topology's element
+    symbols where guessed, the atom name otherwise."""
+
+    def __init__(self, system, path, group: str = "all"):
+        super().__init__(system, path, group)
+        topo = system.topology
+        sym = topo.element_symbol.values()[self.indices]
+        names = topo.atomname.values()[self.indices]
+        self._species = np.where(sym == "", names, sym)
+
+    def write_frame(self):
+        s = self.system
+        idx = self.indices
+        pos = np.asarray(s.positions[idx], np.float64) * 10.0
+        box = s.get_box()
+        comment = f"Properties=species:S:1:pos:R:3 Time={float(s.get_time()):g}"
+        if box is not None:
+            h = np.asarray(box.to_matrix(), np.float64) * 10.0
+            lat = " ".join(f"{v:.6f}" for v in h.reshape(9))
+            comment = f'Lattice="{lat}" ' + comment
+        lines = [str(len(idx)), comment]
+        lines.extend(
+            f"{sp} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
+            for sp, p in zip(self._species, pos)
+        )
+        with open(self.path, "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+
 def make_writer(system, path, group: str = "all", fmt: str | None = None, **kw) -> TrajWriter:
     if fmt is None:
         fmt = FileType.from_name(path).value
@@ -1229,4 +1263,6 @@ def make_writer(system, path, group: str = "all", fmt: str | None = None, **kw) 
         return GroTrajWriter(system, path, group, **kw)
     if fmt == "tng":
         return TngTrajWriter(system, path, group, **kw)
+    if fmt == "xyz":
+        return XyzTrajWriter(system, path, group)
     raise WriteTrajError(f"unsupported trajectory format '{fmt}'", code="UnknownFormat")
