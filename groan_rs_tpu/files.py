@@ -23,6 +23,7 @@ class FileType(enum.Enum):
     LAMMPSTRJ = "lammpstrj"
     AMBER_NETCDF = "nc"
     XYZ = "xyz"
+    MOL2 = "mol2"
 
     @classmethod
     def from_name(cls, path) -> "FileType":
@@ -43,6 +44,7 @@ class FileType(enum.Enum):
             "lammpstrj": cls.LAMMPSTRJ,
             "nc": cls.AMBER_NETCDF,
             "xyz": cls.XYZ,
+            "mol2": cls.MOL2,
         }
         return table.get(ext, cls.UNKNOWN)
 

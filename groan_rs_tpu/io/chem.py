@@ -10,6 +10,8 @@ Plays the role of the optional chemfiles C++ dependency in the reference
 - LAMMPSTRJ: text dump with ITEM: sections (Angstrom -> nm).
 - XYZ: plain + extended XYZ (`Lattice="..."` cell, `Properties=` column
   layout, `Time=` stamp), Angstrom -> nm.
+- MOL2: SYBYL/TRIPOS records; each @<TRIPOS>MOLECULE is one frame,
+  optional @<TRIPOS>CRYSIN cell, Angstrom -> nm.
 TNG is handled by the native container parser in `io/tng.py`.
 """
 
@@ -475,6 +477,129 @@ class XyzSource(FrameSource):
         )
 
 
+class Mol2Source(FrameSource):
+    """SYBYL MOL2 trajectory reader.
+
+    The reference reads mol2 through chemfiles (src/io/chemfiles.rs:27);
+    this is the native equivalent.  Each ``@<TRIPOS>MOLECULE`` record is
+    one frame (chemfiles' convention for multi-molecule files); the
+    ``@<TRIPOS>ATOM`` section carries ``id name x y z type ...`` with
+    coordinates in Angstrom (-> nm); an optional ``@<TRIPOS>CRYSIN``
+    record (``a b c alpha beta gamma spgrp setting``) provides the cell.
+    MOL2 carries no step/time: frame number is used and time is 0
+    (the step-less chemfiles convention, chemfiles.rs:37-40).
+    """
+
+    kind = "mol2"
+
+    def __init__(self, path):
+        self.path = str(path)
+        try:
+            with open(path) as fh:
+                raw = fh.read().splitlines()
+        except OSError:
+            raise ReadTrajError(f"file '{path}' was not found", code="FileNotFound") from None
+
+        frames = []  # (atom_lines, crysin_or_None)
+        natoms = None
+        i = 0
+        n_lines = len(raw)
+        while i < n_lines:
+            line = raw[i].strip()
+            if line != "@<TRIPOS>MOLECULE":
+                if line and not line.startswith("#") and natoms is None and not frames:
+                    # content before the first MOLECULE record
+                    raise ReadTrajError(
+                        f"'{path}' is not a valid mol2 file", code="NotMol2")
+                i += 1
+                continue
+            # MOLECULE record: name line, then counts line (natoms [nbonds ...])
+            if i + 2 >= n_lines:
+                raise ReadTrajError(
+                    f"truncated mol2 record in '{path}'", code="CorruptFrame")
+            try:
+                n = int(raw[i + 2].split()[0])
+            except (ValueError, IndexError):
+                raise ReadTrajError(
+                    f"invalid mol2 counts line in '{path}'",
+                    code="NotMol2") from None
+            if natoms is None:
+                natoms = n
+            elif natoms != n:
+                raise ReadTrajError(
+                    "inconsistent atom count between mol2 molecules",
+                    code="AtomsNumberMismatch")
+            # scan this record's sections up to the next MOLECULE
+            j = i + 3
+            atoms = None
+            crysin = None
+            while j < n_lines and raw[j].strip() != "@<TRIPOS>MOLECULE":
+                sec = raw[j].strip()
+                if sec == "@<TRIPOS>ATOM":
+                    atoms = raw[j + 1 : j + 1 + n]
+                    if len(atoms) != n or any(
+                        a.strip().startswith("@<TRIPOS>") for a in atoms
+                    ):
+                        raise ReadTrajError(
+                            f"truncated mol2 ATOM section in '{path}'",
+                            code="CorruptFrame")
+                    j += 1 + n
+                elif sec == "@<TRIPOS>CRYSIN":
+                    if j + 1 < n_lines:
+                        crysin = raw[j + 1]
+                    j += 2
+                else:
+                    j += 1
+            if atoms is None:
+                raise ReadTrajError(
+                    f"mol2 molecule without ATOM section in '{path}'",
+                    code="CorruptFrame")
+            frames.append((atoms, crysin))
+            i = j
+
+        if not frames:
+            raise ReadTrajError(f"'{path}' contains no mol2 molecules", code="NotMol2")
+        self.natoms = natoms or 0
+        self._frames = frames
+        self.steps = np.arange(len(frames), dtype=np.int64)
+        self.times = np.zeros(len(frames), np.float32)
+
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def read_batch(self, frame_ids, stop_after=None):
+        ids = np.asarray(frame_ids)
+        stop = stop_after if stop_after is not None else self.natoms
+        pos = np.zeros((len(ids), stop, 3), np.float32)
+        boxes = np.zeros((len(ids), 9), np.float32)
+        for k, fid in enumerate(ids):
+            body, crysin = self._frames[int(fid)]
+            try:
+                vals = np.array(
+                    [l.split()[2:5] for l in body[:stop]], np.float64
+                )
+                if vals.shape != (stop, 3):
+                    raise ValueError
+            except ValueError:
+                raise ReadTrajError(
+                    f"invalid mol2 atom line in '{self.path}'",
+                    code="CorruptFrame") from None
+            pos[k] = vals / 10.0
+            if crysin is not None:
+                parts = crysin.split()
+                if len(parts) >= 6:
+                    try:
+                        a, b, c, al, be, ga = (float(v) for v in parts[:6])
+                        boxes[k] = _box9_from_lengths_angles(
+                            a / 10.0, b / 10.0, c / 10.0, al, be, ga)
+                    except ValueError:
+                        pass
+        return FrameBatch(
+            positions=pos, boxes9=boxes, steps=self.steps[ids],
+            times=self.times[ids], frame_numbers=ids.astype(np.int64),
+        )
+
+
 def open_extra_source(path, fmt: str):
     if fmt == "dcd":
         return DcdSource(path)
@@ -484,6 +609,8 @@ def open_extra_source(path, fmt: str):
         return LammpsSource(path)
     if fmt == "xyz":
         return XyzSource(path)
+    if fmt == "mol2":
+        return Mol2Source(path)
     if fmt == "tng":  # routed to io/tng.py by open_source; kept for direct calls
         from .tng import TngSource
 

@@ -404,7 +404,7 @@ def open_source(path, fmt: str | None = None) -> FrameSource:
         from .tng import TngSource
 
         return TngSource(path)
-    if fmt in ("dcd", "nc", "lammpstrj", "xyz"):
+    if fmt in ("dcd", "nc", "lammpstrj", "xyz", "mol2"):
         from .chem import open_extra_source
 
         return open_extra_source(path, fmt)

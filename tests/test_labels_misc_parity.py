@@ -92,12 +92,12 @@ def test_filetype_sniffing(test_files):
         "a.gro": "gro", "b.pdb": "pdb", "c.xtc": "xtc", "d.ndx": "ndx",
         "e.trr": "trr", "f.pqr": "pqr", "g.tpr": "tpr", "h.yaml": "yaml",
         "i.nc": "nc", "j.dcd": "dcd", "k.tng": "tng", "l.lammpstrj": "lammpstrj",
-        "m.xyz": "xyz",
+        "m.xyz": "xyz", "n.mol2": "mol2",
     }
     for name, kind in cases.items():
         assert FileType.from_name(name).value == kind, name
     assert FileType.from_name("noext").value == "unknown"
-    assert FileType.from_name("weird.mol2").value == "unknown"
+    assert FileType.from_name("weird.cif").value == "unknown"
 
 
 def test_read_ndx_with_default(sys_, test_files):

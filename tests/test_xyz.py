@@ -193,3 +193,93 @@ def test_xyz_error_taxonomy(tmp_path):
     with pytest.raises(ReadTrajError) as e:
         src.read_batch([0])
     assert e.value.code == "CorruptFrame"
+
+
+# =====================================================================
+# MOL2 (same chemfiles-long-tail axis; reader only, like the reference)
+# =====================================================================
+
+MOL2_TWO_FRAMES = """\
+# comment line
+@<TRIPOS>MOLECULE
+frame0
+3 2 1 0 0
+SMALL
+NO_CHARGES
+
+@<TRIPOS>ATOM
+1 O1 1.0 2.0 3.0 O.3 1 WAT 0.0
+2 H1 2.0 3.0 4.0 H 1 WAT 0.0
+3 H2 3.0 4.0 5.0 H 1 WAT 0.0
+@<TRIPOS>BOND
+1 1 2 1
+2 1 3 1
+@<TRIPOS>CRYSIN
+30.0 40.0 50.0 90.0 90.0 90.0 1 1
+@<TRIPOS>MOLECULE
+frame1
+3 2 1 0 0
+SMALL
+NO_CHARGES
+
+@<TRIPOS>ATOM
+1 O1 1.5 2.5 3.5 O.3 1 WAT 0.0
+2 H1 2.5 3.5 4.5 H 1 WAT 0.0
+3 H2 3.5 4.5 5.5 H 1 WAT 0.0
+@<TRIPOS>BOND
+1 1 2 1
+2 1 3 1
+"""
+
+
+def test_mol2_frames_and_cell(tmp_path):
+    """Each @<TRIPOS>MOLECULE is one frame; CRYSIN provides the cell;
+    Angstrom -> nm; step-less chemfiles semantics."""
+    path = str(tmp_path / "two.mol2")
+    open(path, "w").write(MOL2_TWO_FRAMES)
+    src = open_source(path)
+    assert src.kind == "mol2"
+    assert src.n_frames() == 2 and src.natoms == 3
+    fb = src.read_batch([0, 1])
+    np.testing.assert_allclose(
+        fb.positions[0], [[0.1, 0.2, 0.3], [0.2, 0.3, 0.4], [0.3, 0.4, 0.5]],
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(fb.positions[1, 0], [0.15, 0.25, 0.35], atol=1e-7)
+    np.testing.assert_allclose(fb.boxes9[0][:3], [3.0, 4.0, 5.0], atol=1e-6)
+    assert fb.boxes9[1].sum() == 0.0  # frame 1 has no CRYSIN
+    assert list(fb.steps) == [0, 1]
+    np.testing.assert_allclose(fb.times, [0.0, 0.0])
+    # partial read
+    fb1 = src.read_batch([1], stop_after=2)
+    assert fb1.positions.shape == (1, 2, 3)
+
+
+def test_mol2_error_taxonomy(tmp_path):
+    bad = str(tmp_path / "bad.mol2")
+    open(bad, "w").write("this is not mol2\n")
+    with pytest.raises(ReadTrajError) as e:
+        open_source(bad)
+    assert e.value.code == "NotMol2"
+
+    trunc = str(tmp_path / "trunc.mol2")
+    open(trunc, "w").write(
+        "@<TRIPOS>MOLECULE\nm\n3 0\nSMALL\nNO_CHARGES\n\n"
+        "@<TRIPOS>ATOM\n1 O1 1.0 2.0 3.0 O.3\n"
+    )
+    with pytest.raises(ReadTrajError) as e:
+        open_source(trunc)
+    assert e.value.code == "CorruptFrame"
+
+    mismatch = str(tmp_path / "mm.mol2")
+    open(mismatch, "w").write(
+        "@<TRIPOS>MOLECULE\nm\n1 0\n\n\n@<TRIPOS>ATOM\n1 O1 0 0 0 O\n"
+        "@<TRIPOS>MOLECULE\nm\n2 0\n\n\n@<TRIPOS>ATOM\n1 O1 0 0 0 O\n2 O2 1 1 1 O\n"
+    )
+    with pytest.raises(ReadTrajError) as e:
+        open_source(mismatch)
+    assert e.value.code == "AtomsNumberMismatch"
+
+    with pytest.raises(ReadTrajError) as e:
+        open_source(str(tmp_path / "missing.mol2"))
+    assert e.value.code == "FileNotFound"
